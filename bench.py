@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap full-evaluation action
+(count on the final plan) — results are not collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+from big_data_analysis_diseases_outbreaks_spark.session import get_spark
+
+HEADLINE = [
+    "anomaly_zscore",
+    "trends_daily_agg",
+    "trends_detrend",
+    "pivot_wide",
+    "features_join",
+    "tpch_q1_pricing",
+    "revenue_by_nation",
+    "top10_customers",
+    "late_shipment_orders",
+    "customer_order_sequence",
+    "sessionize_events",
+    "asof_last_signup",
+    "qfactor_normalization",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_pairs",
+    "doc_quality_score",
+    "cosine_topk",
+    "label_centroids",
+    "multimodal_decode",
+    "stream_daily_agg",
+    "kmeans_anomaly",
+    "iforest_anomaly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="bench")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            df.count()  # force full evaluation without driver collect
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            dt = -1.0
+        timings[name] = dt
+        if dt > 0:
+            total += dt
+        print(f"bench: {name}: {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_headline_queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

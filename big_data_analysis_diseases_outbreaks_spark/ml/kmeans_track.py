@@ -1,0 +1,89 @@
+"""KMeans-distance anomaly track (reference Python notebook
+``SparkBatchProcessKmeanPCA.ipynb`` cells 6-15, SURVEY.md §2.K1-K5/K8):
+
+wide features → VectorAssembler → StandardScaler(withMean) → PCA(k) →
+silhouette-selected KMeans → squared distance to own cluster center →
+z-score of distances → |z| > 2 ⇒ anomaly.
+
+Spark-first deltas from the reference:
+- distance to center computed with ``vector_to_array`` + JVM array
+  arithmetic — replaces the reference's row-at-a-time Python UDF
+  (``calculate_distance``, notebook cell 12) entirely;
+- centers are joined in as a tiny broadcast DataFrame instead of a
+  closure over ``model.clusterCenters()`` (no per-row driver capture);
+- final z-score via window aggregates, not two collect() round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import ClusteringEvaluator
+from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+
+SEED = 1  # reference: Main.scala:311, notebook cell 11
+
+
+def select_k(scaled: DataFrame, k_range=range(2, 5)) -> int:
+    """Silhouette model selection (notebook cell 10 ``select_k``)."""
+    best_k, best_score = 2, float("-inf")
+    evaluator = ClusteringEvaluator(featuresCol="features", metricName="silhouette")
+    for k in k_range:
+        model = KMeans(k=k, seed=SEED, featuresCol="features").fit(scaled)
+        score = evaluator.evaluate(model.transform(scaled))
+        if score > best_score:
+            best_k, best_score = k, score
+    return best_k
+
+
+def kmeans_anomalies(
+    wide: DataFrame, feature_cols: list[str], pca_k: int = 4, z_thresh: float = 2.0
+) -> DataFrame:
+    """wide (date, region, features...) → (date, region, score, is_anomaly)."""
+    assembled = VectorAssembler(
+        inputCols=feature_cols, outputCol="raw_features"
+    ).transform(wide)
+    scaler = StandardScaler(
+        inputCol="raw_features", outputCol="scaled", withStd=True, withMean=True
+    ).fit(assembled)
+    scaled = scaler.transform(assembled)
+    pca_k = min(pca_k, len(feature_cols))
+    pca = PCA(k=pca_k, inputCol="scaled", outputCol="features").fit(scaled)
+    feats = pca.transform(scaled).persist()
+
+    k = select_k(feats)
+    model = KMeans(k=k, seed=SEED, featuresCol="features").fit(feats)
+    pred = model.transform(feats)
+
+    # Broadcast-join the centers; squared distance in JVM array arithmetic.
+    centers = pred.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "prediction INT, center ARRAY<DOUBLE>",
+    )
+    with_center = pred.withColumn("fa", vector_to_array("features")).join(
+        F.broadcast(centers), on="prediction"
+    )
+    dist = F.aggregate(
+        F.zip_with("fa", "center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = with_center.withColumn("distance", dist)
+
+    w = Window.partitionBy(F.lit(1))
+    z = (F.col("distance") - F.avg("distance").over(w)) / F.nullif(
+        F.stddev_samp("distance").over(w), F.lit(0.0)
+    )
+    out = (
+        scored.withColumn("score", F.round(z, 4))
+        .withColumn(
+            "is_anomaly",
+            F.when(F.abs(F.col("score")) > z_thresh, 1).otherwise(0).cast("int"),
+        )
+        .select("date", "region", F.col("prediction").cast("int").alias("cluster"),
+                "score", "is_anomaly")
+    )
+    feats.unpersist()
+    return out

@@ -1,0 +1,199 @@
+"""Deduplication operators for the training-data-pipeline surface
+(north-star extension; no reference twin — the reference's closest idiom
+is dropDuplicates on the region list, ``Main.scala:283``).
+
+Three tiers, all shuffle-minimal:
+- exact: hash groupBy on the text fingerprint — one shuffle on the
+  fingerprint key; at 100 TB this is the canonical pre-partitionable op.
+- minhash LSH: shingles → k minhashes → banded buckets → candidate pairs
+  only within buckets (avoids the quadratic all-pairs join); verification
+  re-computes exact Jaccard on the candidates only.
+- ngram jaccard: exact pairwise Jaccard *within explicit buckets* —
+  quadratic within a bucket, used as the verifier / small-scale oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, with_shingles
+
+# MinHash parameters: k = bands * rows_per_band signatures.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
+MERSENNE = (1 << 61) - 1
+# Skip degenerate LSH buckets: a bucket shared by more than this many
+# docs generates quadratic pairs while carrying almost no dedup signal
+# (it means the banded signature is globally common). Standard
+# production-LSH mitigation; keeps worst-case pair count ≤ buckets·cap².
+MAX_BUCKET_SIZE = 64
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) texts: canonical doc = min doc_id."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_columns(hashes_col: str = "shingle_hashes") -> list[F.Column]:
+    """k deterministic permutations h_i(x) = (a_i*x + b_i) mod p, min over
+    the shingle hash set. Coefficients from a fixed LCG (seeded, public
+    textbook construction)."""
+    def perm(ai: int, bi: int):
+        # closure factory: keeps the lambda unary (pyspark counts params)
+        return lambda h: (F.lit(ai) * h + F.lit(bi)) % F.lit(MERSENNE)
+
+    cols = []
+    a, b = 1103515245, 12345
+    state = 42
+    k = MINHASH_BANDS * MINHASH_ROWS
+    for i in range(k):
+        state = (a * state + b) % (1 << 31)
+        ai = 2 * state + 1  # odd multiplier
+        state = (a * state + b) % (1 << 31)
+        bi = state
+        cols.append(
+            F.array_min(
+                F.transform(F.col(hashes_col), perm(ai, bi))
+            ).alias(f"mh_{i}")
+        )
+    return cols
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → minhash signature columns mh_0..mh_{k-1}."""
+    # repartition: the doc table may arrive as one small file partition;
+    # the k×|shingles| interpreted permutation work needs all cores.
+    shingled = with_shingles(
+        docs.select("doc_id", text_col), text_col, out="shingles"
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    hashed = shingled.withColumn(
+        "shingle_hashes",
+        F.transform("shingles", lambda s: F.abs(F.xxhash64(s)).cast("long")),
+    )
+    return hashed.select("doc_id", *_minhash_columns())
+
+
+def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded LSH: docs agreeing on all rows of ≥1 band become candidates.
+
+    Shuffle profile: one exchange keyed by (band, band_hash) — identical
+    signatures co-locate; the pair join happens within buckets only.
+    """
+    band_cols = []
+    for band in range(MINHASH_BANDS):
+        members = [f"mh_{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        band_cols.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(*members).alias("bucket"),
+            )
+        )
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bucket_sizes = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(
+            (F.col("bucket_n") > 1) & (F.col("bucket_n") <= MAX_BUCKET_SIZE)
+        )
+        .select("band", "bucket")
+    )
+    exploded = exploded.join(bucket_sizes, on=["band", "bucket"], how="left_semi")
+    left = exploded.alias("a")
+    right = exploded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    bucket_cols: tuple[str, ...] = ("lang", "source"),
+    min_jaccard: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs word-3-gram Jaccard within explicit buckets.
+
+    Perf shape: shingles are hashed to int64 once (set semantics
+    preserved; 64-bit collisions negligible) so the per-pair intersect
+    compares longs, not strings; the pair join is hash-partitioned on
+    the bucket keys so the quadratic-within-bucket work spreads across
+    all cores (a single small parquet file would otherwise run the whole
+    join in ONE task).
+    """
+    shingled = (
+        with_shingles(docs.select(*bucket_cols, "doc_id", text_col), text_col, out="sh")
+        .drop(text_col)
+        .withColumn("shh", F.transform("sh", lambda s: F.xxhash64(s)))
+        .drop("sh")
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, *bucket_cols
+        )
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in bucket_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.shh"), F.col("b.shh")))
+    union = F.size(F.col("a.shh")) + F.size(F.col("b.shh")) - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def verified_near_duplicates(
+    docs: DataFrame, min_jaccard: float = 0.3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash-LSH candidates → exact-Jaccard verification (the scale
+    path: quadratic work only inside LSH buckets)."""
+    sigs = minhash_signatures(docs, text_col)
+    cand = minhash_candidate_pairs(sigs)
+    shingled = (
+        with_shingles(docs.select("doc_id", text_col), text_col, out="sh")
+        .drop(text_col)
+        .withColumn("sh", F.transform("sh", lambda s: F.xxhash64(s)))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
+    j = (
+        cand.join(shingled.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
+        .withColumnRenamed("sh", "sh1")
+        .join(shingled.withColumnRenamed("doc_id", "doc_id_2"), "doc_id_2")
+        .withColumnRenamed("sh", "sh2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        j.select(
+            "doc_id_1",
+            "doc_id_2",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,305 @@
+"""Relational breadth on the TPC-H-ish tables (SURVEY.md §2 rows A3, C1-C4,
+E joins/set-ops, F aggregations, G window extensions, H sorts/top-k).
+
+Scale notes baked into each plan:
+- dimension joins (region/nation/customer/supplier/part) are explicitly
+  ``F.broadcast`` — at 100 TB the fact tables shuffle on their own keys
+  only; dims never shuffle.
+- top-k uses orderBy+limit → Spark plans ``TakeOrderedAndProject``
+  (per-partition heap + driver merge of k rows, no global sort).
+- aggregates round to 4 dp for cross-engine bit-stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.stable import scaled_long
+from ..sources.tables import load_table
+from . import register
+
+
+# --- TPC-H Q1: pricing summary (grouped multi-aggregate) ------------------
+
+
+# Integer-scaled sums (functions/stable.py): quantity/price/discount are
+# 2-dp decimals, disc_price is 4-dp, charge is 6-dp — exact at scales
+# 1e2/1e4/1e6; integer aggregation is order-independent, so Spark and the
+# oracle agree bit-for-bit.
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4)
+         AS sum_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4)
+         AS sum_base_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+             AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100.0) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100.0) AS avg_price,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100.0) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    qty_s = scaled_long(F.col("l_quantity"), 100)
+    price_s = scaled_long(F.col("l_extendedprice"), 100)
+    disc_price_s = scaled_long(disc_price, 10_000)
+    charge_s = scaled_long(charge, 1_000_000)
+    disc_s = scaled_long(F.col("l_discount"), 100)
+    n = F.count(F.lit(1))
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(qty_s).cast("double") / 100.0, 4).alias("sum_qty"),
+            F.round(F.sum(price_s).cast("double") / 100.0, 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price_s).cast("double") / 10_000.0, 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(charge_s).cast("double") / 1_000_000.0, 4).alias("sum_charge"),
+            # avgs unrounded: exact-int sums make them bit-identical across
+            # engines; rounding rationals is what diverges (detrend.py note)
+            (F.sum(qty_s).cast("double") / (n * F.lit(100.0))).alias("avg_qty"),
+            (F.sum(price_s).cast("double") / (n * F.lit(100.0))).alias("avg_price"),
+            (F.sum(disc_s).cast("double") / (n * F.lit(100.0))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- Q5-style: revenue per nation (fact shuffles once; all dims broadcast)
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""".strip(),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- H-topk: top customers by order value (TakeOrderedAndProject) ---------
+
+
+@register(
+    "top10_customers",
+    oracle="""
+SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spent,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC LIMIT 10
+""".strip(),
+)
+def top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+# --- C2+E semi: orders with a late-shipped lineitem (EXISTS, Q4-style) ----
+
+
+@register(
+    "late_shipment_orders",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""".strip(),
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# --- E anti: parts with no shipment after a cutoff (NOT EXISTS) -----------
+
+
+@register(
+    "parts_not_recently_shipped",
+    oracle="""
+SELECT p.p_partkey, p.p_name FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND CAST(l.l_shipdate AS DATE) >= DATE '1999-01-01')
+""".strip(),
+)
+def parts_not_recently_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") >= F.lit("1999-01-01").cast("date")
+    )
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+# --- G extension: rank/lag per customer order sequence --------------------
+
+
+@register(
+    "customer_order_sequence",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       ROUND(o_totalprice, 4) AS total,
+       ROUND(COALESCE(LAG(o_totalprice) OVER w, 0.0), 4) AS prev_total,
+       CAST(COALESCE(date_diff('day',
+            LAG(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)), 0) AS INTEGER) AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+""".strip(),
+)
+def customer_order_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.to_date("o_orderdate")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(F.col("o_totalprice"), 4).alias("total"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 4).alias(
+            "prev_total"
+        ),
+        F.coalesce(F.datediff(F.col("odate"), F.lag("odate").over(w)), F.lit(0))
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
+# --- F rollup: hierarchical totals ----------------------------------------
+
+
+@register(
+    "rollup_lineitem_status",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip(),
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# --- E set ops: intersect / except on customer activity -------------------
+
+
+@register(
+    "customers_active_both_halves",
+    oracle="""
+SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+""".strip(),
+)
+def customers_active_both_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.to_date("o_orderdate")
+    )
+    first = orders.where(F.col("odate") < F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    second = orders.where(F.col("odate") >= F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    return first.intersect(second)
+
+
+@register(
+    "customers_only_first_half",
+    oracle="""
+SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+""".strip(),
+)
+def customers_only_first_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.to_date("o_orderdate")
+    )
+    first = orders.where(F.col("odate") < F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    second = orders.where(F.col("odate") >= F.lit("1998-01-01").cast("date")).select(
+        "o_custkey"
+    )
+    # subtract == SQL EXCEPT (set semantics, dedups)
+    return first.subtract(second)

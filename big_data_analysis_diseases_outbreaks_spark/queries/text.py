@@ -1,0 +1,229 @@
+"""Text-analysis + deduplication queries on the ``documents`` table
+(north-star training-data-pipeline surface).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import (
+    TOKEN_RE,
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    verified_near_duplicates,
+)
+from ..sources.tables import load_table
+from . import register
+
+
+# --- token counting (whitespace tokenizer, JVM regexp) --------------------
+
+
+@register(
+    "doc_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+       n_chars
+FROM documents
+""".strip(),
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+
+
+# --- quality scoring ------------------------------------------------------
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+SELECT doc_id, lang, {quality_score_sql('text')} AS quality
+FROM documents
+""".strip(),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+
+
+# --- language-ID heuristic ------------------------------------------------
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {lang_id_sql('text')} AS predicted_lang
+FROM documents
+""".strip(),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# --- fingerprinting -------------------------------------------------------
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""".strip(),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# --- exact dedup (hash groupBy on fingerprint) ----------------------------
+# The testdata texts are all distinct, so duplicates are constructed by
+# self-union with shifted ids — the dedup must then find every text twice.
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM all_docs GROUP BY 1
+""".strip(),
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return exact_dedup(doubled)
+
+
+# --- exact n-gram Jaccard pairs (bucketed all-pairs, the verifier) --------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+         len(a.s) + len(b.s)
+           - len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_id_1, doc_id_2,
+       ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(inter AS DOUBLE) / uni, 4) >= 0.01
+""".strip(),
+)
+def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, min_jaccard=0.01)
+
+
+# --- MinHash-LSH near-dup (scale path; approximate → rows-only check) -----
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Construct guaranteed near-dups: append each doc with its last ~20%
+    # of words dropped (high-Jaccard shifted copy).
+    truncated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.col("text"), r"\s+"),
+                F.lit(1),
+                F.greatest(
+                    (F.size(F.split(F.col("text"), r"\s+")) * 0.8).cast("int"),
+                    F.lit(3),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return verified_near_duplicates(docs.unionByName(truncated), min_jaccard=0.3)
+
+
+# --- SimHash (Arrow-vectorized pandas UDF — the sanctioned slow path) -----
+
+
+@register("simhash_buckets", oracle=None)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc + 16-bit prefix bucket for candidate pruning.
+
+    Token hashing is numpy-vectorized inside a pandas UDF (Arrow batches);
+    at scale this is one narrow map — no shuffle until the bucket groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            if not toks:
+                continue
+            hs = np.array(
+                [hash_token(tok) for tok in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    def hash_token(tok: str) -> int:
+        # FNV-1a 64-bit — deterministic across processes (unlike hash()).
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    sig = docs.select("doc_id", simhash64("text").alias("simhash"))
+    return sig.withColumn(
+        "bucket", F.shiftrightunsigned("simhash", 48).cast("int")
+    )

@@ -1,0 +1,364 @@
+"""Trends-pipeline queries (the reference's core workload re-expressed on
+the ``events`` table; SURVEY.md §2 rows F1, G1, B5-B9, F2-F5, C7, E1-E3,
+M1, plus the as-of merge E6 and sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import month_onehot_cols, month_onehot_sql
+from ..functions.stable import (
+    scaled_long,
+    scaled_long_sql,
+    stable_mean,
+    stable_mean_sql,
+    stable_std,
+    stable_std_sql,
+)
+from ..operators.detrend import (
+    DAILY_CTE,
+    DETRENDED_CTE,
+    MA_CTE,
+    daily_aggregate,
+    detrend,
+    expanding_mean,
+)
+from ..operators.pivot import KW_VALUES, pivot_wide, pivot_wide_sql
+from ..plans.anomaly import ANOMALY_ORACLE_SQL, anomaly_query
+from ..sources.tables import TRENDS_ORACLE_CTE, load_table, trends_view
+from . import register
+
+_PREFIX = f"WITH {TRENDS_ORACLE_CTE},\n{DAILY_CTE}"
+_PREFIX_DET = f"{_PREFIX},\n{MA_CTE},\n{DETRENDED_CTE}"
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_aggregate(trends_view(spark, sf_dir))
+
+
+# --- F1 batch twin: tumbling-day aggregation (Main.scala:65-79) -----------
+
+
+@register(
+    "trends_daily_agg",
+    oracle=f"{_PREFIX}\nSELECT date, region, kw, value FROM daily",
+)
+def trends_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily(spark, sf_dir)
+
+
+# --- G1: expanding moving average + detrend (Main.scala:168-195) ----------
+
+
+@register(
+    "trends_detrend",
+    oracle=f"{_PREFIX_DET}\n"
+    "SELECT date, region, kw, value, moving_avg, detrended FROM det",
+)
+def trends_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return detrend(expanding_mean(_daily(spark, sf_dir)))
+
+
+# --- flagship: z-score anomaly flags (notebook cells 13-15) ---------------
+
+
+register("anomaly_zscore", oracle=ANOMALY_ORACLE_SQL)(anomaly_query)
+
+
+# --- F2: deterministic wide pivot (Main.scala:212-216) --------------------
+
+
+@register(
+    "pivot_wide",
+    oracle=f"{_PREFIX}\n{pivot_wide_sql()}",
+)
+def pivot_wide_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pivot_wide(_daily(spark, sf_dir))
+
+
+# --- F3: month one-hot, deterministic when-chain (Main.scala:230-238) -----
+
+
+@register(
+    "month_onehot",
+    oracle=f"{_PREFIX}\n"
+    f"SELECT DISTINCT date, region, {month_onehot_sql('date')} FROM daily",
+)
+def month_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = _daily(spark, sf_dir).select("date", "region").distinct()
+    return keys.select("date", "region", *month_onehot_cols("date"))
+
+
+# --- E1: features join — wide pivot ⋈ one-hot on (date, region) -----------
+# (Main.scala:250). The one-hot side is derived from the same daily keys so
+# the join is 1:1; at scale the month side is tiny → broadcast hint.
+
+
+@register(
+    "features_join",
+    oracle=f"{_PREFIX},\n"
+    f"wide AS ({pivot_wide_sql()}),\n"
+    f"onehot AS (SELECT DISTINCT date, region, {month_onehot_sql('date')} FROM daily)\n"
+    "SELECT w.*, "
+    + ", ".join(
+        f"o.is_{m}"
+        for m in [
+            "January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December",
+        ]
+    )
+    + "\nFROM wide w JOIN onehot o ON w.date = o.date AND w.region = o.region",
+)
+def features_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wide = pivot_wide(daily)
+    onehot = (
+        daily.select("date", "region")
+        .distinct()
+        .select("date", "region", *month_onehot_cols("date"))
+    )
+    return wide.join(F.broadcast(onehot), on=["date", "region"], how="inner")
+
+
+# --- F4: global min/max in ONE pass (vs reference's two jobs,
+# spark_main.py:59-60) ------------------------------------------------------
+
+
+@register(
+    "global_minmax_date",
+    oracle=f"{_PREFIX}\n"
+    "SELECT MIN(date) AS min_date, MAX(date) AS max_date,"
+    " CAST(COUNT(*) AS BIGINT) AS n_rows FROM daily",
+)
+def global_minmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily(spark, sf_dir).agg(
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- F5/F8: grouped mean/stddev per region (notebook cell 13) -------------
+
+
+_VS = scaled_long_sql("value", 100)
+
+
+@register(
+    "value_stats_by_region",
+    oracle=f"{_PREFIX}\n"
+    f"SELECT region, {stable_mean_sql(_VS, 100)} AS mean_value,"
+    f" {stable_std_sql(_VS, 100)} AS std_value,"
+    " CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY region",
+)
+def value_stats_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Raw (unrounded) stable stats: bit-identical across engines; see
+    # operators/detrend.py on why rounding rationals is the unstable part.
+    vs = scaled_long(F.col("value"), 100)
+    return _daily(spark, sf_dir).groupBy("region").agg(
+        stable_mean(vs, 100).alias("mean_value"),
+        stable_std(vs, 100).alias("std_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- C7: group-count threshold filter (HAVING + LEFT SEMI JOIN),
+# reference producer filter_data (procucer/master/fetch_client.py:88-121) --
+
+_SERIES_MIN_ROWS = 10
+
+
+@register(
+    "series_threshold_filter",
+    oracle=f"{_PREFIX}\n"
+    "SELECT d.date, d.region, d.kw, d.value FROM daily d\n"
+    "WHERE EXISTS (\n"
+    "  SELECT 1 FROM daily g WHERE g.region = d.region AND g.kw = d.kw\n"
+    f"  GROUP BY g.region, g.kw HAVING COUNT(*) >= {_SERIES_MIN_ROWS})",
+)
+def series_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    keep = (
+        daily.groupBy("region", "kw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _SERIES_MIN_ROWS)
+        .select("region", "kw")
+    )
+    joined = daily.join(F.broadcast(keep), on=["region", "kw"], how="left_semi")
+    return joined.select("date", "region", "kw", "value")
+
+
+# --- E2/E3: union + distinct (Main.scala:151, 283) ------------------------
+
+
+@register(
+    "union_distinct_regions",
+    oracle=f"WITH {TRENDS_ORACLE_CTE}\n"
+    "SELECT region FROM trends WHERE datetime < TIMESTAMP '2024-01-15'\n"
+    "UNION\n"
+    "SELECT region FROM trends WHERE datetime >= TIMESTAMP '2024-01-15'",
+)
+def union_distinct_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = trends_view(spark, sf_dir)
+    first = t.where(F.col("datetime") < "2024-01-15").select("region")
+    second = t.where(F.col("datetime") >= "2024-01-15").select("region")
+    return first.unionByName(second).distinct()
+
+
+# --- M1: Q-factor correlation normalization (procucer/slave/main.py:17-73)
+# re-expressed as a batch query: normalize series kw_1 to kw_0's scale per
+# region over their overlapping dates — join → ratio → σ-band filter → mean.
+
+
+_RS = scaled_long_sql("ratio", 10000)
+
+
+@register(
+    "qfactor_normalization",
+    oracle=f"{_PREFIX},\n"
+    "ratios AS (\n"
+    "  SELECT a.region, a.date, ROUND(a.value / b.value, 4) AS ratio\n"
+    "  FROM daily a JOIN daily b ON a.region = b.region AND a.date = b.date\n"
+    "  WHERE a.kw = 'kw_0' AND b.kw = 'kw_1' AND a.value <> 0 AND b.value <> 0),\n"
+    "stats AS (\n"
+    f"  SELECT region, {stable_mean_sql(_RS, 10000)} AS mu,"
+    f" {stable_std_sql(_RS, 10000)} AS sigma\n"
+    "  FROM ratios GROUP BY region),\n"
+    "kept AS (\n"
+    "  SELECT r.region, r.ratio\n"
+    "  FROM ratios r JOIN stats s ON r.region = s.region\n"
+    "  WHERE s.sigma IS NULL OR ABS(r.ratio - s.mu) <= 1.2 * s.sigma)\n"
+    f"SELECT region, {stable_mean_sql(_RS, 10000)} AS q_factor,"
+    " CAST(COUNT(*) AS BIGINT) AS n_used\n"
+    "FROM kept GROUP BY region",
+)
+def qfactor_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    a = daily.where((F.col("kw") == "kw_0") & (F.col("value") != 0)).select(
+        "region", "date", F.col("value").alias("v_old")
+    )
+    b = daily.where((F.col("kw") == "kw_1") & (F.col("value") != 0)).select(
+        "region", "date", F.col("value").alias("v_new")
+    )
+    ratios = a.join(b, on=["region", "date"]).select(
+        "region", "date", F.round(F.col("v_old") / F.col("v_new"), 4).alias("ratio")
+    )
+    rs = scaled_long(F.col("ratio"), 10000)
+    stats = ratios.groupBy("region").agg(
+        stable_mean(rs, 10000).alias("mu"), stable_std(rs, 10000).alias("sigma")
+    )
+    kept = ratios.join(F.broadcast(stats), on="region").where(
+        F.col("sigma").isNull()
+        | (F.abs(F.col("ratio") - F.col("mu")) <= 1.2 * F.col("sigma"))
+    )
+    return kept.groupBy("region").agg(
+        stable_mean(rs, 10000).alias("q_factor"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+
+
+# --- E6: as-of merge — for each purchase, the most recent prior signup of
+# the same user (producer append-only merge, procucer/slave/main.py:210-213,
+# generalized). Implemented WITHOUT a join: single window pass using a
+# RANGE frame (tie-safe), the scalable as-of idiom.
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+WITH tagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup
+  FROM events)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       epoch_us(last_signup) AS last_signup_us
+FROM tagged WHERE event_type = 'purchase'
+""".strip(),
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.withColumn(
+        "last_signup",
+        F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    return tagged.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("last_signup").alias("last_signup_us"),
+    )
+
+
+# --- Sessionization: lag + cumulative-sum session ids (gap > 30 min) ------
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+FROM sessions GROUP BY user_id, session_id
+""".strip(),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ordered = ev.withColumn(
+        "is_new",
+        F.when(gap > 30 * 60 * 1_000_000, F.lit(1)).otherwise(F.lit(0)),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ordered.withColumn("session_id", F.sum("is_new").over(ws))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+# --- B2/B3: JSON unmarshal of the props payload (Main.scala:47-48 — done
+# ONCE with from_json, unlike spark_main.py:42-48's per-field re-parse) ----
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k,
+       value
+FROM events
+""".strip(),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("j", F.from_json("props", "k INT"))
+    return parsed.select(
+        "event_id", F.col("j.k").alias("k"), "value"
+    )

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference hard-codes ``spark.sql.shuffle.partitions=8`` and disables
+whole-stage codegen (reference ``spark_scala_impl/src/main/scala/Main.scala:17-19``);
+we instead enable AQE + keep codegen on and size shuffle partitions to the
+machine, which is the scale-correct choice (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "big-data-analysis-diseases-outbreaks-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    spark = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    configure_runtime(spark)
+    return spark
+
+
+def configure_runtime(spark: SparkSession) -> None:
+    """Runtime-settable confs our queries rely on.
+
+    Called both from :func:`get_spark` and from every ``queries()`` entry,
+    because the verification driver supplies its *own* SparkSession whose
+    static confs we don't control. All of these are runtime-mutable.
+
+    - ``nanosAsLong``: the driver testdata's ``events.parquet`` stores
+      TIMESTAMP(NANOS) which Spark 4 cannot read natively; we read the raw
+      int64 and convert to microseconds ourselves (sources/tables.py).
+    - ``timeZone=UTC``: oracle (DuckDB) timestamps are TZ-naive; pin UTC so
+      date extraction agrees.
+    - ``ansi.enabled=false``: Spark-3-style permissive arithmetic (null on
+      div-by-zero) to match the reference's Spark 2.4 semantics; queries are
+      additionally written with explicit zero-guards so they are
+      ANSI-safe anyway.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")

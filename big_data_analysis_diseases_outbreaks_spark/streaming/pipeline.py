@@ -1,0 +1,152 @@
+"""Structured-streaming twins of the batch pipeline (SURVEY.md §2.I).
+
+Reference mapping:
+- Kafka source (Main.scala:29-35) → file stream source replaying the
+  events parquet (same unbounded-table semantics, test-runnable).
+- withWatermark("datetime", "1 hour") (Main.scala:64) → same.
+- tumbling 1-day window agg (Main.scala:65-79) → same.
+- two independent writeStream.start() (Main.scala:81-95, which double-read
+  Kafka and double-keep state) → ONE query fanning out inside
+  foreachBatch — persist + downstream processing share a single state
+  store and a single source read.
+- checkpointLocation always set (the reference left it off its live
+  queries, spark_main.py:149-154).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure_runtime
+
+# Schema of the events parquet as Spark reads it with nanosAsLong (ts is
+# int64 nanoseconds — converted right after the scan).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The parquet file-stream source requires a *directory*; the testdata
+    is one file per table (read-only), so expose events.parquet through a
+    per-sf_dir symlink directory under /tmp."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"spark_stream_src_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as an unbounded stream."""
+    configure_runtime(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .format("parquet")
+        .load(_stream_source_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def trends_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of sources.tables.trends_view."""
+    ev = events_stream(spark, sf_dir)
+    return ev.select(
+        F.col("ts").alias("datetime"),
+        F.concat(F.lit("kw_"), F.pmod(F.col("user_id"), F.lit(20))).alias("kw"),
+        F.col("event_type").alias("region"),
+        F.col("value"),
+    )
+
+
+def daily_agg_stream(
+    trends: DataFrame, watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Streaming tumbling-day aggregation (Main.scala:64-79)."""
+    src = trends.withWatermark("datetime", watermark) if watermark else trends
+    agg = src.groupBy(
+        F.window("datetime", "1 day").alias("win"),
+        F.col("region"),
+        F.col("kw"),
+    ).agg(F.round(F.sum("value"), 4).alias("value"))
+    return agg.select(
+        F.to_date(F.col("win.start")).alias("date"), "region", "kw", "value"
+    )
+
+
+def run_to_memory(
+    agg: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> tuple[str, object]:
+    """Drive a bounded stream to completion into a memory sink."""
+    name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q
+
+
+def stream_daily_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay, complete mode → exactly the batch daily aggregate.
+
+    Complete mode emits every window regardless of watermark progress, so
+    the result is provably identical to the batch twin on bounded input —
+    the stream-as-table equivalence the reference's design asserts
+    (README.md:274-276).
+    """
+    agg = daily_agg_stream(trends_stream(spark, sf_dir), watermark=None)
+    name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+def run_foreach_batch_fanout(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict[str, str]:
+    """Single-query fan-out inside foreachBatch (fixes reference I8):
+    sink 1 persists the daily facts partitioned by date (the JDBC
+    persist twin, Main.scala:99-109); sink 2 runs the downstream batch
+    transform on the same micro-batch (Main.scala:112)."""
+    facts_path = os.path.join(out_dir, "facts")
+    flags_path = os.path.join(out_dir, "flags")
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # L2 empty-batch guard without full count
+            return
+        persisted = batch_df.persist()
+        persisted.write.mode("append").partitionBy("date").parquet(facts_path)
+        flagged = persisted.withColumn(
+            "high", (F.col("value") > 100).cast("int")
+        )
+        flagged.write.mode("append").parquet(flags_path)
+        persisted.unpersist()
+
+    agg = daily_agg_stream(trends_stream(spark, sf_dir), watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"facts": facts_path, "flags": flags_path}

@@ -1,0 +1,34 @@
+"""The local correctness gate: every oracle-backed query must match its
+DuckDB twin exactly (same columns, row count, values) — mirroring the
+driver's CORRECTNESS check at sf0.01.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare_query
+
+_QUERIES = all_queries()
+_ORACLE_BACKED = sorted(n for n, q in _QUERIES.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", _ORACLE_BACKED)
+def test_oracle_parity(spark, name):
+    q = _QUERIES[name]
+    df = q.fn(spark, SF_ORACLE)
+    problems = compare_query(df, q.oracle, SF_ORACLE)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in _QUERIES.items() if q.oracle is None)
+)
+def test_rows_only_queries_run(spark, name):
+    q = _QUERIES[name]
+    df = q.fn(spark, SF_ORACLE)
+    assert df.columns, f"{name} returned no schema"
+    df.take(1)  # must execute without error
