@@ -27,11 +27,18 @@ SEED = 1  # reference: Main.scala:311, notebook cell 11
 
 
 def select_k(scaled: DataFrame, k_range=range(2, 5)) -> int:
-    """Silhouette model selection (notebook cell 10 ``select_k``)."""
+    """Silhouette model selection (notebook cell 10 ``select_k``).
+
+    Degenerate fits (every point in one cluster — possible on small or
+    low-variance feature tables) make the silhouette assert; such k are
+    skipped rather than crashing the pipeline.
+    """
     best_k, best_score = 2, float("-inf")
     evaluator = ClusteringEvaluator(featuresCol="features", metricName="silhouette")
     for k in k_range:
         model = KMeans(k=k, seed=SEED, featuresCol="features").fit(scaled)
+        if len([s for s in model.summary.clusterSizes if s > 0]) < 2:
+            continue
         score = evaluator.evaluate(model.transform(scaled))
         if score > best_score:
             best_k, best_score = k, score
@@ -76,11 +83,21 @@ def kmeans_anomalies(
     z = (F.col("distance") - F.avg("distance").over(w)) / F.nullif(
         F.stddev_samp("distance").over(w), F.lit(0.0)
     )
+    # Distance-to-own-center misses extreme points that capture their own
+    # (near-empty) cluster — their distance is ~0. Tiny-cluster membership
+    # (<5% of rows) is therefore flagged as anomalous in its own right.
+    wc = Window.partitionBy("prediction")
+    cluster_frac = F.count(F.lit(1)).over(wc) / F.count(F.lit(1)).over(w)
     out = (
         scored.withColumn("score", F.round(z, 4))
+        .withColumn("cluster_frac", cluster_frac)
         .withColumn(
             "is_anomaly",
-            F.when(F.abs(F.col("score")) > z_thresh, 1).otherwise(0).cast("int"),
+            F.when(
+                (F.abs(F.col("score")) > z_thresh) | (F.col("cluster_frac") < 0.05), 1
+            )
+            .otherwise(0)
+            .cast("int"),
         )
         .select("date", "region", F.col("prediction").cast("int").alias("cluster"),
                 "score", "is_anomaly")

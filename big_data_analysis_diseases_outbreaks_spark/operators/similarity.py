@@ -77,16 +77,23 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(emb: Column, n_planes: int = N_PLANES) -> Column:
+def hyperplane_signature(
+    emb: Column, n_planes: int = N_PLANES, table: int = 0
+) -> Column:
     """Sign-bit bucket from deterministic pseudo-random hyperplanes.
 
-    Plane weights derive from xxhash64(plane, dim) — reproducible on any
-    executor with zero driver state shipped.
+    Plane weights derive from xxhash64(table, plane, dim) — reproducible
+    on any executor with zero driver state shipped. ``table`` seeds an
+    independent hash table for OR-amplified multi-table LSH.
     """
     def plane_weight(p: int):
         # closure factory: keeps the lambda binary (pyspark counts params)
+        # pmod, not %: Spark's % keeps the dividend's sign, which would
+        # bias the weight distribution to mean ≈ -1 and collapse planes.
         return lambda x, i: x.cast("double") * (
-            (F.xxhash64(F.lit(p) * 1000 + i) % 1000).cast("double") / 500.0 - 1.0
+            F.pmod(
+                F.xxhash64(F.lit(table) * 1_000_000 + F.lit(p) * 1000 + i), F.lit(1000)
+            ).cast("double") / 500.0 - 1.0
         )
 
     bits = []
@@ -103,32 +110,56 @@ def hyperplane_signature(emb: Column, n_planes: int = N_PLANES) -> Column:
     return bucket.cast("int")
 
 
+def _bucketed(df: DataFrame, id_alias: str, emb_alias: str,
+              emb_col: str, n_planes: int, n_tables: int) -> DataFrame:
+    """(id, emb, table, bucket) — one row per hash table (OR-amplification)."""
+    sigs = F.array(*[
+        F.struct(
+            F.lit(t).alias("table"),
+            hyperplane_signature(F.col(emb_col), n_planes, table=t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    return (
+        df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col(emb_col).alias(emb_alias),
+            F.explode(sigs).alias("sig"),
+        )
+        .select(id_alias, emb_alias, "sig.table", "sig.bucket")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 3,
     emb_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        hyperplane_signature(F.col(emb_col)).alias("bucket"),
-    )
-    c = candidates.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col(emb_col).alias("c_emb"),
-        hyperplane_signature(F.col(emb_col)).alias("bucket"),
-    )
-    scored = (
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Candidates meet a query iff they share a bucket in ≥1 of
+    ``n_tables`` independent tables (OR-amplification: per-table miss
+    probability compounds, so recall ≈ 1-(1-p^b)^L). The bucket join
+    replaces the brute-force cross product; at 100 TB the candidate side
+    shuffles by (table, bucket) and never materializes cross-bucket
+    pairs. Collide-in-many-tables pairs are deduped before scoring so
+    each pair's cosine is computed once."""
+    q = _bucketed(queries, "query_id", "q_emb", emb_col, n_planes, n_tables)
+    c = _bucketed(candidates, "cand_id", "c_emb", emb_col, n_planes, n_tables)
+    pairs = (
         F.broadcast(q)
-        .join(c, on="bucket")
+        .join(c, on=["table", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
-        )
+        .select("query_id", "q_emb", "cand_id", "c_emb")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()

@@ -89,6 +89,24 @@ def daily_agg_stream(
     )
 
 
+def sliding_agg_stream(
+    trends: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming sliding-window aggregation (spark_main.py:54: 60-day
+    window sliding daily; parameterized smaller for the 30-day fixture)."""
+    src = trends.withWatermark("datetime", watermark) if watermark else trends
+    agg = src.groupBy(
+        F.window("datetime", window, slide).alias("win"),
+        F.col("region"),
+    ).agg(F.round(F.sum("value"), 4).alias("value"), F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        F.to_date(F.col("win.start")).alias("window_start"), "region", "value", "n"
+    )
+
+
 def run_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> tuple[str, object]:

@@ -1,0 +1,73 @@
+"""ML anomaly-track tests: seeded determinism + injected-anomaly recall
+(SURVEY.md §5 — fixtures with known anomalies must be flagged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.ml.iforest import iforest_by_region
+from big_data_analysis_diseases_outbreaks_spark.ml.kmeans_track import kmeans_anomalies
+from big_data_analysis_diseases_outbreaks_spark.operators.detrend import daily_aggregate
+from big_data_analysis_diseases_outbreaks_spark.operators.pivot import (
+    KW_VALUES,
+    pivot_wide,
+)
+from big_data_analysis_diseases_outbreaks_spark.sources.tables import trends_view
+
+from .conftest import SF_SMALL
+
+
+def _wide(spark):
+    return pivot_wide(daily_aggregate(trends_view(spark, SF_SMALL)))
+
+
+def _with_injected_spike(wide):
+    """Multiply every keyword column by 50 on one (date, region) row —
+    an unmistakable synthetic outbreak day."""
+    target = wide.orderBy("date", "region").limit(1).collect()[0]
+    cond = (F.col("date") == F.lit(target["date"])) & (
+        F.col("region") == target["region"]
+    )
+    out = wide
+    for kw in KW_VALUES:
+        out = out.withColumn(kw, F.when(cond, F.col(kw) * 50 + 1000).otherwise(F.col(kw)))
+    return out, (target["date"], target["region"])
+
+
+def test_iforest_deterministic(spark):
+    wide = _wide(spark)
+    a = sorted(map(tuple, iforest_by_region(wide, list(KW_VALUES)).collect()))
+    b = sorted(map(tuple, iforest_by_region(wide, list(KW_VALUES)).collect()))
+    assert a == b
+
+
+def test_iforest_flags_injected_spike(spark):
+    wide, (date, region) = _with_injected_spike(_wide(spark))
+    scored = iforest_by_region(wide, list(KW_VALUES))
+    top = (
+        scored.where(F.col("region") == region)
+        .orderBy(F.col("outlier_score").desc())
+        .first()
+    )
+    assert top["date"] == date, "injected spike must be the region's top outlier"
+    assert top["is_anomaly"] == 1
+
+
+def test_kmeans_deterministic(spark):
+    wide = _wide(spark)
+    a = sorted(map(tuple, kmeans_anomalies(wide, list(KW_VALUES)).collect()))
+    b = sorted(map(tuple, kmeans_anomalies(wide, list(KW_VALUES)).collect()))
+    assert a == b
+
+
+def test_kmeans_flags_injected_spike(spark):
+    """The spike typically captures its own singleton cluster (distance
+    ~0), so it must be flagged via the tiny-cluster rule."""
+    wide, (date, region) = _with_injected_spike(_wide(spark))
+    scored = kmeans_anomalies(wide, list(KW_VALUES))
+    row = scored.where(
+        (F.col("date") == F.lit(date)) & (F.col("region") == region)
+    ).first()
+    assert row is not None
+    assert row["is_anomaly"] == 1

@@ -1,0 +1,104 @@
+"""Streaming semantics tests (SURVEY.md §2.I, §5):
+
+- stream-as-table equivalence: a bounded replay through the streaming
+  pipeline must equal the batch twin (complete mode: exactly; append
+  mode with watermark: minus the windows the watermark never closed).
+- foreachBatch single-query fan-out writes both sinks consistently.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.operators.detrend import daily_aggregate
+from big_data_analysis_diseases_outbreaks_spark.sources.tables import trends_view
+from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+    daily_agg_stream,
+    run_foreach_batch_fanout,
+    run_to_memory,
+    sliding_agg_stream,
+    trends_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_complete_equals_batch(spark):
+    agg = daily_agg_stream(trends_stream(spark, SF_SMALL), watermark=None)
+    name, _ = run_to_memory(agg, output_mode="complete")
+    stream_rows = _sorted_rows(spark.table(name), ["date", "region", "kw", "value"])
+    batch_rows = _sorted_rows(
+        daily_aggregate(trends_view(spark, SF_SMALL)),
+        ["date", "region", "kw", "value"],
+    )
+    assert stream_rows == batch_rows
+
+
+def test_stream_append_watermark_drops_open_windows(spark):
+    """Append mode emits only windows closed by the watermark: on a
+    bounded replay the final (still-open) day windows must be absent,
+    everything else identical to batch."""
+    agg = daily_agg_stream(trends_stream(spark, SF_SMALL), watermark="1 hour")
+    name, _ = run_to_memory(agg, output_mode="append")
+    stream_df = spark.table(name)
+
+    batch = daily_aggregate(trends_view(spark, SF_SMALL))
+    max_ts = trends_view(spark, SF_SMALL).agg(F.max("datetime")).collect()[0][0]
+    # A day-window [d, d+1) is closed once watermark (max_ts - 1h) >= d+1.
+    closed = batch.where(
+        F.date_add(F.col("date"), 1).cast("timestamp")
+        <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    stream_rows = _sorted_rows(stream_df, ["date", "region", "kw", "value"])
+    closed_rows = _sorted_rows(closed, ["date", "region", "kw", "value"])
+    assert stream_rows == closed_rows
+    # sanity: something was actually dropped vs batch
+    assert len(stream_rows) < batch.count()
+
+
+def test_sliding_window_stream_equals_batch(spark):
+    """Sliding windows (I3): streaming complete-mode result equals the
+    same F.window aggregation run in batch."""
+    agg = sliding_agg_stream(trends_stream(spark, SF_SMALL), watermark=None)
+    name, _ = run_to_memory(agg, output_mode="complete")
+    stream_rows = _sorted_rows(
+        spark.table(name), ["window_start", "region", "value", "n"]
+    )
+
+    t = trends_view(spark, SF_SMALL)
+    batch = (
+        t.groupBy(F.window("datetime", "7 days", "1 day").alias("win"), "region")
+        .agg(F.round(F.sum("value"), 4).alias("value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.to_date("win.start").alias("window_start"), "region", "value", "n"
+        )
+    )
+    assert stream_rows == _sorted_rows(batch, ["window_start", "region", "value", "n"])
+    # each event lands in exactly 7 sliding windows
+    assert sum(r[3] for r in stream_rows) == 7 * t.count()
+
+
+def test_foreach_batch_fanout_two_sinks(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = run_foreach_batch_fanout(spark, SF_SMALL, tmp)
+        facts = spark.read.parquet(paths["facts"])
+        flags = spark.read.parquet(paths["flags"])
+        # both sinks see the same micro-batch rows (one query, one state)
+        assert facts.count() == flags.count() > 0
+        assert facts.select("date").distinct().count() > 1
+        # facts are hive-partitioned by date for partition-pruned reads
+        assert any(
+            d.startswith("date=") for d in os.listdir(paths["facts"])
+        )
+        # flags derived column is consistent
+        bad = flags.where(
+            (F.col("value") > 100) != (F.col("high") == 1)
+        ).count()
+        assert bad == 0
