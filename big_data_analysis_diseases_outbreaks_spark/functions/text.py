@@ -130,7 +130,17 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 def with_shingles(df, text_col: str = "text", out: str = "sh", n: int = 3):
     """df + shingle column, tokenizing ONCE via an explicit projection
     boundary (CollapseProject keeps multi-referenced non-cheap aliases
-    un-inlined, so the token array is computed once per row)."""
-    toked = df.withColumn("_toks", tokens(F.col(text_col)))
+    un-inlined, so the token array is computed once per row).
+
+    The short-doc filter runs on the token count BEFORE shingling — an
+    equivalent predicate (``size(sh) > 0 ⟺ size(toks) ≥ n``). Filtering
+    on the shingle column itself makes predicate pushdown substitute the
+    whole shingle expression into the condition, which re-inlines the
+    tokenizer into every ``element_at`` → O(tokens²) regex work per row
+    (measured 50× slowdown at sf0.1).
+    """
+    toked = df.withColumn("_toks", tokens(F.col(text_col))).where(
+        F.size(F.col("_toks")) >= n
+    )
     out_df = toked.withColumn(out, word_shingles(F.col("_toks"), n=n))
-    return out_df.drop("_toks").where(F.size(out) > 0)
+    return out_df.drop("_toks")

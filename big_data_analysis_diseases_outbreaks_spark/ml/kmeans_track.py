@@ -26,14 +26,15 @@ from pyspark.ml.functions import vector_to_array
 SEED = 1  # reference: Main.scala:311, notebook cell 11
 
 
-def select_k(scaled: DataFrame, k_range=range(2, 5)) -> int:
+def select_k(scaled: DataFrame, k_range=range(2, 5)):
     """Silhouette model selection (notebook cell 10 ``select_k``).
 
+    Returns ``(k, fitted model)`` so the winner is not refit.
     Degenerate fits (every point in one cluster — possible on small or
     low-variance feature tables) make the silhouette assert; such k are
     skipped rather than crashing the pipeline.
     """
-    best_k, best_score = 2, float("-inf")
+    best_k, best_score, best_model = 2, float("-inf"), None
     evaluator = ClusteringEvaluator(featuresCol="features", metricName="silhouette")
     for k in k_range:
         model = KMeans(k=k, seed=SEED, featuresCol="features").fit(scaled)
@@ -41,17 +42,22 @@ def select_k(scaled: DataFrame, k_range=range(2, 5)) -> int:
             continue
         score = evaluator.evaluate(model.transform(scaled))
         if score > best_score:
-            best_k, best_score = k, score
-    return best_k
+            best_k, best_score, best_model = k, score, model
+    if best_model is None:
+        best_model = KMeans(k=best_k, seed=SEED, featuresCol="features").fit(scaled)
+    return best_k, best_model
 
 
 def kmeans_anomalies(
     wide: DataFrame, feature_cols: list[str], pca_k: int = 4, z_thresh: float = 2.0
 ) -> DataFrame:
     """wide (date, region, features...) → (date, region, score, is_anomaly)."""
+    # The pivot upstream is scanned by the scaler fit, the PCA fit, and
+    # every KMeans iteration — persist it once instead of recomputing the
+    # shuffle per fit.
     assembled = VectorAssembler(
         inputCols=feature_cols, outputCol="raw_features"
-    ).transform(wide)
+    ).transform(wide).persist()
     scaler = StandardScaler(
         inputCol="raw_features", outputCol="scaled", withStd=True, withMean=True
     ).fit(assembled)
@@ -59,9 +65,10 @@ def kmeans_anomalies(
     pca_k = min(pca_k, len(feature_cols))
     pca = PCA(k=pca_k, inputCol="scaled", outputCol="features").fit(scaled)
     feats = pca.transform(scaled).persist()
+    feats.count()  # materialize before the fit loop; upstream cache can go
+    assembled.unpersist()
 
-    k = select_k(feats)
-    model = KMeans(k=k, seed=SEED, featuresCol="features").fit(feats)
+    _, model = select_k(feats)
     pred = model.transform(feats)
 
     # Broadcast-join the centers; squared distance in JVM array arithmetic.

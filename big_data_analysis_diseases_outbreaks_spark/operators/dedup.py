@@ -96,9 +96,12 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
                 F.xxhash64(*members).alias("bucket"),
             )
         )
+    # Persist: this frame feeds the bucket-size agg AND both sides of the
+    # pair self-join — without a cache the full signature lineage (shingle
+    # + 32 minhash passes) is recomputed three times.
     exploded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
     bucket_sizes = (
         exploded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -175,11 +178,13 @@ def verified_near_duplicates(
     path: quadratic work only inside LSH buckets)."""
     sigs = minhash_signatures(docs, text_col)
     cand = minhash_candidate_pairs(sigs)
+    # Persisted: joined twice (doc_id_1 side and doc_id_2 side).
     shingled = (
         with_shingles(docs.select("doc_id", text_col), text_col, out="sh")
         .drop(text_col)
         .withColumn("sh", F.transform("sh", lambda s: F.xxhash64(s)))
         .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .persist()
     )
     j = (
         cand.join(shingled.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
