@@ -41,6 +41,8 @@ HEADLINE = [
     "label_centroids",
     "multimodal_decode",
     "stream_daily_agg",
+    "stream_sliding_agg",
+    "ann_ivf_topk",
     "kmeans_anomaly",
     "iforest_anomaly",
 ]

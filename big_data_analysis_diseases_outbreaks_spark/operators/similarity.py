@@ -130,6 +130,78 @@ def _bucketed(df: DataFrame, id_alias: str, emb_alias: str,
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    A KMeans(seed=1) codebook partitions the corpus into ``n_cells``
+    cells; every candidate lives in its nearest cell, every query probes
+    its ``n_probe`` nearest cells. Scale shape: the codebook is tiny
+    (n_cells × dim, broadcast as literal expressions), assignment is a
+    narrow map over the corpus, and scoring shuffles on the cell key only
+    — the classic FAISS-IVF layout expressed as DataFrame ops.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fitted = KMeans(k=n_cells, seed=1, featuresCol="_fv").fit(
+        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
+    )
+    centers = [[float(x) for x in c] for c in fitted.clusterCenters()]
+
+    def dist_to(center: list[float]) -> Column:
+        carr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col(emb_col), carr, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # array_sort on (dist, cell) structs sorts lexicographically → the
+    # first n elements are the n nearest cells. All JVM expressions.
+    ranked_cells = F.array_sort(
+        F.array(*[
+            F.struct(dist_to(c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centers)
+        ])
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col(emb_col).alias("c_emb"),
+        ranked_cells[0]["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(
+            F.transform(F.slice(ranked_cells, 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, on="cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

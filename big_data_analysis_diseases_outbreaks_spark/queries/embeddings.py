@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import _norm, brute_force_topk, lsh_topk
+from ..operators.similarity import _norm, brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from . import register
 
@@ -71,6 +71,96 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
+
+
+# --- IVF-bucketed ANN (KMeans coarse quantizer → rows-only check) ---------
+
+
+@register("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
+
+
+# --- embedding-cosine near-duplicate pairs (exact; SQL oracle) ------------
+# The testdata embeddings are mutually far apart, so near-dups are
+# constructed: each vector is re-appended (vec_id+100000) with dim 0
+# scaled ×1.05 — a scale-free perturbation keeping cosine ≈ 0.999
+# whatever the embedding norms are. The dedup must then report exactly
+# one pair per original vector.
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH all_vecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.05
+                       ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+  FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / NULLIF(
+             sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 4) AS cos_sim
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id)
+SELECT vec_id_1, vec_id_2, cos_sim FROM scored WHERE cos_sim >= 0.98
+""".strip(),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.98) over the corpus +
+    constructed perturbed copies.
+
+    This is the *verifier* tier: all-pairs cosine, quadratic — correct at
+    oracle scale. The 100 TB path is ann_lsh_topk / ann_ivf_topk, which
+    bucket first and verify only within buckets.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    # Norms are per-vector, not per-pair: computing them inside the pair
+    # loop would run the O(dim) aggregate 2·N²/2 extra times. Pre-attach
+    # them so each pair only evaluates the dot product.
+    all_vecs = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .unionByName(perturbed)
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    a = all_vecs.alias("a")
+    b = all_vecs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.98)
+    )
 
 
 # --- centroid per label (array aggregation via posexplode) ----------------

@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.detrend import DAILY_CTE
 from ..sources.tables import TRENDS_ORACLE_CTE
-from ..streaming.pipeline import stream_daily_agg_complete
+from ..streaming.pipeline import (
+    run_to_memory,
+    sliding_agg_stream,
+    stream_daily_agg_complete,
+    trends_stream,
+)
 from . import register
 
 
@@ -21,3 +26,30 @@ from . import register
 )
 def stream_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_daily_agg_complete(spark, sf_dir)
+
+
+# Sliding-window twin (reference spark_main.py:54: 60-day window sliding
+# daily — here 7d/1d sized to the fixture). Spark's sliding windows with a
+# 1-day slide start at UTC midnights, so an event on date d lands in the 7
+# windows starting d-6 .. d; the oracle expands each event into those
+# starts via a range() cross join.
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+ev AS (SELECT CAST(datetime AS DATE) AS d, region, value FROM trends)
+SELECT (d - CAST(i AS INTEGER)) AS window_start, region,
+       ROUND(SUM(value), 4) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ev, range(0, 7) t(i)
+GROUP BY 1, 2
+""".strip(),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded replay, complete mode → equals the batch sliding aggregate
+    (each event contributes to window/slide = 7 windows)."""
+    agg = sliding_agg_stream(
+        trends_stream(spark, sf_dir), window="7 days", slide="1 day", watermark=None
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)

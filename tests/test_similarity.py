@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from big_data_analysis_diseases_outbreaks_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
@@ -51,3 +52,36 @@ def test_lsh_topk_recall(spark):
     hits = sum(1 for q, c in approx.items() if exact.get(q) == c)
     recall = hits / len(exact)
     assert recall >= 0.3, f"LSH top-1 recall vs brute force too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with n_probe of n_cells probed: top-1 should agree with brute
+    force on a decent fraction of queries, and be deterministic
+    (seed=1 codebook)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in brute_force_topk(queries, emb, k=1).collect()
+    }
+    rows1 = ivf_topk(queries, emb, k=1).collect()
+    rows2 = ivf_topk(queries, emb, k=1).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx = {r["query_id"]: r["cand_id"] for r in rows1}
+    hits = sum(1 for q, c in approx.items() if exact.get(q) == c)
+    recall = hits / len(exact)
+    assert recall >= 0.3, f"IVF top-1 recall vs brute force too low: {recall:.2f}"
+
+
+def test_dedup_embedding_cosine_finds_planted_pairs(spark):
+    """Every original vector must pair with its perturbed copy (cosine
+    ≈ 0.999 ≥ 0.98), and nothing else at this threshold."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    q = all_queries()["dedup_embedding_cosine"]
+    rows = q.fn(spark, SF_SMALL).collect()
+    n_emb = load_table(spark, SF_SMALL, "embeddings").count()
+    assert len(rows) == n_emb
+    for r in rows:
+        assert r["vec_id_2"] == r["vec_id_1"] + 100_000
+        assert r["cos_sim"] >= 0.98
