@@ -42,6 +42,7 @@ HEADLINE = [
     "multimodal_decode",
     "stream_daily_agg",
     "stream_sliding_agg",
+    "stream_running_zscore",
     "ann_ivf_topk",
     "kmeans_anomaly",
     "iforest_anomaly",

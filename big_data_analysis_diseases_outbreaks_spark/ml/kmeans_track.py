@@ -64,7 +64,14 @@ def kmeans_anomalies(
     scaled = scaler.transform(assembled)
     pca_k = min(pca_k, len(feature_cols))
     pca = PCA(k=pca_k, inputCol="scaled", outputCol="features").fit(scaled)
-    feats = pca.transform(scaled).persist()
+    feats = pca.transform(scaled)
+    # The iterative fit loop launches many small jobs; for a small feature
+    # table the per-task scheduling overhead dominates, so collapse to few
+    # partitions first (reference notebook does coalesce(8) pre-ML too).
+    n_rows = feats.count()
+    if n_rows < 100_000:
+        feats = feats.coalesce(1)
+    feats = feats.persist()
     feats.count()  # materialize before the fit loop; upstream cache can go
     assembled.unpersist()
 

@@ -16,6 +16,7 @@ from ..streaming.pipeline import (
     stream_daily_agg_complete,
     trends_stream,
 )
+from ..streaming.stateful import running_zscore_stream
 from . import register
 
 
@@ -52,4 +53,42 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         trends_stream(spark, sf_dir), window="7 days", slide="1 day", watermark=None
     )
     name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+# Custom stateful operator (applyInPandasWithState): per-series daily agg
+# + running z-score against prior days from exact integer running sums.
+# The oracle mirrors the operator's arithmetic op-for-op as prior-row
+# window frames (ROWS … AND 1 PRECEDING) — identical IEEE doubles, no
+# rounding needed on z.
+@register(
+    "stream_running_zscore",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+{DAILY_CTE},
+scaled AS (
+  SELECT date, region, kw, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS vs
+  FROM daily),
+scored AS (
+  SELECT region, kw, date, value,
+         CAST(COUNT(*) OVER wp AS BIGINT) AS n_prior,
+         CAST(SUM(vs) OVER wp AS DOUBLE) AS s1f,
+         CAST(SUM(vs * vs) OVER wp AS DOUBLE) AS s2f
+  FROM scaled
+  WINDOW wp AS (PARTITION BY region, kw ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT region, kw, date, value,
+       CASE WHEN n_prior >= 2 THEN
+         (value - s1f / (n_prior * 100.0))
+         / NULLIF(SQRT(GREATEST((s2f - s1f * s1f / n_prior)
+                                / (n_prior - 1), 0.0)) / 100.0, 0.0)
+       ELSE NULL END AS z,
+       n_prior
+FROM scored
+""".strip(),
+)
+def stream_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = running_zscore_stream(trends_stream(spark, sf_dir))
+    name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)

@@ -85,6 +85,55 @@ def test_sliding_window_stream_equals_batch(spark):
     assert sum(r[3] for r in stream_rows) == 7 * t.count()
 
 
+def test_stateful_running_zscore_equals_batch_twin(spark):
+    """applyInPandasWithState operator ≡ batch prior-window z-score: the
+    exact-integer state arithmetic must reproduce the window-function
+    result bit-for-bit (same IEEE ops)."""
+    from pyspark.sql import Window
+
+    from big_data_analysis_diseases_outbreaks_spark.functions.stable import (
+        scaled_long,
+        stable_mean_over,
+        stable_std_over,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.operators.detrend import (
+        daily_aggregate,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming.stateful import (
+        running_zscore_stream,
+    )
+
+    out = running_zscore_stream(trends_stream(spark, SF_SMALL))
+    name, _ = run_to_memory(out, output_mode="append")
+    stream_rows = _sorted_rows(
+        spark.table(name), ["region", "kw", "date", "value", "z", "n_prior"]
+    )
+
+    daily = daily_aggregate(trends_view(spark, SF_SMALL))
+    wp = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vs = scaled_long(F.col("value"), 100)
+    pmean = stable_mean_over(vs, 100, wp)
+    pstd = stable_std_over(vs, 100, wp)
+    n_prior = F.count(F.lit(1)).over(wp)
+    batch = daily.select(
+        "region",
+        "kw",
+        "date",
+        "value",
+        F.when(
+            n_prior >= 2, (F.col("value") - pmean) / F.nullif(pstd, F.lit(0.0))
+        ).alias("z"),
+        n_prior.cast("long").alias("n_prior"),
+    )
+    batch_rows = _sorted_rows(batch, ["region", "kw", "date", "value", "z", "n_prior"])
+    assert stream_rows == batch_rows
+    assert any(r[4] is not None for r in stream_rows)
+
+
 def test_foreach_batch_fanout_two_sinks(spark):
     with tempfile.TemporaryDirectory() as tmp:
         paths = run_foreach_batch_fanout(spark, SF_SMALL, tmp)
