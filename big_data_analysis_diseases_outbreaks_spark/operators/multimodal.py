@@ -69,3 +69,55 @@ def fake_decode_features(binary_docs: DataFrame) -> DataFrame:
             )
 
     return binary_docs.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, resized_bytes BIGINT, n_frames BIGINT, "
+    "n_sampled BIGINT, sample_checksum BIGINT"
+)
+
+FRAME_BYTES = 256  # stand-in frame size for the fake video payload
+FRAME_STRIDE = 4   # keep every 4th frame
+
+
+def resize_and_frame_sample(
+    binary_docs: DataFrame, stride: int = 2
+) -> DataFrame:
+    """mapInPandas resize + frame-sample plumbing (real decoders swap in
+    at :func:`decode_image_real`):
+
+    - resize: keep every ``stride``-th payload byte (stand-in for a
+      downsample; output length = ceil(n/stride));
+    - frame sample: view the payload as FRAME_BYTES-sized frames and keep
+      every FRAME_STRIDE-th, checksumming kept bytes (deterministic,
+      order-independent within a doc).
+
+    Narrow map over Arrow batches — at 100 TB this pipelines behind the
+    scan with no shuffle, the same plan a real transcoder stage wants.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            resized = pdf["payload"].map(lambda b: len(b[::stride])).astype("int64")
+            n_frames = -(-n // FRAME_BYTES)  # ceil div
+            n_sampled = -(-n_frames // FRAME_STRIDE)
+
+            def checksum(b: bytes) -> int:
+                total = 0
+                for f in range(0, len(b), FRAME_BYTES * FRAME_STRIDE):
+                    total += sum(b[f : f + FRAME_BYTES])
+                return total
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "resized_bytes": resized,
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "sample_checksum": pdf["payload"].map(checksum).astype("int64"),
+                }
+            )
+
+    return binary_docs.mapInPandas(work, schema=RESIZE_SCHEMA)

@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import fake_decode_features, with_binary_payload
+from ..operators.multimodal import (
+    fake_decode_features,
+    resize_and_frame_sample,
+    with_binary_payload,
+)
 from ..sources.tables import load_table
 from . import register
 
@@ -32,3 +36,25 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = fake_decode_features(with_binary_payload(docs))
     return decoded.select("doc_id", "n_bytes", "width", "height", "n_pixels")
+
+
+# Resize + frame-sample plumbing. The count fields are derivable from the
+# byte length in SQL (stride-2 resize keeps ceil(n/2) bytes; 256-byte
+# frames sampled every 4th); the checksum is covered in
+# tests/test_multimodal (not SQL-derivable from text length alone).
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS resized_bytes,
+       CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_frames,
+       CAST(((octet_length(encode(text)) + 255) // 256 + 3) // 4 AS BIGINT)
+         AS n_sampled
+FROM documents
+""".strip(),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_and_frame_sample(with_binary_payload(docs), stride=2)
+    return out.select("doc_id", "n_bytes", "resized_bytes", "n_frames", "n_sampled")

@@ -11,7 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.detrend import DAILY_CTE
 from ..sources.tables import TRENDS_ORACLE_CTE
 from ..streaming.pipeline import (
+    dedup_stream,
+    events_stream,
     run_to_memory,
+    session_agg_stream,
     sliding_agg_stream,
     stream_daily_agg_complete,
     trends_stream,
@@ -90,5 +93,36 @@ FROM scored
 )
 def stream_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = running_zscore_stream(trends_stream(spark, sf_dir))
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
+# Session windows in append mode emit only sessions the watermark has
+# closed — the still-open tail sessions are withheld on a bounded replay,
+# so this is a rows-only check (the batch twin sessionize_events carries
+# the full SQL oracle; tests/test_streaming.py proves the emitted subset
+# matches it).
+@register("stream_session_agg", oracle=None)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = session_agg_stream(events_stream(spark, sf_dir))
+    name, _ = run_to_memory(agg, output_mode="append")
+    return spark.table(name)
+
+
+# Streaming dedup: the same bounded source unioned with itself (every
+# event arrives twice) must come out exactly once — so the oracle is
+# simply the events table, an exact SQL check of keyed-state dedup.
+@register(
+    "stream_dedup_events",
+    oracle="""
+SELECT event_id, user_id, event_type, value FROM events
+""".strip(),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.union(events_stream(spark, sf_dir))
+    out = dedup_stream(doubled, ["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)

@@ -107,6 +107,45 @@ def sliding_agg_stream(
     )
 
 
+def session_agg_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows (F.session_window): events within
+    ``gap`` of each other merge into one session per user. Natural
+    extension beyond the reference (SURVEY.md §2.I notes no session
+    windows there); state is bounded by the watermark."""
+    src = events.withWatermark("ts", watermark)
+    agg = src.groupBy(
+        F.session_window("ts", gap).alias("sw"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+        "duration_us",
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state.
+
+    ``dropDuplicatesWithinWatermark`` evicts seen-key state once the
+    watermark passes — plain ``dropDuplicates(keys)`` without the event
+    time in the key set keeps state forever, the 100 TB failure mode.
+    Duplicates are only suppressed while their first sighting is within
+    the watermark delay, which is the right contract for at-least-once
+    sources (Kafka redeliveries are near-immediate).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory(
     agg: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> tuple[str, object]:

@@ -17,6 +17,7 @@ from big_data_analysis_diseases_outbreaks_spark.operators.detrend import daily_a
 from big_data_analysis_diseases_outbreaks_spark.sources.tables import trends_view
 from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
     daily_agg_stream,
+    events_stream,
     run_foreach_batch_fanout,
     run_to_memory,
     sliding_agg_stream,
@@ -132,6 +133,50 @@ def test_stateful_running_zscore_equals_batch_twin(spark):
     batch_rows = _sorted_rows(batch, ["region", "kw", "date", "value", "z", "n_prior"])
     assert stream_rows == batch_rows
     assert any(r[4] is not None for r in stream_rows)
+
+
+def test_stream_session_agg_subset_of_batch_sessions(spark):
+    """Append-mode session windows emit only watermark-closed sessions;
+    each emitted session must exist (same user, size, duration) in the
+    batch gap-sessionization, and most closed sessions must be emitted."""
+    from collections import Counter
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        session_agg_stream,
+    )
+
+    agg = session_agg_stream(events_stream(spark, SF_SMALL))
+    name, _ = run_to_memory(agg, output_mode="append")
+    emitted = Counter(
+        (r["user_id"], r["n_events"], r["duration_us"])
+        for r in spark.table(name).collect()
+    )
+    assert emitted, "no sessions emitted"
+
+    batch = all_queries()["sessionize_events"].fn(spark, SF_SMALL)
+    batch_sessions = Counter(
+        (r["user_id"], r["n_events"], r["duration_us"]) for r in batch.collect()
+    )
+    missing = emitted - batch_sessions
+    assert not missing, f"emitted sessions absent from batch twin: {list(missing)[:3]}"
+    assert sum(emitted.values()) >= 0.5 * sum(batch_sessions.values())
+
+
+def test_stream_dedup_within_watermark(spark):
+    """A doubled bounded source must come out exactly once per event_id."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    ev = events_stream(spark, SF_SMALL)
+    doubled = ev.union(events_stream(spark, SF_SMALL))
+    out = dedup_stream(doubled, ["event_id"]).select("event_id")
+    name, _ = run_to_memory(out, output_mode="append")
+    got = spark.table(name)
+    n_events = trends_view(spark, SF_SMALL).count()
+    assert got.count() == n_events
+    assert got.distinct().count() == n_events
 
 
 def test_foreach_batch_fanout_two_sinks(spark):
