@@ -362,3 +362,26 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "event_id", F.col("j.k").alias("k"), "value"
     )
+
+
+# --- B4/A5+B2: Kafka payload marshalling roundtrip ------------------------
+# to_json(struct(*)) → CAST-to-binary "Kafka value" → from_json star-expand
+# (sources/kafka.py halves). The roundtrip must reproduce the input rows
+# exactly, so the oracle is simply the trends projection itself.
+
+
+@register(
+    "json_roundtrip",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE}
+SELECT datetime, kw, region, value FROM trends
+""".strip(),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.kafka import payload_to_records, records_to_payload
+
+    t = trends_view(spark, sf_dir)
+    payload = records_to_payload(t).select(
+        F.col("value").cast("binary").alias("value")
+    )
+    return payload_to_records(payload)
