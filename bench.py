@@ -55,6 +55,17 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry = all_queries()
 
+    # Untimed warmup: JVM/codegen/Arrow initialization and the Python
+    # UDF-worker pool otherwise land on whichever query happens to run
+    # first (~3-4 s of one-time cost each).
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    registry["trends_daily_agg"].fn(spark, sf_dir).count()
+    _noop = _F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_noop("id")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

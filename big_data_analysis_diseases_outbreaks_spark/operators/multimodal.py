@@ -50,12 +50,16 @@ def fake_decode_features(binary_docs: DataFrame) -> DataFrame:
     is exactly the plan a real decoder would want at 100 TB."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             n = pdf["payload"].map(len).astype("int64")
             width = (n % 64 + 1).astype("int32")
             height = (n // 64 % 64 + 1).astype("int32")
             mean_byte = pdf["payload"].map(
-                lambda b: round(sum(b) / len(b), 4) if len(b) else 0.0
+                lambda b: round(float(np.frombuffer(b, dtype=np.uint8).mean()), 4)
+                if len(b)
+                else 0.0
             )
             yield pd.DataFrame(
                 {
@@ -97,6 +101,8 @@ def resize_and_frame_sample(
     """
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             n = pdf["payload"].map(len).astype("int64")
             resized = pdf["payload"].map(lambda b: len(b[::stride])).astype("int64")
@@ -104,9 +110,10 @@ def resize_and_frame_sample(
             n_sampled = -(-n_frames // FRAME_STRIDE)
 
             def checksum(b: bytes) -> int:
+                a = np.frombuffer(b, dtype=np.uint8)
                 total = 0
-                for f in range(0, len(b), FRAME_BYTES * FRAME_STRIDE):
-                    total += sum(b[f : f + FRAME_BYTES])
+                for f in range(0, len(a), FRAME_BYTES * FRAME_STRIDE):
+                    total += int(a[f : f + FRAME_BYTES].sum())
                 return total
 
             yield pd.DataFrame(

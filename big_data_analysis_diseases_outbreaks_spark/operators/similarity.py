@@ -150,9 +150,13 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    fitted = KMeans(k=n_cells, seed=1, featuresCol="_fv").fit(
-        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
-    )
+    fit_input = candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
+    # Iterative fits on small codebook-training sets are task-scheduling
+    # bound; one partition cuts the per-iteration overhead. (At scale the
+    # codebook trains on a sample anyway — this is that sample.)
+    if candidates.count() < 100_000:
+        fit_input = fit_input.coalesce(1)
+    fitted = KMeans(k=n_cells, seed=1, featuresCol="_fv").fit(fit_input)
     centers = [[float(x) for x in c] for c in fitted.clusterCenters()]
 
     def dist_to(center: list[float]) -> Column:

@@ -303,3 +303,47 @@ def customers_only_first_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # subtract == SQL EXCEPT (set semantics, dedups)
     return first.subtract(second)
+
+
+# --- distinct aggregation (SURVEY §2.F note: absent in reference, shipped
+# for surface completeness) ------------------------------------------------
+
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg: Spark plans expand + two-phase agg; the distinct
+    shuffle is on (event_type, user_id) so no single-key hotspot at
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- CUBE (grouping-sets family; rollup_lineitem_status covers ROLLUP) ----
+
+
+@register(
+    "cube_orders_status",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""".strip(),
+)
+def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
