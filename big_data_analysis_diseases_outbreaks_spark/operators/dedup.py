@@ -80,8 +80,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def sig_udf(texts):
         import pandas as pd
 
-        A = np.array(As, dtype=np.uint64)[:, None]
-        B = np.array(Bs, dtype=np.uint64)[:, None]
+        A = np.array(As, dtype=np.uint64)
+        B = np.array(Bs, dtype=np.uint64)
+        k = len(As)
         shingles: list[str] = []
         offsets = [0]
         for t in texts:
@@ -90,18 +91,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
             )
             offsets.append(len(shingles))
+        out: list = [None] * len(texts)
         if shingles:
             h = pd.util.hash_array(
                 np.asarray(shingles, dtype=object)
             ).astype(np.uint64)
-            v = A * h[None, :] + B  # (k, S), natural mod-2^64 wraparound
-        out = []
-        for d in range(len(texts)):
-            s, e = offsets[d], offsets[d + 1]
-            if s == e:
-                out.append(None)
-            else:
-                out.append(v[:, s:e].min(axis=1).astype(np.int64))
+            starts = np.asarray(offsets[:-1])
+            nonempty = np.asarray(offsets[1:]) > starts
+            starts_ne = starts[nonempty]
+            # One 1-D pass per permutation + segment-min via reduceat.
+            # (A 2-D (k, S) broadcast multiply is ~30× slower in numpy —
+            # bad inner-loop strides for broadcast uint64 ufuncs.)
+            sig = np.empty((len(starts_ne), k), dtype=np.int64)
+            for i in range(k):
+                v = A[i] * h + B[i]  # natural mod-2^64 wraparound
+                sig[:, i] = np.minimum.reduceat(v, starts_ne).astype(np.int64)
+            for row, d in zip(sig, np.flatnonzero(nonempty)):
+                out[d] = row
         return pd.Series(out)
 
     # repartition: the doc table may arrive as one small file partition;

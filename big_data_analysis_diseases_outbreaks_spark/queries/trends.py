@@ -385,3 +385,116 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("binary").alias("value")
     )
     return payload_to_records(payload)
+
+
+# --- M4: zero-padding missing days (producer empty-result padding,
+# procucer/slave/main.py:149-177) as a date-spine left join --------------
+
+
+@register(
+    "daily_zero_filled",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+{DAILY_CTE},
+bounds AS (SELECT MIN(date) AS d0, MAX(date) AS d1 FROM daily),
+spine AS (
+  SELECT s.date, k.region, k.kw
+  FROM (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date
+        FROM bounds) s
+  CROSS JOIN (SELECT DISTINCT region, kw FROM daily) k)
+SELECT spine.date, spine.region, spine.kw,
+       COALESCE(daily.value, 0.0) AS value,
+       CASE WHEN daily.value IS NULL THEN 1 ELSE 0 END AS was_padded
+FROM spine LEFT JOIN daily
+  ON spine.date = daily.date AND spine.region = daily.region
+ AND spine.kw = daily.kw
+""".strip(),
+)
+def daily_zero_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (date × series) spine with zero-fill for missing days.
+
+    Scale shape: the spine is sequence(min,max) exploded against the
+    distinct series list — both tiny relative to the fact table — and
+    the left join is hash-partitioned on the series keys; no driver-side
+    date loop (the reference pads in Python, procucer/slave/main.py:162-171).
+    """
+    daily = _daily(spark, sf_dir)
+    bounds = daily.agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("d0", "d1")).alias("date")
+        )
+        .crossJoin(daily.select("region", "kw").distinct())
+    )
+    return (
+        spine.join(daily, on=["date", "region", "kw"], how="left")
+        .select(
+            "date",
+            "region",
+            "kw",
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+            F.when(F.col("value").isNull(), 1).otherwise(0).alias("was_padded"),
+        )
+    )
+
+
+# --- exact percentiles (not in reference; engine-surface completeness) ----
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+""".strip(),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: same linear interpolation on the sorted values).
+    The scale path for wide cardinalities is ``approx_percentile``
+    (KLL/GK sketch) — kept exact here for oracle comparability."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+# --- lead / ntile ranking windows (G-extensions) --------------------------
+
+
+@register(
+    "order_gaps_ntile",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS od,
+         LEAD(CAST(o_orderdate AS TIMESTAMP))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS next_od
+  FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(epoch_us(next_od) - epoch_us(od) AS BIGINT) AS gap_us,
+       CAST(NTILE(4) OVER (PARTITION BY o_custkey
+            ORDER BY od, o_orderkey) AS INTEGER) AS quartile
+FROM seq
+""".strip(),
+)
+def order_gaps_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("timestamp")  # parquet NTZ → TS
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    nxt = F.lead("od").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.unix_micros(nxt) - F.unix_micros("od")).alias("gap_us"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
