@@ -65,6 +65,15 @@ def main() -> None:
     registry["trends_daily_agg"].fn(spark, sf_dir).count()
     _noop = _F.pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_noop("id")).count()
+    # MLlib class loading (breeze/BLAS) is a one-time ~5 s hit on the
+    # first estimator fit — pay it here, not inside a timed query.
+    from pyspark.ml.clustering import KMeans as _KM
+    from pyspark.ml.functions import array_to_vector as _a2v
+
+    _tiny = spark.range(16).select(
+        _a2v(_F.array(_F.rand(seed=1), _F.rand(seed=2))).alias("_fv")
+    )
+    _KM(k=2, seed=1, featuresCol="_fv").fit(_tiny)
 
     timings: dict[str, float] = {}
     total = 0.0

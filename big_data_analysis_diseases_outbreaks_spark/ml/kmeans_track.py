@@ -54,24 +54,24 @@ def kmeans_anomalies(
     """wide (date, region, features...) → (date, region, score, is_anomaly)."""
     # The pivot upstream is scanned by the scaler fit, the PCA fit, and
     # every KMeans iteration — persist it once instead of recomputing the
-    # shuffle per fit.
+    # shuffle per fit. Every MLlib fit here is a treeAggregate whose cost
+    # on small inputs is per-task overhead (measured ~2.5 s/fit on 150
+    # rows × 32 partitions, ~0.3 s on 1), so small tables collapse to one
+    # partition BEFORE the first fit (reference notebook: coalesce(8)
+    # pre-ML).
     assembled = VectorAssembler(
         inputCols=feature_cols, outputCol="raw_features"
-    ).transform(wide).persist()
+    ).transform(wide)
+    if assembled.count() < 100_000:
+        assembled = assembled.coalesce(1)
+    assembled = assembled.persist()
     scaler = StandardScaler(
         inputCol="raw_features", outputCol="scaled", withStd=True, withMean=True
     ).fit(assembled)
     scaled = scaler.transform(assembled)
     pca_k = min(pca_k, len(feature_cols))
     pca = PCA(k=pca_k, inputCol="scaled", outputCol="features").fit(scaled)
-    feats = pca.transform(scaled)
-    # The iterative fit loop launches many small jobs; for a small feature
-    # table the per-task scheduling overhead dominates, so collapse to few
-    # partitions first (reference notebook does coalesce(8) pre-ML too).
-    n_rows = feats.count()
-    if n_rows < 100_000:
-        feats = feats.coalesce(1)
-    feats = feats.persist()
+    feats = pca.transform(scaled).persist()
     feats.count()  # materialize before the fit loop; upstream cache can go
     assembled.unpersist()
 
