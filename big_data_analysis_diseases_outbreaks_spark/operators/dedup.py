@@ -60,13 +60,17 @@ def _perm_coefficients() -> tuple[list[int], list[int]]:
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id → ``sig`` array of k minhashes.
 
-    Arrow-vectorized pandas UDF: each batch concatenates every doc's word
-    3-gram shingles into ONE flat array, hashes it in a single vectorized
-    pass, then takes per-doc segment minima of the k multiply-shift
-    permutations (h_i(x) = a_i·x + b_i mod 2⁶⁴, odd a_i). The earlier
-    pure-expression variant evaluated k interpreted ``array_min∘transform``
-    passes per row — ~4× slower at sf0.1. Distinctness of shingles is NOT
-    required: min() over a multiset equals min() over its set.
+    Work split JVM/Python at the cheapest boundary: shingling + hashing
+    happen JVM-side (``with_shingles`` + ``xxhash64`` — codegen'd string
+    work, and the SAME hash space the exact-Jaccard verifier uses), so
+    Python only ever sees an ``array<long>`` per doc. The Arrow-batched
+    pandas UDF concatenates a batch's hashed shingles into one flat
+    uint64 vector and takes per-doc segment minima of the k multiply-
+    shift permutations (h_i(x) = a_i·x + b_i mod 2⁶⁴, odd a_i) via
+    ``np.minimum.reduceat`` — one 1-D pass per permutation. (A 2-D
+    (k, S) broadcast multiply is ~30× slower in numpy — bad inner-loop
+    strides for broadcast uint64 ufuncs; hashing strings in Python was
+    ~2× the whole signature cost.)
 
     Docs with fewer than 3 tokens (no shingles) are dropped, matching the
     ``with_shingles`` filter used by the verification path.
@@ -77,46 +81,38 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     As, Bs = _perm_coefficients()
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(texts):
+    def sig_udf(shh):
         import pandas as pd
 
         A = np.array(As, dtype=np.uint64)
         B = np.array(Bs, dtype=np.uint64)
         k = len(As)
-        shingles: list[str] = []
-        offsets = [0]
-        for t in texts:
-            toks = t.split()
-            shingles.extend(
-                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
-            )
-            offsets.append(len(shingles))
-        out: list = [None] * len(texts)
-        if shingles:
-            h = pd.util.hash_array(
-                np.asarray(shingles, dtype=object)
-            ).astype(np.uint64)
-            starts = np.asarray(offsets[:-1])
-            nonempty = np.asarray(offsets[1:]) > starts
-            starts_ne = starts[nonempty]
-            # One 1-D pass per permutation + segment-min via reduceat.
-            # (A 2-D (k, S) broadcast multiply is ~30× slower in numpy —
-            # bad inner-loop strides for broadcast uint64 ufuncs.)
-            sig = np.empty((len(starts_ne), k), dtype=np.int64)
-            for i in range(k):
-                v = A[i] * h + B[i]  # natural mod-2^64 wraparound
-                sig[:, i] = np.minimum.reduceat(v, starts_ne).astype(np.int64)
-            for row, d in zip(sig, np.flatnonzero(nonempty)):
-                out[d] = row
-        return pd.Series(out)
+        arrs = [np.asarray(a, dtype=np.int64) for a in shh]
+        if not arrs:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        flat = np.concatenate(arrs).astype(np.uint64)  # C-cast: mod 2^64
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sig = np.empty((len(arrs), k), dtype=np.int64)
+        for i in range(k):
+            v = A[i] * flat + B[i]  # natural mod-2^64 wraparound
+            sig[:, i] = np.minimum.reduceat(v, starts).astype(np.int64)
+        return pd.Series(list(sig))
 
-    # repartition: the doc table may arrive as one small file partition;
-    # spread the Arrow batches over all cores.
+    # repartition FIRST: the doc table may arrive as one small file
+    # partition, and everything downstream (shingling, hashing, the UDF)
+    # must run after the exchange to use all cores.
+    spread = docs.select("doc_id", text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
     return (
-        docs.select("doc_id", text_col)
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
-        .where(F.col("sig").isNotNull())
+        with_shingles(spread, text_col, out="sh")
+        .select(
+            "doc_id",
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("shh"),
+        )
+        .select("doc_id", sig_udf(F.col("shh")).alias("sig"))
     )
 
 
@@ -137,34 +133,34 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
                 F.xxhash64(*members).alias("bucket"),
             )
         )
-    # Persist: this frame feeds the bucket-size agg AND both sides of the
-    # pair self-join — without a cache the full signature lineage (shingle
-    # + 32 minhash passes) is recomputed three times.
     exploded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
-    bucket_sizes = (
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # ONE shuffle: group members into the bucket, then expand the in-
+    # bucket pairs with array combinatorics — no bucket-size semi-join,
+    # no self-join, no cache (the earlier join formulation shuffled the
+    # exploded frame three times and re-ran the signature lineage per
+    # consumer). Bucket size is capped, so the expansion is ≤ cap²/2
+    # structs per bucket.
+    buckets = (
         exploded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(
-            (F.col("bucket_n") > 1) & (F.col("bucket_n") <= MAX_BUCKET_SIZE)
-        )
-        .select("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= MAX_BUCKET_SIZE))
     )
-    exploded = exploded.join(bucket_sizes, on=["band", "bucket"], how="left_semi")
-    left = exploded.alias("a")
-    right = exploded.alias("b")
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(
+                    x.alias("doc_id_1"), y.alias("doc_id_2")
+                ),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_id_1", "p.doc_id_2")
         .distinct()
     )
 
