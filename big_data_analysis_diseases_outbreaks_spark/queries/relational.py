@@ -347,3 +347,134 @@ def cube_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# --- explicit GROUPING SETS (completes the rollup/cube family) ------------
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4)
+         AS total,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""".strip(),
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent one-dimension totals in ONE pass over the fact
+    table (Expand + single shuffle) — the alternative, two groupBys +
+    union, scans and shuffles twice."""
+    o = load_table(spark, sf_dir, "orders")
+    ts = scaled_long(F.col("o_totalprice"), 100)
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.round(F.sum(ts).cast("double") / 100.0, 4).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "total",
+            "n_orders",
+        )
+    )
+
+
+# --- correlated-subquery pattern: orders above their customer's average ---
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+WITH w AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ts,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders)
+SELECT o_orderkey, o_custkey,
+       ROUND(o_totalprice, 4) AS total,
+       CAST(s AS DOUBLE) / (n * 100.0) AS cust_avg
+FROM w WHERE ts * n > s
+""".strip(),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL's correlated scalar subquery (price > per-customer AVG),
+    planned as ONE window pass instead of the naive self-join+agg.
+    The comparison stays in exact integers (ts·n > Σts) so the boundary
+    rows agree bit-for-bit with the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    ts = scaled_long(F.col("o_totalprice"), 100)
+    enriched = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        ts.alias("ts"),
+        F.sum(ts).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return enriched.where(F.col("ts") * F.col("n") > F.col("s")).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("total"),
+        (F.col("s").cast("double") / (F.col("n") * F.lit(100.0))).alias("cust_avg"),
+    )
+
+
+# --- theta (band) join against a tiny literal dimension -------------------
+
+PRICE_BANDS = [
+    ("tiny", 0.0, 50_000.0),
+    ("small", 50_000.0, 150_000.0),
+    ("medium", 150_000.0, 300_000.0),
+    ("large", 300_000.0, 450_000.0),
+    ("huge", 450_000.0, 1e18),
+]
+
+
+@register(
+    "orders_price_band",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (VALUES
+  {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)})
+SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4)
+         AS total
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+""".strip(),
+)
+def orders_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join — SURVEY.md §2.E notes theta joins are absent
+    from the reference but belong in the engine surface. The band
+    dimension is a literal handful of rows, so the correct physical plan
+    is BroadcastNestedLoopJoin: the fact side streams, never shuffles.
+    (Irregular bands can't be mapped to an equi bucket key; with regular
+    bands the scale path is width-division to a bucket column + hash
+    join.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    ts = scaled_long(F.col("o_totalprice"), 100)
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(ts).cast("double") / 100.0, 4).alias("total"),
+        )
+    )

@@ -46,6 +46,43 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE-ish subword counting (letter runs / single digits / punctuation
+# split like GPT-style pre-tokenizers; pattern is Java-regex ∩ RE2 so the
+# same string runs on both engines) ----------------------------------------
+
+BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "doc_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_ws,
+       ROUND(CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+             / GREATEST(len(regexp_extract_all(text, '{TOKEN_RE}')), 1), 4)
+         AS bpe_per_word
+FROM documents
+""".strip(),
+)
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting the way an LLM-pipeline budget pass does it:
+    whitespace words vs BPE-ish subword units (letter runs count 1,
+    digits count singly, punctuation splits off). Pure JVM regexp —
+    stays in codegen over a full corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).cast("long")
+    n_ws = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        F.round(
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 4
+        ).alias("bpe_per_word"),
+    )
+
+
 # --- quality scoring ------------------------------------------------------
 
 

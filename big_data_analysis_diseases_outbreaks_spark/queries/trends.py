@@ -498,3 +498,50 @@ def order_gaps_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(nxt) - F.unix_micros("od")).alias("gap_us"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --- RANGE-frame trailing window (G-extension: value-based frame; the
+# reference's G1 uses only a ROWS frame) -----------------------------------
+
+
+@register(
+    "value_7d_range_avg",
+    oracle=f"""
+{_PREFIX},
+scaled AS (
+  SELECT region, kw, date, value,
+         CAST(ROUND(value * 100) AS BIGINT) AS vs,
+         date_diff('day', DATE '1970-01-01', date) AS dd
+  FROM daily)
+SELECT region, kw, date, value,
+       ROUND(CAST(SUM(vs) OVER w AS DOUBLE) / 100.0, 4) AS sum_7d,
+       CAST(SUM(vs) OVER w AS DOUBLE) / (COUNT(*) OVER w * 100.0) AS avg_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d
+FROM scaled
+WINDOW w AS (PARTITION BY region, kw ORDER BY dd
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""".strip(),
+)
+def value_7d_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day average per series with a RANGE frame keyed on the
+    day number — unlike a ROWS frame, missing days shrink the window
+    (count what's inside the value range, not the last 7 rows). Exact
+    integer window sums keep avg_7d bit-identical to the oracle."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("region", "kw")
+        .orderBy(F.unix_date("date"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    vs = scaled_long(F.col("value"), 100)
+    s = F.sum(vs).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "region",
+        "kw",
+        "date",
+        "value",
+        F.round(s.cast("double") / 100.0, 4).alias("sum_7d"),
+        (s.cast("double") / (n * F.lit(100.0))).alias("avg_7d"),
+        n.alias("n_days_7d"),
+    )

@@ -65,3 +65,35 @@ def test_detrend_single_window_shuffle(spark):
     exchanges = plan.count("Exchange hashpartitioning")
     assert exchanges <= 2, f"expected ≤2 exchanges (agg + window), got {exchanges}"
     assert "WindowExec" in plan or "Window" in plan
+
+
+def test_price_band_broadcast_nested_loop(spark):
+    """A theta join against a literal handful of band rows must broadcast
+    the bands and stream the fact side — never shuffle orders."""
+    plan = _plan(spark, "orders_price_band")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    """GROUPING SETS must plan as Expand over ONE scan of orders, not a
+    union of per-set scans."""
+    plan = _plan(spark, "grouping_sets_order_stats")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_above_customer_avg_one_window_pass(spark):
+    """The correlated-subquery rewrite must be a single window over one
+    scan — the naive plan (self-join against a grouped agg) scans and
+    shuffles orders twice."""
+    plan = _plan(spark, "orders_above_customer_avg")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_range_frame_single_window_shuffle(spark):
+    plan = _plan(spark, "value_7d_range_avg")
+    # one exchange for the daily agg, one for the window partition key
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
