@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import scaled_long
+from ..operators.skew import salted_join
 from ..sources.tables import load_table
 from . import register
 
@@ -477,4 +478,67 @@ def orders_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(ts).cast("double") / 100.0, 4).alias("total"),
         )
+    )
+
+
+# --- salted join: hot-key skew mitigation (operators/skew.py) -------------
+
+TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 5.0),
+    ("signup", 3.0),
+    ("error", 0.1),
+]
+
+
+@register(
+    "salted_type_join",
+    oracle=f"""
+WITH weights(event_type, weight) AS (VALUES
+  {", ".join(f"('{t}', {w})" for t, w in TYPE_WEIGHTS)})
+SELECT e.event_type,
+       ROUND(CAST(SUM(CAST(ROUND(e.value * w.weight * 1000) AS BIGINT)) AS DOUBLE)
+             / 1000.0, 4) AS weighted_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN weights w ON e.event_type = w.event_type
+GROUP BY e.event_type
+""".strip(),
+)
+def salted_type_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ per-type weights with only 5 distinct join keys — the
+    textbook hot-key join. The salted plan joins on (event_type, salt)
+    with salt = hash(event_id) % 32, spreading each hot key over 32
+    partitions instead of 1; the tiny weight dim is replicated per salt.
+    Result is identical to the unsalted join (oracle = plain SQL join)."""
+    ev = load_table(spark, sf_dir, "events")
+    weights = spark.createDataFrame(TYPE_WEIGHTS, "event_type STRING, weight DOUBLE")
+    joined = salted_join(
+        ev, weights, on=["event_type"], salt_from="event_id", n_salts=32
+    )
+    wv = scaled_long(F.col("value") * F.col("weight"), 1000)
+    return joined.groupBy("event_type").agg(
+        F.round(F.sum(wv).cast("double") / 1000.0, 4).alias("weighted_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- approx aggregates (HLL++ / KLL sketches — the 100 TB cardinality
+# path; sketch outputs are engine-specific, so rows-only driver check
+# with an error-bound pytest against the exact values) ---------------------
+
+
+@register("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type approximate distinct users + median. At 100 TB exact
+    countDistinct shuffles every (type, user) pair; the HLL++ sketch
+    (relativeSD 2%) and the approx-percentile KLL sketch merge
+    map-side partials in constant memory — the only viable shape at that
+    scale. tests/test_oracle_parity.py bounds both against the exact
+    answers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.count(F.lit(1)).alias("n_events"),
     )

@@ -264,3 +264,44 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.withColumn(
         "bucket", F.shiftrightunsigned("simhash", 48).cast("int")
     )
+
+
+# --- rolling-hash fingerprint (polynomial Rabin-Karp fold over the
+# normalized character stream; north-star "document fingerprinting
+# (rolling hash)" alongside the md5 content fingerprint) -------------------
+
+RH_INIT = 7
+RH_MULT = 31
+RH_MOD = 1_000_000_007
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+  FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST({RH_INIT} AS BIGINT),
+                      list_transform(string_split(nt, ''),
+                                     x -> CAST(ascii(x) AS BIGINT))),
+         (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD}) AS rh
+FROM norm
+""".strip(),
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-fold polynomial hash h ← (h·31 + code(c)) mod 1e9+7 over the
+    whitespace-normalized text — the building block of Rabin-Karp chunk
+    fingerprinting. Pure JVM higher-order aggregate (no UDF): a full
+    corpus scan never leaves the executor JVM."""
+    from ..functions.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(normalized_text(F.col("text")), "")
+    rh = F.aggregate(
+        chars,
+        F.lit(RH_INIT).cast("long"),
+        lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+    )
+    return docs.select("doc_id", rh.alias("rh"))

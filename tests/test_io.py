@@ -51,3 +51,37 @@ def test_partitioned_parquet_write_prunes(spark):
         assert "PartitionFilters" in plan and "isnotnull(date" in plan
         expected = daily.where(F.col("date") == F.lit(some_date)).count()
         assert pruned.count() == expected
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Bucketed tables co-located on the join key must join with ZERO
+    exchanges (the 100 TB co-location strategy: pay the shuffle once at
+    write time, never again per query). Broadcast is disabled so the
+    no-exchange plan is attributable to bucketing, not to dim size."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        expected = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -97,3 +97,22 @@ def test_range_frame_single_window_shuffle(spark):
     # one exchange for the daily agg, one for the window partition key
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """With broadcast off (forcing a shuffled join — the regime salting
+    exists for), the exchange must partition on (event_type, _salt):
+    each of the 5 hot keys spreads over 32 sub-partitions instead of 1.
+    With default confs Catalyst broadcasts the tiny replicated dim and
+    the salt is inert — also asserted, since that's the right plan when
+    the build side fits."""
+    plan = _plan(spark, "salted_type_join")
+    assert "BroadcastHashJoin" in plan  # default: tiny dim broadcasts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "salted_type_join")
+        m = re.search(r"hashpartitioning\(event_type[^)]*_salt", plan)
+        assert m, "shuffled join must partition on (event_type, _salt)"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
