@@ -43,9 +43,14 @@ HEADLINE = [
     "stream_daily_agg",
     "stream_sliding_agg",
     "stream_running_zscore",
+    "stream_interval_join",
     "ann_ivf_topk",
     "kmeans_anomaly",
     "iforest_anomaly",
+    "salted_type_join",
+    "orders_price_band",
+    "value_7d_range_avg",
+    "doc_rolling_fingerprint",
 ]
 
 

@@ -126,3 +126,25 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# Stream-stream interval join: inner matches emit once both rows arrive,
+# so the bounded replay equals the batch interval join exactly — full SQL
+# oracle despite being a stateful two-stream operator.
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""".strip(),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import interval_join_stream
+
+    out = interval_join_stream(spark, sf_dir)
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

@@ -207,3 +207,52 @@ def run_foreach_batch_fanout(
     )
     q.awaitTermination()
     return {"facts": facts_path, "flags": flags_path}
+
+
+def interval_join_stream(
+    spark: SparkSession, sf_dir: str, max_lag: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within ``max_lag`` after it (natural extension — SURVEY.md
+    §2.I notes the reference has no stream-stream joins).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so each side's state store evicts rows once the
+    other side's watermark passes — without the time bound, stream-stream
+    join state grows forever (the 100 TB failure mode). Inner-join
+    matches are emitted as soon as both rows have arrived; on a bounded
+    replay the result is exactly the batch interval join, independent of
+    micro-batch boundaries.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {max_lag}"
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
