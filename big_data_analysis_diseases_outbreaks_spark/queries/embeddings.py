@@ -189,3 +189,72 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
         F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val")
     )
+
+
+# --- int8 scalar quantization (training-pipeline storage path: 4× smaller
+# vectors for ANN recall at 100 TB; exact-int outputs → full SQL oracle) ---
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings)
+SELECT vec_id, label, scale,
+       CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INTEGER))
+       END AS q,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)
+                          - ROUND(CAST(x AS DOUBLE) / scale) * scale)))
+       END AS max_abs_err
+FROM scaled
+""".strip(),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale). The quantized array is exact integers (hash-
+    comparable across engines); reconstruction error is reported per
+    vector. All JVM higher-order functions — a 100 TB re-encode is one
+    narrow map over the scan, no shuffle, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / 127.0
+    ).alias("scale")
+    scaled = emb.select("vec_id", "label", scale, "embedding")
+    quant = F.when(
+        F.col("scale") == 0,
+        F.transform("embedding", lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(xd(x) / F.col("scale")).cast("int"),
+        )
+    )
+    # scale and max_abs_err stay UNROUNDED: both are rationals whose
+    # round()ed decimal repr diverges between engines (stable.py note);
+    # the raw doubles come from identical IEEE op chains and hash equal.
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                "embedding",
+                lambda x: F.abs(
+                    xd(x) - F.round(xd(x) / F.col("scale")) * F.col("scale")
+                ),
+            )
+        )
+    )
+    return scaled.select(
+        "vec_id",
+        "label",
+        "scale",
+        quant.alias("q"),
+        err.alias("max_abs_err"),
+    )
