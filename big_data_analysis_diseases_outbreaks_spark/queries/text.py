@@ -305,3 +305,41 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
     )
     return docs.select("doc_id", rh.alias("rh"))
+
+
+# --- lateral explode: corpus-wide token frequencies (wordcount) -----------
+
+
+@register(
+    "token_frequencies",
+    oracle=f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+""".strip(),
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus wordcount: lateral explode of the token array, aggregate,
+    top-20. Scale shape: explode is a narrow op (no shuffle); the
+    frequency groupBy shuffles on token with map-side partials absorbing
+    the Zipf head before the exchange; top-20 is TakeOrderedAndProject."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
