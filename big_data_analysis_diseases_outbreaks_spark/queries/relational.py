@@ -542,3 +542,106 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- Q17-style: correlated agg subquery by join+agg decorrelation ---------
+
+
+@register(
+    "small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sq,
+         COUNT(*) AS nq
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 700.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(ROUND(l.l_quantity * 100) AS BIGINT) * nq * 5 < sq
+""".strip(),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-20%-of-part-average-quantity
+    line items, one brand. The correlated scalar subquery (per-part AVG)
+    decorrelates to groupBy + equi-join — here explicitly, which is also
+    what Catalyst's RewriteCorrelatedScalarSubquery does. The threshold
+    comparison stays in exact integers (qty·n·5 < Σqty) so boundary rows
+    agree with the oracle bit-for-bit; the per-part aggregate shuffles on
+    l_partkey, the same key as the join — ONE exchange of lineitem
+    reused by both."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qs = scaled_long(F.col("l_quantity"), 100)
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qs).alias("sq"), F.count(F.lit(1)).alias("nq")
+    ).withColumnRenamed("l_partkey", "pa_partkey")
+    ps = scaled_long(F.col("l_extendedprice"), 100)
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .where(qs * F.col("nq") * 5 < F.col("sq"))
+        .agg(
+            (F.sum(ps).cast("double") / 700.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- full outer join: customer activity matrix across halves --------------
+
+
+@register(
+    "customer_halves_outer",
+    oracle="""
+WITH h1 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_first
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01' GROUP BY 1),
+h2 AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_second
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01' GROUP BY 1)
+SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS custkey,
+       COALESCE(n_first, 0) AS n_first,
+       COALESCE(n_second, 0) AS n_second,
+       CASE WHEN h1.o_custkey IS NULL THEN 'second_only'
+            WHEN h2.o_custkey IS NULL THEN 'first_only'
+            ELSE 'both' END AS segment
+FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+""".strip(),
+)
+def customer_halves_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type surface: inner, semi,
+    anti, left via zero-fill spine, theta, as-of, salted — and outer).
+    Both inputs pre-aggregate on the join key, so the outer join joins
+    two already-key-partitioned sides — AQE reuses the partitioning."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "odate", F.to_date("o_orderdate")
+    )
+    cut = F.lit("1998-01-01").cast("date")
+    h1 = (
+        orders.where(F.col("odate") < cut)
+        .groupBy(F.col("o_custkey").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    h2 = (
+        orders.where(F.col("odate") >= cut)
+        .groupBy(F.col("o_custkey").alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_second"))
+    )
+    j = h1.join(h2, h1.k1 == h2.k2, "full_outer")
+    return j.select(
+        F.coalesce("k1", "k2").alias("custkey"),
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).alias("n_second"),
+        F.when(F.col("k1").isNull(), "second_only")
+        .when(F.col("k2").isNull(), "first_only")
+        .otherwise("both")
+        .alias("segment"),
+    )

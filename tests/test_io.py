@@ -85,3 +85,31 @@ def test_bucketed_join_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def _roundtrip(spark, fmt: str):
+    """Write the daily facts in ``fmt``, read back, prove content equality
+    via count + exact scaled sum (schema supplied on read so types
+    survive formats without embedded schema)."""
+    daily = daily_aggregate(trends_view(spark, SF_SMALL))
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, f"daily_{fmt}")
+        daily.write.mode("overwrite").format(fmt).save(out)
+        back = (
+            spark.read.format(fmt)
+            .schema("date DATE, region STRING, kw STRING, value DOUBLE")
+            .load(out)
+        )
+        assert back.count() == daily.count()
+        exact = lambda df: df.agg(  # noqa: E731
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+        ).collect()[0][0]
+        assert exact(back) == exact(daily)
+
+
+def test_json_lines_roundtrip(spark):
+    _roundtrip(spark, "json")
+
+
+def test_orc_roundtrip(spark):
+    _roundtrip(spark, "orc")
