@@ -253,3 +253,57 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_near_dup_pairs(
+    vecs: DataFrame,
+    min_cosine: float = 0.98,
+    emb_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH buckets — the scale path
+    twin of the all-pairs cosine verifier (quadratic work only inside
+    sign buckets; a near-identical pair disagrees on a plane only when
+    its projection is near zero, and 8 OR'd tables make a full miss
+    vanishingly rare).
+
+    Shuffle profile mirrors the minhash dedup: ONE exchange groups
+    bucket members (embeddings carried inline), pairs expand with array
+    combinatorics, dedup across tables, then the cosine verify runs once
+    per surviving pair.
+    """
+    b = _bucketed(vecs, "vid", "emb", emb_col, n_planes, n_tables)
+    buckets = (
+        b.groupBy("table", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "emb"))).alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["vid"].alias("vec_id_1"),
+                    y["vid"].alias("vec_id_2"),
+                    x["emb"].alias("e1"),
+                    y["emb"].alias("e2"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.vec_id_1", "p.vec_id_2", "p.e1", "p.e2")
+        .dropDuplicates(["vec_id_1", "vec_id_2"])
+    )
+    return (
+        cand.select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round(cosine(F.col("e1"), F.col("e2")), 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )

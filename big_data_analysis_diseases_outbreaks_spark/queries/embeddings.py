@@ -258,3 +258,28 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant.alias("q"),
         err.alias("max_abs_err"),
     )
+
+
+# --- LSH-bucketed near-dup (scale path; approximate → rows-only check,
+# recall pinned against the exact verifier in tests/test_similarity.py) ----
+
+
+@register("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    doubled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(perturbed)
+    return lsh_near_dup_pairs(doubled, min_cosine=0.98)

@@ -343,3 +343,57 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+# --- document chunking (fixed token windows with overlap — the unit-of-
+# work generator for embedding/training pipelines) -------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         t[u.s + 1 : u.s + {CHUNK_TOKENS}] AS ct
+  FROM toks, UNNEST(range(0, GREATEST(len(t), 1), {CHUNK_STRIDE})) AS u(s))
+SELECT doc_id, chunk_id,
+       array_to_string(ct, ' ') AS chunk_text,
+       CAST(len(ct) AS BIGINT) AS n_tokens
+FROM chunks
+""".strip(),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding fixed-size token chunks (64 tokens, stride 48): the
+    standard pre-embedding unit-of-work split. Narrow JVM expression —
+    sequence + slice + explode, no shuffle at all; at 100 TB this is a
+    map over the corpus scan whose output partitioning inherits the
+    input's."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, CHUNK_TOKENS).alias("ct"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "c.chunk_id",
+            F.concat_ws(" ", F.col("c.ct")).alias("chunk_text"),
+            F.size("c.ct").cast("long").alias("n_tokens"),
+        )
+    )

@@ -85,3 +85,21 @@ def test_dedup_embedding_cosine_finds_planted_pairs(spark):
     for r in rows:
         assert r["vec_id_2"] == r["vec_id_1"] + 100_000
         assert r["cos_sim"] >= 0.98
+
+
+def test_lsh_near_dup_recall_vs_exact(spark):
+    """The bucketed near-dup path must find ≥95% of the pairs the exact
+    all-pairs verifier finds (planted perturbed copies, cosine ≈ 0.999),
+    with no pair below the threshold."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    exact_pairs = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in all_queries()["dedup_embedding_cosine"].fn(spark, SF_SMALL).collect()
+    }
+    lsh_rows = all_queries()["dedup_embedding_lsh"].fn(spark, SF_SMALL).collect()
+    lsh_pairs = {(r["vec_id_1"], r["vec_id_2"]) for r in lsh_rows}
+    assert all(r["cos_sim"] >= 0.98 for r in lsh_rows)
+    assert lsh_pairs <= exact_pairs, "LSH found a pair the exact path did not"
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"LSH near-dup recall too low: {recall:.2f}"

@@ -196,3 +196,38 @@ def test_foreach_batch_fanout_two_sinks(spark):
             (F.col("value") > 100) != (F.col("high") == 1)
         ).count()
         assert bad == 0
+
+
+def test_checkpoint_recovery_no_reprocessing(spark):
+    """Restarting a query on the same checkpoint must be exactly-once:
+    the second run sees no new input and appends nothing (the reference
+    ran its live queries WITHOUT checkpoints — spark_main.py:149-154 —
+    and relied on startingOffsets=earliest, which double-processes on
+    every restart)."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        daily_agg_stream,
+        trends_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "facts")
+        cp = os.path.join(tmp, "_cp")
+
+        def run_once():
+            q = (
+                daily_agg_stream(trends_stream(spark, SF_SMALL), watermark="1 hour")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        n1 = spark.read.parquet(out).count()
+        assert n1 > 0, "first run must emit watermark-closed windows"
+        run_once()
+        n2 = spark.read.parquet(out).count()
+        assert n2 == n1, f"restart reprocessed data: {n1} -> {n2} rows"
