@@ -397,3 +397,22 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("c.ct").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- seeded stratified sampling (train/eval split maker; sampling is
+# engine-specific → rows-only driver check + invariant tests) --------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
+@register("doc_stratified_sample", oracle=None)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sampling (seed=42): the standard
+    training-corpus rebalancing step (down-weight the dominant language).
+    sampleBy is a narrow stateless filter — each row draws from a seeded
+    hash of itself, no shuffle, fully rerunnable; strata not listed drop
+    out entirely."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -113,3 +113,57 @@ def test_json_lines_roundtrip(spark):
 
 def test_orc_roundtrip(spark):
     _roundtrip(spark, "orc")
+
+
+def test_dynamic_partition_overwrite(spark):
+    """Partitioned re-writes must replace ONLY the partitions present in
+    the incoming batch (partitionOverwriteMode=dynamic) — static mode
+    truncates the whole table, the classic backfill footgun."""
+    daily = daily_aggregate(trends_view(spark, SF_SMALL)).cache()
+    dates = sorted(r["date"] for r in daily.select("date").distinct().collect())
+    target = dates[0]
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "facts")
+        daily.write.mode("overwrite").partitionBy("date").parquet(out)
+        n_total = daily.count()
+        n_target = daily.where(F.col("date") == F.lit(target)).count()
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            patch = (
+                daily.where(F.col("date") == F.lit(target))
+                .withColumn("value", F.col("value") * 2)
+            )
+            patch.write.mode("overwrite").partitionBy("date").parquet(out)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        back = spark.read.parquet(out)
+        assert back.count() == n_total, "untouched partitions must survive"
+        assert back.where(F.col("date") == F.lit(target)).count() == n_target
+    daily.unpersist()
+
+
+def test_compact_small_files(spark):
+    """Small-file compaction: many tiny part files rewritten to a target
+    count with identical content (the 100 TB metadata-pressure fix for
+    high-frequency streaming appends)."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    daily = daily_aggregate(trends_view(spark, SF_SMALL))
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "frag")
+        daily.repartition(64).write.mode("overwrite").parquet(out)
+        n_before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_before >= 32
+        stats = compact_parquet(spark, out, target_files=4)
+        n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n_after <= 4
+        back = spark.read.parquet(out)
+        assert back.count() == daily.count()
+        assert stats["files_before"] == n_before and stats["files_after"] == n_after
+        exact = lambda df: df.agg(  # noqa: E731
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+        ).collect()[0][0]
+        assert exact(back) == exact(daily)

@@ -6,6 +6,7 @@ driver's CORRECTNESS check at sf0.01.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
 
@@ -58,3 +59,32 @@ def test_approx_distinct_within_bounds(spark):
             3, 0.05 * e["n_users"]
         ), f"{t}: HLL estimate off by >5%"
         assert a["n_events"] == e["n_events"]
+
+
+def test_stratified_sample_properties(spark):
+    """Seeded sampleBy: deterministic across runs, fractions within
+    tolerance per stratum, unlisted strata absent."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        SAMPLE_FRACTIONS,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+    from .conftest import SF_ORACLE
+
+    q = all_queries()["doc_stratified_sample"]
+    a = sorted(r["doc_id"] for r in q.fn(spark, SF_ORACLE).collect())
+    b = sorted(r["doc_id"] for r in q.fn(spark, SF_ORACLE).collect())
+    assert a == b and len(a) > 0
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF_ORACLE, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r["lang"]: r["n"]
+        for r in q.fn(spark, SF_ORACLE).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sampled) <= set(SAMPLE_FRACTIONS)
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        got = sampled.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.15, f"{lang}: sampled {got:.2f} vs {frac}"
