@@ -88,6 +88,16 @@ def main() -> None:
     _tiny = _PCA(k=2, inputCol="_sv", outputCol="_pv").fit(_tiny).transform(_tiny)
     _km = _KM(k=2, seed=1, featuresCol="_pv").fit(_tiny)
     _CE(featuresCol="_pv", metricName="silhouette").evaluate(_km.transform(_tiny))
+    # Structured Streaming engine init (StreamExecution, state-store
+    # provider classes, memory-sink machinery) is a one-time ~10 s hit on
+    # the first streaming query — pay it on a 1-row rate stream here.
+    _stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .groupBy("value").count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("_bench_stream_warmup").trigger(availableNow=True).start()
+    )
+    _stream.awaitTermination()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -147,18 +147,39 @@ def dedup_stream(
 
 
 def run_to_memory(
-    agg: DataFrame, output_mode: str = "complete", name: str | None = None
+    agg: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    shuffle_partitions: int | None = 8,
 ) -> tuple[str, object]:
-    """Drive a bounded stream to completion into a memory sink."""
+    """Drive a bounded stream to completion into a memory sink.
+
+    ``shuffle_partitions`` pins the stateful-operator partition count for
+    THIS query (read once at query start, then restored): each shuffle
+    partition materializes its own state store + per-micro-batch
+    checkpoint delta, so the right sizing is the stream's KEY cardinality
+    (here: regions × kw, tiny), never the input volume — at 100 TB you
+    raise it with key cardinality, and it stays decoupled from the batch
+    `spark.sql.shuffle.partitions`/AQE sizing. Pass None to inherit the
+    session setting.
+    """
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = agg.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return name, q
 
 
