@@ -645,3 +645,83 @@ def customer_halves_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("segment"),
     )
+
+
+# --- G-ext: per-group top-k (row_number window + filter) ------------------
+
+
+@register(
+    "top3_customers_per_nation",
+    oracle="""
+SELECT nation, o_custkey, total_spent, rk FROM (
+  SELECT n.n_name AS nation, o.o_custkey,
+         ROUND(SUM(o.o_totalprice), 4) AS total_spent,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n.n_name
+           ORDER BY ROUND(SUM(o.o_totalprice), 4) DESC, o.o_custkey ASC
+         ) AS BIGINT) AS rk
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, o.o_custkey)
+WHERE rk <= 3
+""".strip(),
+)
+def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k — the pattern `top10_customers` (global
+    TakeOrderedAndProject) can't express. One shuffle on the agg keys;
+    the window repartitions only by nation (25 groups, tiny vs facts).
+    Ties broken by custkey so the result is deterministic on any engine.
+    Reference has no per-group top-k (SURVEY.md §2.H notes the gap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spent = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("total_spent").desc(), F.col("o_custkey").asc()
+    )
+    return spent.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).where(F.col("rk") <= 3)
+
+
+# --- F-ext: hierarchical rollup reusing the finer aggregate ---------------
+
+
+@register(
+    "monthly_rollup_from_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS rev_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1)
+SELECT CAST(DATE_TRUNC('month', d) AS DATE) AS month,
+       CAST(SUM(rev_c) AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_active_days
+FROM daily GROUP BY 1
+""".strip(),
+)
+def monthly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the monthly aggregate is
+    computed FROM the daily aggregate, not from raw facts — at 100 TB the
+    daily rollup is the persisted continuous aggregate (run_foreach_batch
+    fan-out writes it per-day) and coarser grains re-aggregate ~1000×
+    fewer rows, no fact rescan. Integer-cent sums keep the two-level
+    re-aggregation exact (sum of sums == sum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("rev_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return daily.groupBy(F.trunc("d", "month").alias("month")).agg(
+        (F.sum("rev_c").cast("double") / 100.0).alias("revenue"),
+        F.sum("n").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_active_days"),
+    )
