@@ -116,3 +116,27 @@ def test_salted_join_spreads_hot_keys(spark):
         assert m, "shuffled join must partition on (event_type, _salt)"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_top3_per_nation_broadcasts_and_single_window(spark):
+    plan = _plan(spark, "top3_customers_per_nation")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "customer and nation dims must broadcast against the orders fact"
+    )
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, (
+        "one window pass for the per-group rank"
+    )
+    # rank<=k must push a per-partition partial top-k BELOW the shuffle
+    # (WindowGroupLimit Partial) — at scale only <=3 rows per group per
+    # partition ever cross the wire, not the full per-customer aggregate
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_monthly_rollup_reaggregates_daily(spark):
+    # two grouped aggregations (daily then monthly), each with a
+    # partial/final HashAggregate pair; the monthly level re-aggregates
+    # the ~1000x smaller daily output, never rescanning the fact table
+    plan = _plan(spark, "monthly_rollup_from_daily")
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Scan parquet") == 1, "exactly one fact-table scan"
