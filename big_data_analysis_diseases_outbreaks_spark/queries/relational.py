@@ -725,3 +725,49 @@ def monthly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_orders"),
         F.count(F.lit(1)).alias("n_active_days"),
     )
+
+
+# --- G-ext: distribution-rank windows (percent_rank / cume_dist) ----------
+
+
+@register(
+    "customer_spend_percentile",
+    oracle="""
+SELECT n.n_name AS nation, o.o_custkey,
+       ROUND(SUM(o.o_totalprice), 4) AS total_spent,
+       ROUND(PERCENT_RANK() OVER w, 6) AS spend_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS spend_cume_dist
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, o.o_custkey
+WINDOW w AS (PARTITION BY n.n_name
+             ORDER BY ROUND(SUM(o.o_totalprice), 4), o.o_custkey)
+""".strip(),
+)
+def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows (percent_rank/cume_dist) — completes the
+    ranking family (row_number/lag/lead/ntile elsewhere). Same
+    single-shuffle shape as the per-group top-k: agg on (nation,
+    custkey), then one window pass partitioned by nation. Ranks are over
+    the ROUNDED total and tie-broken by custkey so both engines order
+    identically; rank outputs rounded to 6 dp (exact k/n rationals)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spent = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spent"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("total_spent").asc(), F.col("o_custkey").asc()
+    )
+    return spent.select(
+        "nation",
+        "o_custkey",
+        "total_spent",
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+    )
