@@ -5,8 +5,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is forced with a cheap full-evaluation action
-(count on the final plan) — results are not collected to the driver.
+Each query is forced with a noop-sink write (`format("noop")`), which
+consumes EVERY output column — unlike count(), which lets Catalyst prune
+unreferenced projections and whole Window stages, under-reporting
+map-only and window-heavy queries. Results are not collected to the
+driver.
 """
 
 from __future__ import annotations
@@ -106,7 +109,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
-            df.count()  # force full evaluation without driver collect
+            # Force FULL evaluation of every output column: the noop sink
+            # consumes all rows/columns executor-side (no driver collect,
+            # no Catalyst pruning of the projection under a count()).
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)

@@ -3,8 +3,14 @@
 High-frequency streaming appends (A4/A7 sinks) fragment a table into
 thousands of tiny part files; at 100 TB the scan's file-listing and
 footer reads dominate. Compaction rewrites a directory to a target file
-count. The rewrite stages into a sibling temp dir and atomically swaps,
-so a reader never sees a half-written table on a posix filesystem.
+count. The rewrite stages into a sibling temp dir and swaps via two
+renames. NOTE: the swap is NOT atomic — POSIX rename cannot atomically
+exchange two directories, so there is a window between the two renames
+where ``path`` does not exist, and a crash in that window strands the
+table under the ``__old_*`` backup name (recoverable by renaming it
+back). A production table format gets atomicity from a metadata pointer
+flip (Delta/Iceberg snapshot, or a versioned dir + symlink flip); for a
+plain parquet dir this staged-rename is the closest safe approximation.
 """
 
 from __future__ import annotations

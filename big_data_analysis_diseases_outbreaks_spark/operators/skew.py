@@ -52,7 +52,18 @@ def salted_join(
 
     Equivalent to ``fact.join(small, on, how)`` for keys present on both
     sides; the salt column never escapes.
+
+    ``how`` is restricted to fact-side-preserving joins: the build side
+    is replicated n_salts times, so right/full-outer (and right_semi /
+    right_anti) would emit each unmatched build-side row once per salt.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — build-side replication"
+            " multiplies unmatched small-side rows; use inner/left/semi/anti"
+        )
     f = with_salt(fact, salt_from, n_salts)
     s = replicate_for_salt(small, n_salts)
     return f.join(s, on=[*on, "_salt"], how=how).drop("_salt")

@@ -205,10 +205,11 @@ WITH scaled AS (
          embedding
   FROM embeddings)
 SELECT vec_id, label, scale,
+       array_to_string(
        CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
             ELSE list_transform(embedding,
                  x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INTEGER))
-       END AS q,
+       END, ',') AS q,
        CASE WHEN scale = 0 THEN 0.0
             ELSE list_max(list_transform(embedding,
                  x -> abs(CAST(x AS DOUBLE)
@@ -251,11 +252,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # q is emitted as a comma-joined string, not array<int>: the driver's
+    # correctness canonicalizer sorts rows by every column and crashes on
+    # unhashable array cells (round-1 ADVICE). Exact integers → the joined
+    # string is byte-identical across engines.
     return scaled.select(
         "vec_id",
         "label",
         "scale",
-        quant.alias("q"),
+        F.array_join(quant.cast("array<string>"), ",").alias("q"),
         err.alias("max_abs_err"),
     )
 

@@ -47,8 +47,15 @@ def _stream_source_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"spark_stream_src_{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # lexists, not exists: a dangling symlink (testdata moved since the
+    # cached /tmp dir was created) returns False from exists() and the
+    # re-create would raise FileExistsError. Re-point if stale.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 
