@@ -121,6 +121,9 @@ def main() -> None:
         if dt > 0:
             total += dt
         print(f"bench: {name}: {dt}s", file=sys.stderr)
+        # Queries are independent: drop any DataFrames a query persisted
+        # so leftover cached blocks don't steal memory from later queries.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

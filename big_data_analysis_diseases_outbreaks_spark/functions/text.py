@@ -127,6 +127,26 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles hashed straight to int64:
+    ``xxhash64(w_i, …, w_{i+n-1})`` — the n-word concat string is never
+    materialized, and the per-shingle string→hash pass that used to
+    follow is folded in. Set-equivalent to hashing the joined string
+    (any injective-modulo-collisions encoding of the n-tuple preserves
+    Jaccard), so exact-Jaccard verification keeps its oracle parity.
+
+    Same calling contract as :func:`word_shingles`: pass a materialized
+    token-array column (HOF lambdas are interpreted — an inline
+    tokenizer would re-run per element_at).
+    """
+    toks = col
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.xxhash64(  # noqa: E731
+        *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
 def with_shingles(df, text_col: str = "text", out: str = "sh", n: int = 3):
     """df + shingle column, tokenizing ONCE via an explicit projection
     boundary (CollapseProject keeps multi-referenced non-cheap aliases
@@ -143,4 +163,14 @@ def with_shingles(df, text_col: str = "text", out: str = "sh", n: int = 3):
         F.size(F.col("_toks")) >= n
     )
     out_df = toked.withColumn(out, word_shingles(F.col("_toks"), n=n))
+    return out_df.drop("_toks")
+
+
+def with_hashed_shingles(df, text_col: str = "text", out: str = "shh", n: int = 3):
+    """df + int64 shingle column (see :func:`hashed_shingles`); same
+    tokenize-once / filter-before-shingle shape as :func:`with_shingles`."""
+    toked = df.withColumn("_toks", tokens(F.col(text_col))).where(
+        F.size(F.col("_toks")) >= n
+    )
+    out_df = toked.withColumn(out, hashed_shingles(F.col("_toks"), n=n))
     return out_df.drop("_toks")
