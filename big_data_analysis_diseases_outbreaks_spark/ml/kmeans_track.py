@@ -44,7 +44,13 @@ def select_k(scaled: DataFrame, k_range=range(2, 5)):
     from concurrent.futures import ThreadPoolExecutor
 
     def fit_eval(k: int):
-        model = KMeans(k=k, seed=SEED, featuresCol="features").fit(scaled)
+        # random init, not k-means||: the parallel init runs initSteps
+        # extra distributed passes whose per-job overhead dominates at
+        # bench scale (~0.5 s/fit) while seeded-random centers converge
+        # to comparable silhouettes here; still fully deterministic.
+        model = KMeans(
+            k=k, seed=SEED, featuresCol="features", initMode="random"
+        ).fit(scaled)
         if len([s for s in model.summary.clusterSizes if s > 0]) < 2:
             return k, None, float("-inf")
         evaluator = ClusteringEvaluator(
@@ -60,7 +66,9 @@ def select_k(scaled: DataFrame, k_range=range(2, 5)):
         if model is not None and score > best_score:
             best_k, best_score, best_model = k, score, model
     if best_model is None:
-        best_model = KMeans(k=best_k, seed=SEED, featuresCol="features").fit(scaled)
+        best_model = KMeans(
+            k=best_k, seed=SEED, featuresCol="features", initMode="random"
+        ).fit(scaled)
     return best_k, best_model
 
 

@@ -97,15 +97,37 @@ def stream_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-# Session windows in append mode emit only sessions the watermark has
-# closed — the still-open tail sessions are withheld on a bounded replay,
-# so this is a rows-only check (the batch twin sessionize_events carries
-# the full SQL oracle; tests/test_streaming.py proves the emitted subset
-# matches it).
-@register("stream_session_agg", oracle=None)
+# Session windows driven in COMPLETE mode: every merged session is
+# emitted regardless of watermark progress, so a bounded replay equals
+# the batch gaps-and-islands sessionization exactly — full SQL oracle
+# for a stateful session-window operator. (The watermarked append-mode
+# variant — the unbounded-stream production path, where state is evicted
+# as the watermark passes — is exercised by tests/test_streaming.py::
+# test_stream_session_agg_subset_of_batch_sessions.)
+@register(
+    "stream_session_agg",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, sid
+""".strip(),
+)
 def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = session_agg_stream(events_stream(spark, sf_dir))
-    name, _ = run_to_memory(agg, output_mode="append")
+    agg = session_agg_stream(events_stream(spark, sf_dir), watermark=None)
+    name, _ = run_to_memory(agg, output_mode="complete")
     return spark.table(name)
 
 

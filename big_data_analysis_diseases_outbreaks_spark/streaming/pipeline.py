@@ -115,13 +115,15 @@ def sliding_agg_stream(
 
 
 def session_agg_stream(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = "1 hour"
 ) -> DataFrame:
     """Streaming session windows (F.session_window): events within
     ``gap`` of each other merge into one session per user. Natural
     extension beyond the reference (SURVEY.md §2.I notes no session
-    windows there); state is bounded by the watermark."""
-    src = events.withWatermark("ts", watermark)
+    windows there); state is bounded by the watermark. ``watermark=None``
+    skips the watermark for complete-mode bounded replays (where every
+    session is retained and emitted)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
     agg = src.groupBy(
         F.session_window("ts", gap).alias("sw"), F.col("user_id")
     ).agg(
