@@ -1,0 +1,89 @@
+"""Connected components over a pair/edge table — the canonical step
+AFTER near-duplicate pair generation in a training-data dedup pipeline:
+pairs (from MinHash-LSH / SimHash / exact Jaccard) are grouped into
+clusters and each cluster keeps one canonical document.
+
+Spark-first design: iterative min-label propagation expressed as
+DataFrame joins — each iteration is one hash join (neighbor labels) +
+one groupBy(min), both shuffle-partitioned on the node key, so a
+100 TB edge set spreads across executors with no driver-side graph.
+The label of every node converges to the minimum node id of its
+component in O(graph diameter) iterations; near-dup graphs are
+pair/small-clique shaped (diameter ≤ ~3), so the loop terminates in a
+handful of rounds. (For adversarially long chains the large-star /
+small-star variant [Kiveris et al., "Connected Components in MapReduce
+and Beyond"] halves the diameter per round; not needed for dedup
+workloads.)
+
+Each iteration's labels are materialized with an EAGER localCheckpoint,
+which truncates lineage. This is load-bearing, not an optimization: the
+loop body references ``labels`` twice (neighbor join + union), so
+without truncation the logical plan doubles per iteration and Catalyst
+analysis goes exponential — a 12-hop chain hangs the driver before any
+task runs. (On a long-lived cluster job, prefer ``checkpoint()`` into
+the reliable checkpoint dir: localCheckpoint blocks die with an
+executor.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(src, dst) undirected edges → (node, component); ``component`` is
+    the minimum node id reachable from ``node``."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select("node", "label")
+
+
+def dedup_cluster_canonical(
+    cc: DataFrame, all_docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Join components back to the full doc table: docs untouched by any
+    near-dup pair are their own singleton component; ``is_canonical``
+    marks the kept representative (min id per cluster)."""
+    joined = all_docs.select(F.col(id_col)).join(
+        cc.withColumnRenamed("node", id_col), on=id_col, how="left"
+    )
+    comp = F.coalesce(F.col("label"), F.col(id_col))
+    return joined.select(
+        id_col,
+        comp.alias("component"),
+        (F.col(id_col) == comp).cast("int").alias("is_canonical"),
+    )

@@ -416,3 +416,158 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=42).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --- near-dup cluster assignment: connected components over verified
+# pair edges — the step a dedup pipeline runs AFTER pair generation to
+# pick one canonical doc per cluster. Spark: iterative min-label
+# propagation (operators/components.py); oracle: DuckDB recursive CTE
+# computing min-reachable-id over the same edges. -------------------------
+
+_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source,
+         array_to_string(list_slice(regexp_extract_all(text, '\\S+'), 1,
+             GREATEST(CAST(FLOOR(len(regexp_extract_all(text, '\\S+')) * 0.8)
+                           AS INTEGER), 3)), ' ') AS text
+  FROM documents)
+""".strip()
+
+
+def _truncated_corpus(docs: DataFrame) -> DataFrame:
+    """documents + 80%-prefix copies (ids shifted by 1e6), keeping the
+    (lang, source) bucket keys — the standard constructed-near-dup
+    corpus shared by the dedup queries."""
+    keep = F.greatest(
+        (F.size(F.split(F.col("text"), r"\s+")) * 0.8).cast("int"), F.lit(3)
+    )
+    truncated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), r"\s+"), F.lit(1), keep)
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "lang", "source", "text").unionByName(truncated)
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
+  FROM corpus),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s)
+           - len(list_filter(a.s, x -> list_contains(b.s, x)))), 4) >= 0.3),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON r.node = e.src),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+SELECT c.doc_id,
+       CAST(COALESCE(cc.component, c.doc_id) AS BIGINT) AS component,
+       CAST(c.doc_id = COALESCE(cc.component, c.doc_id) AS INTEGER)
+         AS is_canonical
+FROM corpus c LEFT JOIN cc ON c.doc_id = cc.node
+""".strip(),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-duplicate docs (exact-Jaccard ≥ 0.3 pairs within
+    (lang, source) buckets) via distributed min-label propagation and
+    mark the canonical (min-id) doc of every cluster; untouched docs are
+    singleton components."""
+    from ..operators.components import (
+        connected_components,
+        dedup_cluster_canonical,
+    )
+
+    corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
+    edges = exact_jaccard_pairs(corpus, min_jaccard=0.3).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    return dedup_cluster_canonical(connected_components(edges), corpus)
+
+
+# --- 16-bit SimHash, oracle-checked: every bit derives from md5 (the one
+# hash both engines share), so the whole signature is value-checkable in
+# SQL — complements the 64-bit pandas-UDF simhash_buckets above, and the
+# explode+groupBy shape keeps it in whole-stage codegen (one shuffle,
+# map-side partial aggregation). -------------------------------------------
+
+
+@register(
+    "doc_simhash16",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)) AS hv
+  FROM tok),
+bits AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(16))}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}
+         AS INTEGER) AS simhash16,
+       CAST(({" + ".join(f"(CASE WHEN b{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))}) // 256
+         AS INTEGER) AS bucket8
+FROM bits
+""".strip(),
+)
+def doc_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency-weighted 16-bit SimHash from the top 16 bits of
+    md5(token) — md5 is the hash family both engines evaluate
+    identically, making the full signature (not just row counts)
+    cross-checkable. bucket8 = top byte, the candidate-pruning prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
+            "tok"
+        ),
+    )
+    hv = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 4), 16, 10).cast(
+        "int"
+    )
+    h = toks.select("doc_id", hv.alias("hv"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bits.select(
+        "doc_id",
+        sim.cast("int").alias("simhash16"),
+        (sim / 256).cast("int").alias("bucket8"),
+    )
