@@ -771,3 +771,39 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
     )
+
+
+# --- G extension: NTILE — equal-frequency bucketing (decile assignment
+# over exact integer spend; ordering is total via the custkey tie-break,
+# so bucket boundaries are engine-independent). NTILE is inherently a
+# global ordering: the window has no PARTITION BY, so the plan funnels
+# into one task — correct for "assign deciles over the whole ledger",
+# and at 100 TB the pre-aggregation (one row per customer) is what makes
+# the funnel viable. -------------------------------------------------------
+
+
+@register(
+    "customer_spend_deciles",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend_cents,
+       CAST(NTILE(10) OVER (ORDER BY spend_cents, o_custkey) AS INTEGER)
+         AS decile
+FROM spend
+""".strip(),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("spend_cents")
+    )
+    w = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        "spend_cents",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )

@@ -571,3 +571,56 @@ def doc_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.cast("int").alias("simhash16"),
         (sim / 256).cast("int").alias("bucket8"),
     )
+
+
+# --- TF-IDF-style distinctive terms, exact-integer ranked: ordering by
+# (tf DESC, df ASC, term) is the same ordering log-TF-IDF induces for
+# fixed N, but every compared value is an integer — no transcendental
+# float (log) whose last-ulp differs between engines. Plan shape: one
+# explode, tf = (doc,term) agg, df re-aggregated FROM tf (no second
+# corpus pass), shuffle join on term, per-doc top-k window. ---------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rnk
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS INTEGER) AS rnk
+FROM ranked WHERE rnk <= 5
+""".strip(),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most distinctive terms per document: highest term frequency,
+    rarest corpus-wide as the tie-break — the integer-exact core of
+    TF-IDF term weighting (document frequency computed by re-aggregating
+    the tf table, so the corpus is tokenized once)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("_t"),
+    ).select("doc_id", F.lower(F.col("_t")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )

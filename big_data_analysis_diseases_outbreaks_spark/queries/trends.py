@@ -545,3 +545,33 @@ def value_7d_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s.cast("double") / (n * F.lit(100.0))).alias("avg_7d"),
         n.alias("n_days_7d"),
     )
+
+
+# --- B-family complement: UNPIVOT (melt) the wide pivot back to long.
+# Round-trip semantics: unpivot(pivot(daily)) = the complete
+# (date, region) × kw grid with absent combinations filled 0 — exactly
+# what na.fill(0) injected on the wide side. Spark plans melt as an
+# Expand (no shuffle beyond the pivot's own), so the pair proves both
+# directions of the reshape are lossless. ----------------------------------
+
+
+@register(
+    "unpivot_wide",
+    oracle=f"{_PREFIX},\n"
+    "keys AS (SELECT DISTINCT date, region FROM daily),\n"
+    "kws AS (SELECT unnest(["
+    + ", ".join(f"'{kw}'" for kw in KW_VALUES)
+    + "]) AS kw)\n"
+    "SELECT k.date, k.region, s.kw, COALESCE(d.value, 0.0) AS value\n"
+    "FROM keys k CROSS JOIN kws s\n"
+    "LEFT JOIN daily d ON d.date = k.date AND d.region = k.region"
+    " AND d.kw = s.kw",
+)
+def unpivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_wide(_daily(spark, sf_dir))
+    return wide.unpivot(
+        ids=["date", "region"],
+        values=list(KW_VALUES),
+        variableColumnName="kw",
+        valueColumnName="value",
+    )
