@@ -54,6 +54,13 @@ HEADLINE = [
     "orders_price_band",
     "value_7d_range_avg",
     "doc_rolling_fingerprint",
+    # round-2 additions
+    "stream_session_agg",
+    "dedup_components",
+    "doc_simhash16",
+    "tfidf_top_terms",
+    "unpivot_wide",
+    "customer_spend_deciles",
 ]
 
 

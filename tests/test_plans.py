@@ -140,3 +140,28 @@ def test_monthly_rollup_reaggregates_daily(spark):
     plan = _plan(spark, "monthly_rollup_from_daily")
     assert plan.count("HashAggregate") >= 4
     assert plan.count("Scan parquet") == 1, "exactly one fact-table scan"
+
+
+def test_tfidf_window_group_limit(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    # rnk <= 5 over row_number must push a partial top-k below the window
+    # shuffle (WindowGroupLimit), and tf/df aggregates must partial-agg.
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    plan = _plan(spark, "unpivot_wide")
+    assert "Expand" in plan, "unpivot must plan as an Expand node"
+    # only the pivot aggregation's own exchanges: melt itself adds none.
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 3, f"unexpected extra shuffles: {n_exchanges}"
+
+
+def test_simhash16_partial_aggregation(spark):
+    plan = _plan(spark, "doc_simhash16")
+    # explode + groupBy(doc_id) must combine map-side before the shuffle
+    # (one shuffle total — the bit sums), and stay off Python paths.
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
