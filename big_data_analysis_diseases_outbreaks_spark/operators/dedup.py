@@ -158,6 +158,11 @@ def exact_jaccard_pairs(
     all cores (a single small parquet file would otherwise run the whole
     join in ONE task).
     """
+    # NOT persisted although the self-join consumes it twice: caching the
+    # (small-array) shingle column and re-reading it measured ~25% SLOWER
+    # than recomputing the codegen'd tokenize→shingle→hash lineage per
+    # side — MEMORY_AND_DISK array ser/de costs more than the regex work
+    # it saves, and the cache-fill step serializes the pipeline.
     shingled = (
         with_hashed_shingles(
             docs.select(*bucket_cols, "doc_id", text_col), text_col, out="shh"

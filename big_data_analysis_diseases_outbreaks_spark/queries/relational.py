@@ -807,3 +807,55 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_cents",
         F.ntile(10).over(w).cast("int").alias("decile"),
     )
+
+
+# --- TPC-H Q5 shape: local-supplier revenue — the 6-table join with the
+# customer-nation = supplier-nation constraint. Fact side (lineitem ⋈
+# orders) shuffles once on orderkey; customer/supplier/nation/region are
+# broadcast dims, and the same-nation predicate applies as a post-join
+# filter on two broadcast columns. Revenue uses the exact-integer
+# pattern: price (2dp) and discount (2dp) scale to ints whose product is
+# the exact 1e-4-scaled revenue — one final division, no ROUND of a
+# rational (functions/stable.py). ------------------------------------------
+
+
+@register(
+    "local_supplier_revenue",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""".strip(),
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev_e4 = scaled_long(F.col("l_extendedprice"), 100) * (
+        F.lit(100) - scaled_long(F.col("l_discount"), 100)
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
