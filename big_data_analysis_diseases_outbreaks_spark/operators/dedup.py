@@ -177,6 +177,17 @@ def exact_jaccard_pairs(
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # Length-ratio prefilter, IMPLIED by jaccard >= t (|A∩B| ≤ min and
+    # |A∩B| ≥ t·|A∪B| ≥ t·max ⇒ min ≥ t·max): prunes size-mismatched
+    # pairs inside the join condition, before the O(|A|+|B|) intersect
+    # is ever built. Result set is provably unchanged, so SQL oracles
+    # filtering on the final jaccard stay valid.
+    sa, sb = F.size(F.col("a.shh")), F.size(F.col("b.shh"))
+    cond = (
+        cond
+        & (sa.cast("double") >= min_jaccard * sb)
+        & (sb.cast("double") >= min_jaccard * sa)
+    )
     inter = F.size(F.array_intersect(F.col("a.shh"), F.col("b.shh")))
     union = F.size(F.col("a.shh")) + F.size(F.col("b.shh")) - inter
     jac = F.round(inter.cast("double") / union.cast("double"), 4)
