@@ -61,6 +61,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "unpivot_wide",
     "customer_spend_deciles",
+    "local_supplier_revenue",
 ]
 
 
