@@ -51,22 +51,24 @@ def connected_components(
     )
     for _ in range(max_iters):
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "label"
+            F.col("a").alias("node"), "label", F.lit(0).alias("own")
         )
+        # The node's current label rides along (own=1), so one aggregate
+        # yields both the new label (min over self + neighbors) and the
+        # old one (the own row) — the convergence check needs no second
+        # join against the previous iteration.
         new_labels = (
-            labels.unionByName(nbr)
+            labels.withColumn("own", F.lit(1))
+            .unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("own") == 1, F.col("label"))).alias("_old"),
+            )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.where(F.col("label") != F.col("_old")).count()
+        labels = new_labels.drop("_old")
         if n_changed == 0:
             break
     return labels.select("node", "label")
