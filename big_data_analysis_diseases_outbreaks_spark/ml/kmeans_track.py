@@ -26,41 +26,51 @@ from pyspark.ml.functions import vector_to_array
 SEED = 1  # reference: Main.scala:311, notebook cell 11
 
 
-def select_k(scaled: DataFrame, k_range=range(2, 5)):
-    """Silhouette model selection (notebook cell 10 ``select_k``).
+def _fit_eval(scaled: DataFrame, k: int):
+    """Fit KMeans(k) and silhouette-score it → (k, model|None, score).
 
-    Returns ``(k, fitted model)`` so the winner is not refit.
-    Degenerate fits (every point in one cluster — possible on small or
-    low-variance feature tables) make the silhouette assert; such k are
-    skipped rather than crashing the pipeline.
+    random init, not k-means||: the parallel init runs initSteps extra
+    distributed passes whose per-job overhead dominates at bench scale
+    (~0.5 s/fit) while seeded-random centers converge to comparable
+    silhouettes here; still fully deterministic. Degenerate fits (every
+    point in one cluster — possible on small or low-variance feature
+    tables) would make the silhouette assert; such k score -inf instead
+    of crashing the pipeline.
+    """
+    model = KMeans(
+        k=k, seed=SEED, featuresCol="features", initMode="random"
+    ).fit(scaled)
+    if len([s for s in model.summary.clusterSizes if s > 0]) < 2:
+        return k, None, float("-inf")
+    evaluator = ClusteringEvaluator(
+        featuresCol="features", metricName="silhouette"
+    )
+    return k, model, evaluator.evaluate(model.transform(scaled))
+
+
+def silhouette_profile(scaled: DataFrame, k_range=range(2, 5)):
+    """[(k, model|None, silhouette)] for every candidate k.
 
     The candidate fits are independent, so they run as CONCURRENT Spark
     jobs from driver threads (the scheduler interleaves them across
-    cores; data never moves to the driver). Each fit is seeded and the
-    winner is reduced in ascending-k order, so the selection is exactly
-    as deterministic as the serial loop — measured ~2× faster on
-    small inputs where per-job overhead dominates.
+    cores; data never moves to the driver).
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    def fit_eval(k: int):
-        # random init, not k-means||: the parallel init runs initSteps
-        # extra distributed passes whose per-job overhead dominates at
-        # bench scale (~0.5 s/fit) while seeded-random centers converge
-        # to comparable silhouettes here; still fully deterministic.
-        model = KMeans(
-            k=k, seed=SEED, featuresCol="features", initMode="random"
-        ).fit(scaled)
-        if len([s for s in model.summary.clusterSizes if s > 0]) < 2:
-            return k, None, float("-inf")
-        evaluator = ClusteringEvaluator(
-            featuresCol="features", metricName="silhouette"
-        )
-        return k, model, evaluator.evaluate(model.transform(scaled))
-
     ks = list(k_range)
     with ThreadPoolExecutor(max_workers=len(ks)) as ex:
-        results = list(ex.map(fit_eval, ks))
+        return list(ex.map(lambda k: _fit_eval(scaled, k), ks))
+
+
+def select_k(scaled: DataFrame, k_range=range(2, 5)):
+    """Silhouette model selection (notebook cell 10 ``select_k``).
+
+    Returns ``(k, fitted model)`` so the winner is not refit. Each fit
+    is seeded and the winner is reduced in ascending-k order, so the
+    selection is exactly as deterministic as a serial loop.
+    """
+    ks = list(k_range)
+    results = silhouette_profile(scaled, k_range)
     best_k, best_score, best_model = ks[0], float("-inf"), None
     for k, model, score in results:  # ascending k: first max wins ties
         if model is not None and score > best_score:

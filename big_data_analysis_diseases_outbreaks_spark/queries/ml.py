@@ -29,3 +29,51 @@ def kmeans_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iforest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _features_wide(spark, sf_dir)
     return iforest_by_region(wide, feature_cols=list(KW_VALUES))
+
+
+@register("kmeans_model_selection", oracle=None)
+def kmeans_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 made visible: the silhouette profile over candidate k (the
+    reference's notebook select_k loop, cell 10) as a result table —
+    (k, silhouette, is_selected). Seeded fits ⇒ deterministic;
+    tests/test_ml.py pins the selected k stable across runs."""
+    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
+
+    from ..ml.kmeans_track import silhouette_profile
+
+    wide = _features_wide(spark, sf_dir)
+    cols = list(KW_VALUES)
+    assembled = (
+        VectorAssembler(inputCols=cols, outputCol="raw_features")
+        .transform(wide)
+        .coalesce(1)
+    )
+    scaled = (
+        StandardScaler(
+            inputCol="raw_features", outputCol="scaled",
+            withStd=True, withMean=True,
+        )
+        .fit(assembled)
+        .transform(assembled)
+    )
+    feats = (
+        PCA(k=4, inputCol="scaled", outputCol="features")
+        .fit(scaled)
+        .transform(scaled)
+        .persist()
+    )
+    feats.count()
+    prof = silhouette_profile(feats)
+    # same reduction as select_k: ascending k, strict improvement wins
+    best, best_score = None, float("-inf")
+    for k, m, s in prof:
+        if m is not None and s > best_score:
+            best, best_score = k, s
+    rows = [
+        (k, round(s, 6) if s != float("-inf") else None, int(k == best))
+        for k, _, s in prof
+    ]
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows, "k INT, silhouette DOUBLE, is_selected INT"
+    )

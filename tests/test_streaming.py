@@ -231,3 +231,57 @@ def test_checkpoint_recovery_no_reprocessing(spark):
         run_once()
         n2 = spark.read.parquet(out).count()
         assert n2 == n1, f"restart reprocessed data: {n1} -> {n2} rows"
+
+
+def test_session_agg_independent_of_batch_boundaries(spark):
+    """Complete-mode session windows must produce the SAME sessions
+    whether the bounded input arrives as one micro-batch or many: split
+    the events into 4 files and replay with maxFilesPerTrigger=1 (4
+    triggers, sessions merged incrementally in the state store), then
+    compare against the single-batch replay."""
+    import uuid
+
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        EVENTS_FILE_SCHEMA,
+        session_agg_stream,
+    )
+
+    src = os.path.join(
+        tempfile.gettempdir(), f"multi_batch_events_{uuid.uuid4().hex[:8]}"
+    )
+    # ts-ordered split so each file is a contiguous time slice (the
+    # realistic arrival order; complete mode is order-independent anyway)
+    (
+        spark.read.parquet(os.path.join(SF_SMALL, "events.parquet"))
+        .orderBy("ts")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    # re-split the single sorted file into 4 row-range files
+    one = spark.read.parquet(src)
+    one.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src + "_4")
+
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src + "_4")
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    multi = session_agg_stream(ev, watermark=None)
+    name, q = run_to_memory(multi, output_mode="complete")
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 4, f"expected >=4 micro-batches, got {n_batches}"
+    got = _sorted_rows(
+        spark.table(name),
+        ["user_id", "session_start", "n_events", "duration_us"],
+    )
+
+    single = session_agg_stream(events_stream(spark, SF_SMALL), watermark=None)
+    name1, _ = run_to_memory(single, output_mode="complete")
+    want = _sorted_rows(
+        spark.table(name1),
+        ["user_id", "session_start", "n_events", "duration_us"],
+    )
+    assert got == want
