@@ -148,15 +148,32 @@ def exact_jaccard_pairs(
     bucket_cols: tuple[str, ...] = ("lang", "source"),
     min_jaccard: float = 0.01,
     text_col: str = "text",
+    n_blocks: int = 1,
 ) -> DataFrame:
     """All-pairs word-3-gram Jaccard within explicit buckets.
 
     Perf shape: shingles are hashed to int64 once (set semantics
     preserved; 64-bit collisions negligible) so the per-pair intersect
-    compares longs, not strings; the pair join is hash-partitioned on
-    the bucket keys so the quadratic-within-bucket work spreads across
-    all cores (a single small parquet file would otherwise run the whole
-    join in ONE task).
+    compares longs, not strings.
+
+    Parallelism: a plain self-join on bucket equality puts each bucket's
+    O(n²) pair work in the ONE shuffle partition owning that key — max
+    parallelism = number of buckets, not cores. Block decomposition
+    splits every bucket's pair space into ``n_blocks``² cells: side A
+    carries its doc block id plus an exploded column tag, side B the
+    transpose, and the join keys include the (row, col) cell — each
+    unordered pair meets in exactly one cell (A's (blk_a, q=blk_b) copy
+    with B's (p=blk_a, blk_b) copy), so no post-dedup is needed. Data
+    inflates n_blocks× per side; quadratic work gains buckets×n_blocks²
+    -way spread. At 100 TB the block count scales with cluster cores
+    independent of how few buckets the corpus has.
+
+    Default is 1 (plain bucket join): on this short-doc synthetic corpus
+    the n_blocks× shuffle inflation of the shingle arrays measured
+    SLOWER than the serial in-bucket work it parallelizes (intersects on
+    ~50-element arrays are cheap). Raise it when buckets are few and
+    documents long — when per-pair intersect work, not shuffle volume,
+    dominates.
     """
     # NOT persisted although the self-join consumes it twice: caching the
     # (small-array) shingle column and re-reading it measured ~25% SLOWER
@@ -172,9 +189,18 @@ def exact_jaccard_pairs(
             docs.sparkSession.sparkContext.defaultParallelism, *bucket_cols
         )
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    blk = F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks))
+    tags = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    a = (
+        shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("a")
+    )
+    b = (
+        shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("b")
+    )
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    # cell pairing: A at (row=_blk, col=_tag) meets B at (row=_tag, col=_blk)
+    cond = cond & (F.col("a._blk") == F.col("b._tag"))
+    cond = cond & (F.col("a._tag") == F.col("b._blk"))
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # Length-ratio prefilter, IMPLIED by jaccard >= t (|A∩B| ≤ min and

@@ -84,3 +84,14 @@ def test_simhash_locality(spark):
     n = sig.count()
     buckets = sig.select("bucket").distinct().count()
     assert 1 < buckets <= n
+
+
+def test_block_decomposed_pairs_equal_plain(spark):
+    """Triangle-block decomposition must produce exactly the plain
+    bucket-join pair set (each unordered pair meets in one cell)."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    plain = exact_jaccard_pairs(docs, min_jaccard=0.05, n_blocks=1)
+    blocked = exact_jaccard_pairs(docs, min_jaccard=0.05, n_blocks=3)
+    p = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, blocked.collect()))
+    assert p == b and len(p) > 0
