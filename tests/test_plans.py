@@ -165,3 +165,45 @@ def test_simhash16_partial_aggregation(spark):
     assert "partial_sum" in plan
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The runtime counterpart of operators/skew.py: with AQE skew-join
+    on, a hot join key must be split at runtime (SortMergeJoin(skew=true)
+    over a skewed AQEShuffleRead) — no manual salting required."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 != 0, 0)
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = fact.join(dim, "k")
+        j.localCheckpoint(eager=True)  # executes THIS QE → final AQE plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the join as skewed"
+        assert "skewed" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
