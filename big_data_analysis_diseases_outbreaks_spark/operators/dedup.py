@@ -189,18 +189,22 @@ def exact_jaccard_pairs(
             docs.sparkSession.sparkContext.defaultParallelism, *bucket_cols
         )
     )
-    blk = F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks))
-    tags = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
-    a = (
-        shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("a")
-    )
-    b = (
-        shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("b")
-    )
+    if n_blocks > 1:
+        blk = F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks))
+        tags = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        a = shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("a")
+        b = shingled.withColumn("_blk", blk).withColumn("_tag", tags).alias("b")
+    else:
+        # plain path keeps the join keys = bucket_cols EXACTLY, so the
+        # upstream repartition's hashpartitioning satisfies the join's
+        # distribution requirement and no second exchange is planned —
+        # constant _blk/_tag key columns would defeat that reuse.
+        a, b = shingled.alias("a"), shingled.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id"))
-    # cell pairing: A at (row=_blk, col=_tag) meets B at (row=_tag, col=_blk)
-    cond = cond & (F.col("a._blk") == F.col("b._tag"))
-    cond = cond & (F.col("a._tag") == F.col("b._blk"))
+    if n_blocks > 1:
+        # cell pairing: A at (row=_blk, col=_tag) meets B at (row=_tag, col=_blk)
+        cond = cond & (F.col("a._blk") == F.col("b._tag"))
+        cond = cond & (F.col("a._tag") == F.col("b._blk"))
     for c in bucket_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     # Length-ratio prefilter, IMPLIED by jaccard >= t (|A∩B| ≤ min and
