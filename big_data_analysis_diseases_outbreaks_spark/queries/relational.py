@@ -859,3 +859,87 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(rev_e4).cast("double") / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --- G extension: edge-of-frame window functions (first_value /
+# last_value / nth_value / lead) over each customer's order history —
+# the frame must be the FULL partition (ROWS BETWEEN UNBOUNDED PRECEDING
+# AND UNBOUNDED FOLLOWING): last_value under the default frame is the
+# current row, a classic cross-engine footgun both engines share. ----------
+
+
+@register(
+    "customer_order_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       LEAD(o_orderkey) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""".strip(),
+)
+def customer_order_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w_full).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.lead("o_orderkey").over(w_seq).alias("next_order"),
+    )
+
+
+# --- D extension: calendar bucketing (date_trunc to quarter, month-end
+# via last_day, ISO day-of-week) — one scan, exact date/integer outputs. ---
+
+
+@register(
+    "orders_calendar_rollup",
+    oracle="""
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1, 2, 3
+""".strip(),
+)
+def orders_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("quarter"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.dayofweek("o_orderdate").alias("_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(scaled_long(F.col("o_totalprice"), 100)).alias(
+                "revenue_cents"
+            ),
+        )
+        .select(
+            "quarter",
+            "month_end",
+            # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+            F.when(F.col("_dow") == 1, 7).otherwise(F.col("_dow") - 1)
+            .cast("int")
+            .alias("iso_dow"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
