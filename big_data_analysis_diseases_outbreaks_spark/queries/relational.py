@@ -943,3 +943,43 @@ def orders_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
         )
     )
+
+
+# --- fuzzy entity matching: blocking key + edit-distance verify — the
+# standard entity-resolution shape (block on a cheap key so the
+# quadratic levenshtein runs only within blocks; both engines implement
+# the same Wagner-Fischer distance, so the pair set is value-exact). -------
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part),
+pairs AS (
+  SELECT a.blk, levenshtein(a.p_name, b.p_name) AS d
+  FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE d <= 2) AS BIGINT) AS n_fuzzy,
+       CAST(MIN(d) AS INTEGER) AS min_dist
+FROM pairs GROUP BY blk
+""".strip(),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per blocking key: in-block pair count, count of fuzzy matches
+    (edit distance ≤ 2) and the closest pair distance."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ")[0].alias("blk")
+    )
+    a, b = part.alias("a"), part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(F.col("a.blk").alias("blk"), dist.alias("d"))
+    return pairs.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.when(F.col("d") <= 2, 1)).alias("n_fuzzy"),
+        F.min("d").cast("int").alias("min_dist"),
+    )
