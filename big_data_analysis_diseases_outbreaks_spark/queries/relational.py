@@ -983,3 +983,59 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("d") <= 2, 1)).alias("n_fuzzy"),
         F.min("d").cast("int").alias("min_dist"),
     )
+
+
+# --- SQL-API surface: the same engine through spark.sql() over temp
+# views — a user of the reference can hand us SQL text, not just
+# DataFrame calls. The statement itself exercises a join + conditional
+# aggregation; Catalyst plans it identically to the fluent form. ----------
+
+
+@register(
+    "sql_api_priority_revenue",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""".strip(),
+)
+def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               SUM(CASE WHEN l.l_returnflag = 'R'
+                        THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        ELSE 0L END) AS returned_cents
+        FROM v_orders o JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+# --- multiset set-ops: EXCEPT ALL / INTERSECT ALL (duplicate-preserving
+# — the bag semantics dropDuplicates-based dedup cannot express). ----------
+
+
+@register(
+    "returned_parts_multiset",
+    oracle="""
+SELECT l_partkey FROM lineitem
+EXCEPT ALL
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+""".strip(),
+)
+def returned_parts_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference: every lineitem part occurrence minus one
+    occurrence per returned line — i.e., per part, multiplicity =
+    n_lines - n_returned (duplicates preserved, unlike EXCEPT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    all_parts = li.select("l_partkey")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    return all_parts.exceptAll(returned)
