@@ -1039,3 +1039,31 @@ def returned_parts_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_parts = li.select("l_partkey")
     returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
     return all_parts.exceptAll(returned)
+
+
+# --- MapType surface: JSON props parsed to map<string,bigint>, map
+# entries exploded and re-aggregated per key. The reference never uses
+# MapType (SURVEY §1.2 "not used"); our engine ships it for
+# completeness — schemaless-ish property bags are the common shape for
+# event payload columns at scale. ------------------------------------------
+
+
+@register(
+    "event_prop_key_stats",
+    oracle="""
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS prop_key, props FROM events)
+SELECT prop_key, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.' || prop_key) AS BIGINT))
+            AS BIGINT) AS sum_value
+FROM kv GROUP BY prop_key
+""".strip(),
+)
+def event_prop_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = ev.select(F.explode(m).alias("prop_key", "value"))
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
