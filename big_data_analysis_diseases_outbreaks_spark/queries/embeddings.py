@@ -288,3 +288,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(perturbed)
     return lsh_near_dup_pairs(doubled, min_cosine=0.98)
+
+
+# --- array higher-order predicates (filter / exists / forall) — the
+# remaining HOF family beyond transform/aggregate/zip_with; all JVM. -------
+
+
+@register(
+    "embedding_activation_stats",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+            AS INTEGER) AS n_positive,
+       CAST(len(list_filter(embedding, x -> abs(CAST(x AS DOUBLE)) > 2.0)) > 0
+            AS INTEGER) AS has_large,
+       CAST(len(list_filter(embedding,
+                x -> abs(CAST(x AS DOUBLE)) <= 4.0)) = len(embedding)
+            AS INTEGER) AS all_bounded
+FROM embeddings
+""".strip(),
+)
+def embedding_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector activation profile via array predicates: F.filter
+    (count positives), F.exists (any |x|>2), F.forall (all |x|<=4) —
+    one narrow map over the scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: xd(x) > 0.0))
+        .cast("int")
+        .alias("n_positive"),
+        F.exists("embedding", lambda x: F.abs(xd(x)) > 2.0)
+        .cast("int")
+        .alias("has_large"),
+        F.forall("embedding", lambda x: F.abs(xd(x)) <= 4.0)
+        .cast("int")
+        .alias("all_bounded"),
+    )

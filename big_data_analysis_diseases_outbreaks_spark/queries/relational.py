@@ -1067,3 +1067,27 @@ def event_prop_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_value"),
     )
+
+
+# --- boolean / conditional aggregates (bool_and, bool_or, count_if) -------
+
+
+@register(
+    "region_shipment_flags",
+    oracle="""
+SELECT l_returnflag,
+       CAST(bool_and(l_quantity > 0) AS INTEGER) AS all_positive_qty,
+       CAST(bool_or(l_discount > 0.05) AS INTEGER) AS any_big_discount,
+       CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+""".strip(),
+)
+def region_shipment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).cast("int").alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).cast("int").alias("any_big_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
