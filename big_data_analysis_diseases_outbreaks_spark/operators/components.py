@@ -31,6 +31,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Loop partition sizing: one shuffle partition per this many edges,
+# capped at the session's parallelism. Near-dup edge sets are tiny
+# relative to the corpus (O(dup pairs)), so without this every iteration
+# of the label loop schedules a full-width shuffle over a few thousand
+# rows and the loop cost is pure task latency; with billions of edges the
+# quotient takes over and the loop runs at full cluster width.
+_EDGES_PER_PARTITION = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -39,12 +48,29 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component); ``component`` is
     the minimum node id reachable from ``node``."""
-    sym = edges.select(
+    # Checkpoint the directed edges BEFORE symmetrizing: the union's two
+    # branches each reference the (expensive) pair-generation lineage,
+    # and exchange reuse is not guaranteed to cover plans whose top isn't
+    # an exchange — materializing first makes single-evaluation explicit.
+    edges = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    n_edges = edges.count()  # cheap: scans the checkpointed blocks
+    spark = edges.sparkSession
+    n_part = min(
+        spark.sparkContext.defaultParallelism,
+        n_edges // _EDGES_PER_PARTITION + 1,
+    )
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(n_part, "b")  # pre-hash on the loop's join key
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
+        .repartition(n_part, "node")
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
