@@ -1091,3 +1091,219 @@ def region_shipment_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- MERGE / upsert (the lakehouse write-path primitive; no reference
+# twin — the reference only appends). Spark-first shape: union the
+# snapshot with the change batch and keep the highest-priority row per
+# key with ONE shuffle (window row_number keyed on the merge key) — the
+# scalable equivalent of MERGE INTO for full-snapshot maintenance; at
+# 100 TB, pair it with partition pruning so only touched partitions
+# rewrite (tests/test_io.py::test_dynamic_partition_overwrite). ----------
+
+
+def _orders_change_batch(o: DataFrame) -> DataFrame:
+    """Deterministic synthetic change batch derived from the snapshot:
+    every 7th key gets a 10% price bump (computed in integer cents so
+    Spark and DuckDB agree bit-for-bit), every 11th≡5 key is re-inserted
+    as a brand-new order (key shifted by 1e7)."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # DIV, not /10-then-floor: float division can land an exact .999…
+    # quotient on the wrong side of the floor; integer DIV matches the
+    # oracle's `//` bit-for-bit.
+    bumped = (
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " + CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 10"
+        ).cast("double")
+        / 100.0
+    )
+    updates = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        bumped.alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.where(F.col("o_orderkey") % 11 == 5).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return updates.unionByName(inserts)
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+              + CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10 AS DOUBLE)
+           / 100.0 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 5),
+tagged AS (
+  SELECT *, 1 AS _src FROM changes
+  UNION ALL
+  SELECT *, 0 AS _src FROM orders),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+            ORDER BY _src DESC) AS _rn
+  FROM tagged)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority,
+       CAST(_src AS INTEGER) AS from_change_batch
+FROM ranked WHERE _rn = 1
+""".strip(),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a change batch into the orders snapshot: updated keys
+    replace their old row, new keys append — one shuffle total."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+    tagged = _orders_change_batch(o).withColumn(
+        "_src", F.lit(1)
+    ).unionByName(o.withColumn("_src", F.lit(0)))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("_src").desc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("_src").alias("from_change_batch"),
+        )
+    )
+
+
+# --- SCD Type-2 interval construction (temporal dimension build): runs
+# of consecutive equal attribute values per key collapse into validity
+# intervals [valid_from, valid_to). Value-change islands — the temporal
+# twin of sessionize_events' gap islands. Two window passes + one
+# aggregate, all partitioned on the dimension key. -------------------------
+
+
+@register(
+    "scd2_priority_epochs",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         CAST(o_orderdate AS TIMESTAMP) AS od,
+         CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                   o_orderpriority THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+isl AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS epoch
+  FROM seq),
+agg AS (
+  SELECT o_custkey, o_orderpriority AS priority, epoch,
+         MIN(od) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM isl GROUP BY o_custkey, o_orderpriority, epoch)
+SELECT o_custkey, priority, CAST(epoch AS BIGINT) AS epoch, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY epoch)
+         AS valid_to,
+       n_orders
+FROM agg
+""".strip(),
+)
+def scd2_priority_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build: per customer, collapse consecutive orders with the
+    same priority into one epoch row with [valid_from, valid_to);
+    the current epoch's valid_to is NULL."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.col("o_orderdate").cast("timestamp")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    chg = F.when(
+        ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")),
+        1,
+    ).otherwise(0)
+    seq = o.select(
+        "o_custkey", "o_orderkey", "o_orderpriority", "od", chg.alias("chg")
+    )
+    # Cumulative sum ordered by the SAME total key (od, o_orderkey) as
+    # the lag pass: a tie on od between two change points would otherwise
+    # give each engine's tiebreak a different per-row epoch.
+    wsum = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = seq.withColumn("epoch", F.sum("chg").over(wsum))
+    agg = isl.groupBy(
+        "o_custkey", F.col("o_orderpriority").alias("priority"), "epoch"
+    ).agg(
+        F.min("od").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wlead = Window.partitionBy("o_custkey").orderBy("epoch")
+    return agg.select(
+        "o_custkey",
+        "priority",
+        "epoch",
+        "valid_from",
+        F.lead("valid_from").over(wlead).alias("valid_to"),
+        "n_orders",
+    )
+
+
+# --- exact-integer equi-width histogram (profiling primitive). Bucket
+# boundaries computed in cents with integer division, so bucket
+# assignment is bit-deterministic across engines — no float-boundary
+# ties. Two-pass: tiny global-extent aggregate broadcast to the scan. ------
+
+
+@register(
+    "order_price_histogram",
+    oracle="""
+WITH ext AS (
+  SELECT MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmin,
+         MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cmax
+  FROM orders)
+SELECT CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) - cmin) * 20
+            // (cmax - cmin + 1) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 4) AS total_value
+FROM orders, ext
+GROUP BY 1
+""".strip(),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order value; the global extent
+    is a 1-row broadcast, the histogram itself one map-side-combined
+    aggregate over the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ext = o.agg(
+        F.min(cents).alias("cmin"), F.max(cents).alias("cmax")
+    )
+    return (
+        o.crossJoin(F.broadcast(ext))
+        .groupBy(
+            F.expr(
+                "CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) - cmin) * 20"
+                " DIV (cmax - cmin + 1) AS BIGINT)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(cents).cast("double") / 100.0, 4).alias("total_value"),
+        )
+    )

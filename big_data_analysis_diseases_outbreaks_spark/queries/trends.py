@@ -575,3 +575,63 @@ def unpivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="kw",
         valueColumnName="value",
     )
+
+
+# --- batch interval self-join (the batch twin of stream_interval_join):
+# pairs of events by the same user within ±10 minutes. Scale shape: a
+# naive |Δt| ≤ w condition on a key-equi-join is fine when per-key
+# density is low, but the distributed-correct decomposition buckets time
+# into w-sized cells and joins each left row to its own and both
+# adjacent cells — the join key becomes (user, cell), equality-only, so
+# it shuffles/prunes like any hash join and never degenerates to a
+# per-key cross product scan. Each qualifying pair meets exactly once
+# (the right row has ONE cell; the left row carries the 3 candidate
+# tags, of which exactly one equals it). ----------------------------------
+
+
+@register(
+    "event_pairs_interval_join",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS event_id_1, b.event_id AS event_id_2,
+       a.event_type AS type_1, b.event_type AS type_2,
+       CAST(epoch_us(CAST(b.ts AS TIMESTAMP))
+            - epoch_us(CAST(a.ts AS TIMESTAMP)) AS BIGINT) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(CAST(b.ts AS TIMESTAMP))
+         - epoch_us(CAST(a.ts AS TIMESTAMP))) <= 600 * 1000000
+""".strip(),
+)
+def event_pairs_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within a ±10-minute band, via the
+    bucket-decomposed equi-join (one source scan, self-join)."""
+    window_us = 600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    # Integer DIV: float division then truncation can misplace a cell
+    # boundary by one ulp, letting two in-band events land 2 cells apart
+    # and silently dropping the pair.
+    cell = F.expr(f"us DIV {window_us}L")
+    left = ev.withColumn(
+        "cell", F.explode(F.array(cell - 1, cell, cell + 1))
+    ).alias("a")
+    right = ev.withColumn("cell", cell).alias("b")
+    pairs = left.join(
+        right,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (
+            F.abs(F.col("b.us") - F.col("a.us")) <= F.lit(window_us)
+        ),
+    )
+    return pairs.select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_id_1"),
+        F.col("b.event_id").alias("event_id_2"),
+        F.col("a.event_type").alias("type_1"),
+        F.col("b.event_type").alias("type_2"),
+        (F.col("b.us") - F.col("a.us")).alias("delta_us"),
+    )
