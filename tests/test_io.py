@@ -167,3 +167,60 @@ def test_compact_small_files(spark):
             F.sum(F.round(F.col("value") * 100).cast("long"))
         ).collect()[0][0]
         assert exact(back) == exact(daily)
+
+
+def test_zorder_clustering_skips_on_both_dims(spark, tmp_path):
+    """Z-ordered files must have narrow min/max spans on BOTH clustered
+    columns (the whole point of the layout: file-level stats prune for
+    predicates on either), while a single-column sort layout leaves the
+    other column's per-file span at ~full range."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.operators.zorder import zorder_repartition
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01")).alias(
+            "day"
+        ),
+    )
+
+    def file_spans(path):
+        spans = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            row = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("o_custkey"), F.max("o_custkey"),
+                    F.min("day"), F.max("day"),
+                )
+                .collect()[0]
+            )
+            spans.append((row[1] - row[0], row[3] - row[2]))
+        return spans
+
+    full = o.agg(
+        F.max("o_custkey") - F.min("o_custkey"), F.max("day") - F.min("day")
+    ).collect()[0]
+
+    zdir = str(tmp_path / "zorder")
+    zorder_repartition(o, ["o_custkey", "day"], 16).write.parquet(zdir)
+    z_spans = file_spans(zdir)
+    assert len(z_spans) == 16
+    avg_cust = sum(s[0] for s in z_spans) / len(z_spans) / full[0]
+    avg_day = sum(s[1] for s in z_spans) / len(z_spans) / full[1]
+    # 16 files on a 2-D curve → ~4 splits per dimension (~25% spans);
+    # allow generous slack for range-bound sampling noise.
+    assert avg_cust < 0.6, f"custkey span {avg_cust:.2f} not clustered"
+    assert avg_day < 0.6, f"day span {avg_day:.2f} not clustered"
+
+    sdir = str(tmp_path / "sorted")
+    o.repartitionByRange(16, "o_custkey").write.parquet(sdir)
+    s_spans = file_spans(sdir)
+    s_day = sum(s[1] for s in s_spans) / len(s_spans) / full[1]
+    assert s_day > 0.9, "control: custkey-only layout should not cluster day"
+    assert avg_day < s_day / 2

@@ -207,3 +207,46 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim-side predicate must inject a runtime bloom filter
+    on the fact side of the shuffle join (Spark's row-level runtime
+    filtering), so at scale the fact scan drops non-joining rows before
+    the exchange instead of shuffling them."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # local test tables are far below the 10 GiB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the shuffle-join path: broadcast joins use their own
+        # (broadcast) runtime filter instead
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), (
+            f"no runtime bloom filter injected:\n{plan[:2000]}"
+        )
+        assert joined.count() >= 1  # still executes correctly
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
