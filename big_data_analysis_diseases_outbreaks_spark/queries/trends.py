@@ -635,3 +635,44 @@ def event_pairs_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_type").alias("type_2"),
         (F.col("b.us") - F.col("a.us")).alias("delta_us"),
     )
+
+
+# --- incremental aggregate maintenance (operators/incremental.py): the
+# daily rollup maintained as yesterday's STATE merged with the new
+# batch's partial aggregate — oracle = the full-recompute daily rollup,
+# so the check IS "incremental ≡ from-scratch". The cutoff falls
+# mid-day (12:00), so one day's groups genuinely span both partials and
+# the merge is exercised, not just unioned disjointly. --------------------
+
+_INCR_CUTOFF = "2024-01-15 12:00:00"
+
+
+@register(
+    "incremental_daily_agg",
+    oracle=f"{_PREFIX}\nSELECT date, region, kw, value FROM daily",
+)
+def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import merge_partial_aggregates
+
+    trends = trends_view(spark, sf_dir)
+    vs = scaled_long(F.col("value"), 100)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("datetime").alias("date"), "region", "kw"
+        ).agg(F.sum(vs).alias("sum_v"), F.count(F.lit(1)).alias("n"))
+
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+    state = partial(trends.where(F.col("datetime") < cutoff))
+    batch = partial(trends.where(F.col("datetime") >= cutoff))
+    merged = merge_partial_aggregates(
+        [state, batch], keys=["date", "region", "kw"]
+    )
+    # identical final expression to daily_aggregate: exact integer sum,
+    # one float division, one round
+    return merged.select(
+        "date",
+        "region",
+        "kw",
+        F.round(F.col("sum_v").cast("double") / 100.0, 4).alias("value"),
+    )

@@ -93,3 +93,29 @@ def test_merge_upsert_key_semantics(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_merge_partial_aggregates_all_kinds(spark):
+    """sum/count/min/max state columns merge correctly, and an
+    unmergeable column name is rejected loudly."""
+    import pytest
+
+    from big_data_analysis_diseases_outbreaks_spark.operators.incremental import (
+        merge_partial_aggregates,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 10, 2, 1, 7)], "k string, sum_v long, n long, min_v long, max_v long"
+    )
+    b = spark.createDataFrame(
+        [("x", 5, 1, 0, 9), ("y", 1, 1, 3, 3)],
+        "k string, sum_v long, n long, min_v long, max_v long",
+    )
+    got = {
+        r.k: (r.sum_v, r.n, r.min_v, r.max_v)
+        for r in merge_partial_aggregates([a, b], keys=["k"]).collect()
+    }
+    assert got == {"x": (15, 3, 0, 9), "y": (1, 1, 3, 3)}
+    bad = spark.createDataFrame([("x", 1.0)], "k string, avg_v double")
+    with pytest.raises(ValueError, match="mergeable prefix"):
+        merge_partial_aggregates([bad], keys=["k"])
