@@ -81,6 +81,13 @@ def main() -> None:
     registry["trends_daily_agg"].fn(spark, sf_dir).count()
     _noop = _F.pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_noop("id")).count()
+    # Each Arrow eval mode (scalar pandas_udf above, mapInPandas,
+    # grouped-map applyInPandas) initializes its own JVM runner/codegen
+    # path on first use (~1.5 s each) — one-time per JVM, not per query.
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    spark.range(1000).groupBy(_F.pmod("id", _F.lit(8)).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], "id long"
+    ).count()
     # MLlib class loading (breeze/BLAS, per-estimator codegen) is a
     # one-time multi-second hit on the first use of each estimator —
     # pay it here, not inside a timed query. Covers every estimator the

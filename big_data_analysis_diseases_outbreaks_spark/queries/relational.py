@@ -1307,3 +1307,137 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(cents).cast("double") / 100.0, 4).alias("total_value"),
         )
     )
+
+
+# --- TPC-H Q3 shape: shipping-priority top-k — segment-filtered
+# customers (broadcast) drive orders⨝lineitem; revenue per order;
+# global top 10. The plan to assert: one fact shuffle for the o⨝l join,
+# TakeOrderedAndProject for the limit (per-partition heap, no global
+# sort). Revenue summed in exact integer 1e4-ths. --------------------------
+
+
+@register(
+    "shipping_priority_top10",
+    oracle="""
+SELECT l.l_orderkey,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+             * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
+       CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""".strip(),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1996-03-15").cast("date")
+    )
+    rev_s = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+        .agg(
+            F.round(F.sum(rev_s).cast("double") / 10_000.0, 4).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share — conditional aggregate over
+# one join; both the numerator and denominator come out of a single
+# pass (no second scan, no self-join). -------------------------------------
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT) ELSE 0 END)
+       / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+             AS BIGINT)), 4) AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+""".strip(),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev_s = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_s).otherwise(F.lit(0)))
+    total = F.sum(rev_s)
+    return joined.agg(
+        F.round(F.lit(100.0) * promo / total, 4).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive predicate pushdown — three OR'd
+# (brand, size-range, quantity-range) conjunctions. Catalyst pushes the
+# common l_quantity bounds down to the fact scan and evaluates the
+# disjunction post-join; the part side broadcasts. -------------------------
+
+
+@register(
+    "disjunctive_promo_revenue",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+             * 10000) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 25
+       AND l.l_quantity BETWEEN 10 AND 35)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+""".strip(),
+)
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev_s = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    def leg(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    cond = (
+        leg("Brand#1", 1, 10, 1, 20)
+        | leg("Brand#13", 10, 25, 10, 35)
+        | leg("Brand#23", 20, 40, 20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(F.sum(rev_s).cast("double") / 10_000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -250,3 +250,14 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shipping_priority_topk_plan(spark):
+    """Q3 shape: filtered customer side broadcasts; the final top-10 is a
+    TakeOrderedAndProject heap, not a global sort; date filters reach the
+    parquet scans."""
+    plan = _plan(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # Catalyst rewrites to_date(ts) > d into ts >= d+1 before pushdown
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
