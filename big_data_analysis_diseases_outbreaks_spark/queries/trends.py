@@ -676,3 +676,81 @@ def incremental_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kw",
         F.round(F.col("sum_v").cast("double") / 100.0, 4).alias("value"),
     )
+
+
+# --- funnel / sequence-pattern matching (view → click → purchase, each
+# step within 48 h of the previous, anchored at the user's FIRST
+# view). One shuffle total: events collect per user into a sorted
+# struct array, and every funnel stage is a JVM array expression over
+# it (filter → transform → array_min) — no per-stage self-join pass.
+# Per-user event counts are bounded in this workload; a pathological
+# hot user would call for the salted pre-agg in operators/skew.py. ---------
+
+_FUNNEL_STEP_US = 48 * 3600 * 1_000_000
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+v AS (
+  SELECT user_id, MIN(us) AS view_us FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.us) AS click_us
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click'
+    AND e.us BETWEEN v.view_us AND v.view_us + {_FUNNEL_STEP_US}
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.us) AS purchase_us
+  FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.us BETWEEN c.click_us AND c.click_us + {_FUNNEL_STEP_US}
+  GROUP BY e.user_id)
+SELECT u.user_id, v.view_us, c.click_us, p.purchase_us,
+       CAST(p.purchase_us IS NOT NULL AS INTEGER) AS converted
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+""".strip(),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "event_type"))).alias("evs")
+    )
+    step = _FUNNEL_STEP_US
+
+    def first_in_window(etype: str, lo: str) -> str:
+        return (
+            f"array_min(transform(filter(evs, e -> e.event_type = '{etype}'"
+            f" AND e.us >= {lo} AND e.us <= {lo} + {step}), e -> e.us))"
+        )
+
+    return (
+        per_user.withColumn(
+            "view_us",
+            F.expr(
+                "array_min(transform(filter(evs,"
+                " e -> e.event_type = 'view'), e -> e.us))"
+            ),
+        )
+        .withColumn("click_us", F.expr(first_in_window("click", "view_us")))
+        .withColumn(
+            "purchase_us", F.expr(first_in_window("purchase", "click_us"))
+        )
+        .select(
+            "user_id",
+            "view_us",
+            "click_us",
+            "purchase_us",
+            F.col("purchase_us").isNotNull().cast("int").alias("converted"),
+        )
+    )
