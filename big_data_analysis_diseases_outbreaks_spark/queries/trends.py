@@ -754,3 +754,60 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_us").isNotNull().cast("int").alias("converted"),
         )
     )
+
+
+# --- calendar densification + forward fill (gap repair): every series
+# gets one row per day between its first and last observation; missing
+# days take the last observed value (last_value IGNORE NULLS over an
+# expanding frame). The calendar explode is narrow (sequence() per
+# series row, no shuffle); the fill is the series' one window pass —
+# the same partitioning the detrend pipeline already uses, so at scale
+# the exchange is shared. --------------------------------------------------
+
+
+@register(
+    "series_gap_fill_ffill",
+    oracle=f"{_PREFIX},\n"
+    """
+ser AS (
+  SELECT region, kw, MIN(date) AS d0, MAX(date) AS d1
+  FROM daily GROUP BY region, kw),
+cal AS (
+  SELECT region, kw,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+  FROM ser),
+joined AS (
+  SELECT c.region, c.kw, c.date, d.value
+  FROM cal c LEFT JOIN daily d
+    ON d.region = c.region AND d.kw = c.kw AND d.date = c.date)
+SELECT region, kw, date,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY region, kw ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CAST(value IS NULL AS INTEGER) AS was_missing
+FROM joined
+""".strip(),
+)
+def series_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    ser = daily.groupBy("region", "kw").agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    cal = ser.select(
+        "region",
+        "kw",
+        F.explode(F.sequence("d0", "d1")).alias("date"),
+    )
+    joined = cal.join(daily, ["region", "kw", "date"], "left")
+    w = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "region",
+        "kw",
+        "date",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("value").isNull().cast("int").alias("was_missing"),
+    )
