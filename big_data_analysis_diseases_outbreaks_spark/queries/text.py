@@ -17,6 +17,7 @@ from ..functions.text import (
     quality_score,
     quality_score_sql,
     token_count,
+    with_hashed_shingles,
 )
 from ..operators.dedup import (
     exact_dedup,
@@ -623,4 +624,63 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= 5)
         .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+# --- train/test contamination detection: which corpus documents share a
+# verbatim 8-gram with a held-out test set — the standard benchmark-
+# decontamination sweep run before training. The test side is tiny
+# (~1% of docs) so its exploded distinct 8-gram hash table BROADCASTS;
+# the corpus side explodes once and hash-joins — no shuffle of the
+# corpus, no pairwise product. The planted 80%-prefix duplicates of the
+# shared dedup corpus are exactly the contamination to find. ---------------
+
+_CONTAM_NGRAM = 8
+_CONTAM_TEST_MOD = 23  # doc_id % 23 == 0 → held-out "benchmark" docs
+
+
+@register(
+    "contamination_8gram_overlap",
+    oracle=f"""
+WITH {_CORPUS_SQL},
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM corpus),
+c8 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(t) - {_CONTAM_NGRAM - 2}),
+           i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(_CONTAM_NGRAM))})))
+         AS g
+  FROM ctoks WHERE len(t) >= {_CONTAM_NGRAM}),
+t8 AS (
+  SELECT doc_id AS test_doc_id, g FROM c8
+  WHERE doc_id % {_CONTAM_TEST_MOD} = 0 AND doc_id < 1000000)
+SELECT c.doc_id, t.test_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+FROM c8 c JOIN t8 t ON c.g = t.g AND c.doc_id <> t.test_doc_id
+GROUP BY c.doc_id, t.test_doc_id
+""".strip(),
+)
+def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(corpus_doc, test_doc, n shared distinct 8-grams) for every
+    corpus doc overlapping the held-out set. 8-grams never materialize
+    as strings on the corpus side — tokens hash straight to int64
+    (functions/text.py:hashed_shingles)."""
+    corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
+    c8 = with_hashed_shingles(
+        corpus.select("doc_id", "text"), "text", out="shh", n=_CONTAM_NGRAM
+    ).select("doc_id", F.explode("shh").alias("h"))
+    t8 = (
+        c8.where(
+            (F.col("doc_id") % _CONTAM_TEST_MOD == 0)
+            & (F.col("doc_id") < 1_000_000)
+        )
+        .withColumnRenamed("doc_id", "test_doc_id")
+    )
+    return (
+        c8.join(
+            F.broadcast(t8),
+            (c8["h"] == t8["h"]) & (c8["doc_id"] != t8["test_doc_id"]),
+        )
+        .groupBy("doc_id", "test_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_8grams"))
     )
