@@ -291,3 +291,70 @@ def interval_join_stream(
         F.col("c_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
+
+
+def run_stream_upsert_snapshot(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> str:
+    """CDC-style streaming upsert sink: every micro-batch MERGEs into a
+    keyed snapshot (latest event per user, event-time wins, event_id
+    tie-break) instead of appending — the foreachBatch twin of
+    ``merge_upsert_orders`` and the standard pattern for maintaining a
+    serving table from a change stream.
+
+    Snapshot versions are written to ``snapshot_v{batch_id}`` and the
+    newest version is the table (readers never see a half-written
+    directory — same staged-visibility idea as operators/compact.py).
+    The merge is idempotent per key (max event-time row), so replaying a
+    micro-batch after a crash converges to the same snapshot; the
+    checkpoint makes reprocessing not happen at all on restart
+    (tests prove both).
+    """
+    checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def current_snapshot_path() -> str | None:
+        if not os.path.isdir(out_dir):
+            return None
+        versions = sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("snapshot_v")),
+            key=lambda d: int(d.rsplit("v", 1)[1]),
+        )
+        return os.path.join(out_dir, versions[-1]) if versions else None
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        new = latest_per_user(batch_df)
+        prev = current_snapshot_path()
+        if prev is not None:
+            new = latest_per_user(
+                spark.read.parquet(prev).unionByName(new)
+            )
+        new.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"snapshot_v{batch_id}")
+        )
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    path = current_snapshot_path()
+    assert path is not None, "no micro-batch produced a snapshot"
+    return path

@@ -285,3 +285,41 @@ def test_session_agg_independent_of_batch_boundaries(spark):
         ["user_id", "session_start", "n_events", "duration_us"],
     )
     assert got == want
+
+
+def test_stream_upsert_snapshot_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streamed snapshot must equal the batch per-user-latest answer,
+    and restarting on the same checkpoint must not produce a new version
+    (exactly-once: nothing left to process)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        run_stream_upsert_snapshot,
+    )
+
+    out = str(tmp_path / "upsert")
+    snap_path = run_stream_upsert_snapshot(spark, SF_SMALL, out)
+    snap = {
+        r.user_id: (r.event_id, r.ts)
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    batch = {
+        r.user_id: (r.event_id, r.ts)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts"), F.struct("ts", "event_id")
+            ).alias("m")
+        )
+        .select("user_id", F.col("m.event_id"), F.col("m.ts"))
+        .collect()
+    }
+    assert snap == batch
+    versions_before = sorted(os.listdir(out))
+    snap_path2 = run_stream_upsert_snapshot(spark, SF_SMALL, out)
+    assert snap_path2 == snap_path
+    assert sorted(os.listdir(out)) == versions_before
