@@ -811,3 +811,61 @@ def series_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
         F.col("value").isNull().cast("int").alias("was_missing"),
     )
+
+
+# --- per-series OLS trend slope (closed form): the regression twin of
+# the expanding-mean trend estimator. All four moment sums (Σx, Σy,
+# Σxy, Σx²) accumulate as exact integers (x = day number, y = value in
+# cents), so the final slope/intercept doubles are bit-identical across
+# engines with NO rounding — one grouped aggregate, map-side partials,
+# one shuffle on the series key. -------------------------------------------
+
+
+@register(
+    "series_trend_slope",
+    oracle=f"{_PREFIX},\n"
+    """
+m AS (
+  SELECT region, kw,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)
+             * CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)) AS sxx
+  FROM daily GROUP BY region, kw)
+SELECT region, kw, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0) AS slope_per_day,
+       CAST(sy AS DOUBLE) / (n * 100.0)
+         - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+           * (CAST(sx AS DOUBLE) / n) AS intercept
+FROM m WHERE n * sxx - sx * sx <> 0
+""".strip(),
+)
+def series_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    x = F.datediff(F.col("date"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = scaled_long(F.col("value"), 100)
+    m = daily.groupBy("region", "kw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy).cast("double") / (det.cast("double") * 100.0)
+    intercept = sy.cast("double") / (n * F.lit(100.0)) - slope * (
+        sx.cast("double") / n
+    )
+    return m.where(det != 0).select(
+        "region",
+        "kw",
+        "n",
+        slope.alias("slope_per_day"),
+        intercept.alias("intercept"),
+    )
