@@ -869,3 +869,70 @@ def series_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope_per_day"),
         intercept.alias("intercept"),
     )
+
+
+# --- pairwise keyword correlation per region (the Q-factor idea lifted
+# to a full correlation matrix): daily series self-joined on
+# (region, date) with kw1 < kw2 — the join key is the co-partitioned
+# (region, date), so both sides shuffle once and pair expansion happens
+# in place; Pearson r comes from exact integer moment sums, sqrt/divide
+# on identical doubles both engines. ---------------------------------------
+
+
+@register(
+    "kw_correlation_matrix",
+    oracle=f"{_PREFIX},\n"
+    """
+s AS (
+  SELECT region, date, kw, CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM daily),
+pairs AS (
+  SELECT a.region, a.kw AS kw1, b.kw AS kw2,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a.v) AS sx, SUM(b.v) AS sy,
+         SUM(a.v * b.v) AS sxy,
+         SUM(a.v * a.v) AS sxx, SUM(b.v * b.v) AS syy
+  FROM s a JOIN s b ON a.region = b.region AND a.date = b.date
+                    AND a.kw < b.kw
+  GROUP BY a.region, a.kw, b.kw)
+SELECT region, kw1, kw2, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM pairs
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""".strip(),
+)
+def kw_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _daily(spark, sf_dir).select(
+        "region", "date", "kw", scaled_long(F.col("value"), 100).alias("v")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.region") == F.col("b.region"))
+        & (F.col("a.date") == F.col("b.date"))
+        & (F.col("a.kw") < F.col("b.kw")),
+    )
+    m = joined.groupBy(
+        F.col("a.region").alias("region"),
+        F.col("a.kw").alias("kw1"),
+        F.col("b.kw").alias("kw2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a.v").alias("sx"),
+        F.sum("b.v").alias("sy"),
+        F.sum(F.col("a.v") * F.col("b.v")).alias("sxy"),
+        F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+        F.sum(F.col("b.v") * F.col("b.v")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+    )
+    return m.where((n >= 3) & (vx > 0) & (vy > 0)).select(
+        "region", "kw1", "kw2", "n", r.alias("r")
+    )
