@@ -261,3 +261,27 @@ def test_shipping_priority_topk_plan(spark):
     assert "BroadcastHashJoin" in plan
     # Catalyst rewrites to_date(ts) > d into ts >= d+1 before pushdown
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_funnel_single_shuffle(spark):
+    """The array-HOF funnel must cost exactly one exchange (the per-user
+    collect); per-stage self-joins would show as extra exchanges."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    assert plan.count("Exchange") == 1, plan[:1500]
+
+
+def test_interval_join_is_hash_join(spark):
+    """The banded self-join must plan as an equality hash/sort-merge join
+    on (user, cell) — never a nested-loop/cartesian product with a time
+    predicate."""
+    plan = _plan(spark, "event_pairs_interval_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_broadcasts_extent(spark):
+    """The 1-row global extent must broadcast to the scan; the histogram
+    itself is one partial+final aggregate pair."""
+    plan = _plan(spark, "order_price_histogram")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 2
