@@ -1,0 +1,103 @@
+"""Property tests for the operators whose correctness rests on an
+algebraic claim rather than a fixture: partial-aggregate merge
+associativity, Morton-code bit interleaving, and the prefix-filter
+theorem (lossless candidate pruning) on randomized corpora.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.operators.dedup import exact_jaccard_pairs
+from big_data_analysis_diseases_outbreaks_spark.operators.incremental import (
+    merge_partial_aggregates,
+)
+from big_data_analysis_diseases_outbreaks_spark.operators.zorder import zorder_value
+
+
+def test_merge_partial_aggregates_associativity(spark):
+    """Any split of the rows into any number of per-part aggregates must
+    merge to the full aggregate — the property incremental maintenance
+    relies on."""
+    rng = random.Random(7)
+    rows = [
+        (f"k{rng.randrange(6)}", rng.randrange(-50, 500))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    full = {tuple(r) for r in agg(df).collect()}
+    for n_parts in (2, 3, 5):
+        tagged = df.withColumn("_p", F.pmod(F.xxhash64("v"), F.lit(n_parts)))
+        parts = [
+            agg(tagged.where(F.col("_p") == i).drop("_p"))
+            for i in range(n_parts)
+        ]
+        merged = {
+            tuple(r)
+            for r in merge_partial_aggregates(parts, keys=["k"]).collect()
+        }
+        assert merged == full, f"{n_parts}-way split diverged"
+
+
+def test_zorder_value_matches_reference_morton(spark):
+    """The Spark bit-interleave expression must equal a straightforward
+    Python Morton encoding for random in-range codes."""
+    bits = 16
+    rng = random.Random(11)
+    pts = [(rng.randrange(1 << bits), rng.randrange(1 << bits)) for _ in range(500)]
+    pts += [(0, 0), ((1 << bits) - 1, (1 << bits) - 1), (0, (1 << bits) - 1)]
+
+    def morton(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)      # col 0 → even bits
+            z |= ((y >> i) & 1) << (2 * i + 1)  # col 1 → odd bits
+        return z
+
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x",
+        "y",
+        # identity extent: quantized code == raw value
+        F.lit(0).alias("x__min"),
+        F.lit((1 << bits) - 1).alias("x__max"),
+        F.lit(0).alias("y__min"),
+        F.lit((1 << bits) - 1).alias("y__max"),
+    )
+    got = df.select("x", "y", zorder_value(["x", "y"], bits).alias("z")).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y), (r.x, r.y, r.z)
+
+
+def test_prefix_filter_lossless_on_random_corpus(spark):
+    """Prefix-filtered pair generation must return EXACTLY the pairs the
+    quadratic bucket join returns, for a random corpus with planted
+    near-duplicates at assorted overlap levels."""
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(8, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        docs.append((i, "en", f"s{i % 2}", " ".join(words)))
+        if i % 3 == 0:  # planted near-dup: drop a random-length tail
+            keep = max(3, int(n * rng.uniform(0.5, 0.95)))
+            docs.append((i + 1000, "en", f"s{i % 2}", " ".join(words[:keep])))
+    df = spark.createDataFrame(docs, "doc_id long, lang string, source string, text string")
+    for t in (0.25, 0.4, 0.7):
+        naive = exact_jaccard_pairs(df, min_jaccard=t, prefix_filter=False)
+        pref = exact_jaccard_pairs(df, min_jaccard=t, prefix_filter=True)
+        a = {(r.doc_id_1, r.doc_id_2, r.jaccard) for r in naive.collect()}
+        b = {(r.doc_id_1, r.doc_id_2, r.jaccard) for r in pref.collect()}
+        assert a == b, f"t={t}: prefix path diverged ({len(a)} vs {len(b)} pairs)"
+        assert a, f"t={t}: degenerate test — no pairs found"
