@@ -224,3 +224,61 @@ def test_zorder_clustering_skips_on_both_dims(spark, tmp_path):
     s_day = sum(s[1] for s in s_spans) / len(s_spans) / full[1]
     assert s_day > 0.9, "control: custkey-only layout should not cluster day"
     assert avg_day < s_day / 2
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """PERMISSIVE JSON ingest must keep malformed lines in the corrupt-
+    record column instead of failing the batch or silently dropping —
+    then DROPMALFORMED yields only the clean rows."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "raw.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": null}\n'
+        '{"id": 3, "v": "not-a-number"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(p))
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    bad = [r for r in rows if r._bad is not None]
+    assert len(bad) == 2  # the non-JSON line and the type-mismatched one
+    clean = (
+        spark.read.schema("id long, v double")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+        .collect()
+    )
+    assert {r.id for r in clean} == {1, 2}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A column added by a later writer must surface via mergeSchema with
+    nulls for old files — and stay invisible without it (reading with the
+    first file's schema only)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "tbl")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(
+        base + "/p=1"
+    )
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(9).alias("v2")
+    ).write.parquet(base + "/p=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) >= {"id", "v1", "v2"}
+    assert merged.where(F.col("v2").isNull()).count() == 3
+    assert merged.where(F.col("v2") == 9).count() == 2
