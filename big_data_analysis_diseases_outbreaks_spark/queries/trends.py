@@ -936,3 +936,46 @@ def kw_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.where((n >= 3) & (vx > 0) & (vy > 0)).select(
         "region", "kw1", "kw2", "n", r.alias("r")
     )
+
+
+# --- rolling 7-day DISTINCT user count (windowed COUNT DISTINCT — not
+# expressible as a Spark window frame). Scale-right shape: each distinct
+# (type, day, user) row EXPLODES to the ≤7 anchor days it contributes
+# to (one narrow ×7 map), then one distinct-aggregate shuffle on
+# (type, anchor day) — no day-range band join, no per-day re-scan, and
+# state is bounded by the window length. -----------------------------------
+
+
+@register(
+    "rolling_7d_distinct_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         user_id
+  FROM events),
+days AS (SELECT DISTINCT event_type, day FROM du)
+SELECT d.event_type, d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+FROM days d JOIN du u
+  ON u.event_type = d.event_type AND u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.event_type, d.day
+""".strip(),
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    actual_days = du.select("event_type", "day").distinct()
+    return (
+        contrib.join(actual_days, ["event_type", "day"], "left_semi")
+        .groupBy("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
