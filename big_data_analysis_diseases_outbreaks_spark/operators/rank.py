@@ -1,0 +1,127 @@
+"""Distributed global ranking — no single-partition window funnel.
+
+A windowless total order: ``Window.orderBy(...)`` with no PARTITION BY is
+the one construct in the relational surface that cannot scale — Spark
+plans it as ``Exchange SinglePartition`` + one Window task over the whole
+input (it even warns: "No Partition Defined for Window operation! Moving
+all data to a single partition"). The reference never needs a global
+rank, but our NTILE/percentile extensions do, so this operator provides
+the scale-correct equivalent:
+
+1. ``repartitionByRange(P, *order)`` — one wide shuffle; partition *i*'s
+   keys all sort before partition *i+1*'s (range boundaries from Spark's
+   reservoir sample of the sort key).
+2. ``sortWithinPartitions(*order)`` — narrow, in-partition sort.
+3. ``monotonically_increasing_id()`` — pid in the upper bits, the
+   *in-iteration-order* record index in the lower 33 bits; after step 2
+   the iteration order IS the sort order, so ``mid & (2^33-1)`` is the
+   0-based local rank. No second shuffle (the textbook alternative — a
+   window over ``spark_partition_id()`` — re-shuffles the full table by
+   pid hash just to compute the same local index).
+4. Per-partition row counts (P rows — tiny) → cumulative offsets via a
+   triangular self-join over those P rows (not a windowed running sum:
+   a global window would put an ``Exchange SinglePartition`` back into
+   the plan — harmless on P rows, but it defeats the "no single-
+   partition exchange anywhere" plan audit) → broadcast-joined back.
+
+``global rank = offset[pid] + local_rank + 1``. Total cost: one range
+shuffle of the input + a P-row side computation, fully parallel at any
+scale. Requires the ordering to be *total* (pass a unique tiebreaker as
+the last order column) — with ties split across range-partition
+boundaries the local index would break ties arbitrarily, which is the
+same behavior ``row_number`` has, but NOT what ``rank``/``cume_dist``
+tie semantics need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: record index bit width
+_PID = "__gr_pid"
+_LOCAL = "__gr_local"
+_OFFSET = "__gr_offset"
+_TOTAL = "__gr_total"
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Rank + a ``_TOTAL`` (grand row count) column, both shuffle-lean."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.sortWithinPartitions(*cols)
+    mid = F.monotonically_increasing_id()
+    local = ranged.withColumn(_PID, F.shiftrightunsigned(mid, _LOCAL_BITS)).withColumn(
+        _LOCAL, mid.bitwiseAND((1 << _LOCAL_BITS) - 1)
+    )
+    # P rows (P = partition count, O(cluster size) not O(data)); the
+    # prefix sum AND the grand total come out of one P x P cross join —
+    # so no global window and no single-partition exchange (not even the
+    # scalar-agg one) anywhere in the plan.
+    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_n"))
+    a, b = counts.alias("__gr_a"), counts.alias("__gr_b")
+    offsets = (
+        a.crossJoin(b)
+        .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col(f"__gr_b.{_PID}") < F.col(f"__gr_a.{_PID}"),
+                    F.col("__gr_b.__gr_n"),
+                ).otherwise(F.lit(0))
+            ).alias(_OFFSET),
+            F.sum("__gr_b.__gr_n").alias(_TOTAL),
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    return out.withColumn(
+        rank_col, (F.col(_OFFSET) + F.col(_LOCAL) + F.lit(1)).cast("long")
+    ).drop(_PID, _LOCAL, _OFFSET)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based dense total-order rank without a global window.
+
+    ``order_cols`` must define a total order (unique per row — add a key
+    tiebreaker). ``num_partitions`` defaults to the session shuffle
+    parallelism.
+    """
+    return _ranked_with_total(df, order_cols, rank_col, num_partitions).drop(
+        _TOTAL
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    n: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """SQL ``NTILE(n) OVER (ORDER BY ...)`` at scale.
+
+    NTILE assigns the first ``N mod n`` buckets ``ceil(N/n)`` rows and the
+    rest ``floor(N/n)``; for 1-based rank r over N rows that is exactly
+    ``floor((r-1) * n / N) + 1`` (integer arithmetic). The total count N
+    rides along from the rank computation's per-partition counts (no
+    separate scalar-agg pass, whose final merge would plan an Exchange
+    SinglePartition).
+    """
+    ranked = _ranked_with_total(df, order_cols, "__gr_rank", num_partitions)
+    # `div`: exact integer floor-division (a double `/` would round at
+    # 2^53 on petabyte-scale row counts).
+    tile = F.expr(f"((__gr_rank - 1) * {int(n)}) div {_TOTAL}") + 1
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__gr_rank", _TOTAL)

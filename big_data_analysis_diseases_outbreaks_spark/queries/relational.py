@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stable import scaled_long
+from ..operators.rank import with_global_ntile
 from ..operators.skew import salted_join
 from ..sources.tables import load_table
 from . import register
@@ -775,11 +776,12 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G extension: NTILE — equal-frequency bucketing (decile assignment
 # over exact integer spend; ordering is total via the custkey tie-break,
-# so bucket boundaries are engine-independent). NTILE is inherently a
-# global ordering: the window has no PARTITION BY, so the plan funnels
-# into one task — correct for "assign deciles over the whole ledger",
-# and at 100 TB the pre-aggregation (one row per customer) is what makes
-# the funnel viable. -------------------------------------------------------
+# so bucket boundaries are engine-independent). A bare
+# `ntile().over(Window.orderBy(...))` would funnel the whole table into
+# one task (Exchange SinglePartition); operators/rank.py instead range-
+# partitions on the sort key, derives in-partition ranks from
+# monotonically_increasing_id, and broadcast-joins per-partition offsets
+# — identical NTILE semantics, fully parallel at any scale. ----------------
 
 
 @register(
@@ -801,12 +803,9 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("spend_cents")
     )
-    w = Window.orderBy(F.col("spend_cents").asc(), F.col("o_custkey").asc())
-    return spend.select(
-        "o_custkey",
-        "spend_cents",
-        F.ntile(10).over(w).cast("int").alias("decile"),
-    )
+    return with_global_ntile(
+        spend, ["spend_cents", "o_custkey"], 10, "decile"
+    ).select("o_custkey", "spend_cents", "decile")
 
 
 # --- TPC-H Q5 shape: local-supplier revenue — the 6-table join with the

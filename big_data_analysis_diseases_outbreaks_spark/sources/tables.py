@@ -37,16 +37,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing physical-type quirks.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark 4
-    refuses to read; with ``spark.sql.legacy.parquet.nanosAsLong`` we get
-    the raw int64 nanos and convert to a proper timestamp via *integer*
-    division (a double division would lose precision: ns-since-epoch
-    ~1.7e18 exceeds the 53-bit double mantissa).
+    ``events.ts`` is the one column queries do *instant* arithmetic on
+    (``unix_micros``, windows, watermarks), and its physical type has
+    varied across driver testdata generations; both forms are normalized
+    here to a plain (UTC-instant) TIMESTAMP:
+
+    - TIMESTAMP(NANOS): Spark 4 refuses to read it natively; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` we get the raw int64 nanos
+      and convert via *integer* division (a double division would lose
+      precision: ns-since-epoch ~1.7e18 exceeds the 53-bit double
+      mantissa).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ
+      (the oracle, DuckDB, reads plain TIMESTAMP). ``unix_micros`` /
+      ``unix_timestamp`` reject NTZ, so convert the naive wall-clock to
+      the UTC instant with the same digits — ``to_utc_timestamp(c,
+      'UTC')`` — which is session-timezone-independent (a bare
+      ``cast("timestamp")`` would silently shift under a non-UTC driver
+      session).
+
+    Other tables' timestamp columns (``o_orderdate``, ``l_shipdate``…)
+    are deliberately left as the scan produced them: wrapping a scan
+    column in a conversion expression defeats parquet predicate pushdown
+    on it (filters would sit above a projection), and date-granularity
+    queries only ever compare/truncate those columns — NTZ handles that
+    identically. Queries needing instant semantics cast locally, after
+    any pushable filter.
     """
     configure_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 

@@ -25,18 +25,22 @@ from pyspark.sql import types as T
 
 from ..session import configure_runtime
 
-# Schema of the events parquet as Spark reads it with nanosAsLong (ts is
-# int64 nanoseconds — converted right after the scan).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The file stream source needs an explicit schema (no streaming
+# inference). Testdata generations have stored events.ts as
+# TIMESTAMP(NANOS) (read as int64 under nanosAsLong) or as
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), so
+# the schema is taken from a one-off batch footer read per source dir
+# and the ts column normalized right after the scan — same policy as
+# sources/tables.load_table.
+_EVENTS_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    if sf_dir not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+    return _EVENTS_SCHEMA_CACHE[sf_dir]
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -63,11 +67,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as an unbounded stream."""
     configure_runtime(spark)
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .format("parquet")
         .load(_stream_source_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return raw
 
 
 def trends_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Distributed global rank / NTILE (operators/rank.py).
+
+Semantics: must be bit-identical to the SQL window forms
+(`row_number()/ntile(n) OVER (ORDER BY ...)`) on a total order.
+Scale: the plan must NOT contain the single-partition exchange that a
+bare global window would introduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.operators.rank import (
+    with_global_ntile,
+    with_global_rank,
+)
+from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def _orders_spend(spark):
+    orders = load_table(spark, SF_SMALL, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+
+
+def test_global_rank_matches_window_row_number(spark):
+    spend = _orders_spend(spark)
+    got = {
+        (r["o_custkey"], r["global_rank"])
+        for r in with_global_rank(
+            spend, ["spend", "o_custkey"], num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("spend", "o_custkey")
+    want = {
+        (r["o_custkey"], r["rn"])
+        for r in spend.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    spend = _orders_spend(spark)
+    for n in (3, 10):
+        got = {
+            (r["o_custkey"], r["tile"])
+            for r in with_global_ntile(
+                spend, ["spend", "o_custkey"], n, num_partitions=5
+            ).collect()
+        }
+        w = Window.orderBy("spend", "o_custkey")
+        want = {
+            (r["o_custkey"], r["t"])
+            for r in spend.withColumn("t", F.ntile(n).over(w)).collect()
+        }
+        assert got == want, f"ntile({n}) mismatch"
+
+
+def test_ntile_uneven_bucket_sizes(spark):
+    # 10 rows, 3 buckets -> sizes 4,3,3 (first N mod n buckets get the
+    # extra row) — the part of NTILE the floor formula must reproduce.
+    df = spark.range(10).withColumnRenamed("id", "k")
+    out = with_global_ntile(df, ["k"], 3, num_partitions=4)
+    sizes = {
+        r["tile"]: r["n"]
+        for r in out.groupBy("tile").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {1: 4, 2: 3, 3: 3}
+
+
+def test_deciles_query_has_no_single_partition_exchange(spark):
+    df = all_queries()["customer_spend_deciles"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, (
+        "global NTILE must not funnel the table into one partition"
+    )
+    assert "rangepartitioning" in plan.lower()
