@@ -41,6 +41,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         streaming,
         text,
+        tpch,
         trends,
     )
 
