@@ -35,7 +35,7 @@ tie semantics need.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _LOCAL_BITS = 33  # monotonically_increasing_id: record index bit width
@@ -102,6 +102,61 @@ def with_global_rank(
     return _ranked_with_total(df, order_cols, rank_col, num_partitions).drop(
         _TOTAL
     )
+
+
+def with_global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` at scale.
+
+    Same decomposition as the rank: range-partition on the total order
+    (wide shuffle #1), in-partition running sum via a window PARTITIONED
+    by the physical partition id (wide shuffle #2 — but hash-partitioned
+    P ways, never the single-partition funnel a bare global window
+    plans), plus broadcast per-partition prefix offsets from the same
+    P x P triangular cross join the rank uses. Catalyst reuses the range
+    exchange for the offsets branch (ReusedExchange), so the input is
+    shuffled twice, scanned once.
+
+    ``order_cols`` must be a total order; ``value_col`` should be an
+    integral column (long) — the point of a distributed running sum is
+    usually an exact prefix aggregate (token budgets, bytes, counts),
+    and integer addition keeps it associative and oracle-exact.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__gr_lcum", F.sum(value_col).over(w))
+    sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__gr_n"))
+    a, b = sums.alias("__gr_a"), sums.alias("__gr_b")
+    offsets = (
+        a.crossJoin(b)
+        .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col(f"__gr_b.{_PID}") < F.col(f"__gr_a.{_PID}"),
+                    F.col("__gr_b.__gr_n"),
+                ).otherwise(F.lit(0))
+            ).alias(_OFFSET)
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    return out.withColumn(
+        out_col, (F.col(_OFFSET) + F.col("__gr_lcum")).cast("long")
+    ).drop(_PID, "__gr_lcum", _OFFSET)
 
 
 def with_global_ntile(

@@ -17,8 +17,10 @@ from ..functions.text import (
     quality_score,
     quality_score_sql,
     token_count,
+    tokens,
     with_hashed_shingles,
 )
+from ..operators.rank import with_global_running_sum
 from ..operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
@@ -683,4 +685,104 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "test_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_8grams"))
+    )
+
+
+# --- Sequence packing: contiguous fill of documents into fixed token-
+# budget training bins. The bin boundary is a function of the GLOBAL
+# token prefix sum in doc_id order — the classic "needs a total-order
+# running sum" operator — computed scale-correctly by
+# operators/rank.py:with_global_running_sum (range partition + P-way
+# partitioned window + broadcast offsets; never the single-partition
+# exchange a bare `SUM() OVER (ORDER BY)` would plan). A doc whose
+# tokens straddle a boundary belongs to the bin its FIRST token falls
+# in (floor(prefix_before / budget)), matching streaming packers. ----------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "doc_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t)
+SELECT doc_id, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+       (cum_tokens - n_tokens) % {_PACK_BUDGET} AS bin_offset
+FROM c
+""".strip(),
+)
+def doc_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = with_global_running_sum(
+        sized, ["doc_id"], "n_tokens", "cum_tokens"
+    )
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+        (before % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
+
+
+# --- Gopher-style repetition quality rule: fraction of a document's
+# bigrams taken by its single most frequent bigram. High ratio ⇒
+# boilerplate/spam. Bigrams pair adjacent whitespace tokens via a JVM
+# zip_with over two slices (no Python, no explode-join); the ratio is
+# emitted as the RAW double quotient of two exact integers — identical
+# IEEE division on both engines (rounding a rational here would
+# re-introduce the round-tie divergence stable.py exists to avoid). --------
+
+
+@register(
+    "doc_repetition_ratio",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ts FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM tok WHERE len(ts) >= 2),
+cnt AS (
+  SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY doc_id, bigram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio
+FROM cnt GROUP BY doc_id
+""".strip(),
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bg = (
+        docs.where(F.size(ts) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "repetition_ratio"
+        ),
     )

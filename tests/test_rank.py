@@ -80,3 +80,31 @@ def test_deciles_query_has_no_single_partition_exchange(spark):
         "global NTILE must not funnel the table into one partition"
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_global_running_sum_matches_window(spark):
+    from big_data_analysis_diseases_outbreaks_spark.operators.rank import (
+        with_global_running_sum,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    )
+    got = {
+        (r["k"], r["running_sum"])
+        for r in with_global_running_sum(
+            df, ["k"], "v", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["k"], r["rs"]) for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_sequence_pack_has_no_single_partition_exchange(spark):
+    df = all_queries()["doc_sequence_pack"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
