@@ -62,6 +62,13 @@ HEADLINE = [
     "unpivot_wide",
     "customer_spend_deciles",
     "local_supplier_revenue",
+    # round-3 additions
+    "volume_shipping",
+    "product_type_profit",
+    "customer_distribution",
+    "waiting_orders_blame",
+    "doc_sequence_pack",
+    "doc_repetition_ratio",
 ]
 
 
