@@ -59,6 +59,30 @@ def anomaly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_scores(trends_view(spark, sf_dir))
 
 
+# Published-artifact shape (reference `anomaly map.ipynb` cells 3-6): the
+# choropleth input is sum(|score|) per region over a date window. The
+# date filter sits UNDER the agg but the z-score itself must still be
+# computed over the full series (the notebook scores first, then slices),
+# so the filter applies post-scoring — at scale the heavy lifting is the
+# same two shuffles as anomaly_scores plus one tiny region-level hash agg.
+MAP_DATE_LO = "2024-01-10"
+MAP_DATE_HI = "2024-01-25"
+
+
+def anomaly_region_map(trends: DataFrame) -> DataFrame:
+    """(region, total_score) — the choropleth feed."""
+    scored = anomaly_scores(trends)
+    return (
+        scored.where(F.col("date").between(MAP_DATE_LO, MAP_DATE_HI))
+        .groupBy("region")
+        .agg(F.round(F.sum(F.abs(F.col("z"))), ROUND_DP).alias("total_score"))
+    )
+
+
+def anomaly_region_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_region_map(trends_view(spark, sf_dir))
+
+
 ANOMALY_ORACLE_SQL = f"""
 WITH {TRENDS_ORACLE_CTE},
 {DAILY_CTE},
@@ -81,4 +105,12 @@ SELECT date, region, kw, value, detrended,
        CAST(CASE WHEN ABS(ROUND((detrended - mu) / NULLIF(sigma, 0), 4)) > 2.0
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
 FROM stats
+""".strip()
+
+ANOMALY_MAP_ORACLE_SQL = f"""
+WITH scored AS ({ANOMALY_ORACLE_SQL})
+SELECT region, ROUND(SUM(ABS(z)), 4) AS total_score
+FROM scored
+WHERE date BETWEEN '{MAP_DATE_LO}' AND '{MAP_DATE_HI}'
+GROUP BY region
 """.strip()

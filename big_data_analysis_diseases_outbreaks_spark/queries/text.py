@@ -196,6 +196,72 @@ def ngram_jaccard_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(docs, min_jaccard=0.01)
 
 
+# --- strict-threshold Jaccard via the AllPairs prefix filter --------------
+# Same operator, t=0.3 → the lossless prefix-filtered candidate join
+# (operators/dedup.py:146) is exercised instead of the plain bucket
+# product. Near-dups are constructed (each doc + its 80%-words prefix
+# copy) so the result is non-empty; the oracle is the quadratic
+# definition — the prefix filter must be invisible in the output.
+
+
+@register(
+    "ngram_jaccard_strict",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lang, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang, source,
+         array_to_string(
+           regexp_extract_all(text, '\\S+')[1:greatest(
+             CAST(FLOOR(len(regexp_extract_all(text, '\\S+')) * 0.8) AS INT),
+             3)], ' ') AS text
+  FROM documents),
+toks AS (
+  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
+  FROM base),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3),
+pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+         len(a.s) + len(b.s)
+           - len(list_filter(a.s, x -> list_contains(b.s, x))) AS uni
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_id_1, doc_id_2,
+       ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(inter AS DOUBLE) / uni, 4) >= 0.3
+""".strip(),
+)
+def ngram_jaccard_strict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    words = F.split(F.col("text"), r"\s+")
+    truncated = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat_ws(
+            " ",
+            F.slice(
+                words,
+                F.lit(1),
+                F.greatest(
+                    (F.size(words) * 0.8).cast("int"), F.lit(3)
+                ),
+            ),
+        ).alias("text"),
+    )
+    return exact_jaccard_pairs(
+        docs.unionByName(truncated), min_jaccard=0.3
+    )
+
+
 # --- MinHash-LSH near-dup (scale path; approximate → rows-only check) -----
 
 

@@ -26,7 +26,12 @@ from ..operators.detrend import (
     expanding_mean,
 )
 from ..operators.pivot import KW_VALUES, pivot_wide, pivot_wide_sql
-from ..plans.anomaly import ANOMALY_ORACLE_SQL, anomaly_query
+from ..plans.anomaly import (
+    ANOMALY_MAP_ORACLE_SQL,
+    ANOMALY_ORACLE_SQL,
+    anomaly_query,
+    anomaly_region_map_query,
+)
 from ..sources.tables import TRENDS_ORACLE_CTE, load_table, trends_view
 from . import register
 
@@ -65,6 +70,15 @@ def trends_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("anomaly_zscore", oracle=ANOMALY_ORACLE_SQL)(anomaly_query)
+
+
+# --- choropleth feed: sum(|z|) per region over a date window --------------
+# (reference `anomaly map.ipynb` cells 3-6 — the published-artifact shape)
+
+
+register("anomaly_region_map", oracle=ANOMALY_MAP_ORACLE_SQL)(
+    anomaly_region_map_query
+)
 
 
 # --- F2: deterministic wide pivot (Main.scala:212-216) --------------------

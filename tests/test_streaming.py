@@ -242,7 +242,6 @@ def test_session_agg_independent_of_batch_boundaries(spark):
     import uuid
 
     from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
-        EVENTS_FILE_SCHEMA,
         session_agg_stream,
     )
 
@@ -262,13 +261,22 @@ def test_session_agg_independent_of_batch_boundaries(spark):
     one = spark.read.parquet(src)
     one.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src + "_4")
 
+    # Schema comes from the file we just wrote (the same footer-read
+    # policy as pipeline._events_schema — no hardcoded constant).
+    split_schema = spark.read.parquet(src + "_4").schema
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(split_schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(src + "_4")
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        ev = raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    else:
+        ev = raw
     multi = session_agg_stream(ev, watermark=None)
     name, q = run_to_memory(multi, output_mode="complete")
     n_batches = len(q.recentProgress)
