@@ -69,6 +69,9 @@ HEADLINE = [
     "waiting_orders_blame",
     "doc_sequence_pack",
     "doc_repetition_ratio",
+    # round-4 additions
+    "anomaly_region_map",
+    "ngram_jaccard_strict",
 ]
 
 
