@@ -62,12 +62,33 @@ def _fit_tree(x: np.ndarray, rng: np.random.Generator, height_limit: int):
 
 
 def _path_length(tree, row: np.ndarray) -> float:
+    """Scalar reference scorer (kept as the test oracle for the
+    vectorized traversal below — not used on the scoring path)."""
     depth = 0
     node = tree
     while not node["leaf"]:
         node = node["l"] if row[node["q"]] < node["p"] else node["r"]
         depth += 1
     return depth + _c(node["n"])
+
+
+def _path_lengths(tree, x: np.ndarray) -> np.ndarray:
+    """Vectorized path lengths: route the whole row matrix down the tree
+    with boolean masks — one split comparison per node over all rows
+    reaching it, no per-row Python loop. Each row's result is the same
+    single float expression (depth + c(leaf_n)) as the scalar walk, so
+    outputs are bit-identical to `_path_length`."""
+    out = np.zeros(x.shape[0])
+    stack = [(tree, np.arange(x.shape[0]), 0)]
+    while stack:
+        node, idx, depth = stack.pop()
+        if node["leaf"]:
+            out[idx] = depth + _c(node["n"])
+        elif idx.size:
+            left = x[idx, node["q"]] < node["p"]
+            stack.append((node["l"], idx[left], depth + 1))
+            stack.append((node["r"], idx[~left], depth + 1))
+    return out
 
 
 def isolation_scores(
@@ -84,9 +105,7 @@ def isolation_scores(
     for _ in range(n_trees):
         idx = rng.choice(n, size=sub, replace=False)
         tree = _fit_tree(x[idx], rng, height_limit)
-        paths += np.fromiter(
-            (_path_length(tree, x[i]) for i in range(n)), dtype=float, count=n
-        )
+        paths += _path_lengths(tree, x)
     avg_path = paths / n_trees
     return np.power(2.0, -avg_path / _c(float(sub)))
 

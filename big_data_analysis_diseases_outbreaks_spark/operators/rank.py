@@ -66,7 +66,24 @@ def _ranked_with_total(
     # prefix sum AND the grand total come out of one P x P cross join —
     # so no global window and no single-partition exchange (not even the
     # scalar-agg one) anywhere in the plan.
-    counts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("__gr_n"))
+    #
+    # Runtime tripwire: the construction assumes monotonically_increasing_id
+    # is evaluated in post-sortWithinPartitions iteration order with one
+    # contiguous id block per task (true on current Spark; an upgrade or
+    # AQE change could silently break it and produce wrong ranks, not an
+    # error). Contiguity is checkable for free on these P rows:
+    # max(local index) must equal count-1 in every partition. In-partition
+    # *order* divergence is not checkable this cheaply — that is what the
+    # DuckDB parity tests pin down (tests/test_rank.py).
+    counts = local.groupBy(_PID).agg(
+        F.count(F.lit(1)).alias("__gr_n"), F.max(_LOCAL).alias("__gr_maxl")
+    ).where(
+        F.assert_true(
+            F.col("__gr_maxl") == F.col("__gr_n") - 1,
+            "global rank: non-contiguous id block per partition — "
+            "monotonically_increasing_id evaluation order assumption broken",
+        ).isNull()
+    ).drop("__gr_maxl")
     a, b = counts.alias("__gr_a"), counts.alias("__gr_b")
     offsets = (
         a.crossJoin(b)

@@ -575,6 +575,97 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_canonical(connected_components(edges), corpus)
 
 
+# --- keep-best canonical selection: the stage after clustering — each
+# near-dup cluster keeps its highest-quality member (quality tie → min
+# doc_id), not the min-id one. The quality join is on doc_id (the
+# component assignment already shuffled by doc_id, so AQE coalesces);
+# the per-cluster argmax is one max_by aggregate — no window, no
+# re-sort of the corpus. ----------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_CORPUS_SQL},
+toks AS (
+  SELECT doc_id, lang, source, regexp_extract_all(text, '\\S+') AS t
+  FROM corpus),
+sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s)
+           - len(list_filter(a.s, x -> list_contains(b.s, x)))), 4) >= 0.3),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2 AS src, d1 AS dst FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON r.node = e.src),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(cc.component, c.doc_id) AS BIGINT) AS component,
+         {quality_score_sql('c.text')} AS quality
+  FROM corpus c LEFT JOIN cc ON c.doc_id = cc.node),
+best AS (
+  SELECT component, MIN(doc_id) AS best_id
+  FROM scored s
+  WHERE quality = (SELECT MAX(quality) FROM scored s2
+                   WHERE s2.component = s.component)
+  GROUP BY component)
+SELECT s.doc_id, s.component, s.quality,
+       CAST(s.doc_id = b.best_id AS INTEGER) AS is_kept
+FROM scored s JOIN best b ON s.component = b.component
+""".strip(),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the near-dup clusters:
+    every doc gets its component and quality score; ``is_kept=1`` marks
+    the cluster member with the highest quality (min doc_id on ties)."""
+    from ..operators.components import connected_components
+
+    corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
+    edges = exact_jaccard_pairs(corpus, min_jaccard=0.3).select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    )
+    cc = connected_components(edges).withColumnRenamed("node", "doc_id")
+    scored = (
+        corpus.select(
+            "doc_id", quality_score(F.col("text")).alias("quality")
+        )
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("component"),
+            "quality",
+        )
+    )
+    # argmax(quality, then min id): max_by over (quality, -doc_id) —
+    # one hash aggregate per component, broadcast back. The aggregate
+    # output is O(#clusters) — tiny relative to the corpus — so the
+    # broadcast join adds no shuffle of the scored table.
+    best = scored.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("best_id")
+    )
+    return scored.join(F.broadcast(best), "component").select(
+        "doc_id",
+        "component",
+        "quality",
+        (F.col("doc_id") == F.col("best_id")).cast("int").alias("is_kept"),
+    )
+
+
 # --- 16-bit SimHash, oracle-checked: every bit derives from md5 (the one
 # hash both engines share), so the whole signature is value-checkable in
 # SQL — complements the 64-bit pandas-UDF simhash_buckets above, and the

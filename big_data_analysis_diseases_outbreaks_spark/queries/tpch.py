@@ -339,9 +339,11 @@ WHERE rev_s * 1250 > (SELECT SUM(rev_s) FROM pr)
 )
 def part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    pr = (
-        li.groupBy("l_partkey").agg(F.sum(_rev_s()).alias("rev_s")).persist()
-    )
+    # No persist: the aggregate feeds both branches via ReuseExchange
+    # (identical subplans share the one shuffle), and a persist here
+    # would leak cached partitions — the query function never sees its
+    # result materialized, so it has nowhere to unpersist.
+    pr = li.groupBy("l_partkey").agg(F.sum(_rev_s()).alias("rev_s"))
     total = pr.agg(F.sum("rev_s").alias("total_s"))
     return (
         pr.crossJoin(F.broadcast(total))
@@ -381,8 +383,8 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Q15 shape: top supplier — quarterly per-supplier revenue, keep the
-# max. The aggregate is persisted; max comes off the (|suppliers|-row)
-# aggregate, not a rescan; integer equality avoids float-max ties. ---------
+# max. Max comes off the (|suppliers|-row) aggregate via a reused
+# exchange, not a rescan; integer equality avoids float-max ties. ----------
 
 
 @register(
@@ -404,7 +406,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.to_date("l_shipdate").between("1996-01-01", "1996-03-31")
     )
-    sr = li.groupBy("l_suppkey").agg(F.sum(_rev_s()).alias("rev_s")).persist()
+    # No persist (see part_revenue_share): ReuseExchange shares the
+    # aggregate's shuffle between the max branch and the probe branch.
+    sr = li.groupBy("l_suppkey").agg(F.sum(_rev_s()).alias("rev_s"))
     mx = sr.agg(F.max("rev_s").alias("max_s"))
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -485,9 +489,12 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # Broadcast the HAVING output into orders, then broadcast that
+    # (still tiny) join result into customer — customer is fact-scale
+    # at the target SF and must stay on the probe side, never hinted.
+    oj = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        c.join(F.broadcast(oj), oj.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",

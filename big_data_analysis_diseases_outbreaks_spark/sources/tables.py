@@ -50,10 +50,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ
       (the oracle, DuckDB, reads plain TIMESTAMP). ``unix_micros`` /
       ``unix_timestamp`` reject NTZ, so convert the naive wall-clock to
-      the UTC instant with the same digits — ``to_utc_timestamp(c,
-      'UTC')`` — which is session-timezone-independent (a bare
-      ``cast("timestamp")`` would silently shift under a non-UTC driver
-      session).
+      the UTC instant with the same digits via ``to_utc_timestamp(c,
+      'UTC')``. NOTE: this is NOT session-timezone-independent — Spark
+      first implicitly casts NTZ→TIMESTAMP *through the session
+      timezone*, so under e.g. America/New_York the instant would shift
+      by the tz offset. Correctness relies on ``configure_runtime``
+      pinning ``spark.sql.session.timeZone=UTC`` before this conversion
+      (asserted below); the same invariant applies to the twin branch in
+      ``streaming/pipeline.events_stream``.
 
     Other tables' timestamp columns (``o_orderdate``, ``l_shipdate``…)
     are deliberately left as the scan produced them: wrapping a scan
@@ -69,6 +73,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif name == "events" and ts_type == "timestamp_ntz":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        assert tz == "UTC", (
+            f"NTZ→instant conversion requires session tz UTC, got {tz!r} "
+            "(configure_runtime must run first)"
+        )
         df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 

@@ -75,6 +75,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
+        # Same invariant as sources/tables.load_table: NTZ→instant goes
+        # through the session tz, so this is only correct because
+        # configure_runtime pinned it to UTC above.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        assert tz == "UTC", f"NTZ conversion requires session tz UTC, got {tz!r}"
         raw = raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return raw
 
@@ -303,7 +308,7 @@ def interval_join_stream(
 
 
 def run_stream_upsert_snapshot(
-    spark: SparkSession, sf_dir: str, out_dir: str
+    spark: SparkSession, sf_dir: str, out_dir: str, keep_versions: int = 2
 ) -> str:
     """CDC-style streaming upsert sink: every micro-batch MERGEs into a
     keyed snapshot (latest event per user, event-time wins, event_id
@@ -318,42 +323,17 @@ def run_stream_upsert_snapshot(
     micro-batch after a crash converges to the same snapshot; the
     checkpoint makes reprocessing not happen at all on restart
     (tests prove both).
+
+    Old versions are pruned after each successful write (``keep_versions``
+    newest retained, min 1) — without retention a long-running stream
+    accumulates one full table copy per micro-batch, which at serving
+    scale is unbounded storage. Keeping ≥2 lets readers that resolved the
+    previous "newest" path finish their scan before it disappears.
     """
     checkpoint = os.path.join(out_dir, "_checkpoint")
 
-    def latest_per_user(df: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    def current_snapshot_path() -> str | None:
-        if not os.path.isdir(out_dir):
-            return None
-        versions = sorted(
-            (d for d in os.listdir(out_dir) if d.startswith("snapshot_v")),
-            key=lambda d: int(d.rsplit("v", 1)[1]),
-        )
-        return os.path.join(out_dir, versions[-1]) if versions else None
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        new = latest_per_user(batch_df)
-        prev = current_snapshot_path()
-        if prev is not None:
-            new = latest_per_user(
-                spark.read.parquet(prev).unionByName(new)
-            )
-        new.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"snapshot_v{batch_id}")
-        )
+        upsert_snapshot_batch(spark, out_dir, batch_df, batch_id, keep_versions)
 
     q = (
         events_stream(spark, sf_dir)
@@ -364,6 +344,61 @@ def run_stream_upsert_snapshot(
         .start()
     )
     q.awaitTermination()
-    path = current_snapshot_path()
+    path = latest_snapshot_path(out_dir)
     assert path is not None, "no micro-batch produced a snapshot"
     return path
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _snapshot_versions(out_dir: str) -> list[str]:
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        (d for d in os.listdir(out_dir) if d.startswith("snapshot_v")),
+        key=lambda d: int(d.rsplit("v", 1)[1]),
+    )
+
+
+def latest_snapshot_path(out_dir: str) -> str | None:
+    versions = _snapshot_versions(out_dir)
+    return os.path.join(out_dir, versions[-1]) if versions else None
+
+
+def upsert_snapshot_batch(
+    spark: SparkSession,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    keep_versions: int = 2,
+) -> None:
+    """One micro-batch of the CDC upsert: merge the batch into the newest
+    snapshot version, write ``snapshot_v{batch_id}``, prune old versions.
+    Module-level so tests can drive multi-batch sequences directly."""
+    import shutil
+
+    if not batch_df.take(1):
+        return
+    new = _latest_per_user(batch_df)
+    prev = latest_snapshot_path(out_dir)
+    if prev is not None:
+        new = _latest_per_user(spark.read.parquet(prev).unionByName(new))
+    new.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"snapshot_v{batch_id}")
+    )
+    # Prune only after the new version is fully written: the newest
+    # directory is always complete, so readers resolving "latest" never
+    # see a partial snapshot.
+    for d in _snapshot_versions(out_dir)[: -max(keep_versions, 1)]:
+        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)

@@ -35,6 +35,27 @@ def _with_injected_spike(wide):
     return out, (target["date"], target["region"])
 
 
+def test_iforest_vectorized_scoring_matches_scalar_walk():
+    """The mask-routed batch traversal must be bit-identical to the
+    per-row scalar walk on the same fitted trees."""
+    import numpy as np
+
+    from big_data_analysis_diseases_outbreaks_spark.ml.iforest import (
+        _fit_tree,
+        _path_length,
+        _path_lengths,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(300, 5))
+    for seed in range(5):
+        t_rng = np.random.default_rng(seed)
+        tree = _fit_tree(x[t_rng.choice(300, 256, replace=False)], t_rng, 8)
+        batch = _path_lengths(tree, x)
+        scalar = np.array([_path_length(tree, x[i]) for i in range(300)])
+        assert (batch == scalar).all()
+
+
 def test_iforest_deterministic(spark):
     wide = _wide(spark)
     a = sorted(map(tuple, iforest_by_region(wide, list(KW_VALUES)).collect()))

@@ -331,3 +331,38 @@ def test_stream_upsert_snapshot_matches_batch_and_is_idempotent(spark, tmp_path)
     snap_path2 = run_stream_upsert_snapshot(spark, SF_SMALL, out)
     assert snap_path2 == snap_path
     assert sorted(os.listdir(out)) == versions_before
+
+
+def test_stream_upsert_snapshot_prunes_old_versions(spark, tmp_path):
+    """Retention: after N micro-batches only the newest keep_versions
+    snapshot dirs remain, and the newest one is the complete merged
+    answer (not just the last batch's rows)."""
+    import os
+
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        latest_snapshot_path,
+        upsert_snapshot_batch,
+    )
+
+    out = str(tmp_path / "upsert_prune")
+    # 4 batches, overlapping users: user 1 updated every batch.
+    for batch_id in range(4):
+        batch = spark.createDataFrame(
+            [
+                (1, 100 * batch_id + 1, batch_id * 1000),
+                (batch_id + 2, 100 * batch_id + 2, batch_id * 1000 + 1),
+            ],
+            "user_id INT, event_id INT, ts LONG",
+        )
+        upsert_snapshot_batch(spark, out, batch, batch_id, keep_versions=2)
+
+    versions = sorted(d for d in os.listdir(out) if d.startswith("snapshot_v"))
+    assert versions == ["snapshot_v2", "snapshot_v3"], versions
+    latest = latest_snapshot_path(out)
+    assert latest.endswith("snapshot_v3")
+    rows = {
+        r.user_id: r.event_id for r in spark.read.parquet(latest).collect()
+    }
+    # Complete merged state: user 1 has its batch-3 event; users from
+    # pruned-batch epochs (2, 3 from batches 0-1) survive the pruning.
+    assert rows == {1: 301, 2: 2, 3: 102, 4: 202, 5: 302}, rows
