@@ -943,3 +943,168 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetition_ratio"
         ),
     )
+
+
+# --- corpus-relative token rarity (CCNet-style LM quality signal, made
+# exact): two passes over one tokenization — global unigram counts, then
+# per-doc mean corpus-frequency of its tokens. A doc whose tokens are
+# rare corpus-wide is "surprising" (high -log p under the corpus unigram
+# LM); ordering by mean frequency is the exact-integer stand-in for mean
+# log-prob — no transcendental in the compared output (logs differ in
+# the last ulp between engines; a SUM/COUNT of exact integers followed
+# by ONE division is bit-stable). Scale: the vocab aggregate is
+# map-side-partial (Zipf head combines in-mapper); the freq join back is
+# vocab-sized on the build side — AQE broadcasts it when it fits, and
+# its skew-join handles the stop-word probe skew when it doesn't. -----------
+
+
+@register(
+    "doc_token_rarity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(text, '{TOKEN_RE}'))) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.cnt) AS BIGINT) AS sum_freq,
+       CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS mean_token_freq
+FROM tok t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+""".strip(),
+)
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
+            "_t"
+        ),
+    ).select("doc_id", F.lower(F.col("_t")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_freq"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias(
+                "mean_token_freq"
+            ),
+        )
+    )
+
+
+# --- deterministic train/valid split: hash-mod bucketing on md5(doc_id)
+# — the standard reshuffle-free split (stable under corpus growth: a
+# doc's split never changes when other docs are added/removed, unlike
+# rand(seed) which depends on partition layout). The 16-bit nibble parse
+# mirrors doc_simhash16: md5 is the hash family both engines share. ---------
+
+
+@register(
+    "doc_train_split",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+           AS bucket
+  FROM documents)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CASE WHEN bucket < 90 THEN 'train' ELSE 'valid' END AS split
+FROM h
+""".strip(),
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("valid")).alias(
+            "split"
+        ),
+    )
+
+
+# --- PII scrubbing: pattern redaction + per-doc hit counts. The corpus
+# is synthetic words, so PII is planted deterministically (same concat
+# in both engines) to make the scrub observable; patterns are chosen
+# from the RE2 ∩ java.util.regex common subset. One projection — no
+# shuffle at all; at 100 TB this is the canonical map-only pass. ------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 10 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                   ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM planted
+""".strip(),
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+        .cast("int")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("scrubbed"),
+    )
