@@ -72,6 +72,8 @@ HEADLINE = [
     # round-4 additions
     "anomaly_region_map",
     "ngram_jaccard_strict",
+    "stream_left_interval_join",
+    "doc_token_rarity",
 ]
 
 

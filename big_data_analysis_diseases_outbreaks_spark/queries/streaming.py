@@ -170,3 +170,20 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join_stream(spark, sf_dir)
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# Left-outer variant: unmatched clicks emit a null-extended row only
+# once the watermark proves their match window closed (state eviction).
+# The emitted-outer set therefore depends on the FINAL watermark —
+# min(max click ts, max purchase ts) - delay, each side's watermark
+# tracking its own filtered substream — which SQL cannot express as a
+# plain join, so this is a rows-only entry; the exact emission contract
+# (matched ∪ window-closed unmatched, never a premature null) is pinned
+# by tests/test_streaming.py::test_stream_left_interval_join_contract.
+@register("stream_left_interval_join", oracle=None)
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import interval_join_stream
+
+    out = interval_join_stream(spark, sf_dir, how="left_outer")
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

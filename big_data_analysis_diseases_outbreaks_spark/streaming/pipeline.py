@@ -254,7 +254,10 @@ def run_foreach_batch_fanout(
 
 
 def interval_join_stream(
-    spark: SparkSession, sf_dir: str, max_lag: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    max_lag: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click joined to the same user's
     purchases within ``max_lag`` after it (natural extension — SURVEY.md
@@ -267,6 +270,14 @@ def interval_join_stream(
     matches are emitted as soon as both rows have arrived; on a bounded
     replay the result is exactly the batch interval join, independent of
     micro-batch boundaries.
+
+    ``how="left_outer"``: unmatched clicks additionally emit a
+    null-extended row — but only when the watermark passes the end of
+    their match window (state eviction proves no purchase can still
+    arrive), so on a bounded replay the outer rows cover exactly the
+    clicks whose window closed under the final watermark. That emission
+    contract — matched rows ∪ watermark-expired unmatched rows, never a
+    premature null — is what tests/test_streaming.py pins down.
     """
     # ONE source stream, both join sides derived from it (stream
     # self-join): a second events_stream() call would register an
@@ -298,6 +309,7 @@ def interval_join_stream(
         F.expr(
             f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL {max_lag}"
         ),
+        how,
     )
     return joined.select(
         "click_id",

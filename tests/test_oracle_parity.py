@@ -59,6 +59,27 @@ def test_approx_distinct_within_bounds(spark):
             3, 0.05 * e["n_users"]
         ), f"{t}: HLL estimate off by >5%"
         assert a["n_events"] == e["n_events"]
+    # KLL sketch rank-error bound: the approx median is an actual data
+    # value whose rank is within ±1% of 0.5 (accuracy=10000 is far
+    # tighter; ±1% keeps the assert meaningful without flaking).
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.49)").alias("lo"),
+            F.expr("percentile(value, 0.51)").alias("hi"),
+        )
+        .collect()
+    }
+    for t in exact:
+        lo, hi = bounds[t]
+        assert lo <= approx[t]["p50_approx"] <= hi, (
+            f"{t}: approx median {approx[t]['p50_approx']} outside "
+            f"exact [p49, p51] = [{lo}, {hi}]"
+        )
 
 
 def test_stratified_sample_properties(spark):

@@ -333,6 +333,67 @@ def test_stream_upsert_snapshot_matches_batch_and_is_idempotent(spark, tmp_path)
     assert sorted(os.listdir(out)) == versions_before
 
 
+def test_stream_left_interval_join_contract(spark):
+    """Left-outer stream-stream interval join emission contract on a
+    bounded replay:
+      1. every batch inner-join match is emitted exactly once;
+      2. every emitted null-extended row is genuinely unmatched;
+      3. an unmatched click emits iff its match window closed under the
+         final watermark — wm = min(max click ts, max purchase ts) - 1h,
+         each side's watermark tracking its own filtered substream (the
+         global watermark is the MIN across watermark nodes, so the
+         sparser side gates eviction). Boundary rows within the
+         watermark's ms truncation are allowed either way."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    out = all_queries()["stream_left_interval_join"].fn(spark, SF_SMALL)
+    matched = {
+        (r.click_id, r.purchase_id)
+        for r in out.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    outer = {r.click_id for r in out.where(F.col("purchase_id").isNull()).collect()}
+
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = F.expr(
+        "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 minutes"
+    )
+    batch = c.join(p, cond, "left")
+    want_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch.where(F.col("purchase_id").isNotNull()).collect()
+    }
+    unmatched = {
+        r.click_id: r.c_ts
+        for r in batch.where(F.col("purchase_id").isNull()).collect()
+    }
+    assert matched == want_matched
+    assert outer <= set(unmatched)
+
+    max_c = c.agg(F.max("c_ts")).collect()[0][0]
+    max_p = p.agg(F.max("p_ts")).collect()[0][0]
+    wm = min(max_c, max_p) - datetime.timedelta(hours=1)
+    window = datetime.timedelta(minutes=30)
+    eps = datetime.timedelta(milliseconds=1)
+    must_emit = {k for k, ts in unmatched.items() if ts + window < wm - eps}
+    may_emit = {k for k, ts in unmatched.items() if ts + window <= wm + eps}
+    assert must_emit <= outer <= may_emit
+
+
 def test_stream_upsert_snapshot_prunes_old_versions(spark, tmp_path):
     """Retention: after N micro-batches only the newest keep_versions
     snapshot dirs remain, and the newest one is the complete merged
