@@ -158,8 +158,14 @@ FROM all_docs GROUP BY 1
 )
 def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    # Construct the doubled corpus with ONE parquet scan: a self-union
+    # plans two FileScans of the text-heavy table (scan-bound at 100 TB);
+    # exploding each row into (id, id+1e6) duplicates rows post-scan.
+    doubled = docs.select(
+        F.explode(
+            F.array(F.col("doc_id"), F.col("doc_id") + 1_000_000)
+        ).alias("doc_id"),
+        "text",
     )
     return exact_dedup(doubled)
 
@@ -238,28 +244,8 @@ WHERE ROUND(CAST(inter AS DOUBLE) / uni, 4) >= 0.3
 """.strip(),
 )
 def ngram_jaccard_strict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "text"
-    )
-    words = F.split(F.col("text"), r"\s+")
-    truncated = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        "lang",
-        "source",
-        F.concat_ws(
-            " ",
-            F.slice(
-                words,
-                F.lit(1),
-                F.greatest(
-                    (F.size(words) * 0.8).cast("int"), F.lit(3)
-                ),
-            ),
-        ).alias("text"),
-    )
-    return exact_jaccard_pairs(
-        docs.unionByName(truncated), min_jaccard=0.3
-    )
+    corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
+    return exact_jaccard_pairs(corpus, min_jaccard=0.3)
 
 
 # --- MinHash-LSH near-dup (scale path; approximate → rows-only check) -----
@@ -267,24 +253,12 @@ def ngram_jaccard_strict_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Construct guaranteed near-dups: append each doc with its last ~20%
-    # of words dropped (high-Jaccard shifted copy).
-    truncated = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.split(F.col("text"), r"\s+"),
-                F.lit(1),
-                F.greatest(
-                    (F.size(F.split(F.col("text"), r"\s+")) * 0.8).cast("int"),
-                    F.lit(3),
-                ),
-            ),
-        ).alias("text"),
+    # Guaranteed near-dups: each doc plus its 80%-words prefix copy
+    # (high-Jaccard shifted id) — single-scan construction.
+    corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
+    return verified_near_duplicates(
+        corpus.select("doc_id", "text"), min_jaccard=0.3
     )
-    return verified_near_duplicates(docs.unionByName(truncated), min_jaccard=0.3)
 
 
 # --- SimHash (Arrow-vectorized pandas UDF — the sanctioned slow path) -----
@@ -508,19 +482,29 @@ corpus AS (
 def _truncated_corpus(docs: DataFrame) -> DataFrame:
     """documents + 80%-prefix copies (ids shifted by 1e6), keeping the
     (lang, source) bucket keys — the standard constructed-near-dup
-    corpus shared by the dedup queries."""
-    keep = F.greatest(
-        (F.size(F.split(F.col("text"), r"\s+")) * 0.8).cast("int"), F.lit(3)
+    corpus shared by the dedup queries.
+
+    Built with ONE scan: a self-union would plan two FileScans of the
+    text-heavy table (scan cost dominates at corpus scale); instead each
+    row explodes into its (original, truncated) struct pair post-scan."""
+    words = F.split(F.col("text"), r"\s+")
+    keep = F.greatest((F.size(words) * 0.8).cast("int"), F.lit(3))
+    trunc_text = F.concat_ws(" ", F.slice(words, F.lit(1), keep))
+    pair = F.array(
+        F.struct(
+            F.col("doc_id").alias("doc_id"), F.col("text").alias("text")
+        ),
+        F.struct(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            trunc_text.alias("text"),
+        ),
     )
-    truncated = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+    return docs.select("lang", "source", F.explode(pair).alias("p")).select(
+        F.col("p.doc_id").alias("doc_id"),
         "lang",
         "source",
-        F.concat_ws(
-            " ", F.slice(F.split(F.col("text"), r"\s+"), F.lit(1), keep)
-        ).alias("text"),
+        F.col("p.text").alias("text"),
     )
-    return docs.select("doc_id", "lang", "source", "text").unionByName(truncated)
 
 
 @register(

@@ -285,3 +285,12 @@ def test_histogram_broadcasts_extent(spark):
     plan = _plan(spark, "order_price_histogram")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_exact_single_scan(spark):
+    """The doubled corpus is built by post-scan explode, not self-union:
+    exactly ONE parquet scan of the text-heavy documents table."""
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Scan parquet") == 1, plan
+    # and the groupBy still has its map-side partial before the shuffle
+    assert "partial_min" in plan or "partial_count" in plan
