@@ -74,6 +74,7 @@ HEADLINE = [
     "ngram_jaccard_strict",
     "stream_left_interval_join",
     "doc_token_rarity",
+    "stream_cusum_changepoints",
 ]
 
 

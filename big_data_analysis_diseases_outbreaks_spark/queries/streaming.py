@@ -187,3 +187,18 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_join_stream(spark, sf_dir, how="left_outer")
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# Self-starting CUSUM change-point detection per series: accumulates
+# small persistent shifts against the running prior baseline (the
+# complementary detector to the per-day z-score). Recursive accumulator
+# → not SQL-expressible; rows-only here, bit-identical batch-twin
+# equality pinned by tests/test_streaming.py::test_stream_cusum_matches_
+# batch_twin.
+@register("stream_cusum_changepoints", oracle=None)
+def stream_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import cusum_stream
+
+    out = cusum_stream(trends_stream(spark, sf_dir))
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

@@ -79,3 +79,90 @@ def running_zscore_stream(trends: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- self-starting CUSUM change-point detector ----------------------------
+# Second arbitrary-state exemplar: where the z-score op scores each day
+# against the prior distribution, CUSUM accumulates small persistent
+# shifts (S+ = max(0, S+ + (x - mu - k*sigma)); alarm at S > h*sigma) —
+# the standard detector for slow drifts a per-day z-score never flags.
+# Baseline mu/sigma are the running prior stats from the SAME exact
+# integer sums as the z-score op; the accumulator is float but every
+# operation is replayed identically by the batch twin (one group = one
+# ordered series), so tests assert bit-equality, not approximation.
+
+CUSUM_OUTPUT_SCHEMA = (
+    "region STRING, kw STRING, date DATE, value DOUBLE, "
+    "cusum_pos DOUBLE, cusum_neg DOUBLE, is_change INT, n_prior BIGINT"
+)
+CUSUM_STATE_SCHEMA = (
+    "n BIGINT, s1 BIGINT, s2 BIGINT, cp DOUBLE, cn DOUBLE"
+)
+CUSUM_K = 0.5  # slack, in prior-sigma units
+CUSUM_H = 4.0  # alarm threshold, in prior-sigma units
+CUSUM_MIN_PRIOR = 5  # no alarms before the baseline has 5 days
+
+
+def cusum_step(n, s1, s2, cp, cn, sv):
+    """One CUSUM update on the scaled daily value ``sv`` (int). Shared by
+    the streaming operator and the batch/test twin so both run the exact
+    same float ops in the same order → bit-identical outputs."""
+    v = sv / float(SCALE)
+    is_change = 0
+    if n >= CUSUM_MIN_PRIOR:
+        s1f, s2f = float(s1), float(s2)
+        mu = s1f / (n * float(SCALE))
+        var = (s2f - s1f * s1f / n) / (n - 1)
+        sigma = math.sqrt(max(var, 0.0)) / float(SCALE)
+        if sigma != 0.0:
+            cp = max(0.0, cp + (v - mu - CUSUM_K * sigma) / sigma)
+            cn = max(0.0, cn + (mu - v - CUSUM_K * sigma) / sigma)
+            if cp > CUSUM_H or cn > CUSUM_H:
+                is_change = 1
+                cp, cn = 0.0, 0.0  # restart after alarm
+    return v, cp, cn, is_change
+
+
+def _cusum(key, pdf_iter, state):
+    import numpy as np
+
+    region, kw = key
+    frames = [p for p in pdf_iter]
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    days = pdf["datetime"].dt.normalize()
+    vs = np.rint(pdf["value"].to_numpy() * SCALE).astype("int64")
+    daily = (
+        pd.DataFrame({"d": days, "sv": vs}).groupby("d", sort=True)["sv"].sum()
+    )
+    n, s1, s2, cp, cn = (
+        state.get if state.exists else (0, 0, 0, 0.0, 0.0)
+    )
+    rows = []
+    for d, sv in daily.items():
+        sv = int(sv)
+        v, cp, cn, is_change = cusum_step(n, s1, s2, cp, cn, sv)
+        rows.append((region, kw, d.date(), v, cp, cn, is_change, n))
+        n += 1
+        s1 += sv
+        s2 += sv * sv
+    state.update((n, s1, s2, cp, cn))
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "region", "kw", "date", "value",
+            "cusum_pos", "cusum_neg", "is_change", "n_prior",
+        ],
+    )
+
+
+def cusum_stream(trends: DataFrame) -> DataFrame:
+    """(datetime, kw, region, value) stream → stateful CUSUM change flags."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return trends.groupBy("region", "kw").applyInPandasWithState(
+        _cusum,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -333,6 +333,74 @@ def test_stream_upsert_snapshot_matches_batch_and_is_idempotent(spark, tmp_path)
     assert sorted(os.listdir(out)) == versions_before
 
 
+def test_stream_cusum_matches_batch_twin(spark):
+    """The stateful CUSUM stream must be bit-identical to a serial replay
+    of the shared cusum_step over each series' ordered daily values —
+    same float ops in the same order, so exact equality, not tolerance."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.detrend import (
+        daily_aggregate,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming.stateful import (
+        SCALE,
+        cusum_step,
+        cusum_stream,
+    )
+
+    out = cusum_stream(trends_stream(spark, SF_SMALL))
+    name, _ = run_to_memory(out, output_mode="append")
+    cols = [
+        "region", "kw", "date", "value",
+        "cusum_pos", "cusum_neg", "is_change", "n_prior",
+    ]
+    stream_rows = _sorted_rows(spark.table(name), cols)
+
+    daily = daily_aggregate(trends_view(spark, SF_SMALL)).collect()
+    series: dict[tuple, list] = {}
+    for r in daily:
+        series.setdefault((r.region, r.kw), []).append((r.date, r.value))
+    expected = []
+    for (region, kw), days in series.items():
+        n, s1, s2, cp, cn = 0, 0, 0, 0.0, 0.0
+        for d, value in sorted(days):
+            sv = int(round(value * SCALE))
+            v, cp, cn, is_change = cusum_step(n, s1, s2, cp, cn, sv)
+            expected.append((region, kw, d, v, cp, cn, is_change, n))
+            n += 1
+            s1 += sv
+            s2 += sv * sv
+    assert stream_rows == sorted(expected)
+    assert len(stream_rows) > 0
+
+
+def test_cusum_detects_injected_drift():
+    """Sensitivity: a +1.5-sigma sustained shift (too small for a |z|>2
+    per-day rule to flag reliably) must raise a CUSUM alarm within a few
+    days of onset; a stable series must stay silent."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.stateful import (
+        SCALE,
+        cusum_step,
+    )
+
+    # stable baseline: alternating 10.0 / 12.0 (mean 11, sigma ~1)
+    base = [10.0, 12.0] * 15
+    drifted = base + [12.5] * 10  # +1.5 sigma sustained
+    for series, expect_alarm in [(base, False), (drifted, True)]:
+        n, s1, s2, cp, cn = 0, 0, 0, 0.0, 0.0
+        alarms = []
+        for i, value in enumerate(series):
+            sv = int(round(value * SCALE))
+            _, cp, cn, is_change = cusum_step(n, s1, s2, cp, cn, sv)
+            if is_change:
+                alarms.append(i)
+            n += 1
+            s1 += sv
+            s2 += sv * sv
+        if expect_alarm:
+            assert alarms and alarms[0] >= len(base), alarms
+        else:
+            assert not alarms, alarms
+
+
 def test_stream_left_interval_join_contract(spark):
     """Left-outer stream-stream interval join emission contract on a
     bounded replay:
