@@ -95,3 +95,36 @@ def test_block_decomposed_pairs_equal_plain(spark):
     p = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, blocked.collect()))
     assert p == b and len(p) > 0
+
+
+def test_dedup_operators_degenerate_inputs(spark):
+    """Empty and single-doc corpora must flow through every dedup path
+    without error (empty aggregates, empty bucket joins, empty edges)."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.components import (
+        connected_components,
+        dedup_cluster_canonical,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.operators.dedup import (
+        exact_dedup,
+        exact_jaccard_pairs,
+        verified_near_duplicates,
+    )
+
+    schema = "doc_id LONG, lang STRING, source STRING, text STRING"
+    empty = spark.createDataFrame([], schema)
+    assert exact_dedup(empty).count() == 0
+    assert exact_jaccard_pairs(empty, min_jaccard=0.3).count() == 0
+    assert verified_near_duplicates(empty, min_jaccard=0.3).count() == 0
+
+    one = spark.createDataFrame(
+        [(1, "en", "s", "alpha beta gamma delta")], schema
+    )
+    got = exact_dedup(one).collect()
+    assert len(got) == 1 and got[0].n_copies == 1
+    assert exact_jaccard_pairs(one, min_jaccard=0.3).count() == 0
+
+    no_edges = spark.createDataFrame([], "src LONG, dst LONG")
+    cc = connected_components(no_edges)
+    assert cc.count() == 0
+    canon = dedup_cluster_canonical(cc, one).collect()
+    assert len(canon) == 1 and canon[0].is_canonical == 1

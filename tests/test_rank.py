@@ -108,3 +108,30 @@ def test_sequence_pack_has_no_single_partition_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_global_rank_degenerate_inputs(spark):
+    """Edge shapes a petabyte run will hit in some partition: empty
+    input, a single row, and fewer rows than shuffle partitions (most
+    range partitions empty)."""
+    empty = spark.createDataFrame([], "k LONG, v LONG")
+    assert with_global_rank(empty, ["k"]).count() == 0
+    assert with_global_ntile(empty, ["k"], 4).count() == 0
+
+    one = spark.createDataFrame([(7, 1)], "k LONG, v LONG")
+    row = with_global_rank(one, ["k"]).collect()[0]
+    assert row.global_rank == 1
+    trow = with_global_ntile(one, ["k"], 4).collect()[0]
+    assert trow.tile == 1
+
+    # 5 rows through 32 shuffle partitions: most partitions hold nothing
+    few = spark.createDataFrame([(i, i) for i in (3, 1, 4, 1, 5)][:5],
+                                "k LONG, v LONG").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    got = sorted(
+        (r.k, r.global_rank)
+        for r in with_global_rank(few, ["k", "uid"]).collect()
+    )
+    assert [g for _, g in got] == [1, 2, 3, 4, 5]
+    assert [k for k, _ in got] == [1, 1, 3, 4, 5]
