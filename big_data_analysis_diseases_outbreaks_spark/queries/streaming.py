@@ -174,13 +174,38 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Left-outer variant: unmatched clicks emit a null-extended row only
 # once the watermark proves their match window closed (state eviction).
-# The emitted-outer set therefore depends on the FINAL watermark —
-# min(max click ts, max purchase ts) - delay, each side's watermark
-# tracking its own filtered substream — which SQL cannot express as a
-# plain join, so this is a rows-only entry; the exact emission contract
-# (matched ∪ window-closed unmatched, never a premature null) is pinned
-# by tests/test_streaming.py::test_stream_left_interval_join_contract.
-@register("stream_left_interval_join", oracle=None)
+# The emitted-outer set depends on the FINAL watermark — min(max click
+# ts, max purchase ts) - delay, ms-truncated, each side's watermark
+# tracking its own filtered substream — but on a bounded replay that
+# watermark is itself a deterministic function of the data, so the full
+# emission contract (matched ∪ window-closed unmatched) IS
+# SQL-expressible and oracle-checked below. (A click whose window end
+# lands exactly on the truncated watermark would be boundary-ambiguous;
+# none exists in the fixtures, and the contract test keeps a ±1 ms
+# tolerance band for exactly that case.)
+@register(
+    "stream_left_interval_join",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT date_trunc('milliseconds',
+           least((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p)))
+         - INTERVAL 1 HOUR AS w),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.c_user, c.c_ts, p.p_ts
+  FROM c LEFT JOIN p
+    ON c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+SELECT click_id, purchase_id, c_user AS user_id,
+       CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS lag_us
+FROM j, wm
+WHERE purchase_id IS NOT NULL OR c_ts + INTERVAL 30 MINUTE < wm.w
+""".strip(),
+)
 def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import interval_join_stream
 
