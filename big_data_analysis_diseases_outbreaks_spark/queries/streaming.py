@@ -216,11 +216,63 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Self-starting CUSUM change-point detection per series: accumulates
 # small persistent shifts against the running prior baseline (the
-# complementary detector to the per-day z-score). Recursive accumulator
-# → not SQL-expressible; rows-only here, bit-identical batch-twin
-# equality pinned by tests/test_streaming.py::test_stream_cusum_matches_
-# batch_twin.
-@register("stream_cusum_changepoints", oracle=None)
+# complementary detector to the per-day z-score). The recursive
+# accumulator is expressed as a DuckDB recursive CTE that replays the
+# exact float ops of stateful.cusum_step (prior stats from the same
+# integer window sums; every literal cast to DOUBLE so no DECIMAL
+# arithmetic sneaks in) — the oracle is bit-identical, not approximate.
+# tests/test_streaming.py additionally pins stream ≡ serial batch twin
+# and injected-drift sensitivity.
+@register(
+    "stream_cusum_changepoints",
+    oracle=f"""
+WITH RECURSIVE {TRENDS_ORACLE_CTE},
+{DAILY_CTE},
+scaled AS (
+  SELECT region, kw, date,
+         CAST(ROUND(value * 100) AS BIGINT) AS sv,
+         CAST(ROW_NUMBER() OVER (PARTITION BY region, kw ORDER BY date) AS BIGINT) AS rn
+  FROM daily),
+pre AS (
+  SELECT region, kw, date, rn,
+         CAST(sv AS DOUBLE) / 100.0 AS v,
+         rn - 1 AS n_prior,
+         CAST(SUM(sv) OVER wp AS DOUBLE) AS s1f,
+         CAST(SUM(sv * sv) OVER wp AS DOUBLE) AS s2f
+  FROM scaled
+  WINDOW wp AS (PARTITION BY region, kw ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+params AS (
+  SELECT region, kw, date, rn, v, n_prior,
+         CASE WHEN n_prior >= 5 THEN s1f / (CAST(n_prior AS DOUBLE) * 100.0) END AS mu,
+         CASE WHEN n_prior >= 5 THEN
+           SQRT(GREATEST((s2f - s1f * s1f / n_prior) / (n_prior - 1), CAST(0.0 AS DOUBLE))) / 100.0
+         END AS sigma
+  FROM pre),
+rec(region, kw, rn, date, v, n_prior, cp, cn, is_change) AS (
+  SELECT region, kw, CAST(0 AS BIGINT), CAST(NULL AS DATE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0
+  FROM (SELECT DISTINCT region, kw FROM daily)
+  UNION ALL
+  SELECT region, kw, rn, date, v, n_prior,
+         CASE WHEN NOT app THEN cp0 WHEN chg THEN CAST(0.0 AS DOUBLE) ELSE cpr END,
+         CASE WHEN NOT app THEN cn0 WHEN chg THEN CAST(0.0 AS DOUBLE) ELSE cnr END,
+         CAST(chg AS INTEGER)
+  FROM (
+    SELECT t.*, (app AND (cpr > 4.0 OR cnr > 4.0)) AS chg
+    FROM (
+      SELECT p.region, p.kw, p.rn, p.date, p.v, p.n_prior,
+             r.cp AS cp0, r.cn AS cn0,
+             (p.mu IS NOT NULL AND p.sigma <> 0.0) AS app,
+             GREATEST(CAST(0.0 AS DOUBLE), r.cp + (p.v - p.mu - 0.5 * p.sigma) / p.sigma) AS cpr,
+             GREATEST(CAST(0.0 AS DOUBLE), r.cn + (p.mu - p.v - 0.5 * p.sigma) / p.sigma) AS cnr
+      FROM rec r JOIN params p
+        ON p.region = r.region AND p.kw = r.kw AND p.rn = r.rn + 1) t) t2)
+SELECT region, kw, date, v AS value, cp AS cusum_pos, cn AS cusum_neg,
+       is_change, n_prior
+FROM rec WHERE rn >= 1
+""".strip(),
+)
 def stream_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import cusum_stream
 
