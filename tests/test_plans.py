@@ -294,3 +294,20 @@ def test_dedup_exact_single_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     # and the groupBy still has its map-side partial before the shuffle
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_doc_train_split_prunes_text_column(spark):
+    """The split is a pure doc_id hash — the scan must not read the wide
+    text column (at corpus scale that's the difference between scanning
+    8 bytes/row and the whole table)."""
+    plan = _plan(spark, "doc_train_split")
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m, "no ReadSchema in plan"
+    assert "doc_id" in m.group(1)
+    assert "text" not in m.group(1), m.group(1)
+
+
+def test_doc_pii_scrub_is_map_only(spark):
+    """Redaction is a projection: no exchange anywhere in the plan."""
+    plan = _plan(spark, "doc_pii_scrub")
+    assert "Exchange" not in plan, plan
