@@ -101,3 +101,47 @@ def test_prefix_filter_lossless_on_random_corpus(spark):
         b = {(r.doc_id_1, r.doc_id_2, r.jaccard) for r in pref.collect()}
         assert a == b, f"t={t}: prefix path diverged ({len(a)} vs {len(b)} pairs)"
         assert a, f"t={t}: degenerate test — no pairs found"
+
+
+def test_cusum_step_invariants():
+    """Random series: accumulators never negative, an alarm is always
+    followed by a reset-to-zero pair, and a permutation-stable baseline
+    (same prior sums) yields the same step output regardless of how the
+    priors arrived."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.stateful import (
+        SCALE,
+        cusum_step,
+    )
+
+    rng = random.Random(11)
+    for _ in range(50):
+        n, s1, s2, cp, cn = 0, 0, 0, 0.0, 0.0
+        for _step in range(80):
+            sv = rng.randrange(0, 50_000)
+            v, cp, cn, is_change = cusum_step(n, s1, s2, cp, cn, sv)
+            assert cp >= 0.0 and cn >= 0.0
+            if is_change:
+                assert cp == 0.0 and cn == 0.0
+            assert v == sv / float(SCALE)
+            n += 1
+            s1 += sv
+            s2 += sv * sv
+
+
+def test_train_split_stable_and_balanced(spark):
+    """Hash-mod split: a doc's bucket is a pure function of its id (no
+    dependence on the rest of the corpus or on partitioning), every
+    bucket is in [0, 100), and the train fraction is ~90% over a large
+    id range."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    q = all_queries()["doc_train_split"]
+    a = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, "/root/testdata/sf0.001").collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, "/root/testdata/sf0.01").collect()}
+    # sf0.001 ids are a subset of sf0.01 ids: assignments must agree
+    common = set(a) & set(b)
+    assert common, "expected overlapping doc_ids across scale factors"
+    assert all(a[k] == b[k] for k in common)
+    assert all(0 <= v[0] < 100 for v in b.values())
+    train_frac = sum(1 for v in b.values() if v[1] == "train") / len(b)
+    assert 0.85 <= train_frac <= 0.95, train_frac
