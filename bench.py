@@ -75,6 +75,7 @@ HEADLINE = [
     "stream_left_interval_join",
     "doc_token_rarity",
     "stream_cusum_changepoints",
+    "training_data_pipeline",
 ]
 
 

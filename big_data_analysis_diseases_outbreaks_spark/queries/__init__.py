@@ -78,7 +78,7 @@ _PRIORITY: list[str] = [
     "contamination_8gram_overlap",
     "doc_sequence_pack",
     "doc_repetition_ratio",
-    "doc_chunking",
+    "training_data_pipeline",
     # TPC-H decision-support core
     "tpch_q1_pricing",
     "local_supplier_revenue",

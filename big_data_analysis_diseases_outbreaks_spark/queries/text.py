@@ -1092,3 +1092,97 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("scrubbed"),
     )
+
+
+# --- the composed training-data pipeline: dedup → quality gate → split
+# → sequence packing, ONE declarative plan. Each stage exists as its own
+# oracle-checked query above; this entry proves the engine runs the
+# whole pipeline end-to-end without materialization barriers — Catalyst
+# sees every stage at once, so the quality/split filters run in the same
+# scan-side stage as fingerprinting, and only survivors reach the
+# packing shuffle. Plan cost: one fp shuffle (dedup window) + the
+# range+offset shuffles of the distributed running sum; all filters are
+# scan-side. Thresholds compare ROUND(…,4) values that hash-match across
+# engines, so the gate admits identical sets.
+
+_PIPE_QUALITY_MIN = 0.4
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+canon AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM fp)
+  WHERE doc_id = keep_id),
+gated AS (
+  SELECT doc_id, {quality_score_sql('text')} AS quality,
+         CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+           AS INTEGER) AS bucket,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM canon),
+train AS (
+  SELECT * FROM gated WHERE quality >= {_PIPE_QUALITY_MIN} AND bucket < 90),
+packed AS (
+  SELECT doc_id, quality, bucket, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM train)
+SELECT doc_id, quality, bucket, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
+       (cum_tokens - n_tokens) % {_PACK_BUDGET} AS bin_offset
+FROM packed
+""".strip(),
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keep = F.min("doc_id").over(
+        Window.partitionBy(fingerprint(F.col("text")))
+    )
+    canon = (
+        docs.withColumn("_keep", keep)
+        .where(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    train = canon.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        bucket.alias("bucket"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).where(
+        (F.col("quality") >= _PIPE_QUALITY_MIN) & (F.col("bucket") < 90)
+    )
+    packed = with_global_running_sum(
+        train, ["doc_id"], "n_tokens", "cum_tokens"
+    )
+    before = F.col("cum_tokens") - F.col("n_tokens")
+    return packed.select(
+        "doc_id",
+        "quality",
+        "bucket",
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
+        (before % _PACK_BUDGET).cast("long").alias("bin_offset"),
+    )
