@@ -86,6 +86,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view (with the same
+    physical-type normalization as :func:`load_table`) so users can
+    ``spark.sql(...)`` over the catalog directly — the engine's ad-hoc
+    SQL entry point. Returns the view names."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return list(TABLE_NAMES)
+
+
 def trends_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project ``events`` into the reference's raw-trends shape.
 

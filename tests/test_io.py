@@ -282,3 +282,29 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v1", "v2"}
     assert merged.where(F.col("v2").isNull()).count() == 3
     assert merged.where(F.col("v2") == 9).count() == 2
+
+
+def test_register_tables_sql_entry_point(spark):
+    """register_tables exposes every testdata table as a temp view with
+    normalized types — ad-hoc spark.sql over the catalog must agree with
+    the DataFrame loader, including instant semantics on events.ts."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+        register_tables,
+    )
+
+    names = register_tables(spark, SF_SMALL)
+    assert set(names) == set(TABLE_NAMES)
+    for name in names:
+        assert spark.sql(f"SELECT COUNT(*) AS n FROM {name}").collect()[0].n \
+            == load_table(spark, SF_SMALL, name).count()
+    got = spark.sql(
+        "SELECT CAST(MIN(unix_micros(ts)) AS BIGINT) AS lo FROM events"
+    ).collect()[0].lo
+    want = (
+        load_table(spark, SF_SMALL, "events")
+        .selectExpr("CAST(MIN(unix_micros(ts)) AS BIGINT) AS lo")
+        .collect()[0].lo
+    )
+    assert got == want
