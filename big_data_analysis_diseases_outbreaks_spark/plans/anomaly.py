@@ -83,6 +83,22 @@ def anomaly_region_map_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_region_map(trends_view(spark, sf_dir))
 
 
+# The reference's second published artifact (README anim_2020.gif) is a
+# time SERIES of choropleths: per (date, region) total |z|. Same scoring
+# plan, grouped by (date, region) instead of region-over-a-window.
+def anomaly_map_series(trends: DataFrame) -> DataFrame:
+    """(date, region, total_score) — the animation-frame feed."""
+    return (
+        anomaly_scores(trends)
+        .groupBy("date", "region")
+        .agg(F.round(F.sum(F.abs(F.col("z"))), ROUND_DP).alias("total_score"))
+    )
+
+
+def anomaly_map_series_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return anomaly_map_series(trends_view(spark, sf_dir))
+
+
 ANOMALY_ORACLE_SQL = f"""
 WITH {TRENDS_ORACLE_CTE},
 {DAILY_CTE},
@@ -113,4 +129,11 @@ SELECT region, ROUND(SUM(ABS(z)), 4) AS total_score
 FROM scored
 WHERE date BETWEEN '{MAP_DATE_LO}' AND '{MAP_DATE_HI}'
 GROUP BY region
+""".strip()
+
+ANOMALY_MAP_SERIES_ORACLE_SQL = f"""
+WITH scored AS ({ANOMALY_ORACLE_SQL})
+SELECT date, region, ROUND(SUM(ABS(z)), 4) AS total_score
+FROM scored
+GROUP BY date, region
 """.strip()

@@ -28,7 +28,9 @@ from ..operators.detrend import (
 from ..operators.pivot import KW_VALUES, pivot_wide, pivot_wide_sql
 from ..plans.anomaly import (
     ANOMALY_MAP_ORACLE_SQL,
+    ANOMALY_MAP_SERIES_ORACLE_SQL,
     ANOMALY_ORACLE_SQL,
+    anomaly_map_series_query,
     anomaly_query,
     anomaly_region_map_query,
 )
@@ -78,6 +80,15 @@ register("anomaly_zscore", oracle=ANOMALY_ORACLE_SQL)(anomaly_query)
 
 register("anomaly_region_map", oracle=ANOMALY_MAP_ORACLE_SQL)(
     anomaly_region_map_query
+)
+
+
+# --- animation-frame feed: per (date, region) total |z| (the reference's
+# anim_2020.gif artifact shape) --------------------------------------------
+
+
+register("anomaly_map_series", oracle=ANOMALY_MAP_SERIES_ORACLE_SQL)(
+    anomaly_map_series_query
 )
 
 
