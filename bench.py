@@ -160,7 +160,11 @@ def main() -> None:
             # later queries (and so every rep pays the full lineage).
             spark.catalog.clearCache()
             if once < 0:
-                dt = once
+                # Keep an earlier successful rep's best; only record a
+                # failure when NO rep succeeded. Stop either way — more
+                # reps of a failing query just burn wall-clock.
+                if dt is None:
+                    dt = once
                 break
             dt = once if dt is None else min(dt, once)
         timings[name] = dt

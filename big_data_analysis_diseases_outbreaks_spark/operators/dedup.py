@@ -176,15 +176,20 @@ def _prefix_filtered_pairs(
         docs.sparkSession.sparkContext.defaultParallelism
     )
     # Consumed three times (prefix explode + both verification sides);
-    # persist beats triple recompute here because the verification join
-    # re-keys by doc_id — unlike the bucket join, no single upstream
-    # partitioning serves all consumers.
+    # materialization beats triple recompute here because the
+    # verification join re-keys by doc_id — unlike the bucket join, no
+    # single upstream partitioning serves all consumers. localCheckpoint
+    # (not persist): a query function never sees its result
+    # materialized, so a persist here could never be unpersisted and
+    # would pin a corpus-sized cache entry per invocation; checkpoint
+    # blocks are freed when the result DataFrame is garbage-collected
+    # (same convention as operators/components.py).
     shingled = (
         with_hashed_shingles(spread, text_col, out="shh")
         .drop(text_col)
         .withColumn("shh", F.array_sort("shh"))
         .withColumn("sz", F.size("shh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(min_jaccard)) + 1

@@ -62,6 +62,8 @@ _PRIORITY: list[str] = [
     "stream_session_agg",
     "stream_dedup_events",
     "stream_interval_join",
+    "stream_left_interval_join",
+    "stream_cusum_changepoints",
     # LLM-pipeline: dedup + text analysis
     "dedup_exact",
     "ngram_jaccard_pairs",
@@ -69,11 +71,9 @@ _PRIORITY: list[str] = [
     "dedup_components",
     "doc_simhash16",
     "doc_token_count",
-    "doc_bpe_token_count",
     "doc_quality_score",
     "doc_lang_id",
     "doc_fingerprint",
-    "token_frequencies",
     "tfidf_top_terms",
     "contamination_8gram_overlap",
     "doc_sequence_pack",

@@ -486,8 +486,12 @@ def _truncated_corpus(docs: DataFrame) -> DataFrame:
 
     Built with ONE scan: a self-union would plan two FileScans of the
     text-heavy table (scan cost dominates at corpus scale); instead each
-    row explodes into its (original, truncated) struct pair post-scan."""
-    words = F.split(F.col("text"), r"\s+")
+    row explodes into its (original, truncated) struct pair post-scan.
+
+    Tokenized with the SAME '\\S+' extraction the oracles use — a
+    split('\\s+') here would keep empty tokens for leading/trailing
+    whitespace and truncate one real word short of the oracle."""
+    words = tokens(F.col("text"))
     keep = F.greatest((F.size(words) * 0.8).cast("int"), F.lit(3))
     trunc_text = F.concat_ws(" ", F.slice(words, F.lit(1), keep))
     pair = F.array(
@@ -634,15 +638,17 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # argmax(quality, then min id): max_by over (quality, -doc_id) —
-    # one hash aggregate per component, broadcast back. The aggregate
-    # output is O(#clusters) — tiny relative to the corpus — so the
-    # broadcast join adds no shuffle of the scored table.
+    # one hash aggregate per component. NOTE: every doc belongs to a
+    # component (singletons included), so `best` is O(corpus), NOT
+    # O(#dup-clusters) — it must never be broadcast-hinted. The join
+    # shuffles both sides by component; scored is already partitioned by
+    # component from the aggregate's exchange, so Catalyst reuses it.
     best = scored.groupBy("component").agg(
         F.max_by(
             "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
         ).alias("best_id")
     )
-    return scored.join(F.broadcast(best), "component").select(
+    return scored.join(best, "component").select(
         "doc_id",
         "component",
         "quality",

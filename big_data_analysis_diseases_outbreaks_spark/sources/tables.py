@@ -74,10 +74,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif name == "events" and ts_type == "timestamp_ntz":
         tz = spark.conf.get("spark.sql.session.timeZone")
-        assert tz == "UTC", (
-            f"NTZ→instant conversion requires session tz UTC, got {tz!r} "
-            "(configure_runtime must run first)"
-        )
+        if tz != "UTC":  # real exception, not assert: survives python -O
+            raise RuntimeError(
+                f"NTZ→instant conversion requires session tz UTC, got {tz!r} "
+                "(configure_runtime above should have pinned it)"
+            )
         df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 

@@ -79,7 +79,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # through the session tz, so this is only correct because
         # configure_runtime pinned it to UTC above.
         tz = spark.conf.get("spark.sql.session.timeZone")
-        assert tz == "UTC", f"NTZ conversion requires session tz UTC, got {tz!r}"
+        if tz != "UTC":  # real exception, not assert: survives python -O
+            raise RuntimeError(
+                f"NTZ conversion requires session tz UTC, got {tz!r}"
+            )
         raw = raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return raw
 

@@ -135,9 +135,11 @@ def test_train_split_stable_and_balanced(spark):
     id range."""
     from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
 
+    from .conftest import SF_ORACLE, SF_SMALL
+
     q = all_queries()["doc_train_split"]
-    a = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, "/root/testdata/sf0.001").collect()}
-    b = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, "/root/testdata/sf0.01").collect()}
+    a = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, SF_SMALL).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in q.fn(spark, SF_ORACLE).collect()}
     # sf0.001 ids are a subset of sf0.01 ids: assignments must agree
     common = set(a) & set(b)
     assert common, "expected overlapping doc_ids across scale factors"
