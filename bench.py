@@ -76,6 +76,7 @@ HEADLINE = [
     "doc_token_rarity",
     "stream_cusum_changepoints",
     "training_data_pipeline",
+    "stream_static_enriched_agg",
 ]
 
 

@@ -172,6 +172,55 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Stream-static join: the unbounded event stream enriched against a
+# static dimension (customer market segment) BEFORE the stateful agg —
+# the standard serving-layer pattern (stream facts, broadcast dims). The
+# static side needs no watermark and no state: Spark broadcasts it into
+# every micro-batch. Complete-mode bounded replay ≡ the batch join+agg,
+# so it gets a full value oracle; sums are exact scaled integers with
+# one final division.
+@register(
+    "stream_static_enriched_agg",
+    oracle="""
+SELECT CAST(date_trunc('day', e.ts) AS DATE) AS date,
+       c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""".strip(),
+)
+def stream_static_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = (
+        joined.groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_vs"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("date"),
+            "segment",
+            "n_events",
+            (F.col("_vs").cast("double") / 100.0).alias("value_sum"),
+        )
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
 # Left-outer variant: unmatched clicks emit a null-extended row only
 # once the watermark proves their match window closed (state eviction).
 # The emitted-outer set depends on the FINAL watermark — min(max click
