@@ -77,6 +77,7 @@ HEADLINE = [
     "stream_cusum_changepoints",
     "training_data_pipeline",
     "stream_static_enriched_agg",
+    "ann_ivf_pq_topk",
 ]
 
 

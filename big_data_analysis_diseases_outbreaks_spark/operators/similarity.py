@@ -307,3 +307,175 @@ def lsh_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= min_cosine)
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    n_refine: int = 32,
+    fit_sample: int = 10_000,
+) -> DataFrame:
+    """FAISS-style IVF-PQ with asymmetric-distance scoring and exact
+    refinement, expressed as DataFrame ops.
+
+    Layout: the coarse KMeans(seed=1) codebook routes every candidate to
+    a cell (as :func:`ivf_topk`); each candidate's RESIDUAL from its
+    cell centroid is product-quantized into ``m_sub`` sub-codes from
+    per-subspace codebooks — at scale the corpus is stored as
+    (cell, m_sub bytes) instead of full vectors. Scoring is ADC:
+    per (query, probed cell) a lookup table of query-residual-to-code
+    distances is built ONCE and candidates are scored by m_sub table
+    gathers (one `applyInPandas` group per (query, cell) — the shuffle
+    key is the probe pair, never all-pairs). The approximate top
+    ``n_refine`` per query are exactly re-scored with full-precision
+    cosine (the tiny refine set broadcasts back onto the corpus by id).
+
+    Both codebook fits run on bounded samples (`limit()`), matching the
+    IVF fit protocol — at 100 TB you never K-means the full corpus; the
+    per-subspace Lloyd iterations are seeded and deterministic.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_input = (
+        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
+        .limit(100_000)
+        .coalesce(1)
+    )
+    coarse = KMeans(
+        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
+    ).fit(fit_input)
+    C = np.array([[float(x) for x in c] for c in coarse.clusterCenters()])
+    c_norm2 = (C * C).sum(axis=1)
+    d = C.shape[1]
+    assert d % m_sub == 0, f"dim {d} not divisible into {m_sub} subspaces"
+    sub_d = d // m_sub
+
+    # PQ codebooks on coarse residuals of a bounded sample (driver-side
+    # numpy Lloyd, seeded + fixed iteration count → deterministic).
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in candidates.select(emb_col).limit(fit_sample).collect()
+        ]
+    )
+    s_cell = np.argmin(c_norm2 - 2.0 * (sample @ C.T), axis=1)
+    resid = sample - C[s_cell]
+    rng = np.random.default_rng(1)
+    books = np.zeros((m_sub, n_codes, sub_d))
+    for m in range(m_sub):
+        X = resid[:, m * sub_d : (m + 1) * sub_d]
+        cent = X[rng.choice(len(X), size=n_codes, replace=False)].copy()
+        for _ in range(10):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            asg = np.argmin(d2, axis=1)
+            for j in range(n_codes):
+                pts = X[asg == j]
+                if len(pts):
+                    cent[j] = pts.mean(axis=0)
+        books[m] = cent
+
+    # No type hints: hint inference rejects the Series -> DataFrame
+    # (struct-returning) shape; the returnType string governs instead.
+    @F.pandas_udf("cell INT, codes ARRAY<INT>")
+    def encode(embs):
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        cell = np.argmin(c_norm2 - 2.0 * (X @ C.T), axis=1)
+        R = X - C[cell]
+        codes = np.zeros((len(X), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            Xm = R[:, m * sub_d : (m + 1) * sub_d]
+            bm = books[m]
+            codes[:, m] = np.argmin(
+                (bm * bm).sum(axis=1)[None, :] - 2.0 * (Xm @ bm.T), axis=1
+            )
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "codes": list(codes)}
+        )
+
+    @F.pandas_udf("ARRAY<INT>")
+    def cell_ranks(embs):
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        scores = c_norm2 - 2.0 * (X @ C.T)
+        return pd.Series(
+            list(np.argsort(scores, axis=1, kind="stable").astype(np.int32))
+        )
+
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"), F.col(emb_col).alias("c_emb")
+    ).withColumn("_enc", encode(F.col("c_emb"))).select(
+        "cand_id", F.col("_enc.cell").alias("cell"), F.col("_enc.codes").alias("codes")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(
+            F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
+        ).alias("cell"),
+    )
+
+    def adc_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qe = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        cell = int(pdf["cell"].iloc[0])
+        r = qe - C[cell]
+        lut = np.zeros((m_sub, n_codes))
+        for m in range(m_sub):
+            rm = r[m * sub_d : (m + 1) * sub_d]
+            lut[m] = ((books[m] - rm[None, :]) ** 2).sum(axis=1)
+        codes = np.stack(pdf["codes"].to_numpy())
+        approx = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "cand_id": pdf["cand_id"].to_numpy(),
+                "approx_d2": approx,
+            }
+        )
+
+    joined = F.broadcast(q).join(c, on="cell").where(
+        F.col("query_id") != F.col("cand_id")
+    )
+    approx = joined.groupBy("query_id", "cell").applyInPandas(
+        adc_score, "query_id LONG, cand_id LONG, approx_d2 DOUBLE"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("cand_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(wa))
+        .where(F.col("_r") <= n_refine)
+        .select("query_id", "cand_id")
+    )
+    # Exact refinement: the shortlist is tiny (|queries| × n_refine) —
+    # broadcast it onto both embedding lookups; full-precision cosine
+    # decides the final ranking with the same tie-break as the exact path.
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    cv = candidates.select(
+        F.col("vec_id").alias("cand_id"), F.col(emb_col).alias("c_emb")
+    )
+    refined = (
+        cv.join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

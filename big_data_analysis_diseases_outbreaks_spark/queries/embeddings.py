@@ -82,6 +82,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
 
 
+# --- IVF-PQ ANN (residual product quantization + ADC + exact refine) ------
+# The compressed-domain scale path: the corpus is stored as (cell, m sub-
+# codes); scoring gathers from a per-(query, cell) lookup table and only
+# the tiny shortlist is re-scored at full precision.
+
+
+@register("ann_ivf_pq_topk", oracle=None)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
+
+
 # --- embedding-cosine near-duplicate pairs (exact; SQL oracle) ------------
 # The testdata embeddings are mutually far apart, so near-dups are
 # constructed: each vector is re-appended (vec_id+100000) with dim 0

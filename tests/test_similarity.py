@@ -103,3 +103,29 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     assert lsh_pairs <= exact_pairs, "LSH found a pair the exact path did not"
     recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.95, f"LSH near-dup recall too low: {recall:.2f}"
+
+
+def test_ivf_pq_topk_recall(spark):
+    """IVF-PQ with exact refinement: the shortlist is cell-restricted
+    (same coverage bound as plain IVF) but the refine pass rescores with
+    full-precision cosine, so top-1 must agree with brute force at least
+    as often as the unrefined quantized ranking would — and be
+    deterministic (seeded coarse + subspace codebooks)."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in brute_force_topk(queries, emb, k=1).collect()
+    }
+    rows1 = ivf_pq_topk(queries, emb, k=1).collect()
+    rows2 = ivf_pq_topk(queries, emb, k=1).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    approx = {r["query_id"]: r["cand_id"] for r in rows1}
+    assert len(approx) == len(exact)
+    hits = sum(1 for q, c in approx.items() if exact.get(q) == c)
+    recall = hits / len(exact)
+    assert recall >= 0.3, f"IVF-PQ top-1 recall too low: {recall:.2f}"
