@@ -109,3 +109,21 @@ def test_stratified_sample_properties(spark):
     for lang, frac in SAMPLE_FRACTIONS.items():
         got = sampled.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.15, f"{lang}: sampled {got:.2f} vs {frac}"
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in _QUERIES.items() if q.oracle is None)
+)
+def test_rows_only_queries_deterministic(spark, name):
+    """Blanket determinism for every query WITHOUT a value oracle: two
+    executions must produce identical sorted rows. (Oracle-backed
+    queries get this implicitly from the hash comparison; rows-only ones
+    — seeded fits, LSH/IVF/PQ, sketches, samplers, bounded stream
+    replays — are exactly where nondeterminism could hide.)"""
+    from .conftest import SF_SMALL
+
+    q = _QUERIES[name]
+    a = sorted(map(tuple, q.fn(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, q.fn(spark, SF_SMALL).collect()))
+    assert a == b, f"{name}: two runs differ"
+    assert a, f"{name}: empty result"
