@@ -78,6 +78,7 @@ HEADLINE = [
     "training_data_pipeline",
     "stream_static_enriched_agg",
     "ann_ivf_pq_topk",
+    "multimodal_byte_histogram",
 ]
 
 

@@ -128,3 +128,41 @@ def resize_and_frame_sample(
             )
 
     return binary_docs.mapInPandas(work, schema=RESIZE_SCHEMA)
+
+
+HIST_BUCKETS = 8  # byte value >> 5 → 8 coarse buckets
+
+HIST_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, "
+    + ", ".join(f"h{i} BIGINT" for i in range(HIST_BUCKETS))
+    + ", dominant_bucket INT"
+)
+
+
+def byte_histogram_features(binary_docs: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: fixed-dim byte-distribution
+    features from the opaque payload (bucket = byte >> 5 → 8 exact
+    integer counts + argmax bucket, min-id tie-break). This is the
+    feature-extractor plumbing shape — binary in, fixed-width numeric
+    vector out, narrow map, Arrow-batched — that a real CLIP/audio
+    embedder slots into at :func:`decode_image_real`."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(a >> 5, minlength=HIST_BUCKETS)
+                rows.append(
+                    (int(doc_id), len(a), *map(int, hist), int(hist.argmax()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes"]
+                + [f"h{i}" for i in range(HIST_BUCKETS)]
+                + ["dominant_bucket"],
+            )
+
+    return binary_docs.mapInPandas(extract, schema=HIST_SCHEMA)

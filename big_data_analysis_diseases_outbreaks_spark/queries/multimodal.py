@@ -58,3 +58,39 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = resize_and_frame_sample(with_binary_payload(docs), stride=2)
     return out.select("doc_id", "n_bytes", "resized_bytes", "n_frames", "n_sampled")
+
+
+# Byte-histogram feature extraction: binary → fixed-dim exact-integer
+# features. The payloads are UTF-8 of ASCII text, so every byte equals
+# the codepoint of the corresponding character — the whole feature
+# vector is SQL-derivable and value-checked, not just the lengths.
+@register(
+    "multimodal_byte_histogram",
+    oracle=("""
+WITH by_char AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> ord(substr(text, i, 1)) // 32)) AS bucket
+  FROM documents),
+hist AS (
+  SELECT doc_id, MAX(n_bytes) AS n_bytes,
+         """ + ",\n         ".join(
+              f"CAST(COUNT(*) FILTER (WHERE bucket = {i}) AS BIGINT) AS h{i}"
+              for i in range(8)
+          ) + """
+  FROM by_char GROUP BY doc_id)
+SELECT doc_id, n_bytes, h0, h1, h2, h3, h4, h5, h6, h7,
+       CAST((SELECT MIN(i) FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) v(i)
+             WHERE (CASE i WHEN 0 THEN h0 WHEN 1 THEN h1 WHEN 2 THEN h2
+                           WHEN 3 THEN h3 WHEN 4 THEN h4 WHEN 5 THEN h5
+                           WHEN 6 THEN h6 ELSE h7 END)
+                   = greatest(h0, h1, h2, h3, h4, h5, h6, h7))
+            AS INTEGER) AS dominant_bucket
+FROM hist
+""").strip(),
+)
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import byte_histogram_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return byte_histogram_features(with_binary_payload(docs))
