@@ -1004,3 +1004,89 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.countDistinct("user_id").alias("n_users_7d"))
     )
+
+
+# --- cohort retention: users grouped by first-activity week, activity
+# tracked in weeks-since-cohort. Two aggregates: per-user first event
+# (one shuffle on user_id), then distinct users per (cohort_week,
+# week_offset) — the join back to events is on user_id, the same key as
+# the first aggregate, so Catalyst reuses the exchange. Exact integer
+# counts; weeks anchored to the Monday of the first event (date_trunc
+# 'week' agrees between engines). -----------------------------------------
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST((CAST(date_trunc('week', e.ts) AS DATE) - f.cohort_week) // 7
+              AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity GROUP BY cohort_week, week_offset
+""".strip(),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# --- event-transition matrix (path analysis): per-user consecutive
+# event-type bigrams via a lag window partitioned by user (hash-spread,
+# never global), counted into the |types|² transition matrix — the
+# Sankey/markov-chain input. Ties on identical timestamps broken by
+# event_id so the sequence (and thus the matrix) is deterministic. ----------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""".strip(),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
