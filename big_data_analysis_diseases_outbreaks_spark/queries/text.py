@@ -1192,3 +1192,29 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cum_tokens - n_tokens) div {_PACK_BUDGET}").alias("bin_id"),
         (before % _PACK_BUDGET).cast("long").alias("bin_offset"),
     )
+
+
+# --- language-ID evaluation: the confusion matrix of predicted vs
+# labeled language — the metric table a pipeline owner reads before
+# trusting the lang filter. One scan, one tiny hash agg. -------------------
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=f"""
+SELECT lang AS labeled_lang, {lang_id_sql('text')} AS predicted_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""".strip(),
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
