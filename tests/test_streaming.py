@@ -495,3 +495,58 @@ def test_stream_upsert_snapshot_prunes_old_versions(spark, tmp_path):
     # Complete merged state: user 1 has its batch-3 event; users from
     # pruned-batch epochs (2, 3 from batches 0-1) survive the pruning.
     assert rows == {1: 301, 2: 2, 3: 102, 4: 202, 5: 302}, rows
+
+
+def test_interval_join_checkpoint_recovery(spark, tmp_path):
+    """Stream-stream join state must survive a restart exactly-once:
+    rerunning the joined stream on the same checkpoint (no new input)
+    must not re-emit any pair."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        interval_join_stream,
+    )
+
+    out = str(tmp_path / "join_out")
+    checkpoint = str(tmp_path / "join_ckpt")
+
+    def run_once():
+        q = (
+            interval_join_stream(spark, SF_SMALL)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0, "bounded replay must emit at least one joined pair"
+    run_once()
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1, f"restart re-emitted join results: {n1} -> {n2}"
+    # and the emitted pairs equal the batch interval join exactly
+    rows = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    c = ev.where(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS cts"
+    )
+    p = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS pts"
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            F.expr(
+                "cu = pu AND pts >= cts AND pts <= cts + INTERVAL 30 minutes"
+            ),
+        ).collect()
+    }
+    assert rows == want
