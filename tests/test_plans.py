@@ -311,3 +311,21 @@ def test_doc_pii_scrub_is_map_only(spark):
     """Redaction is a projection: no exchange anywhere in the plan."""
     plan = _plan(spark, "doc_pii_scrub")
     assert "Exchange" not in plan, plan
+
+
+def test_anomaly_zscore_two_shuffles_no_funnel(spark):
+    """The flagship plan's contract: exactly TWO exchanges total (the
+    daily hash agg + the (region, kw) series window — which share a
+    partitioning with the detrend window) and no single-partition
+    funnel anywhere."""
+    plan = _plan(spark, "anomaly_zscore")
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
+    assert "SinglePartition" not in plan
+
+
+def test_training_data_pipeline_no_single_partition(spark):
+    """The composed dedup → gate → split → pack pipeline must keep the
+    distributed running sum's no-global-funnel property end-to-end."""
+    plan = _plan(spark, "training_data_pipeline")
+    assert "SinglePartition" not in plan
