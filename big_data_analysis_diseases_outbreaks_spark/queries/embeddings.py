@@ -340,3 +340,45 @@ def embedding_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("all_bounded"),
     )
+
+
+# --- ANN evaluation as a query: recall@k of every approximate method
+# against the exact baseline — the monitoring table an embedding-search
+# owner watches after reindexing. Entirely distributed (joins + one tiny
+# agg per method; no collect), deterministic because every constituent
+# is seeded. Rows-only: the oracle would have to replicate LSH/IVF/PQ
+# in SQL, which is the point of the recall tests instead.
+
+
+@register("ann_recall_report", oracle=None)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    exact = brute_force_topk(q, emb, k=3).select("query_id", "cand_id")
+    methods = {
+        "lsh": lsh_topk(q, emb, k=3),
+        "ivf": ivf_topk(q, emb, k=3),
+        "ivf_pq": ivf_pq_topk(q, emb, k=3),
+    }
+    reports = []
+    n_exact = exact.count()
+    for name, approx in methods.items():
+        hits = approx.select("query_id", "cand_id").join(
+            exact, ["query_id", "cand_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(name).alias("method"),
+                (F.count(F.lit(1)).cast("double") / F.lit(float(n_exact))).alias(
+                    "recall_at_3"
+                ),
+                F.count(F.lit(1)).alias("n_hits"),
+                F.lit(n_exact).cast("long").alias("n_exact"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
