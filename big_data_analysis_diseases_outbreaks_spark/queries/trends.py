@@ -1090,3 +1090,84 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# --- per-series linear forecast: the OLS fit (same exact integer
+# moments as series_trend_slope) extrapolated over a 7-day horizon —
+# detect (anomaly_zscore) → explain (trend slope) → forecast closes the
+# analytics loop. One shuffle (the moments agg); the horizon expansion
+# is a lateral explode over 7 literals per series. Predictions are
+# intercept + slope·x with both terms bit-identical across engines, so
+# the forecast doubles hash-match with no rounding. -------------------------
+
+_FORECAST_H = 7
+
+
+@register(
+    "series_linear_forecast",
+    oracle=f"{_PREFIX},\n"
+    f"""
+m AS (
+  SELECT region, kw,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)) AS sx,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sy,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)
+             * CAST(ROUND(value * 100) AS BIGINT)) AS sxy,
+         SUM(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)
+             * CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)) AS sxx,
+         MAX(CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT)) AS max_x
+  FROM daily GROUP BY region, kw),
+fitted AS (
+  SELECT region, kw, max_x,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0) AS slope,
+         CAST(sy AS DOUBLE) / (n * 100.0)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+             * (CAST(sx AS DOUBLE) / n) AS intercept
+  FROM m WHERE n * sxx - sx * sx <> 0)
+SELECT region, kw,
+       CAST(DATE '2024-01-01' + INTERVAL (max_x + h.h) DAY AS DATE)
+         AS forecast_date,
+       CAST(h.h AS INTEGER) AS horizon_days,
+       intercept + slope * CAST(max_x + h.h AS DOUBLE) AS predicted_value
+FROM fitted, range(1, {_FORECAST_H} + 1) h(h)
+""".strip(),
+)
+def series_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    x = F.datediff(F.col("date"), F.lit("2024-01-01").cast("date")).cast("long")
+    y = scaled_long(F.col("value"), 100)
+    m = daily.groupBy("region", "kw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.max(x).alias("max_x"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy).cast("double") / (det.cast("double") * 100.0)
+    intercept = sy.cast("double") / (n * F.lit(100.0)) - slope * (
+        sx.cast("double") / n
+    )
+    fitted = m.where(det != 0).select(
+        "region", "kw", "max_x", slope.alias("slope"), intercept.alias("intercept")
+    )
+    horizon = fitted.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_FORECAST_H))).alias("h")
+    )
+    xf = (F.col("max_x") + F.col("h")).cast("long")
+    return horizon.select(
+        "region",
+        "kw",
+        F.date_add(F.lit("2024-01-01").cast("date"), xf.cast("int")).alias(
+            "forecast_date"
+        ),
+        F.col("h").cast("int").alias("horizon_days"),
+        (F.col("intercept") + F.col("slope") * xf.cast("double")).alias(
+            "predicted_value"
+        ),
+    )
