@@ -1171,3 +1171,60 @@ def series_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predicted_value"
         ),
     )
+
+
+# --- day-of-week seasonality: per-series factor = mean(value | dow)
+# / mean(value) — the multiplicative profile a seasonal-adjust stage
+# divides out. Both means are exact integer-sum rationals; the factor is
+# ONE division of two identically-computed doubles, so no rounding is
+# needed for cross-engine equality. dayofweek is ISO-mapped (1=Mon). ---------
+
+
+@register(
+    "series_dow_seasonality",
+    oracle=f"{_PREFIX},\n"
+    """
+s AS (
+  SELECT region, kw, isodow(date) AS dow,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM daily),
+tot AS (
+  SELECT region, kw, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_all
+  FROM s GROUP BY region, kw),
+per_dow AS (
+  SELECT region, kw, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_dow
+  FROM s GROUP BY region, kw, dow)
+SELECT p.region, p.kw, CAST(p.dow AS INTEGER) AS dow, p.n_days,
+       p.mean_dow / t.mean_all AS seasonal_factor
+FROM per_dow p JOIN tot t ON p.region = t.region AND p.kw = t.kw
+WHERE t.mean_all <> 0
+""".strip(),
+)
+def series_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday.
+    iso_dow = ((F.dayofweek("date") + 5) % 7) + 1
+    s = daily.select(
+        "region", "kw", iso_dow.alias("dow"),
+        scaled_long(F.col("value"), 100).alias("v"),
+    )
+    tot = s.groupBy("region", "kw").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_all")
+    )
+    per_dow = s.groupBy("region", "kw", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_dow"),
+    )
+    return (
+        per_dow.join(tot, ["region", "kw"])
+        .where(F.col("mean_all") != 0)
+        .select(
+            "region",
+            "kw",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            (F.col("mean_dow") / F.col("mean_all")).alias("seasonal_factor"),
+        )
+    )
