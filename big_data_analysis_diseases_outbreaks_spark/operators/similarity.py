@@ -130,6 +130,55 @@ def _bucketed(df: DataFrame, id_alias: str, emb_alias: str,
     )
 
 
+def _fit_coarse_codebook(
+    candidates: DataFrame,
+    emb_col: str,
+    n_cells: int,
+    fit_sample: int = 100_000,
+):
+    """Shared IVF coarse quantizer: KMeans(seed=1) on a capped sample
+    (standard IVF practice — at 100 TB you never K-means the full
+    corpus). limit() instead of count()+branch: no extra scan job; and
+    the iterative fit runs on one partition because small-input MLlib
+    fits are task-scheduling bound, not compute bound. Returns the
+    centroid matrix C (n_cells × dim) and its row norms²."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_input = (
+        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
+        .limit(fit_sample)
+        .coalesce(1)
+    )
+    fitted = KMeans(
+        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
+    ).fit(fit_input)
+    C = np.array([[float(x) for x in c] for c in fitted.clusterCenters()])
+    return C, (C * C).sum(axis=1)
+
+
+def _make_cell_ranks_udf(C, c_norm2):
+    """Cell assignment as a dense (rows × dim) · (dim × cells) matmul —
+    numpy in an Arrow-batched pandas UDF. (The pure-expression variant
+    — n_cells interpreted `aggregate∘zip_with` distances per row inside
+    an array_sort — evaluated ~n_cells·dim lambda steps per row and was
+    the dominant cost of the whole query.) argsort of |c|² - 2x·c ranks
+    identically to squared distance; stable sort ties → lowest cell id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cell_ranks(embs):
+        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
+        scores = c_norm2 - 2.0 * (X @ C.T)
+        order = np.argsort(scores, axis=1, kind="stable").astype(np.int32)
+        return pd.Series(list(order))
+
+    return cell_ranks
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -147,42 +196,8 @@ def ivf_topk(
     narrow map over the corpus, and scoring shuffles on the cell key only
     — the classic FAISS-IVF layout expressed as DataFrame ops.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # The codebook trains on a capped sample (standard IVF practice — at
-    # 100 TB you never K-means the full corpus). limit() instead of
-    # count()+branch: no extra scan job; and the iterative fit runs on
-    # one partition because small-input MLlib fits are task-scheduling
-    # bound, not compute bound.
-    fit_input = (
-        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
-        .limit(100_000)
-        .coalesce(1)
-    )
-    fitted = KMeans(
-        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
-    ).fit(fit_input)
-
-    # Cell assignment is a dense (rows × dim) · (dim × cells) matmul —
-    # numpy in an Arrow-batched pandas UDF. (The pure-expression variant
-    # — n_cells interpreted `aggregate∘zip_with` distances per row inside
-    # an array_sort — evaluated ~n_cells·dim lambda steps per row and was
-    # the dominant cost of the whole query.) argsort of |c|² - 2x·c ranks
-    # identically to squared distance; stable sort ties → lowest cell id.
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    C = np.array([[float(x) for x in c] for c in fitted.clusterCenters()])
-    c_norm2 = (C * C).sum(axis=1)
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def cell_ranks(embs):
-        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        scores = c_norm2 - 2.0 * (X @ C.T)
-        order = np.argsort(scores, axis=1, kind="stable").astype(np.int32)
-        return pd.Series(list(order))
+    C, c_norm2 = _fit_coarse_codebook(candidates, emb_col, n_cells)
+    cell_ranks = _make_cell_ranks_udf(C, c_norm2)
 
     c = candidates.select(
         F.col("vec_id").alias("cand_id"),
@@ -328,13 +343,15 @@ def ivf_pq_topk(
     a cell (as :func:`ivf_topk`); each candidate's RESIDUAL from its
     cell centroid is product-quantized into ``m_sub`` sub-codes from
     per-subspace codebooks — at scale the corpus is stored as
-    (cell, m_sub bytes) instead of full vectors. Scoring is ADC:
-    per (query, probed cell) a lookup table of query-residual-to-code
-    distances is built ONCE and candidates are scored by m_sub table
-    gathers (one `applyInPandas` group per (query, cell) — the shuffle
-    key is the probe pair, never all-pairs). The approximate top
-    ``n_refine`` per query are exactly re-scored with full-precision
-    cosine (the tiny refine set broadcasts back onto the corpus by id).
+    (cell, m_sub bytes) instead of full vectors. Scoring is ADC as a
+    narrow ``mapInPandas`` over the probe join: within each Arrow batch,
+    one lookup table of query-residual-to-code distances per distinct
+    (query, probed cell) pair, then m_sub table gathers per candidate —
+    LUTs are batch-composable (pure per-row function of the pair), so
+    per-executor memory is bounded by the Arrow batch size, never by
+    cell population. The approximate top ``n_refine`` per query are
+    exactly re-scored with full-precision cosine (the tiny refine set
+    broadcasts back onto the corpus by id).
 
     Both codebook fits run on bounded samples (`limit()`), matching the
     IVF fit protocol — at 100 TB you never K-means the full corpus; the
@@ -342,21 +359,11 @@ def ivf_pq_topk(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    fit_input = (
-        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
-        .limit(100_000)
-        .coalesce(1)
-    )
-    coarse = KMeans(
-        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
-    ).fit(fit_input)
-    C = np.array([[float(x) for x in c] for c in coarse.clusterCenters()])
-    c_norm2 = (C * C).sum(axis=1)
+    C, c_norm2 = _fit_coarse_codebook(candidates, emb_col, n_cells)
     d = C.shape[1]
-    assert d % m_sub == 0, f"dim {d} not divisible into {m_sub} subspaces"
+    if d % m_sub != 0:  # real exception, not assert: survives python -O
+        raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
     sub_d = d // m_sub
 
     # PQ codebooks on coarse residuals of a bounded sample (driver-side
@@ -401,13 +408,7 @@ def ivf_pq_topk(
             {"cell": cell.astype("int32"), "codes": list(codes)}
         )
 
-    @F.pandas_udf("ARRAY<INT>")
-    def cell_ranks(embs):
-        X = np.stack([np.asarray(e, dtype=np.float64) for e in embs])
-        scores = c_norm2 - 2.0 * (X @ C.T)
-        return pd.Series(
-            list(np.argsort(scores, axis=1, kind="stable").astype(np.int32))
-        )
+    cell_ranks = _make_cell_ranks_udf(C, c_norm2)
 
     c = candidates.select(
         F.col("vec_id").alias("cand_id"), F.col(emb_col).alias("c_emb")
@@ -422,28 +423,44 @@ def ivf_pq_topk(
         ).alias("cell"),
     )
 
-    def adc_score(pdf: pd.DataFrame) -> pd.DataFrame:
-        qe = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
-        cell = int(pdf["cell"].iloc[0])
-        r = qe - C[cell]
-        lut = np.zeros((m_sub, n_codes))
-        for m in range(m_sub):
-            rm = r[m * sub_d : (m + 1) * sub_d]
-            lut[m] = ((books[m] - rm[None, :]) ** 2).sum(axis=1)
-        codes = np.stack(pdf["codes"].to_numpy())
-        approx = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[0],
-                "cand_id": pdf["cand_id"].to_numpy(),
-                "approx_d2": approx,
-            }
-        )
+    # ADC scoring as a NARROW mapInPandas over the probe join: a
+    # groupBy-applyInPandas per (query, cell) would materialize a whole
+    # cell's candidates (O(corpus/n_cells)) in one pandas frame — an
+    # executor OOM at the 100 TB design point. LUTs are a pure function
+    # of the (query, cell) pair, so they compose across Arrow batches:
+    # build each pair's LUT once per batch, gather per candidate, and
+    # memory stays bounded by the batch size.
+    def adc_score(batches):
+        sub_idx = np.arange(m_sub)[None, :]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf))
+            for (qid, cell), idx in pdf.groupby(
+                ["query_id", "cell"], sort=False
+            ).indices.items():
+                qe = np.asarray(
+                    pdf["q_emb"].iloc[idx[0]], dtype=np.float64
+                )
+                r = qe - C[int(cell)]
+                lut = np.zeros((m_sub, n_codes))
+                for m in range(m_sub):
+                    rm = r[m * sub_d : (m + 1) * sub_d]
+                    lut[m] = ((books[m] - rm[None, :]) ** 2).sum(axis=1)
+                codes = np.stack(pdf["codes"].iloc[idx].to_numpy())
+                out[idx] = lut[sub_idx, codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "cand_id": pdf["cand_id"],
+                    "approx_d2": out,
+                }
+            )
 
     joined = F.broadcast(q).join(c, on="cell").where(
         F.col("query_id") != F.col("cand_id")
     )
-    approx = joined.groupBy("query_id", "cell").applyInPandas(
+    approx = joined.mapInPandas(
         adc_score, "query_id LONG, cand_id LONG, approx_d2 DOUBLE"
     )
     wa = Window.partitionBy("query_id").orderBy(

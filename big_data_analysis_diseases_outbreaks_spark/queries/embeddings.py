@@ -356,14 +356,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < _N_QUERIES)
-    exact = brute_force_topk(q, emb, k=3).select("query_id", "cand_id")
+    # The exact baseline feeds three joins plus the count — checkpoint it
+    # once (localCheckpoint, not persist: a query function never sees its
+    # result materialized, so a persist could never be unpersisted) or
+    # the O(|Q| x corpus) cross join re-evaluates per consumer.
+    exact = (
+        brute_force_topk(q, emb, k=3)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
     methods = {
         "lsh": lsh_topk(q, emb, k=3),
         "ivf": ivf_topk(q, emb, k=3),
         "ivf_pq": ivf_pq_topk(q, emb, k=3),
     }
     reports = []
-    n_exact = exact.count()
+    n_exact = exact.count()  # cheap: scans the checkpointed blocks
     for name, approx in methods.items():
         hits = approx.select("query_id", "cand_id").join(
             exact, ["query_id", "cand_id"]

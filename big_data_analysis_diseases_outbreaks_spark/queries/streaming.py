@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.stable import scaled_long, scaled_long_sql
 from ..operators.detrend import DAILY_CTE
 from ..sources.tables import TRENDS_ORACLE_CTE
 from ..streaming.pipeline import (
@@ -181,11 +182,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one final division.
 @register(
     "stream_static_enriched_agg",
-    oracle="""
+    oracle=f"""
 SELECT CAST(date_trunc('day', e.ts) AS DATE) AS date,
        c.c_mktsegment AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       CAST(SUM({scaled_long_sql('e.value', 100)}) AS DOUBLE) / 100.0
          AS value_sum
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
@@ -208,7 +209,7 @@ def stream_static_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_vs"),
+            F.sum(scaled_long(F.col("value"), 100)).alias("_vs"),
         )
         .select(
             F.col("w.start").cast("date").alias("date"),

@@ -1188,18 +1188,18 @@ s AS (
   SELECT region, kw, isodow(date) AS dow,
          CAST(ROUND(value * 100) AS BIGINT) AS v
   FROM daily),
-tot AS (
-  SELECT region, kw, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_all
-  FROM s GROUP BY region, kw),
 per_dow AS (
   SELECT region, kw, dow,
          CAST(COUNT(*) AS BIGINT) AS n_days,
-         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_dow
+         SUM(v) AS sv
   FROM s GROUP BY region, kw, dow)
-SELECT p.region, p.kw, CAST(p.dow AS INTEGER) AS dow, p.n_days,
-       p.mean_dow / t.mean_all AS seasonal_factor
-FROM per_dow p JOIN tot t ON p.region = t.region AND p.kw = t.kw
-WHERE t.mean_all <> 0
+SELECT region, kw, CAST(dow AS INTEGER) AS dow, n_days,
+       (CAST(sv AS DOUBLE) / n_days)
+         / (CAST(SUM(sv) OVER w AS DOUBLE) / SUM(n_days) OVER w)
+         AS seasonal_factor
+FROM per_dow
+WINDOW w AS (PARTITION BY region, kw)
+QUALIFY SUM(sv) OVER w <> 0
 """.strip(),
 )
 def series_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1210,21 +1210,24 @@ def series_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region", "kw", iso_dow.alias("dow"),
         scaled_long(F.col("value"), 100).alias("v"),
     )
-    tot = s.groupBy("region", "kw").agg(
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_all")
-    )
+    # ONE scan, one shuffle: the per-dow integer partials re-aggregate to
+    # the series mean via a window over the ≤7 dow rows per series — no
+    # second pass over daily, no join. mean_dow / mean_all from exact
+    # integer sums; the series window shares the agg's partitioning.
     per_dow = s.groupBy("region", "kw", "dow").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_dow"),
+        F.count(F.lit(1)).alias("n_days"), F.sum("v").alias("sv")
     )
+    w = Window.partitionBy("region", "kw")
+    mean_dow = F.col("sv").cast("double") / F.col("n_days")
+    mean_all = F.sum("sv").over(w).cast("double") / F.sum("n_days").over(w)
     return (
-        per_dow.join(tot, ["region", "kw"])
-        .where(F.col("mean_all") != 0)
+        per_dow.withColumn("_all_sv", F.sum("sv").over(w))
+        .where(F.col("_all_sv") != 0)
         .select(
             "region",
             "kw",
             F.col("dow").cast("int").alias("dow"),
             "n_days",
-            (F.col("mean_dow") / F.col("mean_all")).alias("seasonal_factor"),
+            (mean_dow / mean_all).alias("seasonal_factor"),
         )
     )

@@ -63,3 +63,27 @@ def test_frame_sample_checksum_matches_local(spark):
             for f in range(0, len(b), FRAME_BYTES * FRAME_STRIDE)
         )
         assert r["sample_checksum"] == expected
+
+
+def test_documents_fixture_is_ascii(spark):
+    """Precondition of the multimodal_byte_histogram oracle: payload
+    bytes equal text codepoints, which holds ONLY for pure-ASCII text
+    (a multi-byte character would make Spark count UTF-8 bytes while
+    the oracle counts characters). Pin it so a future testdata
+    generation with non-ASCII text fails HERE, not as a confusing
+    parity mismatch."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    from .conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    non_ascii = docs.where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents: the byte-histogram oracle's "
+        "byte==codepoint equivalence no longer holds"
+    )
