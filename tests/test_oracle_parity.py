@@ -127,3 +127,23 @@ def test_rows_only_queries_deterministic(spark, name):
     b = sorted(map(tuple, q.fn(spark, SF_SMALL).collect()))
     assert a == b, f"{name}: two runs differ"
     assert a, f"{name}: empty result"
+
+
+_SF_LARGE = "/root/testdata/sf0.1"
+_FLAGSHIP_AT_SCALE = [
+    "anomaly_zscore",
+    "tpch_q1_pricing",
+    "dedup_exact",
+    "training_data_pipeline",
+    "stream_daily_agg",
+]
+
+
+@pytest.mark.parametrize("name", _FLAGSHIP_AT_SCALE)
+def test_flagship_parity_at_sf01(spark, name):
+    """The oracle match must hold at 10x the usual check scale — catches
+    anything accidentally tuned to the small fixtures (hash collisions,
+    window boundaries, sampling caps, watermark edges)."""
+    q = _QUERIES[name]
+    problems = compare_query(q.fn(spark, _SF_LARGE), q.oracle, _SF_LARGE)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
