@@ -1218,3 +1218,68 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- incremental n-gram novelty: per doc, the fraction of its distinct
+# word-3-grams whose FIRST corpus occurrence (by doc_id order) is this
+# doc — the "how much new text does each document add" curve dedup
+# pipelines use to decide corpus cutoffs. Two shuffles (shingle explode
+# → min-doc_id per shingle; join back on shingle), all exact integers,
+# ratio = one division. ----------------------------------------------------
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3),
+firsts AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty_ratio
+FROM sh JOIN firsts f ON sh.s = f.s
+GROUP BY sh.doc_id
+""".strip(),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(ts) - 3)
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ts, i + 1),
+                F.element_at(ts, i + 2),
+                F.element_at(ts, i + 3),
+            ),
+        )
+    )
+    sh = (
+        docs.where(F.size(ts) >= 3)
+        .select("doc_id", F.explode(shingles).alias("s"))
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
+        )
+    )
