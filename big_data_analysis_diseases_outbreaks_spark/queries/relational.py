@@ -1500,3 +1500,84 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# --- per-user lifetime profile: the serving-layer user table (first/last
+# seen, events, active days, value). One shuffle on user_id; mean value
+# is an exact scaled-integer sum with one final division. -------------------
+
+
+@register(
+    "user_activity_summary",
+    oracle="""
+SELECT user_id,
+       MIN(ts) AS first_seen,
+       MAX(ts) AS last_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS lifetime_us
+FROM events
+GROUP BY user_id
+""".strip(),
+)
+def user_activity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stable import scaled_long
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        (F.sum(scaled_long(F.col("value"), 100)).cast("double") / 100.0).alias(
+            "total_value"
+        ),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "lifetime_us"
+        ),
+    )
+
+
+# --- order-fulfillment lag: days from order to each line's ship date,
+# profiled per order priority — the ops-latency table. Exact integer day
+# diffs; the mean is one division of exact sums. ----------------------------
+
+
+@register(
+    "order_fulfillment_lag",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_lag_days,
+       CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_lag_days,
+       CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE))) AS DOUBLE) / COUNT(*)
+         AS mean_lag_days
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""".strip(),
+)
+def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    lag = F.datediff(F.col("sd"), F.col("od")).cast("long")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(lag).alias("min_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+            (F.sum(lag).cast("double") / F.count(F.lit(1))).alias(
+                "mean_lag_days"
+            ),
+        )
+    )
