@@ -390,3 +390,63 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- per-dimension drift check: activation-rate deltas between two
+# cohorts (even/odd vec_id — at production scale, yesterday's batch vs
+# today's). Count-based on purpose: float sums over arbitrary embedding
+# values are partition-order-dependent, but counts of sign predicates
+# are exact integers, and each rate is ONE division — the drift table
+# stays bit-stable at any parallelism. posexplode keeps the dim index
+# aligned with the value; one shuffle on the 64 dim keys. ------------------
+
+
+@register(
+    "embedding_dim_drift",
+    oracle="""
+WITH by_dim AS (
+  SELECT vec_id % 2 AS cohort,
+         unnest(list_transform(range(1, len(embedding) + 1),
+             i -> struct_pack(d := i, v := CAST(embedding[i] AS DOUBLE)))) AS e
+  FROM embeddings)
+SELECT CAST(e.d AS INTEGER) AS dim,
+       CAST(COUNT(*) FILTER (WHERE cohort = 0) AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (WHERE cohort = 1) AS BIGINT) AS n_b,
+       CAST(COUNT(*) FILTER (WHERE cohort = 0 AND e.v > 0) AS BIGINT)
+         AS n_pos_a,
+       CAST(COUNT(*) FILTER (WHERE cohort = 1 AND e.v > 0) AS BIGINT)
+         AS n_pos_b,
+       CAST(COUNT(*) FILTER (WHERE cohort = 0 AND e.v > 0) AS DOUBLE)
+           / COUNT(*) FILTER (WHERE cohort = 0)
+         - CAST(COUNT(*) FILTER (WHERE cohort = 1 AND e.v > 0) AS DOUBLE)
+           / COUNT(*) FILTER (WHERE cohort = 1) AS pos_rate_delta
+FROM by_dim
+GROUP BY e.d
+""".strip(),
+)
+def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "cohort",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("x").cast("double").alias("v"),
+    )
+    a = F.col("cohort") == 0
+    b = F.col("cohort") == 1
+    pos = F.col("v") > 0
+    n_a = F.sum(a.cast("long"))
+    n_b = F.sum(b.cast("long"))
+    n_pos_a = F.sum((a & pos).cast("long"))
+    n_pos_b = F.sum((b & pos).cast("long"))
+    return e.groupBy(F.col("dim").cast("int").alias("dim")).agg(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_pos_a.alias("n_pos_a"),
+        n_pos_b.alias("n_pos_b"),
+        (
+            n_pos_a.cast("double") / n_a - n_pos_b.cast("double") / n_b
+        ).alias("pos_rate_delta"),
+    )
