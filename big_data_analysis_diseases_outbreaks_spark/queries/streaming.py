@@ -329,3 +329,50 @@ def stream_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cusum_stream(trends_stream(spark, sf_dir))
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# The reference Python twin's output shape (spark_main.py:54-76): pivot
+# the sliding-window aggregate to one column per region before the sink.
+# Streaming DataFrames can't pivot directly — the reference does it per
+# micro-batch; here the bounded complete-mode result pivots post-stream
+# with EXPLICIT values= (dynamic pivot would scan for distinct values
+# and is nondeterministic in column order). Zero-fill matches the
+# reference's na.fill after pivot (B8).
+
+_REGION_VALUES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "stream_sliding_pivot",
+    oracle=(f"""
+WITH {TRENDS_ORACLE_CTE},
+ev AS (SELECT CAST(datetime AS DATE) AS d, region, value FROM trends),
+agg AS (
+  SELECT (d - CAST(i AS INTEGER)) AS window_start, region,
+         ROUND(SUM(value), 4) AS value
+  FROM ev, range(0, 7) t(i)
+  GROUP BY 1, 2)
+SELECT window_start,
+       """ + ",\n       ".join(
+           f"COALESCE(MAX(CASE WHEN region = '{r}' THEN value END), 0.0) AS {r}"
+           for r in ["click", "error", "purchase", "signup", "view"]
+       ) + """
+FROM agg GROUP BY window_start
+""").strip(),
+)
+def stream_sliding_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    agg = sliding_agg_stream(
+        trends_stream(spark, sf_dir), window="7 days", slide="1 day",
+        watermark=None,
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    wide = (
+        spark.table(name)
+        .groupBy("window_start")
+        .pivot("region", _REGION_VALUES)
+        .agg(F.first("value"))
+        .na.fill(0.0)
+    )
+    return wide
