@@ -1581,3 +1581,58 @@ def order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- open-order backlog over time: event-sourcing state reconstruction.
+# Each order contributes +1 at its order date and -1 at its FIRST ship
+# date; the running sum over the date line is the number of orders with
+# at least one unshipped day — the classic as-of inventory/backlog
+# shape. Deltas aggregate per day first (tiny), so the cumulative window
+# runs over |dates| rows, not |orders|. Exact integers throughout. ----------
+
+
+@register(
+    "orders_backlog_over_time",
+    oracle="""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_d
+  FROM lineitem GROUP BY l_orderkey),
+deltas AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS d, 1 AS delta
+  FROM orders o
+  UNION ALL
+  SELECT f.ship_d AS d, -1 AS delta
+  FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey),
+daily AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d)
+SELECT d, net,
+       CAST(SUM(net) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM daily
+""".strip(),
+)
+def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    first_ship = li.groupBy("l_orderkey").agg(F.min("sd").alias("ship_d"))
+    plus = o.select(F.col("od").alias("d"), F.lit(1).alias("delta"))
+    minus = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        F.col("ship_d").alias("d"), F.lit(-1).alias("delta")
+    )
+    daily = (
+        plus.unionByName(minus)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    # Global running sum over the date line WITHOUT a single-partition
+    # window — the distributed construction from operators/rank.py.
+    return with_global_running_sum(daily, ["d"], "net", "open_orders").select(
+        "d", "net", F.col("open_orders").cast("long").alias("open_orders")
+    )

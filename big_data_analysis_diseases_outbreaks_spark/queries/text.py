@@ -1283,3 +1283,60 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
         )
     )
+
+
+# --- corpus length profile: equi-width histogram of per-doc token
+# counts — the data-profile stage before choosing a packing budget.
+# Integer bucket boundaries from the broadcast global extent (same
+# construction as order_price_histogram); exact counts. --------------------
+
+_LEN_BUCKETS = 16
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n
+  FROM documents),
+ext AS (SELECT MIN(n) AS lo, MAX(n) AS hi FROM t),
+b AS (
+  SELECT LEAST(CAST(((n - lo) * {_LEN_BUCKETS}) // GREATEST(hi - lo + 1, 1)
+               AS BIGINT), {_LEN_BUCKETS} - 1) AS bucket,
+         lo, hi, n
+  FROM t, ext)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(MIN(lo) + bucket * (GREATEST(MIN(hi) - MIN(lo) + 1, 1)
+            // {_LEN_BUCKETS}) AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS min_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM b GROUP BY bucket
+""".strip(),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(token_count(F.col("text")).alias("n"))
+    ext = t.agg(F.min("n").alias("lo"), F.max("n").alias("hi"))
+    width = F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+    b = t.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.expr(f"((n - lo) * {_LEN_BUCKETS}) div (greatest(hi - lo + 1, 1))"),
+            F.lit(_LEN_BUCKETS - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "lo",
+        "hi",
+        "n",
+    )
+    return b.groupBy("bucket").agg(
+        (
+            F.min("lo")
+            + F.col("bucket").cast("long")
+            * F.expr(f"(greatest(min(hi) - min(lo) + 1, 1)) div {_LEN_BUCKETS}")
+        ).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n").alias("min_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
