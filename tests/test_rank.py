@@ -135,3 +135,27 @@ def test_global_rank_degenerate_inputs(spark):
     )
     assert [g for _, g in got] == [1, 2, 3, 4, 5]
     assert [k for k, _ in got] == [1, 1, 3, 4, 5]
+
+
+def test_global_running_sum_degenerate_inputs(spark):
+    """Running-sum twin of the rank degenerate checks: empty input, one
+    row, and fewer rows than partitions must all survive the
+    range-partition + offset-join construction."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.rank import (
+        with_global_running_sum,
+    )
+
+    empty = spark.createDataFrame([], "k LONG, v LONG")
+    assert with_global_running_sum(empty, ["k"], "v").count() == 0
+
+    one = spark.createDataFrame([(1, 5)], "k LONG, v LONG")
+    assert with_global_running_sum(one, ["k"], "v").collect()[0].running_sum == 5
+
+    few = spark.createDataFrame(
+        [(3, 30), (1, 10), (2, 20)], "k LONG, v LONG"
+    )
+    got = sorted(
+        (r.k, r.running_sum)
+        for r in with_global_running_sum(few, ["k"], "v").collect()
+    )
+    assert got == [(1, 10), (2, 30), (3, 60)]
