@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions.text import (
+    EN_STOPWORDS,
     TOKEN_RE,
     fingerprint,
     lang_id,
@@ -1339,4 +1340,111 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n").alias("min_tokens"),
         F.max("n").alias("max_tokens"),
+    )
+
+
+# --- Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, made
+# exact and oracle-checkable): each rule is a named boolean column next to
+# the signal it thresholds, plus the conjunctive `keep` verdict — the shape
+# a 100 TB curation run wants (signals kept for audit, filter applied
+# downstream with a cheap `WHERE keep`). Tokenize-once discipline: the
+# token array is materialized a single time per row and every signal is a
+# JVM higher-order function over it — an inline regexp per signal would
+# re-tokenize O(rules) times (see functions/text.py:word_shingles note).
+# Published bounds kept verbatim (50 ≤ words ≤ 100k, 3 ≤ mean word len
+# ≤ 10, alpha fraction ≥ 0.8); the repetition guard uses type-token ratio
+# ≥ 0.3 (doc_repetition_ratio covers the bigram variant) and the stopword
+# rule is Gopher's "≥ 2 distinct stop words". Map-only: zero shuffles,
+# full pushdown — the 100 TB plan is scan → project. ------------------------
+
+_GQ_STOPS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@register(
+    "doc_gopher_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS char_sum,
+         CAST(len(list_intersect(list_distinct(toks), [{_GQ_STOPS}])) AS BIGINT)
+           AS stop_hits,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+           AS BIGINT) AS n_alpha
+  FROM t),
+s AS (
+  SELECT doc_id, n_tokens, stop_hits,
+         (CAST(char_sum AS DOUBLE) / GREATEST(n_tokens, 1))
+           AS mean_word_len,
+         (CAST(n_types AS DOUBLE) / GREATEST(n_tokens, 1))
+           AS type_token_ratio,
+         (CAST(n_alpha AS DOUBLE) / GREATEST(n_tokens, 1))
+           AS alpha_frac
+  FROM m)
+SELECT doc_id, n_tokens, mean_word_len, type_token_ratio, stop_hits, alpha_frac,
+       (n_tokens BETWEEN 50 AND 100000) AS word_count_ok,
+       (mean_word_len BETWEEN 3.0 AND 10.0) AS mean_word_len_ok,
+       (type_token_ratio >= 0.3) AS ttr_ok,
+       (stop_hits >= 2) AS stop_ok,
+       (alpha_frac >= 0.8) AS alpha_ok,
+       ((n_tokens BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (type_token_ratio >= 0.3)
+        AND (stop_hits >= 2)
+        AND (alpha_frac >= 0.8)) AS keep
+FROM s
+""".strip(),
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n_tok = F.size("toks").cast("long")
+    stops = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    m = toked.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("char_sum"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stops))
+        .cast("long")
+        .alias("stop_hits"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    s = m.select(
+        "doc_id",
+        "n_tokens",
+        "stop_hits",
+        # No ROUND on sum/n statistics: IEEE division of the same exact
+        # integers is bit-identical in Spark and DuckDB, while decimal
+        # rounding diverges at ties (see functions/stable.py).
+        (F.col("char_sum").cast("double") / denom).alias("mean_word_len"),
+        (F.col("n_types").cast("double") / denom).alias("type_token_ratio"),
+        (F.col("n_alpha").cast("double") / denom).alias("alpha_frac"),
+    )
+    word_count_ok = F.col("n_tokens").between(50, 100000)
+    mwl_ok = F.col("mean_word_len").between(3.0, 10.0)
+    ttr_ok = F.col("type_token_ratio") >= 0.3
+    stop_ok = F.col("stop_hits") >= 2
+    alpha_ok = F.col("alpha_frac") >= 0.8
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "type_token_ratio",
+        "stop_hits",
+        "alpha_frac",
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        ttr_ok.alias("ttr_ok"),
+        stop_ok.alias("stop_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (word_count_ok & mwl_ok & ttr_ok & stop_ok & alpha_ok).alias("keep"),
     )
