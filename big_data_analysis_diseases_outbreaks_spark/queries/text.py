@@ -858,8 +858,8 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM t)
 SELECT doc_id, n_tokens, cum_tokens,
        (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,
@@ -1141,8 +1141,8 @@ train AS (
   SELECT * FROM gated WHERE quality >= {_PIPE_QUALITY_MIN} AND bucket < 90),
 packed AS (
   SELECT doc_id, quality, bucket, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM train)
 SELECT doc_id, quality, bucket, n_tokens, cum_tokens,
        (cum_tokens - n_tokens) // {_PACK_BUDGET} AS bin_id,

@@ -129,6 +129,22 @@ def test_rows_only_queries_deterministic(spark, name):
     assert a, f"{name}: empty result"
 
 
+def test_harness_is_type_strict_like_the_driver(spark):
+    """Regression meta-test for the round-4 driver-red class: DuckDB's
+    windowed SUM(BIGINT) yields HUGEINT, which crosses the arrow/pandas
+    boundary as decimal→float and hash-mismatches Spark's int64 even
+    when every value is numerically equal. The harness must flag it —
+    ``4994.0 == 4994`` in Python is exactly the false-green we're
+    guarding against."""
+    df = spark.range(1).select(F.lit(4994).cast("long").alias("s"))
+    uncast = "SELECT SUM(x) OVER () AS s FROM (SELECT CAST(4994 AS BIGINT) AS x)"
+    problems = compare_query(df, uncast, SF_ORACLE)
+    assert problems, "harness silently equated HUGEINT-float with int"
+    cast = ("SELECT CAST(SUM(x) OVER () AS BIGINT) AS s "
+            "FROM (SELECT CAST(4994 AS BIGINT) AS x)")
+    assert not compare_query(df, cast, SF_ORACLE)
+
+
 _SF_LARGE = "/root/testdata/sf0.1"
 _FLAGSHIP_AT_SCALE = [
     "anomaly_zscore",
