@@ -134,17 +134,21 @@ def main() -> None:
     )
     _stream.awaitTermination()
 
-    # Single-shot by default (the driver's recorded methodology).
-    # SPARK_GRAFT_BENCH_REPS=N records best-of-N per query — the local
-    # re-measure protocol for separating plan regressions from host
-    # contention (single-shot numbers on a busy host swing 2-6x; see
-    # COVERAGE.md "Bench regression investigation").
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
+    # Best-of-2 by default: single-shot numbers on a busy host swing
+    # 2-6x with contention (see COVERAGE.md "Bench regression
+    # investigation"), which made round-over-round driver deltas
+    # uninterpretable. The recorded per-query value is min over reps;
+    # every rep's raw time is kept in the JSON under "reps" so a reader
+    # can see the spread. SPARK_GRAFT_BENCH_REPS overrides (1 restores
+    # the old single-shot protocol).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         q = registry[name]
         dt = None
+        rep_times[name] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
@@ -162,6 +166,7 @@ def main() -> None:
             # persisted so leftover cached blocks don't steal memory from
             # later queries (and so every rep pays the full lineage).
             spark.catalog.clearCache()
+            rep_times[name].append(once)
             if once < 0:
                 # Keep an earlier successful rep's best; only record a
                 # failure when NO rep succeeded. Stop either way — more
@@ -182,6 +187,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps": rep_times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -48,7 +48,7 @@ def _fit_eval(scaled: DataFrame, k: int):
     return k, model, evaluator.evaluate(model.transform(scaled))
 
 
-def silhouette_profile(scaled: DataFrame, k_range=range(2, 5)):
+def silhouette_profile(scaled: DataFrame, k_range=range(2, 7)):
     """[(k, model|None, silhouette)] for every candidate k.
 
     The candidate fits are independent, so they run as CONCURRENT Spark
@@ -62,7 +62,7 @@ def silhouette_profile(scaled: DataFrame, k_range=range(2, 5)):
         return list(ex.map(lambda k: _fit_eval(scaled, k), ks))
 
 
-def select_k(scaled: DataFrame, k_range=range(2, 5)):
+def select_k(scaled: DataFrame, k_range=range(2, 7)):
     """Silhouette model selection (notebook cell 10 ``select_k``).
 
     Returns ``(k, fitted model)`` so the winner is not refit. Each fit

@@ -134,28 +134,37 @@ def _fit_coarse_codebook(
     candidates: DataFrame,
     emb_col: str,
     n_cells: int,
-    fit_sample: int = 100_000,
+    fit_sample: int = 10_000,
 ):
-    """Shared IVF coarse quantizer: KMeans(seed=1) on a capped sample
-    (standard IVF practice — at 100 TB you never K-means the full
-    corpus). limit() instead of count()+branch: no extra scan job; and
-    the iterative fit runs on one partition because small-input MLlib
-    fits are task-scheduling bound, not compute bound. Returns the
-    centroid matrix C (n_cells × dim) and its row norms²."""
+    """Shared IVF coarse quantizer: seeded numpy Lloyd on a bounded
+    sample (standard IVF practice — at 100 TB you never K-means the full
+    corpus; FAISS likewise trains its coarse quantizer on a capped
+    training set). The sample is the repo's one sanctioned bounded
+    ``collect()`` (``limit(fit_sample)`` first), the same protocol as
+    the PQ codebook fit below. A driver-side Lloyd replaces the earlier
+    per-invocation MLlib KMeans fit, which launched ~10 distributed
+    jobs per run and dominated the query's bench time at small SF while
+    adding nothing at scale (the fit input is capped either way).
+    Seeded init + fixed iteration count → deterministic centroids.
+    Returns the centroid matrix C (n_cells × dim) and its row norms²."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    fit_input = (
-        candidates.select(array_to_vector(F.col(emb_col)).alias("_fv"))
-        .limit(fit_sample)
-        .coalesce(1)
+    sample = np.array(
+        [
+            [float(x) for x in r[0]]
+            for r in candidates.select(emb_col).limit(fit_sample).collect()
+        ]
     )
-    fitted = KMeans(
-        k=n_cells, seed=1, featuresCol="_fv", initMode="random"
-    ).fit(fit_input)
-    C = np.array([[float(x) for x in c] for c in fitted.clusterCenters()])
-    return C, (C * C).sum(axis=1)
+    rng = np.random.default_rng(1)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)].copy()
+    for _ in range(10):
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
+        asg = np.argmin(d2, axis=1)
+        for j in range(n_cells):
+            pts = sample[asg == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent, (cent * cent).sum(axis=1)
 
 
 def _make_cell_ranks_udf(C, c_norm2):

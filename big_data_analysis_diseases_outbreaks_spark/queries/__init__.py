@@ -33,66 +33,78 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's CORRECTNESS sweep covers the first 50 registered queries,
-# so ordering is signal: the flagship reference pipeline (trends →
-# detrend → anomaly → map), the streaming tier, the LLM-pipeline
-# text/dedup operators and the TPC-H core go first.  Everything else
-# keeps registration (import) order after these.
+# so ordering is signal — and it is a ROTATING window: a query that has
+# produced a driver-green row in ANY past round keeps that evidence
+# forever, so each round the window is refilled with the oracle-backed
+# queries that have never had one.  Round-5 rotation: the two round-4
+# reds (fixed HUGEINT oracle casts) lead, then all 46 remaining
+# never-driver-checked oracle-backed queries, then the ML-evidence pair
+# (planted-anomaly recall as a query + the rows-only kmeans pipeline).
+# Queries verified green in rounds 1-4 (trends/anomaly flagship,
+# streaming tier, dedup/text block, TPC-H core) follow in registration
+# order — still registry-live and covered by tests/test_oracle_parity.py.
 _PRIORITY: list[str] = [
-    # Reference flagship: trends normalization → anomaly detection
-    "trends_daily_agg",
-    "trends_detrend",
-    "anomaly_zscore",
-    "anomaly_region_map",
-    "pivot_wide",
-    "qfactor_normalization",
-    "month_onehot",
-    "features_join",
-    "value_stats_by_region",
-    "series_threshold_filter",
-    "daily_zero_filled",
-    "asof_last_signup",
-    "sessionize_events",
-    "json_extract_props",
-    "global_minmax_date",
-    "union_distinct_regions",
-    # Structured Streaming tier (batch-replay twins, SQL-expressible)
-    "stream_daily_agg",
-    "stream_sliding_agg",
-    "stream_running_zscore",
-    "stream_session_agg",
-    "stream_dedup_events",
-    "stream_interval_join",
-    "stream_left_interval_join",
-    "stream_cusum_changepoints",
-    # LLM-pipeline: dedup + text analysis
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_strict",
-    "dedup_components",
-    "doc_simhash16",
-    "doc_token_count",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "tfidf_top_terms",
-    "contamination_8gram_overlap",
+    # Round-4 driver-reds, now cast-fixed — lead the window
     "doc_sequence_pack",
-    "doc_repetition_ratio",
     "training_data_pipeline",
-    # TPC-H decision-support core
-    "tpch_q1_pricing",
-    "local_supplier_revenue",
-    "waiting_orders_blame",
-    "shipping_priority_top10",
-    "national_market_share",
-    "returned_item_reporting",
-    # Embeddings / multimodal / ML (rows-only for the ML trio)
-    "embedding_norms",
-    "cosine_topk",
-    "multimodal_decode",
-    "multimodal_frame_sample",
+    # Reference artifacts + IO evidence never yet driver-checked
+    "anomaly_map_series",
+    "json_roundtrip",
+    # Never-green: series / temporal analytics
+    "value_7d_range_avg",
+    "unpivot_wide",
+    "event_pairs_interval_join",
+    "incremental_daily_agg",
+    "kw_correlation_matrix",
+    "funnel_view_click_purchase",
+    "series_gap_fill_ffill",
+    "series_trend_slope",
+    "series_linear_forecast",
+    "series_dow_seasonality",
+    "rolling_7d_distinct_users",
+    "user_retention_cohorts",
+    "event_transition_matrix",
+    "value_percentiles",
+    "order_gaps_ntile",
+    # Never-green: product-analytics / relational block
+    "orders_column_profile",
+    "user_activity_summary",
+    "order_fulfillment_lag",
+    "orders_backlog_over_time",
+    "forecast_revenue_change",
+    # Never-green: TPC-H remainder
+    "order_priority_check",
+    "volume_shipping",
+    "product_type_profit",
+    "part_revenue_share",
+    "customer_distribution",
+    "top_supplier_revenue",
+    "parts_supplier_counts",
+    "large_volume_customers",
+    "dominant_supplier_parts",
+    "global_sales_opportunity",
+    "best_value_supplier",
+    # Never-green: streaming remainder
+    "stream_static_enriched_agg",
+    "stream_sliding_pivot",
+    # Never-green: LLM-pipeline text/dedup remainder
+    "dedup_keep_best",
+    "doc_chunking",
+    "doc_token_rarity",
+    "doc_train_split",
+    "doc_pii_scrub",
+    "doc_lang_confusion",
+    "doc_ngram_novelty",
+    "doc_length_histogram",
+    "doc_gopher_quality",
+    # Never-green: embeddings / multimodal remainder
+    "embedding_dim_drift",
+    "multimodal_byte_histogram",
+    # ML evidence: planted-anomaly recall invariant as a query (rows-only
+    # by nature — model fits are not SQL-expressible) + the flagship
+    # kmeans pipeline itself; iforest recall is inside ml_recall_report.
+    "ml_recall_report",
     "kmeans_anomaly",
-    "iforest_anomaly",
 ]
 
 

@@ -5,6 +5,7 @@ not SQL-expressible; determinism is asserted in tests/test_ml.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..ml.iforest import iforest_by_region
 from ..ml.kmeans_track import kmeans_anomalies
@@ -29,6 +30,66 @@ def kmeans_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def iforest_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _features_wide(spark, sf_dir)
     return iforest_by_region(wide, feature_cols=list(KW_VALUES))
+
+
+@register("ml_recall_report", oracle=None)
+def ml_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-anomaly recall as a *query* (SURVEY.md §5 test strategy,
+    promoted to the driver surface): inject an unmistakable synthetic
+    outbreak — every keyword column × 50 + 1000 on the
+    lexicographically-first (date, region) row — then run BOTH anomaly
+    detectors and report whether each flags the planted row. The
+    injection rule is deterministic (no RNG) and both detectors are
+    seeded, so the report is stable across runs; a detector that loses
+    its recall shows ``planted_flagged = 0`` here, visible to the
+    driver's rows-only check and pinned exactly by the blanket
+    determinism test. Columns: detector, planted_date, planted_region,
+    planted_flagged, n_flagged."""
+    from pyspark.sql import Window
+
+    from ..ml.iforest import iforest_by_region
+
+    wide = _features_wide(spark, sf_dir)
+    cols = list(KW_VALUES)
+    # Deterministic target: min (date, region) — computed in-plan (one
+    # tiny broadcast join), not via a driver-side first()/collect().
+    w = Window.orderBy("date", "region")
+    target = (
+        wide.select("date", "region")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("planted", F.lit(1))
+    )
+    spiked = wide.join(F.broadcast(target), ["date", "region"], "left")
+    cond = F.col("planted") == 1
+    for kw in cols:
+        spiked = spiked.withColumn(
+            kw, F.when(cond, F.col(kw) * 50 + 1000).otherwise(F.col(kw))
+        )
+    spiked = spiked.drop("planted")
+
+    reports = []
+    for detector, scored in (
+        ("kmeans", kmeans_anomalies(spiked, feature_cols=cols)),
+        ("iforest", iforest_by_region(spiked, feature_cols=cols)),
+    ):
+        rep = (
+            scored.join(F.broadcast(target.drop("planted")), ["date", "region"], "left_semi")
+            .select(
+                F.lit(detector).alias("detector"),
+                F.col("date").cast("string").alias("planted_date"),
+                F.col("region").alias("planted_region"),
+                F.col("is_anomaly").cast("int").alias("planted_flagged"),
+            )
+            .crossJoin(
+                scored.agg(
+                    F.sum(F.col("is_anomaly").cast("long")).alias("n_flagged")
+                )
+            )
+        )
+        reports.append(rep)
+    return reports[0].unionByName(reports[1])
 
 
 @register("kmeans_model_selection", oracle=None)
