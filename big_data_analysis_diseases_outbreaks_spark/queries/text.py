@@ -1354,7 +1354,11 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Published bounds kept verbatim (50 ≤ words ≤ 100k, 3 ≤ mean word len
 # ≤ 10, alpha fraction ≥ 0.8); the repetition guard uses type-token ratio
 # ≥ 0.3 (doc_repetition_ratio covers the bigram variant) and the stopword
-# rule is Gopher's "≥ 2 distinct stop words". Map-only: zero shuffles,
+# rule is Gopher's "≥ 2 distinct stop words". Predicates match the paper
+# on real mixed-case text: the alpha rule is "word CONTAINS at least one
+# alphabetic character" (A1.1), case-insensitive — not all-lowercase-
+# letters, which would fail 'The' and 'dog.' — and stopword hits compare
+# case-insensitively with punctuation stripped. Map-only: zero shuffles,
 # full pushdown — the 100 TB plan is scan → project. ------------------------
 
 _GQ_STOPS = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
@@ -1369,10 +1373,14 @@ m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
-         CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS char_sum,
-         CAST(len(list_intersect(list_distinct(toks), [{_GQ_STOPS}])) AS BIGINT)
+         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+           AS BIGINT) AS char_sum,
+         CAST(len(list_intersect(
+             list_distinct(list_transform(
+                 toks, x -> regexp_replace(lower(x), '[^a-z]', '', 'g'))),
+             [{_GQ_STOPS}])) AS BIGINT)
            AS stop_hits,
-         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
            AS BIGINT) AS n_alpha
   FROM t),
 s AS (
@@ -1410,10 +1418,20 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("char_sum"),
-        F.size(F.array_intersect(F.array_distinct("toks"), stops))
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.transform(
+                        "toks",
+                        lambda x: F.regexp_replace(F.lower(x), "[^a-z]", ""),
+                    )
+                ),
+                stops,
+            )
+        )
         .cast("long")
         .alias("stop_hits"),
-        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$")))
+        F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]")))
         .cast("long")
         .alias("n_alpha"),
     )

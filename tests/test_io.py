@@ -308,3 +308,77 @@ def test_register_tables_sql_entry_point(spark):
         .collect()[0].lo
     )
     assert got == want
+
+
+def test_jdbc_roundtrip_append_and_pushed_filter(spark, tmp_path):
+    """SURVEY §2.A2/A4 on a real ``format("jdbc")`` wire: append-mode
+    write then a history read whose date filter is pushed into the
+    database (reference Main.scala:99-109 sink / :131-137 source,
+    ``where($"date" < lit(thisDate))``). Runs against embedded Derby —
+    the JDBC engine Spark itself bundles — so the exact production code
+    path (url/driver/dbtable options, SaveMode.Append, pushdown) is
+    exercised without a MySQL server; only the url/driver strings change
+    in production."""
+    import datetime
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/smoke;create=true"
+    day1 = spark.createDataFrame(
+        [(datetime.date(2020, 1, 1), "US", "Virus", 39.0),
+         (datetime.date(2020, 1, 1), "CN", "Mucus", 12.5)],
+        "date DATE, region STRING, kw STRING, value DOUBLE",
+    )
+    day2 = spark.createDataFrame(
+        [(datetime.date(2020, 1, 2), "US", "Virus", 41.0)],
+        "date DATE, region STRING, kw STRING, value DOUBLE",
+    )
+    write_jdbc(day1, url, "trends", DERBY_DRIVER)   # creates via append
+    write_jdbc(day2, url, "trends", DERBY_DRIVER)   # appends, no clobber
+
+    full = read_jdbc(spark, url, "trends", DERBY_DRIVER)
+    assert full.count() == 3
+
+    history = full.where(F.col("date") < F.lit(datetime.date(2020, 1, 2)))
+    plan = history._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(DATE".lower() in plan.lower() or \
+        "LessThan(date" in plan, f"date filter not pushed to JDBC: {plan}"
+    rows = {(r["region"], r["value"]) for r in history.collect()}
+    assert rows == {("US", 39.0), ("CN", 12.5)}
+
+    # Parallel range read: N partitions issue N bounded queries — the
+    # scan shape that matters once the table is not dimension-sized.
+    ranged = read_jdbc(
+        spark, url, "trends", DERBY_DRIVER,
+        partition_column="value", lower_bound=0, upper_bound=50,
+        num_partitions=4,
+    )
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 3
+
+
+def test_anomaly_map_artifact(spark, tmp_path):
+    """The choropleth artifact (reference anomaly map.ipynb / anim_2020.gif
+    twin): consumes the oracle-checked map feeds, emits well-formed SVG
+    with one tile per region and one panel per month."""
+    import xml.etree.ElementTree as ET
+
+    from big_data_analysis_diseases_outbreaks_spark.artifacts import (
+        REGION_GEOMETRY,
+        write_anomaly_map,
+    )
+
+    out = str(tmp_path / "map.svg")
+    write_anomaly_map(spark, SF_SMALL, out)
+    root = ET.parse(out).getroot()
+    assert root.tag.endswith("svg")
+    texts = [t.text for t in root.iter() if t.tag.endswith("text")]
+    for region in REGION_GEOMETRY:
+        assert region in texts, f"region tile {region} missing from SVG"
+    series = ET.parse(str(tmp_path / "map_series.svg")).getroot()
+    panels = [g for g in series.iter() if g.tag.endswith("g")]
+    assert panels, "series artifact has no per-month panels"

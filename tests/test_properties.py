@@ -147,3 +147,48 @@ def test_train_split_stable_and_balanced(spark):
     assert all(0 <= v[0] < 100 for v in b.values())
     train_frac = sum(1 for v in b.values() if v[1] == "train") / len(b)
     assert 0.85 <= train_frac <= 0.95, train_frac
+
+
+def test_gopher_predicates_match_paper_on_mixed_case(spark, tmp_path):
+    """Gopher A1.1 fidelity on text the synthetic corpus never shows:
+    capitalized words and trailing punctuation. 'The dog.' tokens must
+    BOTH count as alphabetic (contain ≥1 letter), and 'The'/'dog.' must
+    still register as stopword hits ('the'; 'dog' is not a stopword but
+    'The' is after case-folding) — the earlier ^[a-z]+$ predicate failed
+    every one of them. Runs the full query + oracle on a corpus overlay
+    so BOTH engines are checked for the paper-faithful behavior."""
+    import shutil
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from .conftest import SF_SMALL
+    from .oracle_harness import compare_query
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    (tmp_path / "sf" / "documents.parquet").unlink()
+    words = "The quick brown Fox, it jumped over a lazy dog. " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, words, "en", "web", len(words)),
+            (2, "UPPER CASE ONLY WITH The AND a AND is TOKENS " * 12,
+             "en", "web", 45 * 12),
+            (3, "1234 5678 !!! ???", "und", "web", 17),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "docs_tmp"))
+    import glob as _g
+    part = _g.glob(str(tmp_path / "docs_tmp" / "part-*.parquet"))[0]
+    shutil.copy(part, tmp_path / "sf" / "documents.parquet")
+
+    q = all_queries()["doc_gopher_quality"]
+    assert not compare_query(q.fn(spark, sf), q.oracle, sf)
+
+    by_id = {r["doc_id"]: r for r in q.fn(spark, sf).collect()}
+    # every token of doc 1 contains a letter — including 'Fox,' / 'dog.'
+    assert by_id[1]["alpha_frac"] == 1.0
+    # 'The', 'it', 'over', 'a' fold to stopword hits despite case
+    assert by_id[1]["stop_hits"] >= 3
+    assert by_id[2]["stop_hits"] >= 3
+    # all-numeric/punct doc: zero alpha tokens, zero stop hits
+    assert by_id[3]["alpha_frac"] == 0.0 and by_id[3]["stop_hits"] == 0
