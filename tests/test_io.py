@@ -327,6 +327,10 @@ def test_jdbc_roundtrip_append_and_pushed_filter(spark, tmp_path):
         write_jdbc,
     )
 
+    # Point derby.log at the tmp dir BEFORE the engine first loads —
+    # otherwise Derby drops it in whatever cwd the tests run from.
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+
     url = f"jdbc:derby:{tmp_path}/smoke;create=true"
     day1 = spark.createDataFrame(
         [(datetime.date(2020, 1, 1), "US", "Virus", 39.0),
