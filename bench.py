@@ -79,6 +79,14 @@ HEADLINE = [
     "stream_static_enriched_agg",
     "ann_ivf_pq_topk",
     "multimodal_byte_histogram",
+    # round-5 additions
+    "ml_recall_report",
+    "dedup_keep_best",
+    "doc_gopher_quality",
+    "anomaly_map_series",
+    "kw_correlation_matrix",
+    "user_retention_cohorts",
+    "json_roundtrip",
 ]
 
 

@@ -150,5 +150,9 @@ def kmeans_anomalies(
         .select("date", "region", F.col("prediction").cast("int").alias("cluster"),
                 "score", "is_anomaly")
     )
-    feats.unpersist()
+    # feats stays persisted: the returned DataFrame is LAZY and its plan
+    # reads feats — an eager unpersist here would silently re-run the
+    # whole pivot→scale→PCA lineage when the caller finally acts on the
+    # result (measured +4.5 s at sf0.1, the dominant cost of the query).
+    # The cache is released by the caller's clearCache()/session end.
     return out

@@ -146,7 +146,9 @@ def _fit_coarse_codebook(
     jobs per run and dominated the query's bench time at small SF while
     adding nothing at scale (the fit input is capped either way).
     Seeded init + fixed iteration count → deterministic centroids.
-    Returns the centroid matrix C (n_cells × dim) and its row norms²."""
+    Returns the centroid matrix C (n_cells × dim), its row norms², and
+    the sample itself so downstream fits (PQ codebooks) reuse it
+    instead of collecting the same rows again."""
     import numpy as np
 
     sample = np.array(
@@ -164,7 +166,7 @@ def _fit_coarse_codebook(
             pts = sample[asg == j]
             if len(pts):
                 cent[j] = pts.mean(axis=0)
-    return cent, (cent * cent).sum(axis=1)
+    return cent, (cent * cent).sum(axis=1), sample
 
 
 def _make_cell_ranks_udf(C, c_norm2):
@@ -205,7 +207,7 @@ def ivf_topk(
     narrow map over the corpus, and scoring shuffles on the cell key only
     — the classic FAISS-IVF layout expressed as DataFrame ops.
     """
-    C, c_norm2 = _fit_coarse_codebook(candidates, emb_col, n_cells)
+    C, c_norm2, _ = _fit_coarse_codebook(candidates, emb_col, n_cells)
     cell_ranks = _make_cell_ranks_udf(C, c_norm2)
 
     c = candidates.select(
@@ -369,20 +371,18 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    C, c_norm2 = _fit_coarse_codebook(candidates, emb_col, n_cells)
+    # One bounded sample drives BOTH codebook fits (coarse + PQ): the
+    # second collect() the PQ path used to issue was the same rows again.
+    C, c_norm2, sample = _fit_coarse_codebook(
+        candidates, emb_col, n_cells, fit_sample=fit_sample
+    )
     d = C.shape[1]
     if d % m_sub != 0:  # real exception, not assert: survives python -O
         raise ValueError(f"dim {d} not divisible into {m_sub} subspaces")
     sub_d = d // m_sub
 
-    # PQ codebooks on coarse residuals of a bounded sample (driver-side
-    # numpy Lloyd, seeded + fixed iteration count → deterministic).
-    sample = np.array(
-        [
-            [float(x) for x in r[0]]
-            for r in candidates.select(emb_col).limit(fit_sample).collect()
-        ]
-    )
+    # PQ codebooks on coarse residuals of the same bounded sample
+    # (driver-side numpy Lloyd, seeded + fixed iterations → deterministic).
     s_cell = np.argmin(c_norm2 - 2.0 * (sample @ C.T), axis=1)
     resid = sample - C[s_cell]
     rng = np.random.default_rng(1)
