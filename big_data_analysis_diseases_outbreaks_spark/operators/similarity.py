@@ -505,3 +505,69 @@ def ivf_pq_topk(
         refined.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def semdedup_pairs(
+    vecs: DataFrame,
+    min_cosine: float = 0.98,
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    max_cell: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with a k-means codebook, then compare pairs ONLY
+    within a cluster — near-duplicates land in the same cell because the
+    quantizer maps them to the same nearest centroid, so the quadratic
+    verify never crosses cells.
+
+    Shares the IVF coarse-codebook fit (seeded numpy Lloyd on a bounded
+    sample, :func:`_fit_coarse_codebook`) — SemDeDup and IVF are the
+    same blocking geometry used for different ends. Shuffle profile:
+    ONE exchange keyed by cell; in-cell pairs expand with array
+    combinatorics (as the LSH dedup path); ``max_cell`` guards the
+    worst-case quadratic blowup of a degenerate cell the way
+    MAX_BUCKET_SIZE does for minhash buckets. Returns
+    (vec_id_1 < vec_id_2, cos_sim, cell) for pairs with
+    cosine ≥ ``min_cosine``; canonical-keep policy (min id survives) is
+    the caller's reduction, as in the minhash tier.
+
+    vs ``lsh_near_dup_pairs``: one cell lookup per vector instead of
+    n_tables bucketings, but recall depends on quantizer quality where
+    LSH's is a tunable collision probability — the engine ships both.
+    """
+    C, c_norm2, _ = _fit_coarse_codebook(vecs, emb_col, n_cells)
+    cell_ranks = _make_cell_ranks_udf(C, c_norm2)
+    assigned = vecs.select(
+        F.col("vec_id").alias("vid"),
+        F.col(emb_col).alias("emb"),
+        cell_ranks(F.col(emb_col))[0].alias("cell"),
+    )
+    cells = (
+        assigned.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "emb"))).alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= max_cell))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["vid"].alias("vec_id_1"),
+                    y["vid"].alias("vec_id_2"),
+                    x["emb"].alias("e1"),
+                    y["emb"].alias("e2"),
+                ),
+            ),
+        )
+    )
+    return (
+        cells.select(F.col("cell"), F.explode(pairs).alias("p"))
+        .select(
+            "p.vec_id_1",
+            "p.vec_id_2",
+            F.round(cosine(F.col("p.e1"), F.col("p.e2")), 4).alias("cos_sim"),
+            "cell",
+        )
+        .where(F.col("cos_sim") >= min_cosine)
+    )

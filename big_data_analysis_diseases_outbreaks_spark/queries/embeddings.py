@@ -450,3 +450,30 @@ def embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pos_a.cast("double") / n_a - n_pos_b.cast("double") / n_b
         ).alias("pos_rate_delta"),
     )
+
+
+@register("dedup_semdedup", oracle=None)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the perturbed-corpus fixture:
+    k-means-cell-blocked semantic near-dup pairs, sharing the IVF
+    codebook fit. Rows-only (the codebook is a seeded fit, not
+    SQL-expressible); recall vs the exact all-pairs verifier is pinned
+    in tests/test_similarity.py, determinism by the blanket
+    rows-only test."""
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") * 1.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    doubled = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(perturbed)
+    return semdedup_pairs(doubled, min_cosine=0.98)

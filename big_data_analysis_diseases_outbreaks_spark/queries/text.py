@@ -1466,3 +1466,131 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_ok.alias("alpha_ok"),
         (word_count_ok & mwl_ok & ttr_ok & stop_ok & alpha_ok).alias("keep"),
     )
+
+
+# --- Segment-level (paragraph-granularity) cross-corpus dedup: the
+# C4/RefinedWeb boilerplate-removal signal. Real corpora split on
+# '\n\n'; the synthetic fixture has no newlines, so a "segment" is an
+# ALIGNED 20-token window — the same fingerprint-count-join shape at
+# identical shuffle cost. Per-segment md5 fingerprints → global
+# count-per-fingerprint (one shuffle) → per-doc duplicate-segment ratio
+# (second shuffle, doc-keyed). At 100 TB both shuffles are on compact
+# 32-char keys, never text; a doc whose segments are mostly corpus-
+# duplicated is boilerplate and drops before training. ----------------------
+
+_SEG_TOKENS = 20
+
+
+@register(
+    "doc_segment_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, i * {_SEG_TOKENS} + 1,
+                        i * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ')) AS fp
+  FROM t,
+       LATERAL UNNEST(range(CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0),
+counted AS (
+  SELECT doc_id, fp,
+         COUNT(*) OVER (PARTITION BY fp) AS n_fp
+  FROM seg)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       (CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+         AS dup_ratio
+FROM counted
+GROUP BY doc_id
+""".strip(),
+)
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG_TOKENS))).cast("long")
+    seg = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("i") * _SEG_TOKENS + 1).cast("int"),
+                    _SEG_TOKENS,
+                ),
+            )
+        ).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    n_fp = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    counted = seg.withColumn("n_fp", n_fp)
+    dup = F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0)).cast("long")
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        dup.alias("n_dup_segments"),
+        (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+    )
+
+
+# --- Training-mixture planner: given per-domain target weights and a
+# global token budget, emit the per-domain sampling fraction that a
+# downstream seeded sampleBy (doc_stratified_sample's mechanism) would
+# consume. The statistics side is one token-count aggregation over the
+# corpus (map-side partial sums); the plan arithmetic is a broadcast of
+# 20 literal weights. Output fractions are IEEE quotients of exact
+# integers and literal doubles — bit-identical across engines. ------------
+
+_MIX_BUDGET_TOKENS = 50_000
+# Deterministic demo weights: heavier on low-numbered sources. A real
+# run feeds measured domain weights; the PLAN SHAPE (aggregate → join
+# literal weights → bounded fraction) is what scales.
+_MIX_WEIGHTS = {f"src{i}": round(0.09 - 0.004 * i, 4) for i in range(20)}
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+stats AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY source)
+SELECT s.source, s.n_docs, s.n_tokens, w.weight,
+       CAST(w.weight * {_MIX_BUDGET_TOKENS} AS DOUBLE) AS target_tokens,
+       LEAST(1.0, (w.weight * {_MIX_BUDGET_TOKENS}) / s.n_tokens)
+         AS sample_frac
+FROM stats s JOIN w USING (source)
+""".strip(),
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    weights = spark.createDataFrame(
+        sorted(_MIX_WEIGHTS.items()), "source STRING, weight DOUBLE"
+    )
+    target = F.col("weight") * _MIX_BUDGET_TOKENS
+    return stats.join(F.broadcast(weights), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        target.cast("double").alias("target_tokens"),
+        F.least(F.lit(1.0), target / F.col("n_tokens")).alias("sample_frac"),
+    )

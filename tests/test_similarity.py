@@ -129,3 +129,25 @@ def test_ivf_pq_topk_recall(spark):
     hits = sum(1 for q, c in approx.items() if exact.get(q) == c)
     recall = hits / len(exact)
     assert recall >= 0.3, f"IVF-PQ top-1 recall too low: {recall:.2f}"
+
+
+def test_semdedup_recall_vs_exact(spark):
+    """SemDeDup's cell blocking must recover ≥95% of the exact all-pairs
+    near-dup set (each planted pair is a 1.05× first-coordinate
+    perturbation — the quantizer should map both copies to the same
+    cell), and must never invent a pair the exact path lacks."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    from .conftest import SF_ORACLE
+
+    qs = all_queries()
+    exact = {
+        (r["vec_id_1"], r["vec_id_2"])
+        for r in qs["dedup_embedding_cosine"].fn(spark, SF_ORACLE).collect()
+    }
+    sem_rows = qs["dedup_semdedup"].fn(spark, SF_ORACLE).collect()
+    sem = {(r["vec_id_1"], r["vec_id_2"]) for r in sem_rows}
+    assert all(r["cos_sim"] >= 0.98 for r in sem_rows)
+    assert sem <= exact, "semdedup found a pair the exact verifier did not"
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.95, f"semdedup recall too low: {recall:.2f}"
