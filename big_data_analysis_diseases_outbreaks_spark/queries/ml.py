@@ -67,13 +67,17 @@ def ml_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         spiked = spiked.withColumn(
             kw, F.when(cond, F.col(kw) * 50 + 1000).otherwise(F.col(kw))
         )
-    spiked = spiked.drop("planted")
+    # Persist the spiked feature frame: BOTH detectors consume it, and
+    # each would otherwise re-run the pivot/daily-agg lineage (plus each
+    # scored result is referenced twice below — semi-join + flag count).
+    spiked = spiked.drop("planted").persist()
 
     reports = []
     for detector, scored in (
         ("kmeans", kmeans_anomalies(spiked, feature_cols=cols)),
         ("iforest", iforest_by_region(spiked, feature_cols=cols)),
     ):
+        scored = scored.persist()
         rep = (
             scored.join(F.broadcast(target.drop("planted")), ["date", "region"], "left_semi")
             .select(

@@ -329,3 +329,26 @@ def test_training_data_pipeline_no_single_partition(spark):
     distributed running sum's no-global-funnel property end-to-end."""
     plan = _plan(spark, "training_data_pipeline")
     assert "SinglePartition" not in plan
+
+
+def test_segment_dedup_two_shuffles_partial_agg(spark):
+    """Segment-level dedup must stay at exactly two exchanges (fp window,
+    doc re-agg) with map-side partial aggregation, and the scan must
+    prune to (doc_id, text) — at 100 TB both shuffles carry 32-char
+    fingerprints plus counters, never document text."""
+    plan = _plan(spark, "doc_segment_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan and "partial_sum" in plan
+    m = re.search(r"ReadSchema: struct<([^\n]*)", plan)
+    assert m and "lang" not in m.group(1) and "n_chars" not in m.group(1)
+
+
+def test_mixture_plan_broadcasts_weights(spark):
+    """The mixture planner is one corpus aggregation (partial sums before
+    its single shuffle) joined to the literal weight table via broadcast
+    — a sort-merge join here would shuffle the stats for a 20-row dim."""
+    plan = _plan(spark, "corpus_mixture_plan")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
