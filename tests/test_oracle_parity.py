@@ -152,6 +152,8 @@ _FLAGSHIP_AT_SCALE = [
     "dedup_exact",
     "training_data_pipeline",
     "stream_daily_agg",
+    "doc_segment_dedup",
+    "corpus_mixture_plan",
 ]
 
 

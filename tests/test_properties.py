@@ -192,3 +192,63 @@ def test_gopher_predicates_match_paper_on_mixed_case(spark, tmp_path):
     assert by_id[2]["stop_hits"] >= 3
     # all-numeric/punct doc: zero alpha tokens, zero stop hits
     assert by_id[3]["alpha_frac"] == 0.0 and by_id[3]["stop_hits"] == 0
+
+
+def test_segment_dedup_flags_planted_boilerplate(spark, tmp_path):
+    """Planted boilerplate must be visible in dup_ratio: two docs sharing
+    their first 20-token segment verbatim each get that segment flagged;
+    a doc of unique tokens gets ratio 0. Also the structural invariants:
+    0 ≤ dup_ratio ≤ 1 and n_dup_segments ≤ n_segments."""
+    import glob as _g
+    import shutil
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from .conftest import SF_SMALL
+    from .oracle_harness import compare_query
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_SMALL, sf)
+    (tmp_path / "sf" / "documents.parquet").unlink()
+    shared = " ".join(f"tok{i}" for i in range(20))          # one full segment
+    uniq_a = " ".join(f"aa{i}" for i in range(25))
+    uniq_b = " ".join(f"bb{i}" for i in range(25))
+    uniq_c = " ".join(f"cc{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq_a}", "en", "src0", 1),
+            (2, f"{shared} {uniq_b}", "en", "src1", 1),
+            (3, uniq_c, "en", "src2", 1),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "d"))
+    shutil.copy(_g.glob(str(tmp_path / "d" / "part-*.parquet"))[0],
+                tmp_path / "sf" / "documents.parquet")
+
+    q = all_queries()["doc_segment_dedup"]
+    assert not compare_query(q.fn(spark, sf), q.oracle, sf)
+    rows = {r["doc_id"]: r for r in q.fn(spark, sf).collect()}
+    for r in rows.values():
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+        assert r["n_dup_segments"] <= r["n_segments"]
+    assert rows[1]["n_dup_segments"] >= 1 and rows[2]["n_dup_segments"] >= 1
+    assert rows[3]["n_dup_segments"] == 0 and rows[3]["dup_ratio"] == 0.0
+
+
+def test_mixture_plan_budget_consistency(spark):
+    """Sampling fractions must be in (0, 1], and each domain's expected
+    sampled tokens = frac · n_tokens must equal min(target, available) —
+    i.e. the planner never over-allocates a domain beyond its target nor
+    beyond what exists."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+    from .conftest import SF_ORACLE
+
+    rows = all_queries()["corpus_mixture_plan"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["sample_frac"] <= 1.0
+        expected = r["sample_frac"] * r["n_tokens"]
+        cap = min(r["target_tokens"], float(r["n_tokens"]))
+        assert abs(expected - cap) < 1e-6, (
+            f"{r['source']}: plans {expected:.1f} tokens, cap {cap:.1f}"
+        )
