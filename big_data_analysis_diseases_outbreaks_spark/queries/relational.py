@@ -1636,3 +1636,109 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_running_sum(daily, ["d"], "net", "open_orders").select(
         "d", "net", F.col("open_orders").cast("long").alias("open_orders")
     )
+
+
+# --- CDC / SCD-1 merge (upsert-apply): the batch MERGE INTO that any
+# warehouse sync needs — base snapshot + change batch → next snapshot.
+# The change batch is derived deterministically from the fixture: every
+# order whose key ≡ 3 (mod 7) arrives as an UPDATE (status → 'U', price
+# +10%), every key ≡ 5 (mod 7) as a DELETE, and synthetic keys (max+rank)
+# as INSERTs. Spark plan: one full-outer join on the key + coalesce per
+# column — no Delta/iceberg runtime needed; at 100 TB both sides shuffle
+# once on o_orderkey (or zero times if the snapshot is bucketed on it),
+# and the change side is typically small enough to broadcast. Mirrors
+# MERGE semantics exactly: matched+update, matched+delete,
+# not-matched+insert. ------------------------------------------------------
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, 'U' AS op,
+         o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL, NULL
+  FROM orders WHERE o_orderkey % 7 = 5
+  UNION ALL
+  SELECT mk + ROW_NUMBER() OVER (ORDER BY c_custkey) AS o_orderkey,
+         'I', c_custkey, 'N', 100.0
+  FROM (SELECT c_custkey FROM customer
+        GROUP BY c_custkey ORDER BY c_custkey LIMIT 10)
+  CROSS JOIN (SELECT MAX(o_orderkey) AS mk FROM orders)),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op = 'U' THEN c.o_custkey
+              WHEN c.op = 'I' THEN c.o_custkey
+              ELSE b.o_custkey END AS o_custkey,
+         CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus
+              ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op IN ('U','I') THEN c.o_totalprice
+              ELSE b.o_totalprice END AS o_totalprice,
+         c.op
+  FROM orders b FULL OUTER JOIN changes c USING (o_orderkey))
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM merged
+WHERE op IS DISTINCT FROM 'D'
+""".strip(),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    max_key = orders.agg(F.max("o_orderkey").alias("mk"))
+    inserts = (
+        customer.groupBy("c_custkey")
+        .agg(F.min("c_name").alias("c_name"))
+        .orderBy("c_custkey")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("c_custkey"))
+        )
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mk") + F.col("rn")).alias("o_orderkey"),
+            F.lit("I").alias("op"),
+            F.col("c_custkey").alias("o_custkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+        )
+    )
+    updates = orders.where(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    deletes = orders.where(F.col("o_orderkey") % 7 == 5).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    b = orders.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, on="o_orderkey", how="full_outer").select(
+        F.col("o_orderkey"),
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.o_custkey"))
+        .otherwise(F.col("b.o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.o_orderstatus"))
+        .otherwise(F.col("b.o_orderstatus"))
+        .alias("o_orderstatus"),
+        # raw IEEE product, NOT rounded: ROUND on a rational-valued
+        # double diverges between engines at decimal ties (stable.py).
+        F.when(F.col("c.op").isin("U", "I"), F.col("c.o_totalprice"))
+        .otherwise(F.col("b.o_totalprice"))
+        .alias("o_totalprice"),
+        F.col("c.op").alias("op"),
+    )
+    return merged.where(
+        ~F.col("op").eqNullSafe("D")
+    ).drop("op")

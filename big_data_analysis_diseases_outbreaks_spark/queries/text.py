@@ -1594,3 +1594,57 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.cast("double").alias("target_tokens"),
         F.least(F.lit(1.0), target / F.col("n_tokens")).alias("sample_frac"),
     )
+
+
+# --- Incremental dedup: merge an arriving batch into an already-deduped
+# corpus WITHOUT re-deduplicating the whole corpus — the operation a
+# continuously-ingesting 100 TB pipeline actually runs (full re-dedup per
+# drop is quadratic over time). The fixture splits deterministically:
+# doc_id % 10 == 7 is the arriving batch, the rest the existing corpus.
+# Plan shape: fingerprint both sides, dedup the batch internally (one
+# small shuffle), then LEFT ANTI join against the corpus fingerprints —
+# shuffled on fp, NOT broadcast: at scale the seen-fingerprint side is
+# corpus-sized. Output = post-merge canonical snapshot with provenance. ---
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         doc_id % 10 = 7 AS is_batch
+  FROM documents),
+corpus AS (
+  SELECT fp, MIN(doc_id) AS canonical_doc_id
+  FROM fp WHERE NOT is_batch GROUP BY fp),
+batch AS (
+  SELECT fp, MIN(doc_id) AS canonical_doc_id
+  FROM fp WHERE is_batch GROUP BY fp),
+merged AS (
+  SELECT fp, canonical_doc_id, 0 AS is_new FROM corpus
+  UNION ALL
+  SELECT b.fp, b.canonical_doc_id, 1
+  FROM batch b ANTI JOIN corpus c USING (fp))
+SELECT fp, canonical_doc_id, CAST(is_new AS INTEGER) AS is_new FROM merged
+""".strip(),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % 10 == 7).alias("is_batch"),
+    )
+    corpus = (
+        docs.where(~F.col("is_batch"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    batch = (
+        docs.where(F.col("is_batch"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    survivors = batch.join(corpus, on="fp", how="left_anti")
+    return corpus.withColumn("is_new", F.lit(0)).unionByName(
+        survivors.withColumn("is_new", F.lit(1))
+    )
