@@ -87,6 +87,11 @@ HEADLINE = [
     "kw_correlation_matrix",
     "user_retention_cohorts",
     "json_roundtrip",
+    "doc_segment_dedup",
+    "corpus_mixture_plan",
+    "dedup_semdedup",
+    "cdc_merge_apply",
+    "dedup_incremental",
 ]
 
 

@@ -1602,9 +1602,12 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drop is quadratic over time). The fixture splits deterministically:
 # doc_id % 10 == 7 is the arriving batch, the rest the existing corpus.
 # Plan shape: fingerprint both sides, dedup the batch internally (one
-# small shuffle), then LEFT ANTI join against the corpus fingerprints —
-# shuffled on fp, NOT broadcast: at scale the seen-fingerprint side is
-# corpus-sized. Output = post-merge canonical snapshot with provenance. ---
+# small shuffle), then LEFT ANTI join against the corpus fingerprints.
+# Deliberately NOT join-hinted: Catalyst broadcasts the seen-set only
+# while its size estimate fits under the threshold (true at test SF) and
+# degrades to a shuffled anti join once the corpus outgrows it — the
+# adaptive behavior a 100 TB deployment wants, for free. Output =
+# post-merge canonical snapshot with provenance. --------------------------
 
 
 @register(

@@ -352,3 +352,24 @@ def test_mixture_plan_broadcasts_weights(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
+
+
+def test_cdc_merge_full_outer_sort_merge(spark):
+    """MERGE semantics need every row of both sides → FullOuter, which
+    cannot broadcast: the snapshot and change set each shuffle exactly
+    once on the merge key. The only broadcasts allowed are the 1-row
+    max-key and the 10-row insert batch."""
+    plan = _plan(spark, "cdc_merge_apply")
+    assert re.search(r"SortMergeJoin.*o_orderkey.*FullOuter", plan)
+    assert "BroadcastHashJoin" not in plan.split("FullOuter")[0]
+
+
+def test_dedup_incremental_anti_join_adaptive(spark):
+    """The batch-vs-corpus membership test must plan as a LEFT ANTI join
+    on the fingerprint — broadcast is acceptable only because the test
+    corpus sits under the autoBroadcast threshold; the query sets no
+    join hint, so at corpus scale the same plan degrades to a shuffled
+    anti join."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2  # both GROUP BYs on fp
