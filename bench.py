@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_semdedup",
     "cdc_merge_apply",
     "dedup_incremental",
+    "producer_daily_mean",
 ]
 
 

@@ -1231,3 +1231,71 @@ def series_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_dow / mean_all).alias("seasonal_factor"),
         )
     )
+
+
+# --- The producer fleet as an engine-native source (SURVEY §2.A10,
+# reference procucer/master/fetch_client.py + README.md:64-87): Spark 4
+# Python DataSource emitting the fleet's (date, kw, region, value)
+# record shape with one InputPartition per day. The query value-checks
+# the CONNECTOR itself — schema, partition fan-out, and every generated
+# cell — against a DuckDB generate_series twin, then a companion
+# aggregation proves the source composes with the normal query surface. ---
+
+
+@register(
+    "producer_generate",
+    oracle="""
+WITH days AS (SELECT CAST(i AS INTEGER) AS day_i FROM range(30) t(i)),
+kws AS (SELECT CAST(i AS INTEGER) AS kw_i FROM range(20) t(i)),
+regions(region_i, region) AS
+  (VALUES (0, 'US'), (1, 'CN'), (2, 'IT'), (3, 'IL'), (4, 'UK'))
+SELECT DATE '2020-01-01' + day_i AS date,
+       'kw_' || CAST(kw_i AS VARCHAR) AS kw,
+       region,
+       (((day_i * 31 + kw_i * 17 + region_i * 7) % 1000) / 10.0) AS value
+FROM days CROSS JOIN kws CROSS JOIN regions
+""".strip(),
+)
+def producer_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.producer_source import register_producer_source
+
+    register_producer_source(spark)
+    return spark.read.format("trends_producer").load()
+
+
+@register(
+    "producer_daily_mean",
+    oracle="""
+WITH days AS (SELECT CAST(i AS INTEGER) AS day_i FROM range(30) t(i)),
+kws AS (SELECT CAST(i AS INTEGER) AS kw_i FROM range(20) t(i)),
+regions(region_i, region) AS
+  (VALUES (0, 'US'), (1, 'CN'), (2, 'IT'), (3, 'IL'), (4, 'UK')),
+gen AS (
+  SELECT DATE '2020-01-01' + day_i AS date, region,
+         CAST((day_i * 31 + kw_i * 17 + region_i * 7) % 1000 AS BIGINT) AS v10
+  FROM days CROSS JOIN kws CROSS JOIN regions)
+SELECT date, region,
+       CAST(SUM(v10) AS BIGINT) AS sum_v10,
+       (CAST(SUM(v10) AS DOUBLE) / (10.0 * COUNT(*))) AS mean_value
+FROM gen GROUP BY date, region
+""".strip(),
+)
+def producer_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generated stream aggregated per (date, region) — exact-integer
+    sums of value×10 keep the mean an IEEE quotient of exact integers
+    (functions/stable.py discipline)."""
+    from ..sources.producer_source import register_producer_source
+
+    register_producer_source(spark)
+    gen = spark.read.format("trends_producer").load()
+    v10 = F.round(F.col("value") * 10).cast("long")
+    return (
+        gen.withColumn("v10", v10)
+        .groupBy("date", "region")
+        .agg(
+            F.sum("v10").alias("sum_v10"),
+            (F.sum("v10").cast("double") / (10.0 * F.count(F.lit(1)))).alias(
+                "mean_value"
+            ),
+        )
+    )

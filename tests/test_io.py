@@ -386,3 +386,26 @@ def test_anomaly_map_artifact(spark, tmp_path):
     series = ET.parse(str(tmp_path / "map_series.svg")).getroot()
     panels = [g for g in series.iter() if g.tag.endswith("g")]
     assert panels, "series artifact has no per-month panels"
+
+
+def test_producer_datasource_fanout_and_options(spark):
+    """SURVEY §2.A10 engine-native: the producer twin must expose one
+    InputPartition per day (the fleet's fan-out unit), honor options,
+    and generate deterministically."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.producer_source import (
+        register_producer_source,
+    )
+
+    register_producer_source(spark)
+    df = (
+        spark.read.format("trends_producer")
+        .option("days", "7").option("n_kw", "3").option("regions", "US,IL")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    rows = df.collect()
+    assert len(rows) == 7 * 3 * 2
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, df.collect()))
+    kws = {r["kw"] for r in rows}
+    assert kws == {"kw_0", "kw_1", "kw_2"}
+    assert {r["region"] for r in rows} == {"US", "IL"}
