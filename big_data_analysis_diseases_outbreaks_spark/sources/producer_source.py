@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from datetime import date, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 PRODUCER_SCHEMA = "date DATE, kw STRING, region STRING, value DOUBLE"
 DEFAULT_REGIONS = "US,CN,IT,IL,UK"
@@ -46,6 +51,9 @@ class TrendsProducerDataSource(DataSource):
 
     def reader(self, schema) -> "TrendsProducerReader":
         return TrendsProducerReader(self.options)
+
+    def streamReader(self, schema) -> "TrendsProducerStreamReader":
+        return TrendsProducerStreamReader(self.options)
 
 
 class TrendsProducerReader(DataSourceReader):
@@ -75,3 +83,33 @@ class TrendsProducerReader(DataSourceReader):
 def register_producer_source(spark) -> None:
     """Idempotent registration of the format with a session."""
     spark.dataSource.register(TrendsProducerDataSource)
+
+
+class TrendsProducerStreamReader(DataSourceStreamReader):
+    """Streaming twin: offsets are day indices, each micro-batch covers
+    the days between the last committed offset and ``latestOffset`` —
+    one InputPartition per day, exactly the batch reader's fan-out.
+    ``maxDaysPerBatch`` plays the reference's ``maxOffsetsPerTrigger``
+    role (``Main.scala:33``): it caps how far ``latestOffset`` advances
+    per trigger, bounding micro-batch size."""
+
+    def __init__(self, options):
+        self._inner = TrendsProducerReader(options)
+        self.max_days = int(options.get("maxDaysPerBatch", "7"))
+        self._last = 0
+
+    def initialOffset(self):
+        return {"day": 0}
+
+    def latestOffset(self):
+        self._last = min(self._last + self.max_days, self._inner.days)
+        return {"day": self._last}
+
+    def partitions(self, start, end):
+        return [InputPartition(i) for i in range(start["day"], end["day"])]
+
+    def read(self, partition: InputPartition):
+        return self._inner.read(partition)
+
+    def commit(self, end):
+        pass

@@ -550,3 +550,54 @@ def test_interval_join_checkpoint_recovery(spark, tmp_path):
         ).collect()
     }
     assert rows == want
+
+
+def test_producer_stream_source_converges_to_batch(spark):
+    """The producer DataSource's streaming twin must deliver the exact
+    batch result through bounded micro-batches: offsets are day indices,
+    maxDaysPerBatch caps each trigger's admission (the reference's
+    maxOffsetsPerTrigger role, Main.scala:33), and after catch-up the
+    complete-mode aggregate equals the batch aggregate cell-for-cell."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.producer_source import (
+        register_producer_source,
+    )
+
+    register_producer_source(spark)
+    agg = lambda df: df.groupBy("date", "region").agg(  # noqa: E731
+        F.sum(F.round(F.col("value") * 10).cast("long")).alias("sum_v10")
+    )
+    stream = agg(
+        spark.readStream.format("trends_producer")
+        .option("days", "30").option("maxDaysPerBatch", "7").load()
+    )
+    name = "producer_stream_sink"
+    q = (
+        stream.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(processingTime="0 seconds").start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT COUNT(*) n FROM {name}").collect()[0]["n"] >= 150:
+                break
+            time.sleep(0.5)
+        assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3, (
+            "catch-up must span multiple bounded micro-batches (30d / 7d ≥ 5)"
+        )
+    finally:
+        q.stop()
+    got = {
+        (r["date"], r["region"]): r["sum_v10"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r["date"], r["region"]): r["sum_v10"]
+        for r in agg(
+            spark.read.format("trends_producer").option("days", "30").load()
+        ).collect()
+    }
+    assert got == want
