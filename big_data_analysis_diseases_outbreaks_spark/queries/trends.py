@@ -1299,3 +1299,33 @@ def producer_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- B2 modern twin: the same props payload through Spark 4's VARIANT
+# type (parse_json → variant_get) instead of a fixed from_json schema —
+# the open-schema path a semi-structured 100 TB ingest wants when
+# producers evolve fields: no schema declaration, shredding stays
+# engine-side, and typed access happens per field at query time. The
+# oracle reads the identical values with DuckDB's JSON accessors. ---------
+
+
+@register(
+    "json_variant_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_field,
+       (json_type(json(props)) = 'OBJECT') AS is_object
+FROM events
+""".strip(),
+)
+def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        # absent path → NULL, not an error (try semantics)
+        F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
+        F.schema_of_variant(v).startswith("OBJECT").alias("is_object"),
+    )
