@@ -166,3 +166,38 @@ def byte_histogram_features(binary_docs: DataFrame) -> DataFrame:
             )
 
     return binary_docs.mapInPandas(extract, schema=HIST_SCHEMA)
+
+
+def patchify(binary_docs: DataFrame, patch_bytes: int = 64) -> DataFrame:
+    """ViT-style patch extraction: one payload → N fixed-size patches
+    (doc_id, patch_idx, patch_len, patch_md5). The 1→N expansion runs as
+    a narrow ``mapInPandas`` — rows multiply ~n_bytes/patch_bytes× inside
+    the Arrow batch but memory stays bounded by batch size, and no
+    shuffle happens until a consumer keys by something. A real image
+    patchifier swaps the byte slicing for pixel-grid slicing behind the
+    same signature (see decode_image_real's stub contract)."""
+    import hashlib
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), patch_bytes):
+                    chunk = b[i : i + patch_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i // patch_bytes)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "patch_idx": pd.Series(idxs, dtype="int32"),
+                    "patch_len": pd.Series(lens, dtype="int32"),
+                    "patch_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return binary_docs.mapInPandas(
+        work, "doc_id LONG, patch_idx INT, patch_len INT, patch_md5 STRING"
+    )

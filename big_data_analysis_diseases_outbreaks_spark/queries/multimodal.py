@@ -94,3 +94,27 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return byte_histogram_features(with_binary_payload(docs))
+
+
+# Patch extraction (the ViT preprocessing shape): payload → fixed 64-byte
+# patches. Payloads are UTF-8 of ASCII text, so each patch's bytes equal
+# the corresponding substring and the PER-PATCH md5 is fully
+# SQL-derivable — the whole exploded output is value-checked, not just
+# counts.
+@register(
+    "multimodal_patchify",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS patch_idx,
+       CAST(length(substr(text, i * 64 + 1, 64)) AS INTEGER) AS patch_len,
+       md5(substr(text, i * 64 + 1, 64)) AS patch_md5
+FROM documents,
+     LATERAL UNNEST(range(CAST(ceil(greatest(length(text), 1) / 64.0) AS BIGINT)))
+       AS u(i)
+""".strip(),
+)
+def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import patchify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return patchify(with_binary_payload(docs), patch_bytes=64)
