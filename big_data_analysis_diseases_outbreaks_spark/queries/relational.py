@@ -1742,3 +1742,87 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.where(
         ~F.col("op").eqNullSafe("D")
     ).drop("op")
+
+
+# --- Snapshot reconciliation (the verification direction of CDC): diff
+# the base snapshot against the merge-applied snapshot and classify every
+# key as unchanged / updated / inserted / deleted. At 100 TB this is the
+# standard data-integrity sweep after any backfill or migration: one
+# full-outer join on the key (zero shuffles if both snapshots are
+# bucketed on it), null-safe per-column comparison — NOT row-hash
+# strings, whose float rendering is engine-specific — then a tiny
+# class-count aggregate. Run here against cdc_merge_apply's own output,
+# so the diff must recover exactly the change ops that were applied. ------
+
+
+@register(
+    "snapshot_diff_classes",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, 'U' AS op,
+         o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL, NULL
+  FROM orders WHERE o_orderkey % 7 = 5
+  UNION ALL
+  SELECT mk + ROW_NUMBER() OVER (ORDER BY c_custkey) AS o_orderkey,
+         'I', c_custkey, 'N', 100.0
+  FROM (SELECT c_custkey FROM customer
+        GROUP BY c_custkey ORDER BY c_custkey LIMIT 10)
+  CROSS JOIN (SELECT MAX(o_orderkey) AS mk FROM orders)),
+merged AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op IN ('U','I') THEN c.o_custkey ELSE b.o_custkey END
+           AS o_custkey,
+         CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus
+              ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.op IN ('U','I') THEN c.o_totalprice
+              ELSE b.o_totalprice END AS o_totalprice,
+         c.op
+  FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)),
+next_snap AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM merged WHERE op IS DISTINCT FROM 'D'),
+diff AS (
+  SELECT CASE
+           WHEN b.o_orderkey IS NULL THEN 'inserted'
+           WHEN n.o_orderkey IS NULL THEN 'deleted'
+           WHEN b.o_custkey IS NOT DISTINCT FROM n.o_custkey
+            AND b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+            AND b.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+             THEN 'unchanged'
+           ELSE 'updated'
+         END AS change_class
+  FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders) b
+  FULL OUTER JOIN next_snap n USING (o_orderkey))
+SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM diff GROUP BY change_class
+""".strip(),
+)
+def snapshot_diff_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    nxt = cdc_merge_apply(spark, sf_dir)
+    # explicit presence markers: attribute-null heuristics would
+    # misclassify a legitimately all-null row as absent
+    b = base.withColumn("_in_base", F.lit(1)).alias("b")
+    n = nxt.withColumn("_in_next", F.lit(1)).alias("n")
+    joined = b.join(n, on="o_orderkey", how="full_outer")
+    same = (
+        F.col("b.o_custkey").eqNullSafe(F.col("n.o_custkey"))
+        & F.col("b.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+        & F.col("b.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+    )
+    change = (
+        F.when(F.col("b._in_base").isNull(), F.lit("inserted"))
+        .when(F.col("n._in_next").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return joined.select(change.alias("change_class")).groupBy(
+        "change_class"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
