@@ -477,3 +477,51 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     ).unionByName(perturbed)
     return semdedup_pairs(doubled, min_cosine=0.98)
+
+
+# --- Batched-inference plumbing (the "embed the corpus" op): the model
+# call is a deterministic md5-derived projection so the ENTIRE embedding
+# matrix is value-checked — what's being verified is the production
+# shape: corpus → Arrow-batched pandas UDF ("model server" stand-in,
+# one vectorized call per batch, no shuffle) → fixed-dim array<double>
+# column. Swapping the hash for a real encoder changes only the batch
+# function body; partitioning, batching, schema and downstream
+# compatibility (ANN/SemDeDup consume the same column type) all stay. ----
+
+_EMB_DIM = 16
+
+
+@register(
+    "doc_embed_deterministic",
+    oracle=f"""
+SELECT doc_id,
+       list_transform(range({_EMB_DIM}),
+         i -> ((strpos('0123456789abcdef',
+                       substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef',
+                       substr(md5(text || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
+             - 127.5) / 128.0) AS embedding
+FROM documents
+""".strip(),
+)
+def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    # no hints: string-annotation inference clashes with
+    # `from __future__ import annotations`; returnType governs.
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(texts):
+        # one "model forward" per Arrow batch; vectorized over rows
+        def one(t: str):
+            return [
+                (int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:2], 16)
+                 - 127.5) / 128.0
+                for i in range(_EMB_DIM)
+            ]
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", embed(F.col("text")).alias("embedding"))
