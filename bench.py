@@ -93,6 +93,7 @@ HEADLINE = [
     "cdc_merge_apply",
     "dedup_incremental",
     "producer_daily_mean",
+    "curation_pipeline_v2",
 ]
 
 

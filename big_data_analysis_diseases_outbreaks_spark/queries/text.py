@@ -1651,3 +1651,151 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.withColumn("is_new", F.lit(0)).unionByName(
         survivors.withColumn("is_new", F.lit(1))
     )
+
+
+# --- Curation pipeline v2: the end-to-end corpus-curation user story as
+# ONE declarative plan composing this round's operators — exact dedup →
+# boilerplate gate (cross-corpus duplicate-segment ratio) → quality gate
+# → per-domain sampling at the mixture planner's fractions, executed via
+# a deterministic md5 bucket so the "sample" is reproducible and
+# oracle-checkable (a seeded Bernoulli would be engine-specific).
+# Shuffle ledger: fingerprint window + segment-fp window + doc re-agg +
+# the broadcast mixture join — every corpus-wide exchange carries 32-char
+# keys or counters, never text; filters sit scan-side of the shuffles
+# Catalyst can push them under. --------------------------------------------
+
+_CUR_MAX_DUP_RATIO = 0.5
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=f"""
+WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+fp AS (
+  SELECT doc_id, text, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+canon AS (
+  SELECT doc_id, text, source
+  FROM (SELECT doc_id, text, source,
+               MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM fp)
+  WHERE doc_id = keep_id),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+  FROM canon),
+seg AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, i * {_SEG_TOKENS} + 1,
+                        i * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ')) AS sfp
+  FROM toks,
+       LATERAL UNNEST(range(CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0),
+segstat AS (
+  SELECT doc_id,
+         (CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           AS dup_ratio
+  FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY sfp) AS n_fp FROM seg)
+  GROUP BY doc_id),
+mix AS (
+  SELECT source,
+         LEAST(1.0, (weight * {_MIX_BUDGET_TOKENS})
+                    / SUM(len(regexp_extract_all(text, '{TOKEN_RE}')))) AS frac
+  FROM canon JOIN w USING (source)
+  GROUP BY source, weight),
+gated AS (
+  SELECT c.doc_id, c.source,
+         CAST(len(regexp_extract_all(c.text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+         m.frac,
+         ((strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)) AS bucket16
+  FROM canon c
+  JOIN segstat s ON c.doc_id = s.doc_id
+  JOIN mix m ON c.source = m.source
+  WHERE s.dup_ratio < {_CUR_MAX_DUP_RATIO}
+    AND {quality_score_sql('c.text')} >= {_PIPE_QUALITY_MIN})
+SELECT doc_id, source, n_tokens, frac AS sample_frac
+FROM gated
+WHERE CAST(bucket16 AS DOUBLE) / 65536.0 < frac
+""".strip(),
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    keep = F.min("doc_id").over(Window.partitionBy(fingerprint(F.col("text"))))
+    canon = (
+        docs.withColumn("keep_id", keep)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+
+    toked = canon.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG_TOKENS))).cast("long")
+    seg = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice("toks", (F.col("i") * _SEG_TOKENS + 1).cast("int"),
+                        _SEG_TOKENS),
+            )
+        ).alias("sfp"),
+    )
+    n_fp = F.count(F.lit(1)).over(Window.partitionBy("sfp"))
+    dup = F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+    segstat = (
+        seg.withColumn("n_fp", n_fp)
+        .groupBy("doc_id")
+        .agg((dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"))
+    )
+
+    weights = spark.createDataFrame(
+        sorted(_MIX_WEIGHTS.items()), "source STRING, weight DOUBLE"
+    )
+    mix = (
+        canon.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n_tok_src"))
+        .join(F.broadcast(weights), "source")
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (F.col("weight") * _MIX_BUDGET_TOKENS) / F.col("n_tok_src"),
+            ).alias("frac"),
+        )
+    )
+
+    bucket16 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    gated = (
+        canon.join(segstat, "doc_id")
+        .join(F.broadcast(mix), "source")
+        .where(F.col("dup_ratio") < _CUR_MAX_DUP_RATIO)
+        .where(quality_score(F.col("text")) >= _PIPE_QUALITY_MIN)
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.col("frac").alias("sample_frac"),
+            bucket16.alias("bucket16"),
+        )
+    )
+    return gated.where(
+        F.col("bucket16").cast("double") / 65536.0 < F.col("sample_frac")
+    ).drop("bucket16")
