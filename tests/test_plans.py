@@ -373,3 +373,15 @@ def test_dedup_incremental_anti_join_adaptive(spark):
     plan = _plan(spark, "dedup_incremental")
     assert "LeftAnti" in plan
     assert plan.count("Exchange hashpartitioning") >= 2  # both GROUP BYs on fp
+
+
+def test_curation_v2_stays_jvm_side(spark):
+    """The composed curation pipeline must stay whole-JVM (no Python
+    eval node anywhere — every gate is built-in expressions over the
+    token arrays), broadcast the 20-row mixture fractions, and key its
+    corpus-wide shuffles on fingerprint/doc-id columns only."""
+    plan = _plan(spark, "curation_pipeline_v2")
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(sfp" in plan  # segment-fp window key
