@@ -376,3 +376,56 @@ def stream_sliding_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0.0)
     )
     return wide
+
+
+# --- Streaming ingest from the engine-native producer DataSource: the
+# reference's end-to-end loop (producer fleet → stream → daily agg,
+# Main.scala:26-96) self-contained, no broker. Offsets are day indices;
+# the bounded replay admits all days in one availableNow pass here (the
+# multi-micro-batch catch-up path with maxDaysPerBatch throttling is
+# pinned by tests/test_streaming.py). The generator is deterministic, so
+# the STREAM result is fully value-oracled — same generate_series twin
+# as the batch producer_daily_mean. -----------------------------------------
+
+
+@register(
+    "stream_producer_daily_agg",
+    oracle="""
+WITH days AS (SELECT CAST(i AS INTEGER) AS day_i FROM range(30) t(i)),
+kws AS (SELECT CAST(i AS INTEGER) AS kw_i FROM range(20) t(i)),
+regions(region_i, region) AS
+  (VALUES (0, 'US'), (1, 'CN'), (2, 'IT'), (3, 'IL'), (4, 'UK')),
+gen AS (
+  SELECT DATE '2020-01-01' + day_i AS date, region,
+         CAST((day_i * 31 + kw_i * 17 + region_i * 7) % 1000 AS BIGINT) AS v10
+  FROM days CROSS JOIN kws CROSS JOIN regions)
+SELECT date, region,
+       CAST(SUM(v10) AS BIGINT) AS sum_v10,
+       (CAST(SUM(v10) AS DOUBLE) / (10.0 * COUNT(*))) AS mean_value
+FROM gen GROUP BY date, region
+""".strip(),
+)
+def stream_producer_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..sources.producer_source import register_producer_source
+
+    register_producer_source(spark)
+    gen = (
+        spark.readStream.format("trends_producer")
+        .option("days", "30")
+        .option("maxDaysPerBatch", "30")
+        .load()
+    )
+    agg = (
+        gen.withColumn("v10", F.round(F.col("value") * 10).cast("long"))
+        .groupBy("date", "region")
+        .agg(
+            F.sum("v10").alias("sum_v10"),
+            (F.sum("v10").cast("double") / (10.0 * F.count(F.lit(1)))).alias(
+                "mean_value"
+            ),
+        )
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)
