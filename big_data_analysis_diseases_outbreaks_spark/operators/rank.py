@@ -121,6 +121,26 @@ def with_global_rank(
     )
 
 
+def with_global_rank_and_total(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "global_rank",
+    total_col: str = "global_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`with_global_rank` that also keeps the grand row count.
+
+    The total falls out of the same P-row offsets computation for free —
+    callers that need ``rank / total`` (quantile bucketing, percentile
+    positions) get both from ONE range shuffle instead of adding a
+    separate scalar-aggregate + cross join (which would plan an
+    ``Exchange SinglePartition`` for the count).
+    """
+    return _ranked_with_total(
+        df, order_cols, rank_col, num_partitions
+    ).withColumnRenamed(_TOTAL, total_col)
+
+
 def with_global_running_sum(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -1799,3 +1799,240 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.where(
         F.col("bucket16").cast("double") / 65536.0 < F.col("sample_frac")
     ).drop("bucket16")
+
+
+# --- Gopher A1.2 duplicate-n-gram repetition: fraction of a document's
+# characters covered by REPEATED 5-grams (occurrences beyond each
+# gram's first). Complements doc_repetition_ratio (top-bigram share)
+# and doc_ngram_novelty (cross-corpus novelty) with the third MassiveText
+# repetition signal [Rae et al. 2021, A1.1-A1.2]. Computed map-only:
+# sort the doc's 5-gram array once and charge length(gram) for every
+# adjacent equal pair — algebraically SUM((count-1) * len(gram)) without
+# an explode or shuffle. The 100 TB plan is scan → project, O(n log n)
+# per document, zero exchanges. --------------------------------------------
+
+_DUPGRAM_N = 5
+
+
+@register(
+    "doc_dup_ngram_chars",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '{TOKEN_RE}') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id, text,
+         list_sort(list_transform(range(1, len(ts) - {_DUPGRAM_N - 2}),
+             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                  ts[i+3] || ' ' || ts[i+4])) AS sg
+  FROM t)
+SELECT doc_id,
+       CAST(len(sg) AS BIGINT) AS n_grams,
+       CAST(COALESCE(list_sum(list_transform(range(2, len(sg) + 1),
+           i -> CASE WHEN sg[i] = sg[i-1] THEN length(sg[i]) ELSE 0 END)), 0)
+         AS BIGINT) AS dup_gram_chars,
+       ROUND(CAST(COALESCE(list_sum(list_transform(range(2, len(sg) + 1),
+           i -> CASE WHEN sg[i] = sg[i-1] THEN length(sg[i]) ELSE 0 END)), 0)
+         AS DOUBLE) / GREATEST(length(text), 1), 4) AS dup_char_frac
+FROM g
+""".strip(),
+)
+def doc_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    n = _DUPGRAM_N
+    idx = F.sequence(F.lit(0), F.size(ts) - n)  # empty when size < n
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ts, i + j + 1) for j in range(n)]
+        ),
+    )
+    sg = F.array_sort(grams)
+    # Adjacent-equal scan over the sorted grams: zip each element with its
+    # predecessor and charge the gram's length on equality.
+    tail_len = F.greatest(F.size(sg) - 1, F.lit(0))
+    dup_chars = F.aggregate(
+        F.zip_with(
+            F.slice(sg, 1, tail_len),
+            F.slice(sg, 2, tail_len),
+            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sized = docs.select(
+        "doc_id",
+        F.size(sg).cast("long").alias("n_grams"),
+        dup_chars.alias("dup_gram_chars"),
+        F.round(
+            dup_chars.cast("double")
+            / F.greatest(F.length("text"), F.lit(1)),
+            4,
+        ).alias("dup_char_frac"),
+    )
+    return sized
+
+
+# --- Deterministic training-order shuffle: the "global shuffle" every
+# epoch of LLM training needs, as a seeded hash permutation with a
+# CONTIGUOUS 1-based position — not orderBy(rand()) (irreproducible,
+# breaks resume) and not a bare ROW_NUMBER() OVER (ORDER BY ...) (plans
+# Exchange SinglePartition). The sort key is md5(doc_id # seed) — a
+# cross-engine-identical keyed permutation — and the position comes from
+# operators/rank.py's range-partition + P-way offsets rank. Changing the
+# seed re-permutes; same seed always reproduces byte-identically, so a
+# preempted training job can resume mid-epoch from `position`. ------------
+
+_SHUFFLE_SEED = "epoch0"
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || '#{_SHUFFLE_SEED}') AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '#{_SHUFFLE_SEED}'),
+                    doc_id) AS BIGINT) AS position
+FROM documents
+""".strip(),
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SEED)
+            )
+        ).alias("shuffle_key"),
+    )
+    return with_global_rank(
+        keyed, [F.col("shuffle_key"), F.col("doc_id")], "position"
+    )
+
+
+# --- Sequence-pack bin manifest: the per-bin view a training dataloader
+# consumes — which documents landed in each fixed-budget bin, in pack
+# order, with their intra-bin offsets (the attention-reset boundaries
+# for block-diagonal masking). Builds on doc_sequence_pack's globally
+# running-summed assignment; one groupBy(bin_id) shuffle, in-group order
+# pinned by array_sort over (doc_id, offset) structs — never a bare
+# collect_list iteration-order assumption. ---------------------------------
+
+
+@register(
+    "pack_bin_manifest",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t),
+b AS (
+  SELECT doc_id, n_tokens,
+         (cum - n_tokens) // {_PACK_BUDGET} AS bin_id,
+         (cum - n_tokens) % {_PACK_BUDGET} AS bin_offset
+  FROM c)
+SELECT bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+       string_agg(CAST(bin_offset AS VARCHAR), ',' ORDER BY doc_id)
+         AS bin_offsets
+FROM b
+GROUP BY bin_id
+""".strip(),
+)
+def pack_bin_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = doc_sequence_pack(spark, sf_dir)
+    entry = F.struct("doc_id", "bin_offset", "n_tokens")
+    grouped = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.array_sort(F.collect_list(entry)).alias("entries"),
+    )
+    return grouped.select(
+        "bin_id",
+        "n_docs",
+        "bin_tokens",
+        F.array_join(
+            F.transform("entries", lambda e: e["doc_id"].cast("string")), ","
+        ).alias("doc_ids"),
+        F.array_join(
+            F.transform("entries", lambda e: e["bin_offset"].cast("string")),
+            ",",
+        ).alias("bin_offsets"),
+    )
+
+
+# --- Length-bucketed batching: equal-population token-length buckets
+# (pad-efficiency planning — batching similar-length sequences minimizes
+# wasted pad tokens). Bucket k of K by GLOBAL rank over (n_tokens,
+# doc_id): bucket = (rank-1)*K / total — the exact-quantile assignment,
+# computed with ONE range shuffle via with_global_rank_and_total (the
+# grand total rides along on the same P-row offsets side computation; a
+# naive COUNT(*) OVER () or scalar-agg cross join would put an Exchange
+# SinglePartition in the plan). Per-bucket padding_efficiency =
+# sum_tokens / (n_docs * max_tokens): the fill ratio if every batch in
+# the bucket pads to the bucket max. ---------------------------------------
+
+_BATCH_BUCKETS = 8
+
+
+@register(
+    "length_bucketed_batching",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM t)
+SELECT CAST(((rn - 1) * {_BATCH_BUCKETS}) // n AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE)
+             / (COUNT(*) * MAX(n_tokens)), 4) AS padding_efficiency
+FROM r
+GROUP BY 1
+""".strip(),
+)
+def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank_and_total
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    ranked = with_global_rank_and_total(
+        sized, [F.col("n_tokens"), F.col("doc_id")], "rn", "n"
+    )
+    bucket = F.expr(f"((rn - 1) * {_BATCH_BUCKETS}) div n").alias("bucket")
+    return (
+        ranked.select(bucket, "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / (F.count(F.lit(1)) * F.max("n_tokens")),
+                4,
+            ).alias("padding_efficiency"),
+        )
+    )

@@ -385,3 +385,29 @@ def test_curation_v2_stays_jvm_side(spark):
     assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(sfp" in plan  # segment-fp window key
+
+
+def test_dup_ngram_chars_is_map_only(spark):
+    """The within-doc duplicate-5-gram scan is sort-the-array-in-place:
+    no exchange anywhere — scan → project survives any scale-up."""
+    plan = _plan(spark, "doc_dup_ngram_chars")
+    assert "Exchange" not in plan, plan
+
+
+def test_training_order_shuffle_no_single_partition(spark):
+    """The epoch permutation must come out of the range-partitioned rank,
+    never a global ROW_NUMBER window funnel."""
+    plan = _plan(spark, "training_order_shuffle")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_length_bucketed_batching_no_single_partition(spark):
+    """Quantile bucketing must get rank AND total from the shared P-row
+    offsets side computation — no scalar-agg or window funnel."""
+    plan = _plan(spark, "length_bucketed_batching")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pack_bin_manifest_no_single_partition(spark):
+    plan = _plan(spark, "pack_bin_manifest")
+    assert "SinglePartition" not in plan, plan
