@@ -94,6 +94,10 @@ HEADLINE = [
     "dedup_incremental",
     "producer_daily_mean",
     "curation_pipeline_v2",
+    "doc_dup_ngram_chars",
+    "training_order_shuffle",
+    "pack_bin_manifest",
+    "length_bucketed_batching",
 ]
 
 

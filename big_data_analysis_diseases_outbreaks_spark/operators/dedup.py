@@ -136,8 +136,13 @@ def minhash_candidate_pairs(signatures: DataFrame) -> DataFrame:
             ),
         )
     )
+    # explode_outer, not explode: a plain explode lets the optimizer
+    # infer `size(pairs) > 0` (InferFiltersFromGenerate) and evaluate
+    # the ENTIRE pair-expansion expression a second time inside the
+    # Filter. Buckets are already guaranteed ≥1 pair by the size(ids)>1
+    # predicate, so outer ≡ inner.
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode_outer(pairs).alias("p"))
         .select("p.doc_id_1", "p.doc_id_2")
         .distinct()
     )
@@ -198,7 +203,9 @@ def _prefix_filtered_pairs(
         *bucket_cols,
         "doc_id",
         "sz",
-        F.explode(F.slice("shh", F.lit(1), prefix_len)).alias("tok"),
+        # outer: prefix_len ≥ 1 always, and a plain explode would
+        # re-evaluate the slice inside an inferred size()>0 filter.
+        F.explode_outer(F.slice("shh", F.lit(1), prefix_len)).alias("tok"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     cond = (F.col("a.tok") == F.col("b.tok")) & (

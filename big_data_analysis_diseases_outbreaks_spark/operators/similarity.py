@@ -218,7 +218,10 @@ def ivf_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        F.explode(
+        # outer: n_probe ≥ 1 so the slice is never empty, and a plain
+        # explode would re-run the full centroid-distance ranking
+        # inside an inferred size()>0 filter.
+        F.explode_outer(
             F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
         ).alias("cell"),
     )
@@ -320,8 +323,11 @@ def lsh_near_dup_pairs(
             ),
         )
     )
+    # outer: size(ms)>1 guarantees ≥1 pair, and a plain explode would
+    # re-evaluate the embedding-carrying pair expansion inside an
+    # inferred size()>0 filter (InferFiltersFromGenerate).
     cand = (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode_outer(pairs).alias("p"))
         .select("p.vec_id_1", "p.vec_id_2", "p.e1", "p.e2")
         .dropDuplicates(["vec_id_1", "vec_id_2"])
     )
@@ -427,7 +433,10 @@ def ivf_pq_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col(emb_col).alias("q_emb"),
-        F.explode(
+        # outer: n_probe ≥ 1 so the slice is never empty, and a plain
+        # explode would re-run the full centroid-distance ranking
+        # inside an inferred size()>0 filter.
+        F.explode_outer(
             F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
         ).alias("cell"),
     )

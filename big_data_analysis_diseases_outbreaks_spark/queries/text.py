@@ -20,6 +20,7 @@ from ..functions.text import (
     token_count,
     tokens,
     with_hashed_shingles,
+    with_shingles,
 )
 from ..operators.rank import with_global_running_sum
 from ..operators.dedup import (
@@ -433,7 +434,10 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
+        # outer: `starts` always has >=1 element, and a plain explode's
+        # inferred size()>0 filter would rebuild every chunk slice in
+        # the Filter (InferFiltersFromGenerate).
+        docs.select("doc_id", F.explode_outer(chunks).alias("c"))
         .select(
             "doc_id",
             "c.chunk_id",
@@ -504,7 +508,10 @@ def _truncated_corpus(docs: DataFrame) -> DataFrame:
             trunc_text.alias("text"),
         ),
     )
-    return docs.select("lang", "source", F.explode(pair).alias("p")).select(
+    # outer: the pair array is a 2-element literal structure; a plain
+    # explode would re-materialize both text-carrying structs inside an
+    # inferred size()>0 filter.
+    return docs.select("lang", "source", F.explode_outer(pair).alias("p")).select(
         F.col("p.doc_id").alias("doc_id"),
         "lang",
         "source",
@@ -818,7 +825,10 @@ def contamination_8gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _truncated_corpus(load_table(spark, sf_dir, "documents"))
     c8 = with_hashed_shingles(
         corpus.select("doc_id", "text"), "text", out="shh", n=_CONTAM_NGRAM
-    ).select("doc_id", F.explode("shh").alias("h"))
+    ).select("doc_id", F.explode_outer("shh").alias("h"))
+    # outer: with_hashed_shingles guarantees non-empty shingle arrays;
+    # a plain explode's inferred size()>0 filter would re-inline the
+    # tokenizer+hash pipeline into the scan-side Filter.
     t8 = (
         c8.where(
             (F.col("doc_id") % _CONTAM_TEST_MOD == 0)
@@ -922,9 +932,12 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
+    # outer: size(ts) >= 2 guarantees ≥1 bigram; a plain explode's
+    # inferred size()>0 filter would re-evaluate the zip_with (and the
+    # tokenizer under it) in the Filter.
     bg = (
         docs.where(F.size(ts) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode_outer(bigrams).alias("bigram"))
     )
     cnt = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
     return cnt.groupBy("doc_id").agg(
@@ -1224,9 +1237,13 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- incremental n-gram novelty: per doc, the fraction of its distinct
 # word-3-grams whose FIRST corpus occurrence (by doc_id order) is this
 # doc — the "how much new text does each document add" curve dedup
-# pipelines use to decide corpus cutoffs. Two shuffles (shingle explode
-# → min-doc_id per shingle; join back on shingle), all exact integers,
-# ratio = one division. ----------------------------------------------------
+# pipelines use to decide corpus cutoffs. The novel count per doc comes
+# from re-aggregating `firsts` BY ITS first_doc — one row per distinct
+# corpus gram — never by joining the exploded shingle table back on the
+# gram string (corpus-gram-volume × string-keyed, the old shape: 2x the
+# data through the wires and 14 s vs ~4 s at sf0.1). Per-doc totals are
+# a separate map-only scan (size of the distinct-shingle array); the
+# final assembly is a doc-keyed join of two doc-sized frames. --------------
 
 
 @register(
@@ -1254,35 +1271,39 @@ GROUP BY sh.doc_id
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = tokens(F.col("text"))
-    idx = F.sequence(F.lit(0), F.size(ts) - 3)
-    shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ts, i + 1),
-                F.element_at(ts, i + 2),
-                F.element_at(ts, i + 3),
-            ),
-        )
+    # with_shingles materializes the token array behind a projection
+    # boundary — an inline `tokens(text)` referenced from the gram
+    # lambdas would re-run the regexp tokenizer per element_at
+    # (the O(tokens²) trap documented in functions/text.py).
+    shingled = with_shingles(
+        docs.select("doc_id", "text"), "text", out="sh3", n=3
     )
-    sh = (
-        docs.where(F.size(ts) >= 3)
-        .select("doc_id", F.explode(shingles).alias("s"))
+    totals = shingled.select(
+        "doc_id", F.size("sh3").cast("long").alias("n_shingles")
     )
-    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("long")
-    return (
-        sh.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.alias("n_novel"),
-            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_ratio"),
-        )
+    # explode_outer, NOT explode: a plain explode makes the optimizer
+    # infer `size(sh3) > 0` and push it into the scan-side Filter with
+    # the whole shingle expression inlined — the tokenizer then re-runs
+    # per element_at inside the filter (InferFiltersFromGenerate;
+    # measured 6 s vs 0.4 s for this explode at sf0.1). with_shingles
+    # already guarantees non-empty arrays, so outer ≡ inner here.
+    firsts = (
+        shingled.select("doc_id", F.explode_outer("sh3").alias("s"))
+        .groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel_per_doc = firsts.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    joined = totals.join(novel_per_doc, "doc_id", "left")
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
+    return joined.select(
+        "doc_id",
+        "n_shingles",
+        n_novel.alias("n_novel"),
+        (n_novel.cast("double") / F.col("n_shingles")).alias(
+            "novelty_ratio"
+        ),
     )
 
 
@@ -1805,11 +1826,15 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # characters covered by REPEATED 5-grams (occurrences beyond each
 # gram's first). Complements doc_repetition_ratio (top-bigram share)
 # and doc_ngram_novelty (cross-corpus novelty) with the third MassiveText
-# repetition signal [Rae et al. 2021, A1.1-A1.2]. Computed map-only:
-# sort the doc's 5-gram array once and charge length(gram) for every
-# adjacent equal pair — algebraically SUM((count-1) * len(gram)) without
-# an explode or shuffle. The 100 TB plan is scan → project, O(n log n)
-# per document, zero exchanges. --------------------------------------------
+# repetition signal [Rae et al. 2021, A1.1-A1.2]. SUM((count-1) *
+# len(gram)) / len(text), via gram explode → two doc-keyed hash
+# aggregations (the doc_repetition_ratio idiom). A map-only variant —
+# array_sort the doc's grams, charge length on adjacent equals — looks
+# cheaper on paper (zero exchanges) but CollapseProject inlines the
+# sorted-array subexpression into every referencing output column
+# (~6 rebuild+sorts per row: 60 s vs ~1 s at sf0.1); the aggregation
+# barrier pins the gram construction to exactly one evaluation, and the
+# shuffles are (doc, gram)-keyed and fully parallel at any scale. ----------
 
 _DUPGRAM_N = 5
 
@@ -1839,39 +1864,56 @@ FROM g
 )
 def doc_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    ts = tokens(F.col("text"))
     n = _DUPGRAM_N
-    idx = F.sequence(F.lit(0), F.size(ts) - n)  # empty when size < n
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ts, i + j + 1) for j in range(n)]
-        ),
+
+    # Let-binding via a single-element array + transform: the token
+    # array is the lambda VARIABLE inside, so the regexp tokenizer runs
+    # exactly once per row. Referencing a `ts` column expression from
+    # inside the gram lambda instead would re-evaluate
+    # regexp_extract_all per element_at — the tokenizer would run
+    # O(n_grams) times per row (measured 5-10x on this query).
+    def grams_of(t):
+        # sequence(0, negative) generates a DESCENDING range, not an
+        # empty one — guard short docs explicitly.
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+        )
+
+    grams = F.flatten(
+        F.transform(F.array(tokens(F.col("text"))), grams_of)
     )
-    sg = F.array_sort(grams)
-    # Adjacent-equal scan over the sorted grams: zip each element with its
-    # predecessor and charge the gram's length on equality.
-    tail_len = F.greatest(F.size(sg) - 1, F.lit(0))
-    dup_chars = F.aggregate(
-        F.zip_with(
-            F.slice(sg, 1, tail_len),
-            F.slice(sg, 2, tail_len),
-            lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sized = docs.select(
+    # explode_outer keeps <n-token docs as a NULL-gram row so they emit
+    # a (0, 0, 0.0) stats row like the oracle's empty list does.
+    exploded = docs.select(
         "doc_id",
-        F.size(sg).cast("long").alias("n_grams"),
-        dup_chars.alias("dup_gram_chars"),
+        F.length("text").alias("txt_len"),
+        F.explode_outer(grams).alias("gram"),
+    )
+    per_gram = exploded.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c"), F.max("txt_len").alias("txt_len")
+    )
+    dup = F.sum(
+        F.when(
+            F.col("gram").isNotNull(),
+            (F.col("c") - 1) * F.length("gram"),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return per_gram.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("gram").isNotNull(), F.col("c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_grams"),
+        dup.alias("dup_gram_chars"),
         F.round(
-            dup_chars.cast("double")
-            / F.greatest(F.length("text"), F.lit(1)),
+            dup.cast("double")
+            / F.greatest(F.max("txt_len"), F.lit(1)),
             4,
         ).alias("dup_char_frac"),
     )
-    return sized
 
 
 # --- Deterministic training-order shuffle: the "global shuffle" every

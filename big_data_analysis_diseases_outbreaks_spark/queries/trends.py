@@ -993,7 +993,9 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     contrib = du.select(
         "event_type",
-        F.explode(
+        # outer: the 7-day sequence is never empty; avoids the inferred
+        # size()>0 filter re-evaluating it.
+        F.explode_outer(
             F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
         ).alias("day"),
         "user_id",

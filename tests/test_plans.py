@@ -387,11 +387,17 @@ def test_curation_v2_stays_jvm_side(spark):
     assert "Exchange hashpartitioning(sfp" in plan  # segment-fp window key
 
 
-def test_dup_ngram_chars_is_map_only(spark):
-    """The within-doc duplicate-5-gram scan is sort-the-array-in-place:
-    no exchange anywhere — scan → project survives any scale-up."""
+def test_dup_ngram_chars_two_shuffles_partial_agg(spark):
+    """The within-doc duplicate-5-gram stats are two doc-keyed hash
+    aggregations over the gram explode — both with a map-side partial —
+    and never a single-partition funnel. (A zero-exchange array_sort
+    variant exists but CollapseProject re-inlines the sorted array per
+    output column — 60x slower; see the query's header comment.)"""
     plan = _plan(spark, "doc_dup_ngram_chars")
-    assert "Exchange" not in plan, plan
+    n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchanges == 2, f"expected 2 exchanges, plan has {n_exchanges}"
+    assert "partial_" in plan or "partial" in plan.lower()
+    assert "SinglePartition" not in plan
 
 
 def test_training_order_shuffle_no_single_partition(spark):
