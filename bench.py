@@ -98,6 +98,7 @@ HEADLINE = [
     "training_order_shuffle",
     "pack_bin_manifest",
     "length_bucketed_batching",
+    "stream_incremental_curation",
 ]
 
 

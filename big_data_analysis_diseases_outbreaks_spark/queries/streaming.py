@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.stable import scaled_long, scaled_long_sql
+from ..functions.text import quality_score_sql
 from ..operators.detrend import DAILY_CTE
 from ..sources.tables import TRENDS_ORACLE_CTE
 from ..streaming.pipeline import (
@@ -429,3 +430,84 @@ def stream_producer_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(agg, output_mode="complete")
     return spark.table(name)
+
+
+# --- Streaming incremental corpus curation (streaming/curation.py): the
+# documents table replayed as a 3-chunk file stream; every micro-batch
+# dedups internally, anti-joins the accumulated seen-fingerprint store,
+# quality-gates, and appends exactly-once (batch_id partition
+# overwrite). The chunks are contiguous ascending doc_id ranges, so
+# first-seen-wins canonicalization ≡ the batch MIN(doc_id) — which is
+# what makes a full value oracle possible for a STATEFUL multi-batch
+# pipeline: the final corpus must be cell-for-cell the batch
+# dedup+gate, regardless of how many micro-batches processed it. -----------
+
+
+def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
+    """Materialize documents.parquet as n contiguous-doc_id chunk files
+    (one per micro-batch under maxFilesPerTrigger=1); cached per sf_dir."""
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_curation_src_{key}_{n_chunks}"
+    )
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    src = os.path.join(sf_dir, "documents.parquet")
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    per = (n + n_chunks - 1) // n_chunks
+    # Written in ascending doc_id order with ascending mtimes so the
+    # file-stream source replays chunks in corpus order.
+    for i in range(n_chunks):
+        con.execute(
+            f"""
+            COPY (SELECT * FROM read_parquet('{src}')
+                  ORDER BY doc_id LIMIT {per} OFFSET {i * per})
+            TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}' (FORMAT PARQUET)
+            """
+        )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register(
+    "stream_incremental_curation",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         text
+  FROM documents),
+canon AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+SELECT f.doc_id, f.fp, {quality_score_sql('f.text')} AS quality
+FROM fp f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.doc_id
+WHERE {quality_score_sql('f.text')} >= 0.35
+""".strip(),
+)
+def stream_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.curation import curated_corpus, run_stream_curation
+
+    src = _docs_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_curation_out_")
+    run_stream_curation(spark, docs, out)
+    return curated_corpus(spark, out)

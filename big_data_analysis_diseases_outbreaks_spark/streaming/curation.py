@@ -1,0 +1,136 @@
+"""Streaming incremental corpus curation — the continuous-ingest twin of
+the batch curation pipeline (queries/text.py:curation_pipeline_v2 /
+dedup_incremental).
+
+Documents arrive as an unbounded stream; every micro-batch is
+deduplicated batch-internally, anti-joined against the accumulated
+seen-fingerprint store, quality-gated, and appended to the curated
+corpus — with exactly-once output across retries and restarts.
+
+Design for 100 TB continuous ingest:
+
+- **State lives in tables, not executor memory.** The seen-fingerprint
+  store is a parquet table of (fp, canonical_doc_id) — per-batch work is
+  a shuffled ANTI join against it, never a broadcast (the seen side is
+  corpus-sized) and never `dropDuplicates` state (which would pin every
+  fingerprint ever seen in the state store with no watermark to evict
+  by — a corpus dedup key set never expires).
+- **Exactly-once by partition overwrite, not append.** Each batch writes
+  to its own `batch_id=N` partition with dynamic partition overwrite; a
+  retried batch REPLACES its own partition instead of appending a
+  second copy. Sink idempotency + the checkpointed source offset log =
+  end-to-end exactly-once, the same recipe as
+  pipeline.run_stream_upsert_snapshot.
+- **Dedup-before-gate ordering.** A document's fingerprint enters the
+  seen store even when the quality gate rejects the document, so a
+  later duplicate of a rejected doc is dropped as a duplicate (one
+  store probe) instead of re-scored every time it reappears.
+- At real scale the per-batch anti-join is the pipeline's only
+  corpus-sized read; the deployment levers are the usual ones — bucket
+  the seen store by fingerprint so the join co-locates without a
+  shuffle, and let AQE's runtime bloom filter prune the probe side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, quality_score
+
+CURATION_QUALITY_MIN = 0.35
+
+
+def _batch_canonical(batch: DataFrame) -> DataFrame:
+    """Batch-internal keep-first: one row per fingerprint (min doc_id).
+
+    A window keyed by fp over a single micro-batch — bounded by the
+    admission control (maxFilesPerTrigger / maxOffsetsPerTrigger), so
+    the per-fp partitions are micro-batch-sized, never corpus-sized.
+    """
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_stream_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    quality_min: float = CURATION_QUALITY_MIN,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Run the curation stream to completion (availableNow trigger).
+
+    ``docs`` is a streaming DataFrame with at least (doc_id, text).
+    Writes two partitioned parquet tables under ``out_dir``:
+    ``corpus/`` (curated survivors) and ``seen/`` (fingerprint store).
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    seen_dir = os.path.join(out_dir, "seen")
+    checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        b = _batch_canonical(
+            batch_df.select(
+                "doc_id",
+                "text",
+                fingerprint(F.col("text")).alias("fp"),
+                quality_score(F.col("text")).alias("quality"),
+            )
+        )
+        if os.path.isdir(seen_dir) and any(
+            not e.startswith("_") for e in os.listdir(seen_dir)
+        ):
+            seen = spark.read.parquet(seen_dir).select("fp")
+            # Shuffled anti join — the seen side is corpus-sized, never
+            # broadcast it.
+            survivors = b.join(seen, "fp", "left_anti")
+        else:
+            survivors = b
+        # localCheckpoint: `survivors` feeds BOTH sinks; without it the
+        # second write re-runs the anti-join lineage, and the corpus
+        # write below must not observe the seen-store append (its own
+        # fps would anti-join themselves away on a lineage re-read).
+        survivors = survivors.localCheckpoint(eager=True)
+        # partitionOverwriteMode as a WRITER option, not session conf:
+        # foreachBatch hands the batch an isolated session clone, so a
+        # conf set on the driver session does not reach this write —
+        # static overwrite would then wipe every earlier batch's
+        # partition (observed: only the final batch survived).
+        (
+            survivors.select("fp", F.col("doc_id").alias("canonical_doc_id"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(seen_dir)
+        )
+        (
+            survivors.where(F.col("quality") >= quality_min)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
+
+    (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def curated_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The curated corpus as a DataFrame (post-run read)."""
+    return spark.read.parquet(os.path.join(out_dir, "corpus")).select(
+        "doc_id", "fp", "quality"
+    )

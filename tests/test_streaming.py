@@ -601,3 +601,55 @@ def test_producer_stream_source_converges_to_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_curation_exactly_once_and_boundary_independent(spark, tmp_path):
+    """Streaming incremental curation (streaming/curation.py):
+
+    1. Restart idempotency: re-running the stream over the same source
+       with the same checkpoint processes nothing new and leaves the
+       curated corpus byte-identical (exactly-once across restarts).
+    2. Chunk-boundary independence: replaying the corpus as 5 micro-
+       batches instead of 3 yields the same curated rows — the
+       first-seen-wins canonicalization and seen-store anti-join do not
+       depend on where micro-batch boundaries fall (chunks are
+       ascending doc_id ranges in both layouts).
+    """
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        _docs_chunk_dir,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming.curation import (
+        curated_corpus,
+        run_stream_curation,
+    )
+
+    def run(n_chunks: int, out: str) -> list[tuple]:
+        src = _docs_chunk_dir(spark, SF_SMALL, n_chunks=n_chunks)
+        schema = spark.read.parquet(src).schema
+        docs = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        run_stream_curation(spark, docs, out)
+        return _sorted_rows(
+            curated_corpus(spark, out), ["doc_id", "fp", "quality"]
+        )
+
+    out3 = str(tmp_path / "out3")
+    rows3 = run(3, out3)
+    assert len(rows3) > 0
+    # batches landed as separate partitions (not one monolithic rewrite)
+    parts = [
+        e for e in os.listdir(os.path.join(out3, "corpus"))
+        if e.startswith("batch_id=")
+    ]
+    assert len(parts) >= 2, parts
+    # restart over the same source + checkpoint: nothing reprocessed
+    rows3_again = run(3, out3)
+    assert rows3_again == rows3
+    # different micro-batch layout, same curated corpus
+    out5 = str(tmp_path / "out5")
+    rows5 = run(5, out5)
+    assert rows5 == rows3
