@@ -99,6 +99,8 @@ HEADLINE = [
     "pack_bin_manifest",
     "length_bucketed_batching",
     "stream_incremental_curation",
+    "corpus_budget_select",
+    "doc_intra_dedup",
 ]
 
 

@@ -2078,3 +2078,136 @@ def length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("padding_efficiency"),
         )
     )
+
+
+# --- Global token-budget selection: keep the highest-quality documents
+# until a corpus token budget is exhausted — the "data-constrained
+# scaling" selection step (quality-ordered greedy knapsack). The cut
+# is a function of the GLOBAL running token sum in (quality DESC,
+# doc_id) order, computed by the range-partition + P-way offsets
+# running sum — never a single-partition window. A doc straddling the
+# budget line is kept iff its FIRST token fits (same first-token rule
+# as the sequence packer). Every doc is emitted with its is_selected
+# verdict so the selection is auditable, not just the survivor set. -------
+
+_SELECT_BUDGET_TOKENS = 40_000
+
+
+@register(
+    "corpus_budget_select",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         {quality_score_sql('text')} AS quality,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, quality, n_tokens, cum_tokens,
+       (cum_tokens - n_tokens) < {_SELECT_BUDGET_TOKENS} AS is_selected
+FROM c
+""".strip(),
+)
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    summed = with_global_running_sum(
+        sized,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return summed.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "cum_tokens",
+        (
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < _SELECT_BUDGET_TOKENS
+        ).alias("is_selected"),
+    )
+
+
+# --- Intra-document segment dedup as a TRANSFORM: emit the cleaned
+# text with repeated aligned 20-token segments removed (first
+# occurrence kept) — the curation step after the doc_segment_dedup /
+# doc_dup_ngram_chars SIGNALS say a document is internally repetitive.
+# Pipelines need the rewrite, not just the score (cf. doc_pii_scrub).
+# Map-only: nested HOF let-bindings pin the token array and the segment
+# array to one evaluation each; the first-occurrence filter is
+# O(n_seg²) array_position probes per doc — n_seg = tokens/20, so the
+# quadratic term is bounded by (len/20)², negligible against the
+# tokenize cost. Zero exchanges: scan → project at any scale. -------------
+
+
+@register(
+    "doc_intra_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT)),
+             i -> array_to_string(
+                 list_slice(toks, i * {_SEG_TOKENS} + 1,
+                            i * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ')) AS segs
+  FROM t)
+SELECT doc_id,
+       CAST(len(segs) AS BIGINT) AS n_segments,
+       CAST(len(segs) - len(list_filter(segs,
+           (x, i) -> list_position(segs, x) = i)) AS BIGINT) AS n_dropped,
+       array_to_string(list_filter(segs,
+           (x, i) -> list_position(segs, x) = i), ' ') AS clean_text
+FROM s
+""".strip(),
+)
+def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    S = _SEG_TOKENS
+
+    def seg_array(t):
+        n_seg = F.ceil(F.size(t) / F.lit(float(S))).cast("int")
+        idx = F.when(
+            n_seg > 0, F.sequence(F.lit(0), n_seg - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i * S + 1, S), " ")
+        )
+
+    def stats(segs):
+        kept = F.filter(
+            segs, lambda x, i: F.array_position(segs, x) == i + 1
+        )
+        return F.struct(
+            F.size(segs).cast("long").alias("n_segments"),
+            (F.size(segs) - F.size(kept)).cast("long").alias("n_dropped"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+
+    # Nested let-bindings: tokens evaluated once, segments evaluated
+    # once, then every stat reads the bound `segs` variable.
+    out = F.element_at(
+        F.transform(
+            F.array(tokens(F.col("text"))),
+            lambda t: F.element_at(
+                F.transform(F.array(seg_array(t)), stats), 1
+            ),
+        ),
+        1,
+    )
+    return docs.select(
+        "doc_id",
+        out["n_segments"].alias("n_segments"),
+        out["n_dropped"].alias("n_dropped"),
+        out["clean_text"].alias("clean_text"),
+    )

@@ -417,3 +417,17 @@ def test_length_bucketed_batching_no_single_partition(spark):
 def test_pack_bin_manifest_no_single_partition(spark):
     plan = _plan(spark, "pack_bin_manifest")
     assert "SinglePartition" not in plan, plan
+
+
+def test_corpus_budget_select_no_single_partition(spark):
+    """Quality-ordered budget selection must use the range-partitioned
+    running sum — a bare SUM() OVER (ORDER BY quality DESC) would plan
+    an Exchange SinglePartition."""
+    plan = _plan(spark, "corpus_budget_select")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_doc_intra_dedup_is_map_only(spark):
+    """The intra-doc segment rewrite is scan → project: no exchange."""
+    plan = _plan(spark, "doc_intra_dedup")
+    assert "Exchange" not in plan, plan
