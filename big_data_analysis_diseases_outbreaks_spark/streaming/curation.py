@@ -58,6 +58,75 @@ def _batch_canonical(batch: DataFrame) -> DataFrame:
     )
 
 
+def process_curation_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    quality_min: float = CURATION_QUALITY_MIN,
+) -> None:
+    """One micro-batch of the curation pipeline (the foreachBatch body).
+
+    Module-level (not a closure) so retry semantics are directly
+    testable: re-invoking with the same batch_id must leave the output
+    tables exactly as a single successful invocation would.
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    seen_dir = os.path.join(out_dir, "seen")
+    b = _batch_canonical(
+        batch_df.select(
+            "doc_id",
+            "text",
+            fingerprint(F.col("text")).alias("fp"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+    )
+    if os.path.isdir(seen_dir) and any(
+        not e.startswith("_") for e in os.listdir(seen_dir)
+    ):
+        # Exclude THIS batch's own partition: a retry that died between
+        # the seen append and the corpus write would otherwise anti-join
+        # the batch against its own fingerprints and silently drop it.
+        # The != predicate is a partition filter — the excluded data is
+        # pruned, not scanned.
+        seen = (
+            spark.read.parquet(seen_dir)
+            .where(F.col("batch_id") != batch_id)
+            .select("fp")
+        )
+        # Shuffled anti join — the seen side is corpus-sized, never
+        # broadcast it.
+        survivors = b.join(seen, "fp", "left_anti")
+    else:
+        survivors = b
+    # localCheckpoint: `survivors` feeds BOTH sinks; without it the
+    # second write re-runs the anti-join lineage, and the corpus write
+    # below must not observe the seen-store append (its own fps would
+    # anti-join themselves away on a lineage re-read).
+    survivors = survivors.localCheckpoint(eager=True)
+    # partitionOverwriteMode as a WRITER option, not session conf:
+    # foreachBatch hands the batch an isolated session clone, so a conf
+    # set on the driver session does not reach this write — static
+    # overwrite would then wipe every earlier batch's partition
+    # (observed: only the final batch survived).
+    (
+        survivors.select("fp", F.col("doc_id").alias("canonical_doc_id"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(seen_dir)
+    )
+    (
+        survivors.where(F.col("quality") >= quality_min)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(corpus_dir)
+    )
+
+
 def run_stream_curation(
     spark: SparkSession,
     docs: DataFrame,
@@ -71,53 +140,11 @@ def run_stream_curation(
     Writes two partitioned parquet tables under ``out_dir``:
     ``corpus/`` (curated survivors) and ``seen/`` (fingerprint store).
     """
-    corpus_dir = os.path.join(out_dir, "corpus")
-    seen_dir = os.path.join(out_dir, "seen")
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        b = _batch_canonical(
-            batch_df.select(
-                "doc_id",
-                "text",
-                fingerprint(F.col("text")).alias("fp"),
-                quality_score(F.col("text")).alias("quality"),
-            )
-        )
-        if os.path.isdir(seen_dir) and any(
-            not e.startswith("_") for e in os.listdir(seen_dir)
-        ):
-            seen = spark.read.parquet(seen_dir).select("fp")
-            # Shuffled anti join — the seen side is corpus-sized, never
-            # broadcast it.
-            survivors = b.join(seen, "fp", "left_anti")
-        else:
-            survivors = b
-        # localCheckpoint: `survivors` feeds BOTH sinks; without it the
-        # second write re-runs the anti-join lineage, and the corpus
-        # write below must not observe the seen-store append (its own
-        # fps would anti-join themselves away on a lineage re-read).
-        survivors = survivors.localCheckpoint(eager=True)
-        # partitionOverwriteMode as a WRITER option, not session conf:
-        # foreachBatch hands the batch an isolated session clone, so a
-        # conf set on the driver session does not reach this write —
-        # static overwrite would then wipe every earlier batch's
-        # partition (observed: only the final batch survived).
-        (
-            survivors.select("fp", F.col("doc_id").alias("canonical_doc_id"))
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(seen_dir)
-        )
-        (
-            survivors.where(F.col("quality") >= quality_min)
-            .withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(corpus_dir)
+        process_curation_batch(
+            spark, batch_df, int(batch_id), out_dir, quality_min
         )
 
     (

@@ -653,3 +653,42 @@ def test_stream_curation_exactly_once_and_boundary_independent(spark, tmp_path):
     out5 = str(tmp_path / "out5")
     rows5 = run(5, out5)
     assert rows5 == rows3
+
+
+def test_stream_curation_partial_failure_retry(spark, tmp_path):
+    """Retry of a batch that died BETWEEN its seen-store append and its
+    corpus write must not lose the batch: the anti-join excludes the
+    batch's own seen partition, so re-processing yields the same
+    survivors, and the partition overwrite replaces (not duplicates)
+    both sinks."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        _docs_chunk_dir,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming.curation import (
+        curated_corpus,
+        process_curation_batch,
+    )
+
+    src = _docs_chunk_dir(spark, SF_SMALL, n_chunks=3)
+    chunks = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "out")
+    for i, chunk in enumerate(chunks):
+        process_curation_batch(spark, spark.read.parquet(chunk), i, out)
+    baseline = _sorted_rows(
+        curated_corpus(spark, out), ["doc_id", "fp", "quality"]
+    )
+    # Simulate the worst retry: the LAST batch re-runs after its seen
+    # append already succeeded (its partition is in the store).
+    last = len(chunks) - 1
+    process_curation_batch(spark, spark.read.parquet(chunks[last]), last, out)
+    retried = _sorted_rows(
+        curated_corpus(spark, out), ["doc_id", "fp", "quality"]
+    )
+    assert retried == baseline
+    # And a mid-stream batch retry is equally idempotent.
+    process_curation_batch(spark, spark.read.parquet(chunks[1]), 1, out)
+    assert _sorted_rows(
+        curated_corpus(spark, out), ["doc_id", "fp", "quality"]
+    ) == baseline
