@@ -101,6 +101,7 @@ HEADLINE = [
     "stream_incremental_curation",
     "corpus_budget_select",
     "doc_intra_dedup",
+    "similarity_radius_search",
 ]
 
 

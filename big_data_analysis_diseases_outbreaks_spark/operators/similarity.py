@@ -590,3 +590,40 @@ def semdedup_pairs(
         pairs_in_cell,
         "vec_id_1 LONG, vec_id_2 LONG, cos_sim DOUBLE, cell INT",
     )
+
+
+def radius_search(
+    queries: DataFrame,
+    candidates: DataFrame,
+    min_sim: float,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine range query: every (query, candidate) pair with
+    similarity ≥ ``min_sim`` — the fixed-radius companion of
+    :func:`brute_force_topk` (recommendation cutoffs, near-duplicate
+    radii, density estimates want "all within r", not "best k").
+
+    Same scale shape as the exact top-k: broadcast the query block,
+    stream the corpus — O(|Q|·|C|) by definition (it IS the exact
+    baseline); the LSH/IVF buckets above are the approximate scale
+    path when |Q| grows with the corpus.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = candidates.select(
+        F.col("vec_id").alias("cand_id"), F.col(emb_col).alias("c_emb")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= min_sim)
+    )

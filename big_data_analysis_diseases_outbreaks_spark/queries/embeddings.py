@@ -525,3 +525,40 @@ def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+
+
+# --- Exact cosine range query: the fixed-radius companion of
+# cosine_topk — "all candidates within similarity r", the shape
+# recommendation cutoffs and near-duplicate radii need (top-k bounds
+# the COUNT, radius bounds the QUALITY). Same broadcast(Q) × corpus
+# scan as the exact top-k baseline. ---------------------------------------
+
+_RADIUS_MIN_SIM = 0.2
+
+
+@register(
+    "similarity_radius_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(q.embedding) + 1),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / NULLIF(
+             sqrt(list_sum(list_transform(q.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 4) AS cos_sim
+  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+SELECT query_id, cand_id, cos_sim
+FROM scored WHERE cos_sim >= {_RADIUS_MIN_SIM}
+""".strip(),
+)
+def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import radius_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return radius_search(
+        emb.where(F.col("vec_id") < _N_QUERIES), emb, min_sim=_RADIUS_MIN_SIM
+    )
