@@ -154,6 +154,14 @@ _FLAGSHIP_AT_SCALE = [
     "stream_daily_agg",
     "doc_segment_dedup",
     "corpus_mixture_plan",
+    # round-5 continuation: the global-order and curation additions are
+    # the ones most sensitive to partition-boundary effects — check at
+    # 10x scale too.
+    "training_order_shuffle",
+    "length_bucketed_batching",
+    "corpus_budget_select",
+    "doc_dup_ngram_chars",
+    "stream_incremental_curation",
 ]
 
 
