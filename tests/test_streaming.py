@@ -692,3 +692,60 @@ def test_stream_curation_partial_failure_retry(spark, tmp_path):
     assert _sorted_rows(
         curated_corpus(spark, out), ["doc_id", "fp", "quality"]
     ) == baseline
+
+
+def test_observed_metrics_batch_and_stream(spark, tmp_path):
+    """In-plan observability (operators/observe.py): batch Observation
+    and per-micro-batch observedMetrics must report exact counts without
+    any extra scan of the input."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.operators.observe import (
+        MetricsListener,
+        observed,
+        observed_stream,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        _docs_chunk_dir,
+    )
+
+    src = _docs_chunk_dir(spark, SF_SMALL, n_chunks=3)
+    batch_docs = spark.read.parquet(src)
+    expected = batch_docs.count()
+
+    # Batch: metrics ride the noop write's own plan.
+    obs, odf = observed(batch_docs.select("doc_id", "text"), "batch_check")
+    odf.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == expected
+    assert m["n_null_doc_id"] == 0 and m["n_null_text"] == 0
+
+    # Streaming: one metrics row per micro-batch, summing to the corpus.
+    listener = MetricsListener("stream_check")
+    spark.streams.addListener(listener)
+    try:
+        sdf = (
+            spark.readStream.schema(batch_docs.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        osdf = observed_stream(sdf.select("doc_id", "text"), "stream_check")
+        q = (
+            osdf.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously post-termination
+        deadline = time.time() + 20
+        while time.time() < deadline and listener.totals("n_rows") < expected:
+            time.sleep(0.5)
+        assert listener.totals("n_rows") == expected
+        assert len(listener.rows) >= 2, "expected per-micro-batch metrics"
+        assert all(int(r["n_null_doc_id"]) == 0 for r in listener.rows)
+    finally:
+        spark.streams.removeListener(listener)
