@@ -1331,3 +1331,65 @@ def json_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("missing_field"),
         F.schema_of_variant(v).startswith("OBJECT").alias("is_object"),
     )
+
+
+# --- Recursive-CTE date spine (Spark 4 WITH RECURSIVE surface): the
+# calendar spine of the daily series generated by RECURSION instead of
+# sequence()+explode, joined to the per-day event totals with gaps
+# zero-marked. Declarative SQL-API feature coverage: the anchor is the
+# extent's MIN, the recursive member steps one day bounded by a scalar
+# subquery, and the DuckDB oracle runs the same WITH RECURSIVE shape.
+# Scale note (honest): Spark executes each recursion level as its own
+# tiny iteration — fine for calendar-depth recursion (bounded by days,
+# cteRecursionLevelLimit raised accordingly), while data-sized spines
+# should keep using the sequence()+explode construction
+# (daily_zero_filled); this query exists to pin the SQL surface. -----------
+
+
+@register(
+    "recursive_date_spine",
+    oracle=f"""
+WITH RECURSIVE {TRENDS_ORACLE_CTE},
+ev AS (
+  SELECT CAST(datetime AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM trends GROUP BY 1),
+spine(day) AS (
+  SELECT MIN(day) FROM ev
+  UNION ALL
+  SELECT day + INTERVAL 1 DAY FROM spine
+  WHERE day < (SELECT MAX(day) FROM ev)
+),
+j AS (
+  SELECT CAST(s.day AS DATE) AS day,
+         COALESCE(ev.n_events, 0) AS n_events
+  FROM spine s LEFT JOIN ev ON CAST(s.day AS DATE) = ev.day)
+SELECT day, n_events,
+       CASE WHEN n_events = 0 THEN 1 ELSE 0 END AS is_gap
+FROM j
+""".strip(),
+)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import trends_view
+
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5000")
+    trends_view(spark, sf_dir).createOrReplaceTempView("_rds_trends")
+    return spark.sql(
+        """
+        WITH RECURSIVE ev AS (
+          SELECT CAST(datetime AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM _rds_trends GROUP BY 1),
+        spine(day) AS (
+          SELECT MIN(day) FROM ev
+          UNION ALL
+          SELECT date_add(day, 1) FROM spine
+          WHERE day < (SELECT MAX(day) FROM ev)
+        )
+        SELECT s.day AS day,
+               COALESCE(ev.n_events, CAST(0 AS BIGINT)) AS n_events,
+               CASE WHEN COALESCE(ev.n_events, 0) = 0 THEN 1 ELSE 0 END
+                 AS is_gap
+        FROM spine s LEFT JOIN ev ON s.day = ev.day
+        """
+    )
