@@ -749,3 +749,109 @@ def test_observed_metrics_batch_and_stream(spark, tmp_path):
         assert all(int(r["n_null_doc_id"]) == 0 for r in listener.rows)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_transform_with_state_running_total(spark, tmp_path):
+    """Spark 4's typed-state API (transformWithStateInPandas): per-key
+    running totals with a ValueState, RocksDB provider. The API's Python
+    driver worker needs the `protobuf` package, which this container
+    does not ship — skip (not fail) there; applyInPandasWithState
+    carries the custom-stateful surface either way
+    (streaming/stateful.py)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas requires the protobuf package",
+    )
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class RunningTotal(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState(
+                "agg",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self):
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src_dir = tmp_path / "src"
+        spark.range(300).selectExpr(
+            "CAST(id % 3 AS STRING) AS key", "CAST(id AS DOUBLE) AS value"
+        ).write.parquet(str(src_dir))
+        src = (
+            spark.readStream.schema("key string, value double")
+            .format("parquet")
+            .load(str(src_dir))
+        )
+        out = src.groupBy("key").transformWithStateInPandas(
+            RunningTotal(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = "tws_running_total"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["key"]: (r["n"], r["total"])
+            for r in spark.table(name).collect()
+        }
+        expect = {
+            str(k): (100, float(sum(range(k, 300, 3))))
+            for k in range(3)
+        }
+        assert got == expect
+    finally:
+        if saved is not None:
+            spark.conf.set(provider_key, saved)
+        else:
+            spark.conf.unset(provider_key)
