@@ -1061,7 +1061,11 @@ FROM kv GROUP BY prop_key
 def event_prop_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
-    kv = ev.select(F.explode(m).alias("prop_key", "value"))
+    # outer + isNotNull: a plain explode's inferred size()>0 filter
+    # would re-parse the JSON map once more per row inside the Filter.
+    kv = ev.select(F.explode_outer(m).alias("prop_key", "value")).where(
+        F.col("prop_key").isNotNull()
+    )
     return kv.groupBy("prop_key").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_value"),

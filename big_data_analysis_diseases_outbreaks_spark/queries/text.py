@@ -163,8 +163,10 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Construct the doubled corpus with ONE parquet scan: a self-union
     # plans two FileScans of the text-heavy table (scan-bound at 100 TB);
     # exploding each row into (id, id+1e6) duplicates rows post-scan.
+    # outer: 2-element literal array is never empty; a plain explode's
+    # inferred size()>0 filter would evaluate it twice per row.
     doubled = docs.select(
-        F.explode(
+        F.explode_outer(
             F.array(F.col("doc_id"), F.col("doc_id") + 1_000_000)
         ).alias("doc_id"),
         "text",
@@ -378,8 +380,13 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+            # outer + isNotNull below the agg: keeps the inferred
+            # size()>0 filter (which would re-run the tokenizer in the
+            # Filter) out of the plan while preserving explode's
+            # drop-empty semantics.
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
         )
+        .where(F.col("token").isNotNull())
         .groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("freq"),
@@ -704,10 +711,10 @@ def doc_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
-            "tok"
-        ),
-    )
+        F.explode_outer(
+            F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    ).where(F.col("tok").isNotNull())
     hv = F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 4), 16, 10).cast(
         "int"
     )
@@ -767,10 +774,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("_t"),
-    ).select("doc_id", F.lower(F.col("_t")).alias("term"))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+            ).alias("_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .select("doc_id", F.lower(F.col("_t")).alias("term"))
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -980,12 +993,16 @@ GROUP BY t.doc_id
 )
 def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias(
-            "_t"
-        ),
-    ).select("doc_id", F.lower(F.col("_t")).alias("tok"))
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)
+            ).alias("_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .select("doc_id", F.lower(F.col("_t")).alias("tok"))
+    )
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     return (
         tok.join(vocab, "tok")
