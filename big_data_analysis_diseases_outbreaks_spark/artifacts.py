@@ -116,16 +116,23 @@ def render_series_panels_svg(rows: list[tuple]) -> str:
                 title=f"Anomaly intensity — {month}",
             )
         )
+    # Stride/width come from the same geometry render_choropleth_svg
+    # uses, so panels never overlap when REGION_GEOMETRY grows.
+    ncols = max(c for c, _ in REGION_GEOMETRY.values()) + 1
+    nrows = max(r for _, r in REGION_GEOMETRY.values()) + 1
+    panel_w = ncols * _CELL + 2 * _PAD
+    panel_h = nrows * _CELL + 2 * _PAD + _LEGEND_H + 24
     inner = []
     y = 0
     for svg in panels:
         body = svg.split(">", 1)[1].rsplit("</svg>", 1)[0]
         inner.append(f'<g transform="translate(0,{y})">{body}</g>')
-        y += 5 * 60
-    w = 5 * _CELL + 2 * _PAD
+        y += panel_h
     return (
-        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{y or 1}" '
-        f'font-family="sans-serif">' + "\n".join(inner) + "</svg>"
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{panel_w}" '
+        f'height="{y or 1}" font-family="sans-serif">'
+        + "\n".join(inner)
+        + "</svg>"
     )
 
 
@@ -144,7 +151,7 @@ def write_anomaly_map(spark: SparkSession, sf_dir: str, out_path: str) -> str:
         (r["date"], r["region"], r["total_score"])
         for r in qs["anomaly_map_series"].fn(spark, sf_dir).collect()
     ]
-    series_path = out_path.replace(".svg", "") + "_series.svg"
+    series_path = out_path.removesuffix(".svg") + "_series.svg"
     with open(series_path, "w") as f:
         f.write(render_series_panels_svg(series_rows))
     return out_path

@@ -157,6 +157,15 @@ def _fit_coarse_codebook(
             for r in candidates.select(emb_col).limit(fit_sample).collect()
         ]
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "IVF coarse-codebook fit needs at least one candidate row; "
+            "the candidates DataFrame is empty"
+        )
+    # A sample smaller than n_cells (tiny tenant corpus, filtered subset)
+    # fits fewer cells rather than crashing rng.choice(replace=False) —
+    # the same degrade-gracefully contract MLlib KMeans had.
+    n_cells = min(n_cells, len(sample))
     rng = np.random.default_rng(1)
     cent = sample[rng.choice(len(sample), size=n_cells, replace=False)].copy()
     for _ in range(10):

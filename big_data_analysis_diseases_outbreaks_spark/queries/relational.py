@@ -1655,10 +1655,12 @@ def orders_backlog_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not-matched+insert. ------------------------------------------------------
 
 
-@register(
-    "cdc_merge_apply",
-    oracle="""
-WITH changes AS (
+# The derived change batch + merge, shared VERBATIM by the
+# cdc_merge_apply and snapshot_diff_classes oracles — one definition,
+# so a change to the mod constants / insert count / price factor can't
+# leave one oracle verifying a stale change rule.
+_CDC_CHANGES_AND_MERGED_SQL = """
+changes AS (
   SELECT o_orderkey, 'U' AS op,
          o_custkey, 'U' AS o_orderstatus,
          o_totalprice * 1.1 AS o_totalprice
@@ -1674,8 +1676,7 @@ WITH changes AS (
   CROSS JOIN (SELECT MAX(o_orderkey) AS mk FROM orders)),
 merged AS (
   SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-         CASE WHEN c.op = 'U' THEN c.o_custkey
-              WHEN c.op = 'I' THEN c.o_custkey
+         CASE WHEN c.op IN ('U','I') THEN c.o_custkey
               ELSE b.o_custkey END AS o_custkey,
          CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus
               ELSE b.o_orderstatus END AS o_orderstatus,
@@ -1683,6 +1684,13 @@ merged AS (
               ELSE b.o_totalprice END AS o_totalprice,
          c.op
   FROM orders b FULL OUTER JOIN changes c USING (o_orderkey))
+""".strip()
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+WITH {_CDC_CHANGES_AND_MERGED_SQL}
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM merged
 WHERE op IS DISTINCT FROM 'D'
@@ -1761,31 +1769,8 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_diff_classes",
-    oracle="""
-WITH changes AS (
-  SELECT o_orderkey, 'U' AS op,
-         o_custkey, 'U' AS o_orderstatus,
-         o_totalprice * 1.1 AS o_totalprice
-  FROM orders WHERE o_orderkey % 7 = 3
-  UNION ALL
-  SELECT o_orderkey, 'D', NULL, NULL, NULL
-  FROM orders WHERE o_orderkey % 7 = 5
-  UNION ALL
-  SELECT mk + ROW_NUMBER() OVER (ORDER BY c_custkey) AS o_orderkey,
-         'I', c_custkey, 'N', 100.0
-  FROM (SELECT c_custkey FROM customer
-        GROUP BY c_custkey ORDER BY c_custkey LIMIT 10)
-  CROSS JOIN (SELECT MAX(o_orderkey) AS mk FROM orders)),
-merged AS (
-  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-         CASE WHEN c.op IN ('U','I') THEN c.o_custkey ELSE b.o_custkey END
-           AS o_custkey,
-         CASE WHEN c.op IN ('U','I') THEN c.o_orderstatus
-              ELSE b.o_orderstatus END AS o_orderstatus,
-         CASE WHEN c.op IN ('U','I') THEN c.o_totalprice
-              ELSE b.o_totalprice END AS o_totalprice,
-         c.op
-  FROM orders b FULL OUTER JOIN changes c USING (o_orderkey)),
+    oracle=f"""
+WITH {_CDC_CHANGES_AND_MERGED_SQL},
 next_snap AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
   FROM merged WHERE op IS DISTINCT FROM 'D'),

@@ -1519,6 +1519,33 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEG_TOKENS = 20
 
 
+def _doc_segment_fps(toked: DataFrame, fp_alias: str = "fp") -> DataFrame:
+    """(doc_id, toks) → exploded (doc_id, <fp_alias>): one md5 per
+    ALIGNED ``_SEG_TOKENS``-token window. The single definition of a
+    "segment" — doc_segment_dedup and curation_pipeline_v2 both build
+    on it, so the slice arithmetic can't drift between them. ``toked``
+    must already be filtered to ``size(toks) > 0`` (the sequence end
+    ``n_seg - 1`` must be ≥ 0)."""
+    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG_TOKENS))).cast("long")
+    return toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks",
+                    (F.col("i") * _SEG_TOKENS + 1).cast("int"),
+                    _SEG_TOKENS,
+                ),
+            )
+        ).alias(fp_alias),
+    )
+
+
 @register(
     "doc_segment_dedup",
     oracle=f"""
@@ -1551,24 +1578,7 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
         F.size("toks") > 0
     )
-    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG_TOKENS))).cast("long")
-    seg = toked.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("i"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    "toks",
-                    (F.col("i") * _SEG_TOKENS + 1).cast("int"),
-                    _SEG_TOKENS,
-                ),
-            )
-        ).alias("fp"),
-    )
+    seg = _doc_segment_fps(toked, "fp")
     from pyspark.sql import Window
 
     n_fp = F.count(F.lit(1)).over(Window.partitionBy("fp"))
@@ -1778,21 +1788,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = canon.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).where(F.size("toks") > 0)
-    n_seg = F.ceil(F.size("toks") / F.lit(float(_SEG_TOKENS))).cast("long")
-    seg = toked.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_seg - 1)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice("toks", (F.col("i") * _SEG_TOKENS + 1).cast("int"),
-                        _SEG_TOKENS),
-            )
-        ).alias("sfp"),
-    )
+    seg = _doc_segment_fps(toked, "sfp")
     n_fp = F.count(F.lit(1)).over(Window.partitionBy("sfp"))
     dup = F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
     segstat = (

@@ -1372,24 +1372,39 @@ FROM j
 def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import trends_view
 
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5000")
     trends_view(spark, sf_dir).createOrReplaceTempView("_rds_trends")
-    return spark.sql(
-        """
-        WITH RECURSIVE ev AS (
-          SELECT CAST(datetime AS DATE) AS day,
-                 CAST(COUNT(*) AS BIGINT) AS n_events
-          FROM _rds_trends GROUP BY 1),
-        spine(day) AS (
-          SELECT MIN(day) FROM ev
-          UNION ALL
-          SELECT date_add(day, 1) FROM spine
-          WHERE day < (SELECT MAX(day) FROM ev)
-        )
-        SELECT s.day AS day,
-               COALESCE(ev.n_events, CAST(0 AS BIGINT)) AS n_events,
-               CASE WHEN COALESCE(ev.n_events, 0) = 0 THEN 1 ELSE 0 END
-                 AS is_gap
-        FROM spine s LEFT JOIN ev ON s.day = ev.day
-        """
-    )
+    # The recursion limit is enforced when the loop executes, not when
+    # the plan is built — so materialize under the raised limit and
+    # restore the previous value before returning, instead of leaving a
+    # 50× higher limit behind for every later query in the session (a
+    # runaway recursive CTE elsewhere should still trip the default).
+    # The spine is day-sized (a few thousand rows), so the eager
+    # localCheckpoint is cheap.
+    key = "spark.sql.cteRecursionLevelLimit"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "5000")
+    try:
+        return spark.sql(
+            """
+            WITH RECURSIVE ev AS (
+              SELECT CAST(datetime AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM _rds_trends GROUP BY 1),
+            spine(day) AS (
+              SELECT MIN(day) FROM ev
+              UNION ALL
+              SELECT date_add(day, 1) FROM spine
+              WHERE day < (SELECT MAX(day) FROM ev)
+            )
+            SELECT s.day AS day,
+                   COALESCE(ev.n_events, CAST(0 AS BIGINT)) AS n_events,
+                   CASE WHEN COALESCE(ev.n_events, 0) = 0 THEN 1 ELSE 0 END
+                     AS is_gap
+            FROM spine s LEFT JOIN ev ON s.day = ev.day
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

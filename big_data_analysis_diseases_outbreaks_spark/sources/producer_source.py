@@ -81,35 +81,136 @@ class TrendsProducerReader(DataSourceReader):
 
 
 def register_producer_source(spark) -> None:
-    """Idempotent registration of the format with a session."""
+    """Idempotent registration of the format with a session.
+
+    The streaming offset runner is a separate Python process spawned by
+    the JVM; it inherits neither the driver's ``sys.path`` hacks nor
+    its cwd, so a by-reference pickle of this module's classes raises
+    ModuleNotFoundError there whenever the package isn't on the
+    worker's import path (observed: driver launched from a foreign cwd
+    with the repo added via ``sys.path.insert``). Register the module
+    for BY-VALUE pickling so the serialized DataSource is
+    self-contained — it only needs ``pyspark`` and the stdlib on the
+    receiving side."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(TrendsProducerDataSource)
+
+
+
+def _dbg(msg):
+    """Env-gated callback trace (SPARK_GRAFT_STREAM_DEBUG=<path>): the
+    offset runner is a separate long-lived Python process, so a file is
+    the only practical way to observe its callback sequence."""
+    import os
+
+    path = os.environ.get("SPARK_GRAFT_STREAM_DEBUG")
+    if path:
+        with open(path, "a") as f:
+            f.write(f"pid={os.getpid()} {msg}\n")
 
 
 class TrendsProducerStreamReader(DataSourceStreamReader):
     """Streaming twin: offsets are day indices, each micro-batch covers
-    the days between the last committed offset and ``latestOffset`` —
-    one InputPartition per day, exactly the batch reader's fan-out.
+    the days between Spark's current offset and ``latestOffset`` — one
+    InputPartition per day, exactly the batch reader's fan-out.
     ``maxDaysPerBatch`` plays the reference's ``maxOffsetsPerTrigger``
-    role (``Main.scala:33``): it caps how far ``latestOffset`` advances
-    per trigger, bounding micro-batch size."""
+    role (``Main.scala:33``): each planned batch admits at most that
+    many days past the admission frontier. It defaults to the FULL day
+    range (unthrottled) because that is the only setting under which
+    ``Trigger.AvailableNow`` has correct semantics: the available-now
+    wrapper snapshots the FIRST ``latestOffset()`` poll as the run's
+    target, so a throttled first poll caps the run at one window.
+    Throttled catch-up (the bounded multi-micro-batch demo) needs a
+    continuous trigger (``processingTime``).
+
+    Offset-state protocol (empirically verified against Spark 4.1's
+    ``python_streaming_source_runner``): ``latestOffset()`` is polled
+    continuously — ~100 calls/second while idle — and ``commit(end)``
+    is forwarded only LAZILY, when the *next* batch is planned, so a
+    frontier that advances on commit deadlocks (the commit waits on the
+    next batch, which waits on the frontier). The only prompt
+    once-per-batch signal is ``partitions(start, end)``; the admission
+    frontier advances there. Driver state resets on checkpoint restart;
+    every callback re-seeds the frontier with max() so offsets never
+    rewind and committed days are never re-emitted (exactly-once at the
+    source). A small idle-poll watchdog in ``latestOffset`` restores
+    liveness in the one state the frontier cannot see: a restarted
+    throttled query whose checkpointed offset is exactly at the fresh
+    instance's first admission window (latest == committed ⇒ Spark
+    plans nothing ⇒ ``partitions`` never fires ⇒ permanent stall
+    without the watchdog)."""
+
+    # Idle polls (latestOffset calls that admitted nothing new) before
+    # the watchdog opens the next window. While batches flow, Spark
+    # plans a batch right after any poll that advances the offset, so
+    # steady-state never accumulates this many idle polls; when the
+    # source is fully drained the watchdog target is capped at `days`
+    # and stays a no-op.
+    _WATCHDOG_IDLE_POLLS = 5
 
     def __init__(self, options):
         self._inner = TrendsProducerReader(options)
-        self.max_days = int(options.get("maxDaysPerBatch", "7"))
-        self._last = 0
+        self.max_days = int(
+            options.get("maxDaysPerBatch", str(self._inner.days))
+        )
+        # Highest day index this instance knows Spark has planned a
+        # batch through. A planned batch's START is always previously
+        # committed work (Spark plans batch N only after batch N-1
+        # committed), its END is admitted-but-possibly-in-flight.
+        self._frontier = 0
+        # Highest offset this instance has returned from latestOffset
+        # (monotone), and polls since the last admission/plan.
+        self._admitted = 0
+        self._idle_polls = 0
 
     def initialOffset(self):
+        _dbg("initialOffset")
         return {"day": 0}
 
     def latestOffset(self):
-        self._last = min(self._last + self.max_days, self._inner.days)
-        return {"day": self._last}
+        target = min(self._frontier + self.max_days, self._inner.days)
+        if target <= self._admitted and (
+            self._idle_polls >= self._WATCHDOG_IDLE_POLLS
+        ):
+            # Liveness watchdog (class docstring): nothing newly
+            # admitted for several consecutive polls and no batch
+            # planned — open the next window so a stalled restart
+            # re-converges. Exactly-once is unaffected: re-emission is
+            # prevented by the partitions() clamp, not by admission.
+            target = min(self._admitted + self.max_days, self._inner.days)
+        if target > self._admitted:
+            self._admitted = target
+            self._idle_polls = 0
+        else:
+            self._idle_polls += 1
+        _dbg(
+            f"latestOffset frontier={self._frontier} "
+            f"idle={self._idle_polls} -> {self._admitted}"
+        )
+        return {"day": self._admitted}
 
     def partitions(self, start, end):
-        return [InputPartition(i) for i in range(start["day"], end["day"])]
+        # Seed from start BEFORE computing the clamp, from end AFTER:
+        # a restart-replay of an in-flight batch (start == its original
+        # start <= frontier) must re-emit in full, while a stale range
+        # planned after restart (Spark's recovered offset ahead of this
+        # fresh instance's frontier) must not re-emit committed days.
+        self._frontier = max(self._frontier, start["day"])
+        lo = max(start["day"], min(self._frontier, end["day"]))
+        self._frontier = max(self._frontier, end["day"])
+        self._idle_polls = 0
+        _dbg(f"partitions({start},{end}) frontier={self._frontier} lo={lo}")
+        return [InputPartition(i) for i in range(lo, end["day"])]
 
     def read(self, partition: InputPartition):
         return self._inner.read(partition)
 
     def commit(self, end):
-        pass
+        # Arrives lazily with the next batch's planning (see docstring)
+        # — harmless extra ratchet.
+        self._frontier = max(self._frontier, end["day"])
+        _dbg(f"commit({end}) frontier={self._frontier}")

@@ -156,8 +156,26 @@ def run_stream_curation(
     )
 
 
+# Written by process_curation_batch: survivors' columns + the batch_id
+# partition column. Declared so post-run reads never depend on schema
+# inference — a run whose batches all quality-gate to zero survivors
+# leaves corpus/ with no data files (only _SUCCESS + empty partition
+# dirs), where inference raises UNABLE_TO_INFER_SCHEMA.
+CORPUS_SCHEMA = (
+    "doc_id BIGINT, text STRING, fp STRING, quality DOUBLE, batch_id BIGINT"
+)
+
+
 def curated_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The curated corpus as a DataFrame (post-run read)."""
-    return spark.read.parquet(os.path.join(out_dir, "corpus")).select(
-        "doc_id", "fp", "quality"
+    """The curated corpus as a DataFrame (post-run read). Empty (not an
+    error) when no batch produced a survivor — or none ran at all."""
+    corpus_dir = os.path.join(out_dir, "corpus")
+    if not os.path.isdir(corpus_dir):
+        return spark.createDataFrame([], CORPUS_SCHEMA).select(
+            "doc_id", "fp", "quality"
+        )
+    return (
+        spark.read.schema(CORPUS_SCHEMA)
+        .parquet(corpus_dir)
+        .select("doc_id", "fp", "quality")
     )

@@ -382,7 +382,7 @@ def test_curation_v2_stays_jvm_side(spark):
     corpus-wide shuffles on fingerprint/doc-id columns only."""
     plan = _plan(spark, "curation_pipeline_v2")
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan and "mapInPandas" not in plan.lower()
+    assert "ArrowEvalPython" not in plan and "mapinpandas" not in plan.lower()
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning(sfp" in plan  # segment-fp window key
 

@@ -73,6 +73,25 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.3, f"IVF top-1 recall vs brute force too low: {recall:.2f}"
 
 
+def test_ivf_topk_corpus_smaller_than_n_cells(spark):
+    """A candidate set smaller than n_cells (tiny tenant corpus /
+    filtered subset) fits fewer cells instead of crashing the seeded
+    Lloyd init, and with every cell probed the result degenerates to
+    the exact answer."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    tiny = emb.where(F.col("vec_id") < 5)  # < default n_cells=16
+    queries = emb.where(F.col("vec_id") < 3)
+    got = {
+        r["query_id"]: r["cand_id"]
+        for r in ivf_topk(queries, tiny, k=1, n_probe=16).collect()
+    }
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in brute_force_topk(queries, tiny, k=1).collect()
+    }
+    assert got == exact
+
+
 def test_dedup_embedding_cosine_finds_planted_pairs(spark):
     """Every original vector must pair with its perturbed copy (cosine
     ≈ 0.999 ≥ 0.98), and nothing else at this threshold."""

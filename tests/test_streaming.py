@@ -603,6 +603,109 @@ def test_producer_stream_source_converges_to_batch(spark):
     assert got == want
 
 
+def test_producer_stream_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint restart with a FRESH reader instance: the restarted
+    query's driver-side frontier resets to 0 while the checkpointed
+    offset is ahead. The reader must neither rewind (re-emitting
+    committed days) nor stall — run 2 extends the day range and must
+    append exactly the new days, once each. Default (unthrottled)
+    admission, the mode with full availableNow semantics."""
+    import os
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.producer_source import (
+        register_producer_source,
+    )
+
+    register_producer_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(days: int) -> None:
+        q = (
+            spark.readStream.format("trends_producer")
+            .option("days", str(days))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(14)
+    assert spark.read.parquet(out).count() == 14 * 20 * 5
+    # Restart against a longer range: only days 14..29 may be appended.
+    run(30)
+    got = spark.read.parquet(out)
+    assert got.count() == 30 * 20 * 5
+    assert got.select("date").distinct().count() == 30
+    # No day delivered twice (exactly-once), none skipped (no stall).
+    per_day = {r["date"]: r["n"] for r in got.groupBy("date").count().withColumnRenamed("count", "n").collect()}
+    assert all(n == 100 for n in per_day.values()), per_day
+    assert os.path.isdir(ckpt)
+
+
+def test_producer_stream_throttled_restart_watchdog(spark, tmp_path):
+    """Throttled-admission restart at the stall point: the checkpointed
+    offset (7) exactly equals a fresh reader's first admission window
+    (frontier 0 + maxDaysPerBatch 7), so latest == committed and Spark
+    plans nothing — partitions() never fires and only the idle-poll
+    watchdog can re-open admission. The restarted query must converge
+    to the full extended range, each day delivered exactly once."""
+    import time
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.producer_source import (
+        register_producer_source,
+    )
+
+    register_producer_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def reader(days: int):
+        return (
+            spark.readStream.format("trends_producer")
+            .option("days", str(days))
+            .option("maxDaysPerBatch", "7")
+            .load()
+        )
+
+    q = (
+        reader(7)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 7 * 100
+
+    q = (
+        reader(21)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.read.parquet(out).count() >= 21 * 100:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == 21 * 100
+    per_day = {
+        r["date"]: r["count"] for r in got.groupBy("date").count().collect()
+    }
+    assert len(per_day) == 21 and all(n == 100 for n in per_day.values())
+
+
 def test_stream_curation_exactly_once_and_boundary_independent(spark, tmp_path):
     """Streaming incremental curation (streaming/curation.py):
 
@@ -692,6 +795,36 @@ def test_stream_curation_partial_failure_retry(spark, tmp_path):
     assert _sorted_rows(
         curated_corpus(spark, out), ["doc_id", "fp", "quality"]
     ) == baseline
+
+
+def test_stream_curation_zero_survivors_reads_empty(spark, tmp_path):
+    """A run whose quality gate rejects every document leaves corpus/
+    with no parquet data files; curated_corpus must return an empty
+    frame (stable schema), not raise UNABLE_TO_INFER_SCHEMA — and an
+    out_dir where no batch ever ran behaves the same."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        _docs_chunk_dir,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming.curation import (
+        curated_corpus,
+        process_curation_batch,
+    )
+
+    src = _docs_chunk_dir(spark, SF_SMALL, n_chunks=3)
+    chunk = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )[0]
+    out = str(tmp_path / "out")
+    process_curation_batch(
+        spark, spark.read.parquet(chunk), 0, out, quality_min=2.0
+    )
+    got = curated_corpus(spark, out)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["doc_id", "fp", "quality"]
+    # No run at all: same contract.
+    virgin = curated_corpus(spark, str(tmp_path / "never_ran"))
+    assert virgin.count() == 0
+    assert [f.name for f in virgin.schema.fields] == ["doc_id", "fp", "quality"]
 
 
 def test_observed_metrics_batch_and_stream(spark, tmp_path):
