@@ -102,6 +102,8 @@ HEADLINE = [
     "corpus_budget_select",
     "doc_intra_dedup",
     "similarity_radius_search",
+    "ann_index_stream_topk",
+    "file_provenance_audit",
 ]
 
 

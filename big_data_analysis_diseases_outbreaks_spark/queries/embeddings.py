@@ -35,10 +35,10 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- brute-force cosine top-k (exact ANN baseline) ------------------------
 
-
-@register(
-    "cosine_topk",
-    oracle=f"""
+# Shared by cosine_topk AND ann_index_stream_topk: the streaming IVF
+# index queried with every cell probed must return exactly the exact
+# answer, so both verify against one oracle definition.
+_COSINE_TOPK_ORACLE = f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -57,8 +57,10 @@ ranked AS (
               ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
   FROM scored)
 SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 3
-""".strip(),
-)
+""".strip()
+
+
+@register("cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
@@ -561,4 +563,96 @@ def similarity_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return radius_search(
         emb.where(F.col("vec_id") < _N_QUERIES), emb, min_sim=_RADIUS_MIN_SIM
+    )
+
+
+# --- Streaming IVF index maintenance (streaming/ann_index.py): bootstrap
+# the codebook + index from the first embeddings chunk, stream the rest
+# in as exactly-once micro-batch appends (cell-assignment only — no
+# refit), then query the persisted index. Probing EVERY cell makes the
+# result provably equal to exact brute-force cosine top-k, so one oracle
+# value-checks the full pipeline: codebook persistence, incremental cell
+# assignment, partition-pruned probe join, and ranking. The approximate
+# (n_probe < n_cells) serving path is recall-tested in
+# tests/test_ann_index.py. ---------------------------------------------------
+
+_ANN_IDX_CELLS = 8
+
+
+def _embeddings_chunk_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> str:
+    """embeddings.parquet as n contiguous-vec_id chunk files (one per
+    micro-batch under maxFilesPerTrigger=1); cached per sf_dir."""
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(
+        tempfile.gettempdir(), f"spark_annidx_src_{key}_{n_chunks}"
+    )
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
+    per = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{src}')
+                 WHERE vec_id >= {i * per} AND vec_id < {(i + 1) * per}
+                 ORDER BY vec_id)
+                TO '{os.path.join(d, f"chunk_{i:02d}.parquet")}'
+                (FORMAT PARQUET)"""
+        )
+    con.close()
+    open(done, "w").close()
+    return d
+
+
+@register("ann_index_stream_topk", oracle=_COSINE_TOPK_ORACLE)
+def ann_index_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ann_index import (
+        init_index,
+        query_index,
+        run_stream_index_maintenance,
+    )
+
+    src = _embeddings_chunk_dir(spark, sf_dir)
+    import os
+
+    chunks = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    index_dir = tempfile.mkdtemp(prefix="spark_annidx_")
+    init_index(
+        spark,
+        spark.read.parquet(chunks[0]),
+        index_dir,
+        n_cells=_ANN_IDX_CELLS,
+    )
+    schema = spark.read.parquet(src).schema
+    rest = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        # chunk 0 is already in the index as the bootstrap batch; the
+        # pruning filter rides INTO the stream scan
+        .where(F.col("vec_id") >= spark.read.parquet(chunks[0]).count())
+    )
+    run_stream_index_maintenance(spark, rest, index_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return query_index(
+        spark,
+        emb.where(F.col("vec_id") < _N_QUERIES),
+        index_dir,
+        k=3,
+        n_probe=_ANN_IDX_CELLS,
     )

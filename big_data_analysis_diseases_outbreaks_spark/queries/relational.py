@@ -1815,3 +1815,53 @@ def snapshot_diff_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(change.alias("change_class")).groupBy(
         "change_class"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+# --- File-provenance audit: per-input-file row counts + key ranges via
+# the `_metadata` hidden column (file-source metadata, Spark 3.5+). The
+# standard 100 TB ingestion-integrity sweep: after any backfill, verify
+# each physical file's row count and key span without a separate
+# manifest — provenance comes from the scan itself, costs one pass, and
+# partition-prunes like any other read. The oracle reconstructs the
+# expected per-file stats relationally (the driver registers views, not
+# file paths; the testdata layout is one file per table, TESTDATA.md),
+# so the Spark side's _metadata plumbing is what's actually under test. -----
+
+_PROV_TABLES = [
+    ("customer", "customer.parquet", "c_custkey"),
+    ("documents", "documents.parquet", "doc_id"),
+    ("orders", "orders.parquet", "o_orderkey"),
+]
+
+
+@register(
+    "file_provenance_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{f}' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN({k}) AS BIGINT) AS min_key,
+       CAST(MAX({k}) AS BIGINT) AS max_key
+FROM {t}"""
+        for t, f, k in _PROV_TABLES
+    ),
+)
+def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, _f, k in _PROV_TABLES:
+        df = load_table(spark, sf_dir, t)
+        parts.append(
+            df.groupBy(
+                F.lit(t).alias("table_name"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("file_name"),
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.min(k).cast("long").alias("min_key"),
+                F.max(k).cast("long").alias("max_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
