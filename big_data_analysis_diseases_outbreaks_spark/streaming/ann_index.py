@@ -59,7 +59,14 @@ def init_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
-    append_batch(spark, bootstrap, BOOTSTRAP_BATCH_ID, index_dir, emb_col)
+    append_batch(
+        spark,
+        bootstrap,
+        BOOTSTRAP_BATCH_ID,
+        index_dir,
+        emb_col,
+        centroids=(C, c_norm2),
+    )
 
 
 def load_centroids(spark: SparkSession, index_dir: str):
@@ -82,12 +89,16 @@ def append_batch(
     batch_id: int,
     index_dir: str,
     emb_col: str = "embedding",
+    centroids=None,
 ) -> None:
     """One ingest micro-batch: assign each vector its nearest existing
     cell and write into (cell, batch_id) partitions. Narrow map + a
     partitioned write — no shuffle, no codebook refit. Idempotent per
-    batch_id (dynamic partition overwrite)."""
-    C, c_norm2 = load_centroids(spark, index_dir)
+    batch_id (dynamic partition overwrite). ``centroids``: pass a
+    pre-loaded (C, norms²) to skip the codebook read — they are
+    immutable for an index lifetime, so callers driving many batches
+    (the stream loop) load once."""
+    C, c_norm2 = centroids or load_centroids(spark, index_dir)
     cell_ranks = _make_cell_ranks_udf(C, c_norm2)
     (
         batch_df.select(
@@ -114,9 +125,17 @@ def run_stream_index_maintenance(
     append_batch per micro-batch, exactly-once across retries and
     restarts (checkpointed offsets + idempotent partition writes)."""
     checkpoint = checkpoint_dir or os.path.join(index_dir, "_checkpoint")
+    centroids = load_centroids(spark, index_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        append_batch(spark, batch_df, int(batch_id), index_dir, emb_col)
+        append_batch(
+            spark,
+            batch_df,
+            int(batch_id),
+            index_dir,
+            emb_col,
+            centroids=centroids,
+        )
 
     (
         vec_stream.writeStream.foreachBatch(handle)
