@@ -104,6 +104,8 @@ HEADLINE = [
     "similarity_radius_search",
     "ann_index_stream_topk",
     "file_provenance_audit",
+    "stream_full_interval_join",
+    "lateral_top2_orders",
 ]
 
 

@@ -1865,3 +1865,38 @@ def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- Correlated LATERAL subquery (Spark 4 SQL surface): per-customer
+# top-2 orders by price as a LATERAL derived table — the SQL-standard
+# spelling of "top-k per group" (the window row_number() form is pinned
+# elsewhere, e.g. shipping_priority_top10). Catalyst rewrites the
+# correlated LATERAL into a join + per-key limit, so at 100 TB it plans
+# like the window variant: one shuffle on the correlation key, no
+# driver loop. Pinned with a value oracle (DuckDB LATERAL is
+# semantically identical); ties broken by o_orderkey for determinism. ------
+
+
+@register(
+    "lateral_top2_orders",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+""".strip(),
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

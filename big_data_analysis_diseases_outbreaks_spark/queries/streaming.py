@@ -265,6 +265,47 @@ def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# Full-outer stream-stream interval join: matched pairs plus BOTH
+# null-extended sides, each emitted only at state eviction — unmatched
+# clicks once the watermark passes the end of their match window
+# (c_ts + 30min), unmatched purchases once it passes p_ts (a qualifying
+# click must satisfy c_ts <= p_ts, so after that no match can arrive).
+# Both predicates verified against the engine's actual emissions at
+# sf0.01; the oracle is the batch full-outer join filtered by exactly
+# those eviction rules under the bounded replay's final watermark.
+@register(
+    "stream_full_interval_join",
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'),
+wm AS (
+  SELECT date_trunc('milliseconds',
+           least((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p)))
+         - INTERVAL 1 HOUR AS w),
+j AS (
+  SELECT c.click_id, p.purchase_id, c.c_user, p.p_user, c.c_ts, p.p_ts
+  FROM c FULL OUTER JOIN p
+    ON c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE)
+SELECT click_id, purchase_id, COALESCE(c_user, p_user) AS user_id,
+       CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS lag_us
+FROM j, wm
+WHERE (click_id IS NOT NULL AND purchase_id IS NOT NULL)
+   OR (purchase_id IS NULL AND c_ts + INTERVAL 30 MINUTE < wm.w)
+   OR (click_id IS NULL AND p_ts < wm.w)
+""".strip(),
+)
+def stream_full_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import interval_join_stream
+
+    out = interval_join_stream(spark, sf_dir, how="full_outer")
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
 # Self-starting CUSUM change-point detection per series: accumulates
 # small persistent shifts against the running prior baseline (the
 # complementary detector to the per-day z-score). The recursive

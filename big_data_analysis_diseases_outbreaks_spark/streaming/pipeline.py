@@ -317,7 +317,9 @@ def interval_join_stream(
     return joined.select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        # coalesce: under full_outer an unmatched purchase has no c_user
+        # (identical to c_user for inner/left, where c_user never nulls)
+        F.coalesce("c_user", "p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
     )
 
