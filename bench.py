@@ -106,6 +106,7 @@ HEADLINE = [
     "file_provenance_audit",
     "stream_full_interval_join",
     "lateral_top2_orders",
+    "part_copurchase_pagerank",
 ]
 
 

@@ -1900,3 +1900,65 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+# --- Iterative PageRank over the part co-purchase graph (parts joined
+# by appearing in the same order): the second iterative graph operator
+# beside dedup_components. Exact-integer fixed-point arithmetic
+# (operators/pagerank.py) makes all 8 power-iteration rounds
+# bit-identical across engines — a float PageRank could never be
+# value-oracled because double partial-sum order differs — so the
+# oracle is the same recurrence unrolled as 8 chained CTEs. -----------------
+
+_PR_ITERS = 8
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST({BASE} + ({DAMP_NUM} * COALESCE(c.contrib, 0)) // {DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM (SELECT src AS node FROM deg) n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS contrib
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
+    GROUP BY e.dst) c USING (node))"""
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg),
+{joined}
+SELECT node AS part_key, rank AS pagerank_scaled FROM r{_PR_ITERS}
+""".strip()
+
+
+@register("part_copurchase_pagerank", oracle=_pagerank_oracle())
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, n_iter=_PR_ITERS).select(
+        F.col("node").alias("part_key"), "pagerank_scaled"
+    )

@@ -37,3 +37,53 @@ def test_canonical_marks_min_and_singletons(spark):
     out = dedup_cluster_canonical(cc, docs)
     got = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in out.collect()}
     assert got == {10: (10, 1), 11: (10, 0), 12: (12, 1)}
+
+
+# --- PageRank (operators/pagerank.py) --------------------------------------
+
+
+def test_pagerank_cycle_is_exact_fixed_point(spark):
+    """On a directed cycle every node's rank is a fixed point of the
+    integer recurrence: BASE + (85 · SCALE) // 100 == SCALE exactly, so
+    all ranks stay at SCALE through every round — a closed-form check
+    of the fixed-point arithmetic."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        SCALE,
+        pagerank,
+    )
+
+    cycle = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {r["node"]: r["pagerank_scaled"] for r in pagerank(cycle, 4).collect()}
+    assert got == {1: SCALE, 2: SCALE, 3: SCALE}
+
+
+def test_pagerank_star_hub_dominates_and_is_deterministic(spark):
+    """Undirected star: the hub must outrank every leaf, leaves tie
+    exactly (integer arithmetic — no float jitter), and two runs are
+    bit-identical."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    pairs = []
+    for leaf in range(2, 8):
+        pairs += [(1, leaf), (leaf, 1)]
+    star = _edges(spark, pairs)
+    r1 = {r["node"]: r["pagerank_scaled"] for r in pagerank(star, 6).collect()}
+    r2 = {r["node"]: r["pagerank_scaled"] for r in pagerank(star, 6).collect()}
+    assert r1 == r2
+    leaf_ranks = {r1[n] for n in range(2, 8)}
+    assert len(leaf_ranks) == 1
+    assert r1[1] > leaf_ranks.pop()
+
+
+def test_pagerank_restores_shuffle_partitions(spark):
+    """The loop pins spark.sql.shuffle.partitions to the graph size and
+    MUST restore the session value afterwards."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pagerank(_edges(spark, [(1, 2), (2, 1)]), 2).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
