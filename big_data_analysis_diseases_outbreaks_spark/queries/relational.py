@@ -1931,9 +1931,12 @@ def _pagerank_oracle() -> str:
         )
     joined = ",\n".join(iters)
     return f"""
-WITH edges AS (
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'),
+edges AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, CAST({SCALE} AS BIGINT) AS rank FROM deg),
@@ -1946,8 +1949,14 @@ SELECT node AS part_key, rank AS pagerank_scaled FROM r{_PR_ITERS}
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pagerank import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    # Recent co-purchase graph: the shipdate predicate is pushed to the
+    # parquet scan on BOTH join sides, bounding graph construction — at
+    # 100 TB you build the graph from the partitions you care about,
+    # not the full history.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        .select("l_orderkey", "l_partkey")
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (
