@@ -6,16 +6,28 @@ edge-join + destination aggregation; the 100 TB shape is the standard
 Pregel-style layout: the edge table (src, dst, outdeg) is the large
 fact, hash-partitioned on ``src`` once and reused every round, and each
 round shuffles only the (node, rank) vector — never the edges again
-(`persist()` pins them). Lineage is truncated at the end with one
-``localCheckpoint`` so downstream consumers don't replay all rounds.
+(`persist()` pins them). The rank vector's lineage is truncated with a
+``localCheckpoint`` EVERY round — without that, each round's plan nests
+all previous rounds and analysis time grows superlinearly with
+``n_iter`` (do not "optimize" it out of the loop).
 
-Determinism: ranks are scaled BIGINTs (``SCALE`` = 1e12) and every
-update uses integer floor division — ``rank // outdeg`` per edge and
-``(DAMP_NUM · contrib) // DAMP_DEN`` per node — so the result is
-bit-identical in any engine and independent of partial-sum order
-(integer addition is associative; double addition is not, which is why
-a float PageRank can NOT be value-oracled across engines). Same
-exact-integer protocol as ``functions/stable.py`` and the CUSUM oracle.
+Determinism: ranks are scaled BIGINTs (``scale`` fixed-point) and every
+update uses integer floor division — ``rank // outdeg`` per edge and a
+split-multiply damping step per node — so the result is bit-identical
+in any engine and independent of partial-sum order (integer addition is
+associative; double addition is not, which is why a float PageRank can
+NOT be value-oracled across engines). Same exact-integer protocol as
+``functions/stable.py`` and the CUSUM oracle.
+
+Overflow bound: total rank mass is conserved at ~N·scale, so the
+per-node contribution sum stays < 2^63 while N·scale < 9.2e18 — about
+9M nodes at the default scale of 1e12. For larger graphs pass a
+smaller ``scale`` (precision trades off at ~log10(scale) significant
+digits). The damping multiply itself is split
+(``d·(c div 100) + d·(c mod 100) div 100``, exactly floor(d·c/100) for
+c ≥ 0) so it never amplifies the magnitude — important because Spark's
+non-ANSI long arithmetic would WRAP silently on overflow rather than
+error.
 """
 
 from __future__ import annotations
@@ -28,24 +40,23 @@ DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as a rational
 BASE = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d) · SCALE
 
 
-def pagerank(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+def pagerank(
+    edges: DataFrame, n_iter: int = 8, scale: int = SCALE
+) -> DataFrame:
     """``edges``: (src, dst) — directed; symmetrize upstream for an
     undirected graph. Every node must have outdeg ≥ 1 (true for any
     symmetrized graph). Returns (node, pagerank_scaled BIGINT): the
     un-normalized per-node rank after ``n_iter`` rounds, fixed-point
-    scaled by ``SCALE``."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # (src, dst, outdeg): the reused per-round fact — partitioned on
-    # src so each round's rank join co-locates without re-shuffling it.
-    # Partition count is sized from the edge count, NOT the session's
-    # spark.sql.shuffle.partitions: the edge table is scanned once per
-    # round, so a default-200 partitioning of a small graph turns every
-    # round into pure task-scheduling overhead (measured 12 s/round →
-    # 0.8 s at 231k edges), while at scale ~1M edges/partition keeps
-    # partitions ~tens of MB. AQE can't help here — it coalesces
-    # shuffle reads, not a persisted partitioning.
+    scaled by ``scale`` (module docstring: keep N·scale < 2^63)."""
+    # Materialize the edge list ONCE: deg, nodes, and the joined fact
+    # below would otherwise each re-evaluate the caller's edge plan
+    # (Spark has no common-subplan dedup across actions) — for a
+    # self-join-derived graph that's the expensive part of the whole
+    # operator, executed ~4 times instead of once.
+    edges = edges.persist()
     n_edges = edges.count()
     n_parts = max(8, n_edges // 1_000_000 + 1)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     spark = edges.sparkSession
     # Pin the shuffle width to the graph size for the whole loop (saved
     # and restored, the run_to_memory pattern): every round's keyed
@@ -58,11 +69,24 @@ def pagerank(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     # state sizing.
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    # Split-multiply damping (see module docstring): exactly
+    # floor(DAMP_NUM·c / DAMP_DEN) without the DAMP_NUM× intermediate.
+    damped = (
+        f"{DAMP_NUM} * (coalesce(contrib, 0L) div {DAMP_DEN})"
+        f" + ({DAMP_NUM} * (coalesce(contrib, 0L) % {DAMP_DEN}))"
+        f" div {DAMP_DEN}"
+    )
     try:
+        # (src, dst, outdeg): the reused per-round fact — partitioned
+        # on src so each round's rank join co-locates without
+        # re-shuffling it. Partition count comes from the edge count,
+        # NOT the session shuffle default: AQE coalesces shuffle reads,
+        # not a persisted partitioning.
         e = edges.join(deg, "src").repartition(n_parts, "src").persist()
         nodes = deg.select(F.col("src").alias("node")).persist()
         ranks = nodes.select(
-            "node", F.lit(SCALE).cast("long").alias("rank")
+            "node", F.lit(scale).cast("long").alias("rank")
         )
         for _ in range(n_iter):
             contrib = (
@@ -75,24 +99,17 @@ def pagerank(edges: DataFrame, n_iter: int = 8) -> DataFrame:
                 nodes.join(contrib, nodes.node == contrib.dst, "left")
                 .select(
                     "node",
-                    (
-                        F.lit(BASE)
-                        + F.expr(
-                            f"({DAMP_NUM} * coalesce(contrib, 0L))"
-                            f" div {DAMP_DEN}"
-                        )
-                    ).cast("long").alias("rank"),
+                    (F.lit(base) + F.expr(damped))
+                    .cast("long")
+                    .alias("rank"),
                 )
-                # Truncate lineage EVERY round: without this each
-                # round's plan nests all previous rounds and
-                # analysis/optimization time grows superlinearly with
-                # n_iter. The checkpoint is the node-sized rank vector,
-                # never the edges.
+                # per-round lineage truncation — see module docstring
                 .localCheckpoint(eager=True)
             )
         out = ranks.select("node", F.col("rank").alias("pagerank_scaled"))
         e.unpersist()
         nodes.unpersist()
+        edges.unpersist()
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -199,6 +199,59 @@ def _make_cell_ranks_udf(C, c_norm2):
     return cell_ranks
 
 
+def probe_queries(
+    queries: DataFrame, cell_ranks, n_probe: int, emb_col: str = "embedding"
+) -> DataFrame:
+    """(query_id, q_emb, cell) with one row per probed cell. Shared by
+    ivf_topk and the persisted streaming index (streaming/ann_index.py)
+    so the probe idiom has one definition — including the subtle
+    explode_outer choice: n_probe ≥ 1 so the slice is never empty, and
+    a plain explode would re-run the full centroid-distance ranking
+    inside an inferred size()>0 filter (InferFiltersFromGenerate)."""
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode_outer(
+            F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
+        ).alias("cell"),
+    )
+
+
+def probe_score_topk(
+    q: DataFrame, cand: DataFrame, k: int, dedup_pairs: bool = False
+) -> DataFrame:
+    """Score probed (query, candidate) pairs and keep each query's
+    top-k — the shared tail of every cell-probed index. ``q``:
+    (query_id, q_emb, cell) from :func:`probe_queries`; ``cand``:
+    (cand_id, c_emb, cell). Rounded-score ordering with cand_id
+    tie-break, identical to brute_force_topk, so a full probe
+    (n_probe = n_cells) reproduces the exact answer. ``dedup_pairs``:
+    set when the candidate table may hold a vector more than once
+    (e.g. re-ingested index batches); off by default — an IVF
+    assignment places each candidate in exactly one cell, so pairs are
+    unique by construction and the extra aggregation would be waste."""
+    scored = (
+        F.broadcast(q)
+        .join(cand, on="cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    if dedup_pairs:
+        scored = scored.dropDuplicates(["query_id", "cand_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= k)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -224,33 +277,8 @@ def ivf_topk(
         F.col(emb_col).alias("c_emb"),
         cell_ranks(F.col(emb_col))[0].alias("cell"),
     )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        # outer: n_probe ≥ 1 so the slice is never empty, and a plain
-        # explode would re-run the full centroid-distance ranking
-        # inside an inferred size()>0 filter.
-        F.explode_outer(
-            F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
-        ).alias("cell"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(c, on="cell")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+    q = probe_queries(queries, cell_ranks, n_probe, emb_col)
+    return probe_score_topk(q, c, k)
 
 
 def lsh_topk(

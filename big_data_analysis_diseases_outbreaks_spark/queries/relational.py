@@ -1877,29 +1877,24 @@ def file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantically identical); ties broken by o_orderkey for determinism. ------
 
 
-@register(
-    "lateral_top2_orders",
-    oracle="""
+# One SQL text for BOTH engines — the whole point is engine parity of
+# the LATERAL surface, so the statement must not be able to drift
+# between the Spark run and the oracle.
+_LATERAL_TOP2_SQL = """
 SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
 FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c,
 LATERAL (SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_custkey = c.c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-""".strip(),
-)
+""".strip()
+
+
+@register("lateral_top2_orders", oracle=_LATERAL_TOP2_SQL)
 def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_tables
 
     register_tables(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-        FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100) c,
-        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
-                 WHERE o_custkey = c.c_custkey
-                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
-        """
-    )
+    return spark.sql(_LATERAL_TOP2_SQL)
 
 
 # --- Iterative PageRank over the part co-purchase graph (parts joined

@@ -30,13 +30,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     _fit_coarse_codebook,
     _make_cell_ranks_udf,
-    cosine,
+    probe_queries,
+    probe_score_topk,
 )
 
 BOOTSTRAP_BATCH_ID = -1
@@ -163,35 +164,13 @@ def query_index(
     value-oracles this whole pipeline."""
     C, c_norm2 = load_centroids(spark, index_dir)
     cell_ranks = _make_cell_ranks_udf(C, c_norm2)
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col(emb_col).alias("q_emb"),
-        # explode_outer: n_probe ≥ 1 so the slice is never empty, and a
-        # plain explode would re-run the centroid ranking inside an
-        # inferred size()>0 filter (InferFiltersFromGenerate).
-        F.explode_outer(
-            F.slice(cell_ranks(F.col(emb_col)), 1, n_probe)
-        ).alias("cell"),
+    q = probe_queries(queries, cell_ranks, n_probe, emb_col)
+    cand = spark.read.parquet(os.path.join(index_dir, "vectors")).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        "cell",
     )
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
-    scored = (
-        F.broadcast(q)
-        .join(vectors, on="cell")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            F.round(
-                cosine(F.col("q_emb"), F.col("embedding")), 4
-            ).alias("cos_sim"),
-        )
-        # a vector ingested into several batches would appear once per
-        # copy; the index write is idempotent so this is belt-and-braces
-        .dropDuplicates(["query_id", "cand_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return scored.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).where(F.col("rank") <= k)
+    # dedup_pairs: a vector ingested by several batches would appear
+    # once per copy; the index write is idempotent per batch so this is
+    # belt-and-braces.
+    return probe_score_topk(q, cand, k, dedup_pairs=True)
