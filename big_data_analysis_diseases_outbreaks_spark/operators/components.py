@@ -20,9 +20,9 @@ which truncates lineage. This is load-bearing, not an optimization: the
 loop body references ``labels`` twice (neighbor join + union), so
 without truncation the logical plan doubles per iteration and Catalyst
 analysis goes exponential — a 12-hop chain hangs the driver before any
-task runs. (On a long-lived cluster job, prefer ``checkpoint()`` into
-the reliable checkpoint dir: localCheckpoint blocks die with an
-executor.)
+task runs. On a long-lived cluster job pass ``checkpoint_dir`` to
+switch to reliable ``checkpoint()`` (localCheckpoint blocks die with an
+executor — operators/checkpointing.py).
 """
 
 from __future__ import annotations
@@ -45,16 +45,25 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component); ``component`` is
-    the minimum node id reachable from ``node``."""
+    the minimum node id reachable from ``node``.
+
+    ``checkpoint_dir``: cluster mode — per-round lineage truncation via
+    reliable ``checkpoint()`` instead of executor-local blocks (which
+    die with an executor and kill the loop); results are bit-identical
+    either way. See operators/checkpointing.py."""
+    from .checkpointing import truncator
+
+    truncate = truncator(edges, checkpoint_dir)
     # Checkpoint the directed edges BEFORE symmetrizing: the union's two
     # branches each reference the (expensive) pair-generation lineage,
     # and exchange reuse is not guaranteed to cover plans whose top isn't
     # an exchange — materializing first makes single-evaluation explicit.
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    edges = truncate(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     n_edges = edges.count()  # cheap: scans the checkpointed blocks
     spark = edges.sparkSession
     n_part = min(
@@ -66,14 +75,14 @@ def connected_components(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .repartition(n_part, "b")  # pre-hash on the loop's join key
-        .localCheckpoint(eager=True)
+        .transform(truncate)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .repartition(n_part, "node")
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(truncate)
     )
     for _ in range(max_iters):
         nbr = sym.join(labels, sym["b"] == labels["node"]).select(
@@ -91,7 +100,7 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own") == 1, F.col("label"))).alias("_old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate)
         )
         n_changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")

@@ -41,19 +41,31 @@ BASE = (SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN  # (1-d) · SCALE
 
 
 def pagerank(
-    edges: DataFrame, n_iter: int = 8, scale: int = SCALE
+    edges: DataFrame,
+    n_iter: int = 8,
+    scale: int = SCALE,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``edges``: (src, dst) — directed; symmetrize upstream for an
     undirected graph. Every node must have outdeg ≥ 1 (true for any
     symmetrized graph). Returns (node, pagerank_scaled BIGINT): the
     un-normalized per-node rank after ``n_iter`` rounds, fixed-point
-    scaled by ``scale`` (module docstring: keep N·scale < 2^63)."""
+    scaled by ``scale`` (module docstring: keep N·scale < 2^63).
+
+    ``checkpoint_dir``: cluster mode — truncate each round's lineage
+    with a RELIABLE ``checkpoint()`` into this directory instead of
+    ``localCheckpoint`` (whose executor-local blocks are unrecoverable
+    on executor loss — a multi-round iterative job at scale must survive
+    churn; see operators/checkpointing.py). Results are bit-identical
+    either way (test-pinned); only fault-tolerance differs."""
+    from .checkpointing import truncator
     # Materialize the edge list ONCE: deg, nodes, and the joined fact
     # below would otherwise each re-evaluate the caller's edge plan
     # (Spark has no common-subplan dedup across actions) — for a
     # self-join-derived graph that's the expensive part of the whole
     # operator, executed ~4 times instead of once.
     edges = edges.persist()
+    truncate = truncator(edges, checkpoint_dir)
     n_edges = edges.count()
     n_parts = max(8, n_edges // 1_000_000 + 1)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -104,7 +116,7 @@ def pagerank(
                     .alias("rank"),
                 )
                 # per-round lineage truncation — see module docstring
-                .localCheckpoint(eager=True)
+                .transform(truncate)
             )
         out = ranks.select("node", F.col("rank").alias("pagerank_scaled"))
         e.unpersist()

@@ -36,75 +36,69 @@ def register(name: str, oracle: str | None = None):
 # so ordering is signal — and it is a ROTATING window: a query that has
 # produced a driver-green row in ANY past round keeps that evidence
 # forever, so each round the window is refilled with the oracle-backed
-# queries that have never had one.  Round-5 rotation: the two round-4
-# reds (fixed HUGEINT oracle casts) lead, then all 46 remaining
-# never-driver-checked oracle-backed queries, then the ML-evidence pair
-# (planted-anomaly recall as a query + the rows-only kmeans pipeline).
-# Queries verified green in rounds 1-4 (trends/anomaly flagship,
-# streaming tier, dedup/text block, TPC-H core) follow in registration
-# order — still registry-live and covered by tests/test_oracle_parity.py.
+# queries that have never had one.  Round-6 rotation (per VERDICT r5 §1):
+# the final 26 never-driver-checked oracle-backed queries lead; the two
+# rows-only ML entries are DROPPED from the window (the driver can only
+# ever record `err: no_oracle` for them — their evidence lives in pytest
+# determinism/recall tests and BASELINE.md); the remaining 24 slots are
+# backfilled with flagship already-green queries for re-confirmation.
+# tools/rotate_window.py regenerates this list;
+# tests/test_registry.py::test_window_covers_never_green asserts it
+# stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
-    # Round-4 driver-reds, now cast-fixed — lead the window
+    # Never-green oracle-backed (26) — close the book this round
+    "doc_embed_deterministic",
+    "similarity_radius_search",
+    "ann_index_stream_topk",
+    "multimodal_patchify",
+    "cdc_merge_apply",
+    "snapshot_diff_classes",
+    "file_provenance_audit",
+    "lateral_top2_orders",
+    "part_copurchase_pagerank",
+    "stream_full_interval_join",
+    "stream_producer_daily_agg",
+    "stream_incremental_curation",
+    "doc_segment_dedup",
+    "corpus_mixture_plan",
+    "dedup_incremental",
+    "curation_pipeline_v2",
+    "doc_dup_ngram_chars",
+    "training_order_shuffle",
+    "pack_bin_manifest",
+    "length_bucketed_batching",
+    "corpus_budget_select",
+    "doc_intra_dedup",
+    "producer_generate",
+    "producer_daily_mean",
+    "json_variant_props",
+    "recursive_date_spine",
+    # Re-confirmation backfill (24): flagship + one per family, all
+    # driver-green in a prior round
+    "anomaly_zscore",
+    "trends_detrend",
+    "trends_daily_agg",
+    "qfactor_normalization",
+    "pivot_wide",
+    "month_onehot",
+    "json_roundtrip",
+    "revenue_by_nation",
+    "top10_customers",
+    "global_minmax_date",
+    "value_stats_by_region",
+    "customers_only_first_half",
+    "asof_last_signup",
+    "series_threshold_filter",
+    "stream_daily_agg",
+    "stream_sliding_agg",
+    "dedup_exact",
+    "dedup_components",
+    "dedup_keep_best",
+    "ngram_jaccard_strict",
+    "doc_gopher_quality",
     "doc_sequence_pack",
     "training_data_pipeline",
-    # Reference artifacts + IO evidence never yet driver-checked
     "anomaly_map_series",
-    "json_roundtrip",
-    # Never-green: series / temporal analytics
-    "value_7d_range_avg",
-    "unpivot_wide",
-    "event_pairs_interval_join",
-    "incremental_daily_agg",
-    "kw_correlation_matrix",
-    "funnel_view_click_purchase",
-    "series_gap_fill_ffill",
-    "series_trend_slope",
-    "series_linear_forecast",
-    "series_dow_seasonality",
-    "rolling_7d_distinct_users",
-    "user_retention_cohorts",
-    "event_transition_matrix",
-    "value_percentiles",
-    "order_gaps_ntile",
-    # Never-green: product-analytics / relational block
-    "orders_column_profile",
-    "user_activity_summary",
-    "order_fulfillment_lag",
-    "orders_backlog_over_time",
-    "forecast_revenue_change",
-    # Never-green: TPC-H remainder
-    "order_priority_check",
-    "volume_shipping",
-    "product_type_profit",
-    "part_revenue_share",
-    "customer_distribution",
-    "top_supplier_revenue",
-    "parts_supplier_counts",
-    "large_volume_customers",
-    "dominant_supplier_parts",
-    "global_sales_opportunity",
-    "best_value_supplier",
-    # Never-green: streaming remainder
-    "stream_static_enriched_agg",
-    "stream_sliding_pivot",
-    # Never-green: LLM-pipeline text/dedup remainder
-    "dedup_keep_best",
-    "doc_chunking",
-    "doc_token_rarity",
-    "doc_train_split",
-    "doc_pii_scrub",
-    "doc_lang_confusion",
-    "doc_ngram_novelty",
-    "doc_length_histogram",
-    "doc_gopher_quality",
-    # Never-green: embeddings / multimodal remainder
-    "embedding_dim_drift",
-    "multimodal_byte_histogram",
-    # ML evidence: planted-anomaly recall invariant as a query (rows-only
-    # by nature — model fits are not SQL-expressible) + the flagship
-    # kmeans pipeline itself; iforest recall is inside ml_recall_report.
-    "ml_recall_report",
-    "kmeans_anomaly",
 ]
 
 

@@ -583,42 +583,43 @@ def _embeddings_chunk_dir(
     spark: SparkSession, sf_dir: str, n_chunks: int = 3
 ) -> str:
     """embeddings.parquet as n contiguous-vec_id chunk files (one per
-    micro-batch under maxFilesPerTrigger=1); cached per sf_dir."""
+    micro-batch under maxFilesPerTrigger=1); cached per source version
+    (race-free + staleness-keyed — sources/cachedir.py)."""
     import os
-    import tempfile
 
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(
-        tempfile.gettempdir(), f"spark_annidx_src_{key}_{n_chunks}"
-    )
-    done = os.path.join(d, "_DONE")
-    if os.path.exists(done):
-        return d
-    os.makedirs(d, exist_ok=True)
-    import duckdb
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
 
-    con = duckdb.connect()
     src = os.path.join(sf_dir, "embeddings.parquet")
-    n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
-    per = (n + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        con.execute(
-            f"""COPY (SELECT * FROM read_parquet('{src}')
-                 WHERE vec_id >= {i * per} AND vec_id < {(i + 1) * per}
-                 ORDER BY vec_id)
-                TO '{os.path.join(d, f"chunk_{i:02d}.parquet")}'
-                (FORMAT PARQUET)"""
-        )
-    con.close()
-    open(done, "w").close()
-    return d
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        per = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            con.execute(
+                f"""COPY (SELECT * FROM read_parquet('{src}')
+                     WHERE vec_id >= {i * per} AND vec_id < {(i + 1) * per}
+                     ORDER BY vec_id)
+                    TO '{os.path.join(d, f"chunk_{i:02d}.parquet")}'
+                    (FORMAT PARQUET)"""
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_annidx_src_{key}_{n_chunks}", source_fingerprint(src), _build
+    )
 
 
 @register("ann_index_stream_topk", oracle=_COSINE_TOPK_ORACLE)
 def ann_index_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
     from ..streaming.ann_index import (
         init_index,
         query_index,
@@ -629,34 +630,36 @@ def ann_index_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     )
-    # Index cached per sf_dir (like the chunk source): a fresh mkdtemp
-    # per invocation would leave a full cell-partitioned corpus copy +
-    # checkpoint behind on every bench rep / sweep run. _DONE is
-    # written only after a complete build, so a killed run rebuilds.
+    # Index cached per source version (like the chunk dir): a fresh
+    # mkdtemp per invocation would leave a full cell-partitioned corpus
+    # copy + checkpoint behind on every bench rep / sweep run. Built in
+    # a staging dir and atomically renamed — concurrent runs and killed
+    # builds can't publish a partial index (sources/cachedir.py).
     key = sf_dir.strip("/").replace("/", "_")
-    index_dir = os.path.join(
-        tempfile.gettempdir(), f"spark_annidx_{key}_{_ANN_IDX_CELLS}"
-    )
-    done = os.path.join(index_dir, "_DONE")
-    if not os.path.exists(done):
-        init_index(
-            spark,
-            spark.read.parquet(chunks[0]),
-            index_dir,
-            n_cells=_ANN_IDX_CELLS,
-        )
-        schema = spark.read.parquet(src).schema
+
+    def _build(index_dir: str) -> None:
+        chunk0 = spark.read.parquet(chunks[0])
+        init_index(spark, chunk0, index_dir, n_cells=_ANN_IDX_CELLS)
+        # Everything past the bootstrap chunk's actual MAX(vec_id) — not
+        # its row count: with any gap in vec_ids, count < max and rows
+        # in [count, max] would be ingested twice (bootstrap + stream).
+        hi = chunk0.agg(F.max("vec_id")).first()[0]
         rest = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(chunk0.schema)
             .format("parquet")
             .option("maxFilesPerTrigger", "1")
             .load(src)
             # chunk 0 is already in the index as the bootstrap batch;
             # the pruning filter rides INTO the stream scan
-            .where(F.col("vec_id") >= spark.read.parquet(chunks[0]).count())
+            .where(F.col("vec_id") > F.lit(-1 if hi is None else hi))
         )
         run_stream_index_maintenance(spark, rest, index_dir)
-        open(done, "w").close()
+
+    index_dir = build_cached_dir(
+        f"spark_annidx_{key}_{_ANN_IDX_CELLS}",
+        source_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+        _build,
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     return query_index(
         spark,

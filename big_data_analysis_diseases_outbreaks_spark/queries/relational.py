@@ -1916,7 +1916,10 @@ def _pagerank_oracle() -> str:
         iters.append(
             f"""r{i} AS (
   SELECT n.node,
-         CAST({BASE} + ({DAMP_NUM} * COALESCE(c.contrib, 0)) // {DAMP_DEN}
+         CAST({BASE}
+              + {DAMP_NUM} * (COALESCE(c.contrib, 0) // {DAMP_DEN})
+              + ({DAMP_NUM} * (COALESCE(c.contrib, 0) % {DAMP_DEN}))
+                // {DAMP_DEN}
               AS BIGINT) AS rank
   FROM (SELECT src AS node FROM deg) n
   LEFT JOIN (

@@ -486,39 +486,38 @@ def stream_producer_daily_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
     """Materialize documents.parquet as n contiguous-doc_id chunk files
-    (one per micro-batch under maxFilesPerTrigger=1); cached per sf_dir."""
+    (one per micro-batch under maxFilesPerTrigger=1); cached per source
+    version (race-free + staleness-keyed — sources/cachedir.py)."""
     import os
-    import tempfile
 
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(
-        tempfile.gettempdir(), f"spark_curation_src_{key}_{n_chunks}"
-    )
-    done = os.path.join(d, "_DONE")
-    if os.path.exists(done):
-        return d
-    os.makedirs(d, exist_ok=True)
-    import duckdb
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
 
-    con = duckdb.connect()
     src = os.path.join(sf_dir, "documents.parquet")
-    n = con.execute(
-        f"SELECT COUNT(*) FROM read_parquet('{src}')"
-    ).fetchone()[0]
-    per = (n + n_chunks - 1) // n_chunks
-    # Written in ascending doc_id order with ascending mtimes so the
-    # file-stream source replays chunks in corpus order.
-    for i in range(n_chunks):
-        con.execute(
-            f"""
-            COPY (SELECT * FROM read_parquet('{src}')
-                  ORDER BY doc_id LIMIT {per} OFFSET {i * per})
-            TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}' (FORMAT PARQUET)
-            """
-        )
-    with open(done, "w") as fh:
-        fh.write("ok")
-    return d
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        per = (n + n_chunks - 1) // n_chunks
+        # Written in ascending doc_id order with ascending mtimes so the
+        # file-stream source replays chunks in corpus order.
+        for i in range(n_chunks):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM read_parquet('{src}')
+                      ORDER BY doc_id LIMIT {per} OFFSET {i * per})
+                TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}' (FORMAT PARQUET)
+                """
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_curation_src_{key}_{n_chunks}", source_fingerprint(src), _build
+    )
 
 
 @register(

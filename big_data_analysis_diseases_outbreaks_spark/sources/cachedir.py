@@ -1,0 +1,91 @@
+"""Race-free, staleness-keyed /tmp cache directories.
+
+Several queries materialize derived inputs (chunked stream sources, the
+streaming ANN index) into shared tempdir caches so bench reps and oracle
+sweeps don't rebuild per invocation. The original ``_DONE``-marker
+scheme had two defects (ADVICE r5): two concurrent processes that both
+observe ``_DONE`` absent build into the SAME directory simultaneously,
+and a regenerated source parquet leaves a stale cache serving old data.
+
+This module fixes both:
+
+* **Staleness** — the cache name embeds a fingerprint of the source
+  files' (size, mtime_ns), so regenerating a source changes the key and
+  the old cache is simply never hit again (and is pruned best-effort).
+* **Concurrency** — builders write into a unique staging sibling and
+  ``os.rename`` it into place. rename(2) is atomic on one filesystem;
+  the loser of a race fails the rename, sees the winner's completed
+  dir, and discards its own staging copy. Readers only ever see absent
+  or complete — never partial.
+
+Local-tempdir scope is inherent here (these caches exist to feed
+file-stream sources on the test host); production deployments point the
+equivalent derived tables at real storage with a table format.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+_DONE = "_DONE"
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Cheap content-version fingerprint of source files: (size,
+    mtime_ns) per path — no data read. Any regeneration bumps mtime."""
+    h = hashlib.md5()
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
+def build_cached_dir(
+    prefix: str, fingerprint: str, build: Callable[[str], None]
+) -> str:
+    """Return the completed cache dir ``$TMP/{prefix}-{fingerprint}``,
+    running ``build(staging_dir)`` exactly as-needed.
+
+    ``build`` receives an empty staging directory and must fully
+    populate it; on success it is atomically renamed into place. Stale
+    siblings (same prefix, other fingerprints) are pruned best-effort.
+    """
+    tmp = tempfile.gettempdir()
+    final = os.path.join(tmp, f"{prefix}-{fingerprint}")
+    if os.path.exists(os.path.join(final, _DONE)):
+        return final
+    # Prune superseded fingerprints — best-effort, never load-bearing.
+    for old in glob.glob(os.path.join(tmp, f"{prefix}-*")):
+        if old != final and not old.startswith(f"{final}."):
+            shutil.rmtree(old, ignore_errors=True)
+    staging = f"{final}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    try:
+        build(staging)
+        open(os.path.join(staging, _DONE), "w").close()
+        try:
+            os.rename(staging, final)
+        except OSError:
+            if os.path.exists(os.path.join(final, _DONE)):
+                # Lost a benign race — the winner's build is complete.
+                shutil.rmtree(staging, ignore_errors=True)
+            else:
+                # A legacy/partial dir squats on the final name: replace
+                # it, tolerating one more race on the replacement.
+                shutil.rmtree(final, ignore_errors=True)
+                try:
+                    os.rename(staging, final)
+                except OSError:
+                    shutil.rmtree(staging, ignore_errors=True)
+                    if not os.path.exists(os.path.join(final, _DONE)):
+                        raise
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return final

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score
+from ..sources.fsutil import dir_has_data, path_exists
 
 CURATION_QUALITY_MIN = 0.35
 
@@ -81,9 +82,10 @@ def process_curation_batch(
             quality_score(F.col("text")).alias("quality"),
         )
     )
-    if os.path.isdir(seen_dir) and any(
-        not e.startswith("_") for e in os.listdir(seen_dir)
-    ):
+    # Probe through the Hadoop FileSystem API, not os.path: with an
+    # HDFS/S3 out_dir a driver-local isdir() is always False, and every
+    # batch would silently skip cross-batch dedup (ADVICE r5).
+    if dir_has_data(spark, seen_dir):
         # Exclude THIS batch's own partition: a retry that died between
         # the seen append and the corpus write would otherwise anti-join
         # the batch against its own fingerprints and silently drop it.
@@ -170,7 +172,7 @@ def curated_corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """The curated corpus as a DataFrame (post-run read). Empty (not an
     error) when no batch produced a survivor — or none ran at all."""
     corpus_dir = os.path.join(out_dir, "corpus")
-    if not os.path.isdir(corpus_dir):
+    if not path_exists(spark, corpus_dir):
         return spark.createDataFrame([], CORPUS_SCHEMA).select(
             "doc_id", "fp", "quality"
         )

@@ -361,7 +361,7 @@ def run_stream_upsert_snapshot(
         .start()
     )
     q.awaitTermination()
-    path = latest_snapshot_path(out_dir)
+    path = latest_snapshot_path(out_dir, spark)
     assert path is not None, "no micro-batch produced a snapshot"
     return path
 
@@ -379,17 +379,28 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
     )
 
 
-def _snapshot_versions(out_dir: str) -> list[str]:
-    if not os.path.isdir(out_dir):
-        return []
+def _snapshot_versions(out_dir: str, spark: SparkSession | None = None) -> list[str]:
+    """Snapshot version dirs, oldest→newest. With ``spark`` the listing
+    goes through the Hadoop FileSystem API (works for HDFS/S3 out_dirs);
+    without it, a driver-local os.listdir (test convenience only)."""
+    if spark is not None:
+        from ..sources.fsutil import list_names
+
+        names = list_names(spark, out_dir)
+    elif os.path.isdir(out_dir):
+        names = os.listdir(out_dir)
+    else:
+        names = []
     return sorted(
-        (d for d in os.listdir(out_dir) if d.startswith("snapshot_v")),
+        (d for d in names if d.startswith("snapshot_v")),
         key=lambda d: int(d.rsplit("v", 1)[1]),
     )
 
 
-def latest_snapshot_path(out_dir: str) -> str | None:
-    versions = _snapshot_versions(out_dir)
+def latest_snapshot_path(
+    out_dir: str, spark: SparkSession | None = None
+) -> str | None:
+    versions = _snapshot_versions(out_dir, spark)
     return os.path.join(out_dir, versions[-1]) if versions else None
 
 
@@ -403,12 +414,12 @@ def upsert_snapshot_batch(
     """One micro-batch of the CDC upsert: merge the batch into the newest
     snapshot version, write ``snapshot_v{batch_id}``, prune old versions.
     Module-level so tests can drive multi-batch sequences directly."""
-    import shutil
+    from ..sources.fsutil import delete_path
 
     if not batch_df.take(1):
         return
     new = _latest_per_user(batch_df)
-    prev = latest_snapshot_path(out_dir)
+    prev = latest_snapshot_path(out_dir, spark)
     if prev is not None:
         new = _latest_per_user(spark.read.parquet(prev).unionByName(new))
     new.write.mode("overwrite").parquet(
@@ -417,5 +428,5 @@ def upsert_snapshot_batch(
     # Prune only after the new version is fully written: the newest
     # directory is always complete, so readers resolving "latest" never
     # see a partial snapshot.
-    for d in _snapshot_versions(out_dir)[: -max(keep_versions, 1)]:
-        shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    for d in _snapshot_versions(out_dir, spark)[: -max(keep_versions, 1)]:
+        delete_path(spark, os.path.join(out_dir, d))

@@ -87,3 +87,40 @@ def test_pagerank_restores_shuffle_partitions(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     pagerank(_edges(spark, [(1, 2), (2, 1)]), 2).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    """Cluster mode (reliable checkpoint() per round) must be
+    bit-identical to the localCheckpoint default — only fault-tolerance
+    differs, never values."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (5, 1), (1, 5)]
+    g = _edges(spark, pairs)
+    local = {r["node"]: r["pagerank_scaled"] for r in pagerank(g, 5).collect()}
+    reliable = {
+        r["node"]: r["pagerank_scaled"]
+        for r in pagerank(
+            g, 5, checkpoint_dir=str(tmp_path / "pr_ckpt")
+        ).collect()
+    }
+    assert reliable == local
+    # The reliable path must actually have written round state there.
+    assert any((tmp_path / "pr_ckpt").rglob("*")), "no checkpoint written"
+
+
+def test_components_reliable_checkpoint_matches_local(spark, tmp_path):
+    g = _edges(spark, [(1, 2), (2, 3), (7, 8), (9, 9)])
+    local = sorted(map(tuple, connected_components(g).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            connected_components(
+                g, checkpoint_dir=str(tmp_path / "cc_ckpt")
+            ).collect(),
+        )
+    )
+    assert reliable == local
+    assert any((tmp_path / "cc_ckpt").rglob("*")), "no checkpoint written"

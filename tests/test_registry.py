@@ -1,0 +1,81 @@
+"""Registry / correctness-window invariants.
+
+The driver's CORRECTNESS gate checks only the first 50 registered
+queries; a hash-green row in ANY past round is permanent evidence.
+These tests pin the rotation protocol so hand-curated window drift
+(VERDICT r5 "What's wrong" #1 mistake class) cannot recur:
+
+* every oracle-backed query that has never been driver-green must sit
+  inside the first-50 window;
+* rows-only queries must NOT occupy window slots (the driver can only
+  record ``err: no_oracle`` for them — their evidence is pytest-tier);
+* every window name resolves to a registered query.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_green() -> set[str]:
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        for name, r in json.load(open(f)).items():
+            if (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+def test_window_names_resolve():
+    from big_data_analysis_diseases_outbreaks_spark.queries import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert [n for n in _PRIORITY if n not in qs] == []
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate window entries"
+    # Ordering is signal: the first 50 registered queries must be exactly
+    # the curated window.
+    assert list(qs)[: len(_PRIORITY)] == _PRIORITY
+
+
+def test_window_covers_never_green():
+    from big_data_analysis_diseases_outbreaks_spark.queries import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    green = _driver_green()
+    window = set(_PRIORITY[:50])
+    never_green_oracle = [
+        n for n in qs if qs[n].oracle is not None and n not in green
+    ]
+    stranded = [n for n in never_green_oracle if n not in window]
+    assert stranded == [], (
+        "oracle-backed queries with no driver-green row are outside the "
+        f"first-50 window — run tools/rotate_window.py: {stranded}"
+    )
+
+
+def test_window_has_no_rows_only_entries():
+    from big_data_analysis_diseases_outbreaks_spark.queries import (
+        _PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    rows_only = [n for n in _PRIORITY[:50] if qs[n].oracle is None]
+    assert rows_only == [], (
+        "rows-only queries waste driver window slots (they can only "
+        f"record err=no_oracle): {rows_only}"
+    )
