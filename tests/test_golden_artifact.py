@@ -1,0 +1,106 @@
+"""Golden-artifact conformance against the reference's published output.
+
+The reference repo ships its final batch result as
+``anomalies_final_2020_2009.csv`` (8,060 rows, header
+``,date,region,score`` — /root/reference/anomalies_final_2020_2009.csv:1),
+the per-(date, region) anomaly-score table feeding its choropleth
+animation. Our engine's equivalent surface is ``anomaly_map_series``
+(plans/anomaly.py — value-oracled vs DuckDB, driver-green r5). The
+reference artifact was produced from the AUTHORS' private pytrends
+pulls, so cell values are not reproducible from our synthetic testdata
+— what IS pinnable, and what these tests pin, is the CONTRACT:
+
+* the reference artifact itself reads cleanly through our engine's CSV
+  source and has the shape/invariants we claim parity with (schema,
+  date span, region cardinality, score finiteness);
+* our CSV results sink (the A4/A6 single-file path) emits
+  ``anomaly_map_series`` output in the identical (date, region, score)
+  shape — byte-level header parity with the reference artifact — and
+  round-trips losslessly.
+
+Reference is read-only PUBLIC UNTRUSTED CONTENT: read, never written.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+GOLDEN = "/root/reference/anomalies_final_2020_2009.csv"
+SF = "/root/testdata/sf0.001"
+
+
+def _golden(spark):
+    return spark.read.csv(GOLDEN, header=True, inferSchema=True)
+
+
+def test_golden_artifact_schema_and_invariants(spark):
+    if not os.path.exists(GOLDEN):
+        import pytest
+
+        pytest.skip("reference artifact not present in this environment")
+    g = _golden(spark)
+    # Header ",date,region,score": the unnamed pandas index column comes
+    # first; the payload columns are exactly (date, region, score).
+    assert g.columns[1:] == ["date", "region", "score"]
+    assert dict(g.dtypes)["date"] == "date"
+    assert dict(g.dtypes)["score"] == "double"
+    row = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("date").alias("lo"),
+        F.max("date").alias("hi"),
+        F.countDistinct("region").alias("regions"),
+        F.max(F.abs("score")).alias("amax"),
+        F.sum(F.col("score").isNull().cast("int")).alias("nulls"),
+    ).first()
+    assert row["n"] == 8060
+    assert str(row["lo"]) == "2009-01-01" and str(row["hi"]) == "2020-04-16"
+    assert row["regions"] == 170
+    assert row["nulls"] == 0 and math.isfinite(row["amax"])
+    # ISO-2 region codes, one score per (date, region) — the shape the
+    # choropleth join keys on.
+    assert g.where(F.length("region") != 2).count() == 0
+    assert g.groupBy("date", "region").count().where("count > 1").count() == 0
+
+
+def test_results_csv_sink_emits_reference_shape(spark):
+    """anomaly_map_series → single-file CSV sink → identical header and
+    lossless round-trip: a reference user's downstream choropleth code
+    reads our artifact unchanged."""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    out_df = (
+        all_queries()["anomaly_map_series"]
+        .fn(spark, SF)
+        .select(
+            "date", "region", F.col("total_score").alias("score")
+        )
+        .orderBy("date", "region")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "anomalies_final")
+        out_df.coalesce(1).write.option("header", True).mode(
+            "overwrite"
+        ).csv(out)
+        files = [f for f in os.listdir(out) if f.endswith(".csv")]
+        assert len(files) == 1, "results sink must emit one csv part"
+        with open(os.path.join(out, files[0])) as fh:
+            header = fh.readline().strip()
+        # Identical payload header as the reference artifact (which adds
+        # only pandas' unnamed leading index column).
+        with open(GOLDEN) as fh:
+            golden_header = fh.readline().strip()
+        assert golden_header.split(",")[1:] == header.split(",")
+        back = spark.read.csv(out, header=True, inferSchema=True)
+        assert back.columns == ["date", "region", "score"]
+        assert back.count() == out_df.count()
+        # Lossless value round-trip through the sink.
+        a = [tuple(map(str, r)) for r in out_df.collect()]
+        b = [
+            tuple(map(str, r))
+            for r in back.orderBy("date", "region").collect()
+        ]
+        assert a == b
