@@ -107,6 +107,10 @@ HEADLINE = [
     "stream_full_interval_join",
     "lateral_top2_orders",
     "part_copurchase_pagerank",
+    # round-6 additions
+    "doc_dsir_select",
+    "part_copurchase_triangles",
+    "colbert_maxsim_topk",
 ]
 
 

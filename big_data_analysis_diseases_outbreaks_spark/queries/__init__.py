@@ -46,6 +46,10 @@ def register(name: str, oracle: str | None = None):
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
+    # Round-6 new operators (never driver-checked) lead the window
+    "doc_dsir_select",
+    "part_copurchase_triangles",
+    "colbert_maxsim_topk",
     # Never-green oracle-backed (26) — close the book this round
     "doc_embed_deterministic",
     "similarity_radius_search",
@@ -97,8 +101,6 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_strict",
     "doc_gopher_quality",
     "doc_sequence_pack",
-    "training_data_pipeline",
-    "anomaly_map_series",
 ]
 
 

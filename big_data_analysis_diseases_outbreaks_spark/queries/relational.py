@@ -1969,3 +1969,68 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=_PR_ITERS).select(
         F.col("node").alias("part_key"), "pagerank_scaled"
     )
+
+
+# --- Triangle counting on the same co-purchase graph (degree-ordered
+# orientation — operators/triangles.py): per-part triangle participation,
+# the clustering-structure complement to PageRank's centrality. Exact
+# integers end-to-end, so the oracle is the same orientation + wedge
+# join in DuckDB. ----------------------------------------------------------
+
+_TRI_TOPK = 20
+
+_TRI_ORACLE = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'),
+und AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+  GROUP BY node),
+o AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+              THEN und.v ELSE und.u END AS b
+  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node),
+tri AS (
+  SELECT o1.a AS x, o1.b AS y, o2.b AS z
+  FROM o o1 JOIN o o2 ON o1.b = o2.a JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b)
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+      UNION ALL SELECT z AS node FROM tri)
+GROUP BY node
+ORDER BY n_triangles DESC, part_key ASC
+LIMIT {_TRI_TOPK}
+""".strip()
+
+
+@register("part_copurchase_triangles", oracle=_TRI_ORACLE)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return (
+        triangle_counts(edges)
+        .select(F.col("node").alias("part_key"), "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), F.col("part_key").asc())
+        .limit(_TRI_TOPK)
+    )

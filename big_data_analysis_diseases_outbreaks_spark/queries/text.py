@@ -2224,3 +2224,122 @@ def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out["n_dropped"].alias("n_dropped"),
         out["clean_text"].alias("clean_text"),
     )
+
+
+# --- DSIR-shaped importance selection (hashed-bigram domain weighting) ----
+# Data Selection via Importance Resampling (Xie et al., arXiv:2302.03169):
+# score each raw document by how much its hashed n-gram distribution
+# resembles a target domain, then keep the top slice. Paper protocol:
+# hash bigrams into B buckets, estimate target/raw bucket distributions,
+# weight = likelihood ratio. Engine variant for exact cross-engine
+# parity: the per-bucket ratio is Laplace-smoothed FIXED-POINT integer
+# ((t_b+1)·SCALE)//(r_b+1) and the per-doc score the integer MEAN of its
+# bigrams' bucket ratios — no floats anywhere, so the result is
+# bit-identical in any engine and partition order (same protocol as
+# functions/stable.py). Target domain here: lang='en' documents.
+#
+# Scale shape: one corpus scan → bigram explode (narrow) → ONE grouped
+# agg on bucket computing raw AND target counts together (512 keys,
+# map-side partials) → broadcast the 512-row weight table back → one
+# doc-keyed agg → top-100 TakeOrderedAndProject. Overflow envelope:
+# (t_b+1)·SCALE < 2^63 ⇒ ≤ ~9.2e12 target bigrams per bucket at
+# SCALE=1e6 — beyond that lower SCALE.
+
+_DSIR_BUCKETS = 512
+_DSIR_SCALE = 1_000_000
+_DSIR_KEEP = 100
+
+
+@register(
+    "doc_dsir_select",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, lang,
+         UNNEST(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM tok),
+hb AS (
+  SELECT doc_id, lang,
+         list_reduce(
+           list_prepend(CAST({RH_INIT} AS BIGINT),
+                        list_transform(string_split(bigram, ''),
+                                       x -> CAST(ascii(x) AS BIGINT))),
+           (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD}) % {_DSIR_BUCKETS}
+           AS bucket
+  FROM bi),
+w AS (
+  SELECT bucket,
+         ((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1) * {_DSIR_SCALE})
+           // (COUNT(*) + 1) AS w
+  FROM hb GROUP BY bucket)
+SELECT hb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(w.w) // COUNT(*) AS BIGINT) AS dsir_score_scaled
+FROM hb JOIN w USING (bucket)
+GROUP BY hb.doc_id
+ORDER BY dsir_score_scaled DESC, doc_id ASC
+LIMIT {_DSIR_KEEP}
+""".strip(),
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Let-bound token array (projection boundary — the tokenizer runs
+    # once per row), bigrams via aligned-slice zip_with; the n>=2 guard
+    # keeps ANSI slice() off negative lengths.
+    t = tokens(F.lower(F.col("text")))
+    n = F.size(F.col("t"))
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, n - 1),
+            F.slice(F.col("t"), 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hb = (
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_target"), t.alias("t"))
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode_outer(bigrams).alias("bigram"),
+        )
+        .where(F.col("bigram").isNotNull())
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.aggregate(
+                    F.split(F.col("bigram"), ""),
+                    F.lit(RH_INIT).cast("long"),
+                    lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+                )
+                % _DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+    w = hb.groupBy("bucket").agg(
+        (
+            (F.sum(F.col("is_target").cast("long")) + 1) * _DSIR_SCALE
+        ).alias("_t_scaled"),
+        F.count(F.lit(1)).alias("_r"),
+    ).select(
+        "bucket", F.expr("_t_scaled div (_r + 1)").alias("w")
+    )
+    return (
+        hb.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("w").alias("_sw"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_sw div n_bigrams").cast("long").alias("dsir_score_scaled"),
+        )
+        .orderBy(F.col("dsir_score_scaled").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_KEEP)
+    )

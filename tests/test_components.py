@@ -124,3 +124,45 @@ def test_components_reliable_checkpoint_matches_local(spark, tmp_path):
     )
     assert reliable == local
     assert any((tmp_path / "cc_ckpt").rglob("*")), "no checkpoint written"
+
+
+# --- Triangle counting (operators/triangles.py) ----------------------------
+
+
+def test_triangles_known_graphs(spark):
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    # K4: every vertex sits in C(3,2)=3 triangles.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, k4)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # C4 (square): no triangles at all.
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert triangle_counts(_edges(spark, c4)).count() == 0
+    # Two disjoint triangles + a pendant edge: each triangle vertex in
+    # exactly one; pendant vertices absent.
+    g = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (1, 99)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges(spark, g)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1}
+
+
+def test_triangles_direction_and_duplicate_invariant(spark):
+    """Orientation must canonicalize: reversed/duplicated/self edges
+    change nothing."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    base = [(1, 2), (2, 3), (3, 1)]
+    noisy = base + [(2, 1), (3, 2), (1, 3), (1, 1), (2, 3), (3, 1)]
+    a = sorted(map(tuple, triangle_counts(_edges(spark, base)).collect()))
+    b = sorted(map(tuple, triangle_counts(_edges(spark, noisy)).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]

@@ -252,3 +252,33 @@ def test_mixture_plan_budget_consistency(spark):
         assert abs(expected - cap) < 1e-6, (
             f"{r['source']}: plans {expected:.1f} tokens, cap {cap:.1f}"
         )
+
+
+def test_dsir_selection_skews_toward_target_domain(spark):
+    """doc_dsir_select weights hashed bigrams by target/raw ratio — the
+    selected slice must be substantially enriched in the target domain
+    (lang='en') relative to the corpus base rate. (Exact values are
+    oracle-pinned in test_oracle_parity; this pins the SEMANTICS.)"""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    sel = all_queries()["doc_dsir_select"].fn(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    n_sel, sel_en = (
+        sel.join(docs, "doc_id")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum((F.col("lang") == "en").cast("int")),
+        )
+        .first()
+    )
+    n_all, all_en = docs.agg(
+        F.count(F.lit(1)), F.sum((F.col("lang") == "en").cast("int"))
+    ).first()
+    assert n_sel == 100
+    sel_rate, base_rate = sel_en / n_sel, all_en / n_all
+    assert sel_rate >= 1.5 * base_rate, (sel_rate, base_rate)

@@ -170,3 +170,39 @@ def test_semdedup_recall_vs_exact(spark):
     assert sem <= exact, "semdedup found a pair the exact verifier did not"
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.95, f"semdedup recall too low: {recall:.2f}"
+
+
+def test_maxsim_matches_numpy_reference(spark):
+    """colbert_maxsim_topk must equal an independent numpy MaxSim
+    computation (split → per-query-subvec max dot → sum) at sf0.001."""
+    import numpy as np
+    import pandas as pd
+
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        all_queries()["colbert_maxsim_topk"]
+        .fn(spark, sf)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    subs = {k: v.reshape(4, 16) for k, v in vecs.items()}
+
+    def maxsim(q, c):
+        sims = subs[q] @ subs[c].T  # (4 q-subvecs) x (4 c-subvecs)
+        return round(float(sims.max(axis=1).sum()), 4)
+
+    for qid in range(5):
+        scored = sorted(
+            ((maxsim(qid, c), c) for c in subs if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        rows = [r for r in got if r["query_id"] == qid]
+        assert [(r["maxsim"], r["cand_id"]) for r in rows] == scored, qid
+        assert [r["rank"] for r in rows] == [1, 2, 3]
