@@ -111,6 +111,7 @@ HEADLINE = [
     "doc_dsir_select",
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
+    "cms_heavy_hitters",
 ]
 
 

@@ -50,6 +50,7 @@ _PRIORITY: list[str] = [
     "doc_dsir_select",
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
+    "cms_heavy_hitters",
     # Never-green oracle-backed (26) — close the book this round
     "doc_embed_deterministic",
     "similarity_radius_search",
@@ -100,7 +101,6 @@ _PRIORITY: list[str] = [
     "dedup_keep_best",
     "ngram_jaccard_strict",
     "doc_gopher_quality",
-    "doc_sequence_pack",
 ]
 
 

@@ -2343,3 +2343,124 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score_scaled").desc(), F.col("doc_id").asc())
         .limit(_DSIR_KEEP)
     )
+
+
+# --- Count-Min Sketch heavy-hitter estimation -----------------------------
+# Cormode & Muthukrishnan's CMS as pure relational algebra: d hash rows
+# × w counters, each token occurrence increments one counter per row,
+# point-estimate = min over rows. The sketch build is ONE narrow map
+# (a single polynomial char-fold per occurrence; the d row buckets are
+# derived arithmetically from that one fold via a universal hash family
+# (a_i·h + b_i) mod P mod w — never d char-folds) plus ONE d·w-key
+# grouped agg with map-side partials; the sketch (1024 rows here) then
+# broadcasts to any probe side. That's the whole point at 100 TB:
+# frequency queries over an unbounded token stream become a join
+# against a constant-size table. Probe set: the exact top-20 tokens, so
+# the query also certifies the CMS guarantee estimate ≥ exact.
+# Everything is exact integer arithmetic — the oracle replays the
+# identical sketch in DuckDB cell-for-cell.
+
+_CMS_W = 256
+_CMS_D = 4
+_CMS_A = [31, 37, 41, 43]
+_CMS_B = [7, 11, 13, 17]
+_CMS_PROBE = 20
+
+
+def _polyhash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({RH_INIT} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        f"x -> CAST(ascii(x) AS BIGINT))), "
+        f"(acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})"
+    )
+
+
+def _cms_oracle() -> str:
+    rows = ", ".join(
+        f"(({a} * h + {b}) % {RH_MOD}) % {_CMS_W}"
+        for a, b in zip(_CMS_A, _CMS_B)
+    )
+    return f"""
+WITH occ AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents),
+hashed AS (
+  SELECT token, {_polyhash_sql('token')} AS h FROM occ),
+cells AS (
+  SELECT UNNEST(range({_CMS_D})) AS row_i,
+         UNNEST([{rows}]) AS bucket
+  FROM hashed),
+cms AS (
+  SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row_i, bucket),
+top_exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq_exact
+  FROM occ GROUP BY token
+  ORDER BY freq_exact DESC, token ASC LIMIT {_CMS_PROBE}),
+probe AS (
+  SELECT token, freq_exact, {_polyhash_sql('token')} AS h FROM top_exact),
+probe_cells AS (
+  SELECT token, freq_exact,
+         UNNEST(range({_CMS_D})) AS row_i,
+         UNNEST([{rows}]) AS bucket
+  FROM probe)
+SELECT p.token, p.freq_exact,
+       CAST(MIN(c.cnt) AS BIGINT) AS freq_cms,
+       CAST(MIN(c.cnt) - p.freq_exact AS BIGINT) AS overestimate
+FROM probe_cells p JOIN cms c ON p.row_i = c.row_i AND p.bucket = c.bucket
+GROUP BY p.token, p.freq_exact
+ORDER BY freq_exact DESC, token ASC
+""".strip()
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode_outer(tokens(F.lower(F.col("text")))).alias("token")
+    ).where(F.col("token").isNotNull())
+    polyhash = F.aggregate(
+        F.split(F.col("token"), ""),
+        F.lit(RH_INIT).cast("long"),
+        lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+    )
+
+    def cells(df: DataFrame) -> DataFrame:
+        """(…, h) → one row per sketch row with its derived bucket."""
+        buckets = F.array(
+            *[
+                ((F.lit(a) * F.col("h") + F.lit(b)) % RH_MOD) % _CMS_W
+                for a, b in zip(_CMS_A, _CMS_B)
+            ]
+        )
+        return df.select(
+            "*", F.posexplode(buckets).alias("row_i", "bucket")
+        ).drop("h")
+
+    cms = (
+        cells(occ.select(polyhash.alias("h")))
+        .groupBy("row_i", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top_exact = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq_exact"))
+        .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
+        .limit(_CMS_PROBE)
+    )
+    probe = cells(top_exact.select("token", "freq_exact", polyhash.alias("h")))
+    return (
+        probe.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("token", "freq_exact")
+        .agg(F.min("cnt").cast("long").alias("freq_cms"))
+        .select(
+            "token",
+            "freq_exact",
+            "freq_cms",
+            (F.col("freq_cms") - F.col("freq_exact"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
+    )
