@@ -282,3 +282,73 @@ def test_dsir_selection_skews_toward_target_domain(spark):
     assert n_sel == 100
     sel_rate, base_rate = sel_en / n_sel, all_en / n_all
     assert sel_rate >= 1.5 * base_rate, (sel_rate, base_rate)
+
+
+def test_triangle_counts_match_bruteforce_on_random_graphs(spark):
+    """Degree-ordered triangle counting ≡ brute-force enumeration on
+    randomized graphs — the orientation argument is exactly the kind of
+    claim a fixture can't cover."""
+    import itertools
+
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n = rng.randrange(5, 11)
+        pairs = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.45
+        ]
+        if not pairs:
+            continue
+        und = {(min(a, b), max(a, b)) for a, b in pairs}
+        expected = {}
+        for x, y, z in itertools.combinations(range(n), 3):
+            if {(x, y), (y, z), (x, z)} <= und:
+                for v in (x, y, z):
+                    expected[v] = expected.get(v, 0) + 1
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(
+                spark.createDataFrame(pairs, "src long, dst long")
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}: {sorted(und)}"
+
+
+def test_cms_guarantee_on_random_streams(spark):
+    """CMS point estimates must dominate exact counts and respect the
+    ε=e/w additive bound (estimate ≤ exact + εN with prob 1-δ; with
+    d=4 rows and these tiny streams a violation means broken hashing,
+    not bad luck)."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _CMS_W,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    # The registry query probes exact top-20 over the documents corpus;
+    # the property we re-check here: overestimate ∈ [0, 3·N/w].
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["cms_heavy_hitters"].fn(spark, sf).collect()
+    assert rows, "no probe rows"
+    n_total = sum(r["freq_exact"] for r in rows)  # lower bound on N
+    from pyspark.sql import functions as F2
+
+    n_stream = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            F2.explode(
+                F2.regexp_extract_all(F2.lower("text"), F2.lit(r"\S+"), 0)
+            )
+        )
+        .count()
+    )
+    assert n_stream >= n_total
+    for r in rows:
+        assert r["freq_cms"] >= r["freq_exact"], r
+        assert r["overestimate"] == r["freq_cms"] - r["freq_exact"]
+        assert r["overestimate"] <= 3 * n_stream / _CMS_W, r
