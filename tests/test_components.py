@@ -166,3 +166,22 @@ def test_triangles_direction_and_duplicate_invariant(spark):
     a = sorted(map(tuple, triangle_counts(_edges(spark, base)).collect()))
     b = sorted(map(tuple, triangle_counts(_edges(spark, noisy)).collect()))
     assert a == b == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_triangles_reliable_checkpoint_matches_local(spark, tmp_path):
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    g = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (9, 9)])
+    local = sorted(map(tuple, triangle_counts(g).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            triangle_counts(
+                g, checkpoint_dir=str(tmp_path / "tri_ckpt")
+            ).collect(),
+        )
+    )
+    assert reliable == local
+    assert any((tmp_path / "tri_ckpt").rglob("*")), "no checkpoint written"
