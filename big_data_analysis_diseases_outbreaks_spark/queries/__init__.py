@@ -40,9 +40,11 @@ def register(name: str, oracle: str | None = None):
 # the final 26 never-driver-checked oracle-backed queries lead; the two
 # rows-only ML entries are DROPPED from the window (the driver can only
 # ever record `err: no_oracle` for them — their evidence lives in pytest
-# determinism/recall tests and BASELINE.md); the remaining 24 slots are
-# backfilled with flagship already-green queries for re-confirmation.
-# tools/rotate_window.py regenerates this list;
+# determinism/recall tests and BASELINE.md); the remaining slots (20
+# after the 4 round-6 operators + 26 rotations) are backfilled with
+# flagship already-green queries for re-confirmation. EXACTLY 50
+# entries — a 51st would silently fall outside the driver's window
+# (test-enforced). tools/rotate_window.py regenerates this list;
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
@@ -78,7 +80,7 @@ _PRIORITY: list[str] = [
     "producer_daily_mean",
     "json_variant_props",
     "recursive_date_spine",
-    # Re-confirmation backfill (24): flagship + one per family, all
+    # Re-confirmation backfill (20): flagship + one per family, all
     # driver-green in a prior round
     "anomaly_zscore",
     "trends_detrend",
@@ -100,7 +102,6 @@ _PRIORITY: list[str] = [
     "dedup_components",
     "dedup_keep_best",
     "ngram_jaccard_strict",
-    "doc_gopher_quality",
 ]
 
 

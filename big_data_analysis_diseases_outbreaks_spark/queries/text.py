@@ -2238,12 +2238,16 @@ def doc_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical in any engine and partition order (same protocol as
 # functions/stable.py). Target domain here: lang='en' documents.
 #
-# Scale shape: one corpus scan → bigram explode (narrow) → ONE grouped
-# agg on bucket computing raw AND target counts together (512 keys,
-# map-side partials) → broadcast the 512-row weight table back → one
-# doc-keyed agg → top-100 TakeOrderedAndProject. Overflow envelope:
-# (t_b+1)·SCALE < 2^63 ⇒ ≤ ~9.2e12 target bigrams per bucket at
-# SCALE=1e6 — beyond that lower SCALE.
+# Scale shape: ONE corpus scan → bigram explode (narrow) → grouped agg
+# on (doc_id, bucket) with raw AND target counts together, persisted —
+# it is consumed by BOTH the 512-key bucket weight re-aggregation and
+# the per-doc scoring join, and per-consumer column pruning makes the
+# two subtrees non-identical so ReuseExchange cannot dedupe them
+# (without the persist the corpus pass silently runs twice;
+# plan-asserted). Weights broadcast (512 rows); top-100 is
+# TakeOrderedAndProject. Overflow envelope: (t_b+1)·SCALE < 2^63 ⇒
+# ≤ ~9.2e12 target bigrams per bucket at SCALE=1e6 — beyond that lower
+# SCALE.
 
 _DSIR_BUCKETS = 512
 _DSIR_SCALE = 1_000_000
@@ -2300,7 +2304,15 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     hb = (
-        docs.select("doc_id", (F.col("lang") == "en").alias("is_target"), t.alias("t"))
+        docs.select(
+            "doc_id",
+            # eqNullSafe, not ==: a NULL lang must count as non-target
+            # (0), exactly like the oracle's CASE ... ELSE 0 — plain ==
+            # yields NULL and an all-NULL bucket would sum to NULL,
+            # poisoning every doc touching it.
+            F.col("lang").eqNullSafe("en").alias("is_target"),
+            t.alias("t"),
+        )
         .select(
             "doc_id",
             "is_target",
@@ -2320,20 +2332,36 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    w = hb.groupBy("bucket").agg(
-        (
-            (F.sum(F.col("is_target").cast("long")) + 1) * _DSIR_SCALE
-        ).alias("_t_scaled"),
-        F.count(F.lit(1)).alias("_r"),
-    ).select(
-        "bucket", F.expr("_t_scaled div (_r + 1)").alias("w")
+    # The (doc_id, bucket) count table is consumed TWICE (weight
+    # re-aggregation + scoring join). ReuseExchange canNOT dedupe it:
+    # per-consumer column pruning (the scoring branch drops tcnt)
+    # produces two non-identical aggregates over the same scan, and the
+    # corpus pass would silently run twice. persist() materializes it
+    # once — lineage preserved (recomputable on executor loss, unlike a
+    # checkpoint), AQE-sized, and exactly what you'd do at 100 TB with
+    # a twice-read intermediate (plan-asserted in tests/test_plans.py).
+    per = (
+        hb.groupBy("doc_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("is_target").cast("long")).alias("tcnt"),
+        )
+        .persist()
+    )
+    w = (
+        per.groupBy("bucket")
+        .agg(
+            ((F.sum("tcnt") + 1) * _DSIR_SCALE).alias("_t_scaled"),
+            F.sum("cnt").alias("_r"),
+        )
+        .select("bucket", F.expr("_t_scaled div (_r + 1)").alias("w"))
     )
     return (
-        hb.join(F.broadcast(w), "bucket")
+        per.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum("w").alias("_sw"),
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("w") * F.col("cnt")).alias("_sw"),
         )
         .select(
             "doc_id",
@@ -2348,17 +2376,21 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Count-Min Sketch heavy-hitter estimation -----------------------------
 # Cormode & Muthukrishnan's CMS as pure relational algebra: d hash rows
 # × w counters, each token occurrence increments one counter per row,
-# point-estimate = min over rows. The sketch build is ONE narrow map
-# (a single polynomial char-fold per occurrence; the d row buckets are
-# derived arithmetically from that one fold via a universal hash family
-# (a_i·h + b_i) mod P mod w — never d char-folds) plus ONE d·w-key
-# grouped agg with map-side partials; the sketch (1024 rows here) then
-# broadcasts to any probe side. That's the whole point at 100 TB:
-# frequency queries over an unbounded token stream become a join
-# against a constant-size table. Probe set: the exact top-20 tokens, so
-# the query also certifies the CMS guarantee estimate ≥ exact.
-# Everything is exact integer arithmetic — the oracle replays the
-# identical sketch in DuckDB cell-for-cell.
+# point-estimate = min over rows. Build shape: ONE corpus scan into a
+# token-frequency agg — whose exchange is the shared subtree for BOTH
+# the sketch build and the exact-top-20 probe side (ReuseExchange runs
+# the scan once; plan-asserted) — then the sketch cells aggregate the
+# VOCAB-sized frequency table (sum of freqs per cell ≡ count of
+# occurrences), so the polynomial char-fold runs once per DISTINCT
+# token, not per occurrence, and the d row-buckets derive
+# arithmetically from that one fold via a universal hash family
+# (a_i·h + b_i) mod P mod w — never d char-folds. The constant-size
+# sketch (1024 rows) broadcasts to any probe side. That's the whole
+# point at 100 TB: frequency queries over an unbounded token stream
+# become a join against a constant-size table. Probe set: the exact
+# top-20 tokens, so the query also certifies the CMS guarantee
+# estimate ≥ exact. Everything is exact integer arithmetic — the
+# oracle replays the identical sketch in DuckDB cell-for-cell.
 
 _CMS_W = 256
 _CMS_D = 4
@@ -2438,17 +2470,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "*", F.posexplode(buckets).alias("row_i", "bucket")
         ).drop("h")
 
+    # Shared subtree: the token-frequency exchange feeds the sketch
+    # build AND the probe side (ReuseExchange — one corpus pass).
+    freq = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq_exact")
+    )
     cms = (
-        cells(occ.select(polyhash.alias("h")))
+        cells(freq.select("freq_exact", polyhash.alias("h")))
         .groupBy("row_i", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("freq_exact").cast("long").alias("cnt"))
     )
-    top_exact = (
-        occ.groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("freq_exact"))
-        .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
-        .limit(_CMS_PROBE)
-    )
+    top_exact = freq.orderBy(
+        F.col("freq_exact").desc(), F.col("token").asc()
+    ).limit(_CMS_PROBE)
     probe = cells(top_exact.select("token", "freq_exact", polyhash.alias("h")))
     return (
         probe.join(F.broadcast(cms), ["row_i", "bucket"])

@@ -61,8 +61,13 @@ def build_cached_dir(
     if os.path.exists(os.path.join(final, _DONE)):
         return final
     # Prune superseded fingerprints — best-effort, never load-bearing.
+    # In-flight staging/aside dirs of ANY fingerprint are exempt: an
+    # older-fingerprint build may still be running in another process
+    # and deleting under its feet would crash it instead of letting it
+    # finish (its completed dir is pruned on the next new-fp call).
     for old in glob.glob(os.path.join(tmp, f"{prefix}-*")):
-        if old != final and not old.startswith(f"{final}."):
+        base = os.path.basename(old)
+        if old != final and ".build-" not in base and ".aside-" not in base:
             shutil.rmtree(old, ignore_errors=True)
     staging = f"{final}.build-{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
@@ -71,20 +76,41 @@ def build_cached_dir(
         open(os.path.join(staging, _DONE), "w").close()
         try:
             os.rename(staging, final)
+            return final
         except OSError:
+            pass
+        if os.path.exists(os.path.join(final, _DONE)):
+            # Lost a benign race — the winner's build is complete.
+            shutil.rmtree(staging, ignore_errors=True)
+            return final
+        # A dir without _DONE squats on the final name — normally a
+        # legacy/crashed build. NEVER rmtree it in place (a racer may
+        # publish between our check and the delete): atomically move it
+        # aside, then re-inspect what we actually captured.
+        aside = f"{final}.aside-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(final, aside)
+        except OSError:
+            aside = None  # squatter vanished (racer replaced/removed it)
+        if aside and os.path.exists(os.path.join(aside, _DONE)):
+            # We captured a COMPLETE dir published after our check —
+            # restore it and discard our own build.
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                os.rename(aside, final)
+            except OSError:
+                shutil.rmtree(aside, ignore_errors=True)
             if os.path.exists(os.path.join(final, _DONE)):
-                # Lost a benign race — the winner's build is complete.
-                shutil.rmtree(staging, ignore_errors=True)
-            else:
-                # A legacy/partial dir squats on the final name: replace
-                # it, tolerating one more race on the replacement.
-                shutil.rmtree(final, ignore_errors=True)
-                try:
-                    os.rename(staging, final)
-                except OSError:
-                    shutil.rmtree(staging, ignore_errors=True)
-                    if not os.path.exists(os.path.join(final, _DONE)):
-                        raise
+                return final
+            raise OSError(f"cache dir {final} lost in publication race")
+        if aside:
+            shutil.rmtree(aside, ignore_errors=True)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(final, _DONE)):
+                raise
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -427,6 +427,11 @@ def upsert_snapshot_batch(
     )
     # Prune only after the new version is fully written: the newest
     # directory is always complete, so readers resolving "latest" never
-    # see a partial snapshot.
+    # see a partial snapshot. Pruning is best-effort cleanup — a
+    # transient delete failure must not fail the micro-batch whose
+    # merge result is already durable (the orphan goes next round).
     for d in _snapshot_versions(out_dir, spark)[: -max(keep_versions, 1)]:
-        delete_path(spark, os.path.join(out_dir, d))
+        try:
+            delete_path(spark, os.path.join(out_dir, d))
+        except Exception:  # noqa: BLE001
+            pass

@@ -70,6 +70,10 @@ def test_results_csv_sink_emits_reference_shape(spark):
     """anomaly_map_series → single-file CSV sink → identical header and
     lossless round-trip: a reference user's downstream choropleth code
     reads our artifact unchanged."""
+    if not os.path.exists(GOLDEN):
+        import pytest
+
+        pytest.skip("reference artifact not present in this environment")
     from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
 
     out_df = (

@@ -431,3 +431,36 @@ def test_doc_intra_dedup_is_map_only(spark):
     """The intra-doc segment rewrite is scan → project: no exchange."""
     plan = _plan(spark, "doc_intra_dedup")
     assert "Exchange" not in plan, plan
+
+
+def _final_plan_section(plan: str) -> str:
+    """Under AQE, executedPlan.toString prints the final plan AND the
+    initial plan (plus cached-relation child plans) — subtree-count
+    asserts must look at the final section only."""
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_dsir_single_corpus_pass_via_persist(spark):
+    """doc_dsir_select's (doc_id, bucket) table is consumed twice; the
+    persist must surface as InMemoryTableScans on BOTH consumers
+    (ReuseExchange can't dedupe here — the consumers prune different
+    columns — so without the persist the corpus pass runs twice)."""
+    df = all_queries()["doc_dsir_select"].fn(spark, SF_SMALL)
+    # The optimized LOGICAL plan shows both consumers replaced by the
+    # cached relation (the executed plan hides one inside a broadcast
+    # query-stage reference, so it can't be counted there).
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("InMemoryRelation") == 2, "persist not in plan"
+
+
+def test_cms_reuses_token_frequency_exchange(spark):
+    """cms_heavy_hitters builds the sketch AND the exact probe side from
+    one token-frequency exchange — ReuseExchange must fire (its firing
+    is what makes the documents corpus a single pass: freq's only two
+    consumers share the one exchange)."""
+    df = all_queries()["cms_heavy_hitters"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = _final_plan_section(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReusedExchange" in plan

@@ -43,6 +43,9 @@ def test_window_names_resolve():
     qs = all_queries()
     assert [n for n in _PRIORITY if n not in qs] == []
     assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate window entries"
+    # The driver checks EXACTLY the first 50 registered queries: fewer
+    # wastes slots, a 51st entry silently gets no driver row ever.
+    assert len(_PRIORITY) == 50, len(_PRIORITY)
     # Ordering is signal: the first 50 registered queries must be exactly
     # the curated window.
     assert list(qs)[: len(_PRIORITY)] == _PRIORITY
