@@ -112,6 +112,7 @@ HEADLINE = [
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
     "cms_heavy_hitters",
+    "rag_chunk_retrieval",
 ]
 
 

@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
     "cms_heavy_hitters",
+    "rag_chunk_retrieval",
     # Never-green oracle-backed (26) — close the book this round
     "doc_embed_deterministic",
     "similarity_radius_search",
@@ -101,7 +102,6 @@ _PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_components",
     "dedup_keep_best",
-    "ngram_jaccard_strict",
 ]
 
 

@@ -780,3 +780,141 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
     )
+
+
+# --- End-to-end RAG retrieval: chunk → embed → top-k ----------------------
+# The composed retrieval-indexing pipeline of the LLM era: documents are
+# split into overlapping token chunks (doc_chunking's scheme), every
+# chunk is embedded (doc_embed_deterministic's md5-derived stand-in —
+# swapping in a real encoder changes one Arrow batch function), query
+# documents are embedded the same way, and each query retrieves its
+# top-k most-similar chunks from OTHER documents by exact cosine.
+# Because the chunker and the embedder are both deterministic, the
+# WHOLE pipeline is value-oracled — chunk boundaries, embedding matrix,
+# scoring and ranking, cell-for-cell. Scale shape: chunk+embed is one
+# narrow map over the corpus scan (no shuffle), scoring is a
+# broadcast(Q) nested-loop over the chunk table (at 100 TB the chunk
+# side comes from the ANN index's probed cells instead — same scoring
+# expression), ranking shuffles only on query_doc_id.
+
+_RAG_QUERIES = 3  # doc_id < 3 are the query documents
+_RAG_K = 3
+
+
+def _md5_embed_sql(expr: str) -> str:
+    """DuckDB twin of the md5-derived embedding over ``expr``."""
+    return f"""list_transform(range({_EMB_DIM}),
+      i -> ((strpos('0123456789abcdef',
+                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
+          - 127.5) / 128.0)"""
+
+
+@register(
+    "rag_chunk_retrieval",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.s / 48 AS BIGINT) AS chunk_id,
+         array_to_string(t[u.s + 1 : u.s + 64], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0, GREATEST(len(t), 1), 48)) AS u(s)),
+ce AS (
+  SELECT doc_id, chunk_id, {_md5_embed_sql('chunk_text')} AS e FROM chunks),
+q AS (
+  SELECT doc_id AS query_doc_id, {_md5_embed_sql('text')} AS qe
+  FROM documents WHERE doc_id < {_RAG_QUERIES}),
+scored AS (
+  SELECT q.query_doc_id, ce.doc_id AS cand_doc_id, ce.chunk_id,
+         ROUND(
+           list_sum(list_transform(range(1, {_EMB_DIM} + 1), k -> qe[k] * e[k]))
+           / NULLIF(sqrt(list_sum(list_transform(qe, x -> x * x)))
+                    * sqrt(list_sum(list_transform(e, x -> x * x))), 0),
+           4) AS cos_sim
+  FROM q JOIN ce ON ce.doc_id <> q.query_doc_id),
+ranked AS (
+  SELECT query_doc_id, cand_doc_id, chunk_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc_id
+              ORDER BY cos_sim DESC, cand_doc_id ASC, chunk_id ASC) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_doc_id, cand_doc_id, chunk_id, cos_sim, rank
+FROM ranked WHERE rank <= {_RAG_K}
+""".strip(),
+)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from ..functions.text import tokens
+    from .text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(texts):
+        def one(t: str):
+            return [
+                (int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:2], 16)
+                 - 127.5) / 128.0
+                for i in range(_EMB_DIM)
+            ]
+
+        return texts.map(one)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunk_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, CHUNK_TOKENS)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    ce = (
+        docs.select("doc_id", F.explode_outer(chunk_structs).alias("c"))
+        .select(
+            F.col("doc_id").alias("cand_doc_id"),
+            F.col("c.chunk_id").alias("chunk_id"),
+            embed(F.col("c.chunk_text")).alias("e"),
+        )
+    )
+    q = docs.where(F.col("doc_id") < _RAG_QUERIES).select(
+        F.col("doc_id").alias("query_doc_id"),
+        embed(F.col("text")).alias("qe"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        dot(F.col("qe"), F.col("e"))
+        / F.nullif(
+            F.sqrt(dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot(F.col("e"), F.col("e"))),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    w = Window.partitionBy("query_doc_id").orderBy(
+        F.col("cos_sim").desc(),
+        F.col("cand_doc_id").asc(),
+        F.col("chunk_id").asc(),
+    )
+    return (
+        F.broadcast(q)
+        .join(ce, F.col("cand_doc_id") != F.col("query_doc_id"))
+        .select("query_doc_id", "cand_doc_id", "chunk_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _RAG_K)
+    )

@@ -206,3 +206,28 @@ def test_maxsim_matches_numpy_reference(spark):
         rows = [r for r in got if r["query_id"] == qid]
         assert [(r["maxsim"], r["cand_id"]) for r in rows] == scored, qid
         assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_rag_chunk_retrieval_contract(spark):
+    """Structural contract of the composed RAG pipeline: exactly k
+    ranked rows per query, never a chunk of the query's own document,
+    ranks dense from 1, scores within [-1, 1] and non-increasing.
+    (Exact values are oracle-pinned in test_oracle_parity.)"""
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    rows = (
+        all_queries()["rag_chunk_retrieval"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .orderBy("query_doc_id", "rank")
+        .collect()
+    )
+    by_q = {}
+    for r in rows:
+        assert r["cand_doc_id"] != r["query_doc_id"], "retrieved own doc"
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        by_q.setdefault(r["query_doc_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3], q
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True), q
