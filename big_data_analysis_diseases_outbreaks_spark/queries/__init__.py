@@ -40,8 +40,8 @@ def register(name: str, oracle: str | None = None):
 # the final 26 never-driver-checked oracle-backed queries lead; the two
 # rows-only ML entries are DROPPED from the window (the driver can only
 # ever record `err: no_oracle` for them — their evidence lives in pytest
-# determinism/recall tests and BASELINE.md); the remaining slots (20
-# after the 4 round-6 operators + 26 rotations) are backfilled with
+# determinism/recall tests and BASELINE.md); the remaining slots (19
+# after the 5 round-6 operators + 26 rotations) are backfilled with
 # flagship already-green queries for re-confirmation. EXACTLY 50
 # entries — a 51st would silently fall outside the driver's window
 # (test-enforced). tools/rotate_window.py regenerates this list;
@@ -81,7 +81,7 @@ _PRIORITY: list[str] = [
     "producer_daily_mean",
     "json_variant_props",
     "recursive_date_spine",
-    # Re-confirmation backfill (20): flagship + one per family, all
+    # Re-confirmation backfill (19): flagship + one per family, all
     # driver-green in a prior round
     "anomaly_zscore",
     "trends_detrend",

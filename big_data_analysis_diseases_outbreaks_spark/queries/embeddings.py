@@ -493,20 +493,23 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DIM = 16
 
 
-@register(
-    "doc_embed_deterministic",
-    oracle=f"""
-SELECT doc_id,
-       list_transform(range({_EMB_DIM}),
-         i -> ((strpos('0123456789abcdef',
-                       substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
-             + (strpos('0123456789abcdef',
-                       substr(md5(text || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
-             - 127.5) / 128.0) AS embedding
-FROM documents
-""".strip(),
-)
-def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _md5_embed_sql(expr: str) -> str:
+    """DuckDB twin of the md5-derived embedding over ``expr`` — the ONE
+    definition of the stand-in encoder's SQL (doc_embed_deterministic's
+    oracle and the RAG pipeline's both build from it)."""
+    return f"""list_transform(range({_EMB_DIM}),
+      i -> ((strpos('0123456789abcdef',
+                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
+          - 127.5) / 128.0)"""
+
+
+def _md5_embed_udf():
+    """The Arrow-batched stand-in encoder (one "model forward" per
+    batch) — shared by doc_embed_deterministic and rag_chunk_retrieval
+    so the two can never drift. Swapping in a real encoder changes only
+    this body."""
     import hashlib
 
     from pyspark.sql.types import ArrayType, DoubleType
@@ -515,7 +518,6 @@ def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `from __future__ import annotations`; returnType governs.
     @F.pandas_udf(ArrayType(DoubleType()))
     def embed(texts):
-        # one "model forward" per Arrow batch; vectorized over rows
         def one(t: str):
             return [
                 (int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:2], 16)
@@ -525,8 +527,21 @@ def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return texts.map(one)
 
+    return embed
+
+
+@register(
+    "doc_embed_deterministic",
+    oracle=f"""
+SELECT doc_id, {_md5_embed_sql('text')} AS embedding
+FROM documents
+""".strip(),
+)
+def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", embed(F.col("text")).alias("embedding"))
+    return docs.select(
+        "doc_id", _md5_embed_udf()(F.col("text")).alias("embedding")
+    )
 
 
 # --- Exact cosine range query: the fixed-radius companion of
@@ -800,26 +815,21 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_QUERIES = 3  # doc_id < 3 are the query documents
 _RAG_K = 3
 
-
-def _md5_embed_sql(expr: str) -> str:
-    """DuckDB twin of the md5-derived embedding over ``expr``."""
-    return f"""list_transform(range({_EMB_DIM}),
-      i -> ((strpos('0123456789abcdef',
-                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
-          + (strpos('0123456789abcdef',
-                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
-          - 127.5) / 128.0)"""
+# Chunking scheme shared with doc_chunking — interpolated into the
+# oracle from the SAME constants the Spark side imports, so the two
+# sides cannot drift when the scheme is tuned.
+from .text import CHUNK_STRIDE, CHUNK_TOKENS, TOKEN_RE  # noqa: E402
 
 
 @register(
     "rag_chunk_retrieval",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t FROM documents),
 chunks AS (
-  SELECT doc_id, CAST(u.s / 48 AS BIGINT) AS chunk_id,
-         array_to_string(t[u.s + 1 : u.s + 64], ' ') AS chunk_text
-  FROM toks, UNNEST(range(0, GREATEST(len(t), 1), 48)) AS u(s)),
+  SELECT doc_id, CAST(u.s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         array_to_string(t[u.s + 1 : u.s + {CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0, GREATEST(len(t), 1), {CHUNK_STRIDE})) AS u(s)),
 ce AS (
   SELECT doc_id, chunk_id, {_md5_embed_sql('chunk_text')} AS e FROM chunks),
 q AS (
@@ -844,25 +854,11 @@ FROM ranked WHERE rank <= {_RAG_K}
 """.strip(),
 )
 def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
     from pyspark.sql import Window
-    from pyspark.sql.types import ArrayType, DoubleType
 
     from ..functions.text import tokens
-    from .text import CHUNK_STRIDE, CHUNK_TOKENS
 
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def embed(texts):
-        def one(t: str):
-            return [
-                (int(hashlib.md5(f"{t}:{i}".encode()).hexdigest()[:2], 16)
-                 - 127.5) / 128.0
-                for i in range(_EMB_DIM)
-            ]
-
-        return texts.map(one)
-
+    embed = _md5_embed_udf()  # the shared stand-in encoder
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     starts = F.sequence(

@@ -2336,17 +2336,20 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-aggregation + scoring join). ReuseExchange canNOT dedupe it:
     # per-consumer column pruning (the scoring branch drops tcnt)
     # produces two non-identical aggregates over the same scan, and the
-    # corpus pass would silently run twice. persist() materializes it
-    # once — lineage preserved (recomputable on executor loss, unlike a
-    # checkpoint), AQE-sized, and exactly what you'd do at 100 TB with
-    # a twice-read intermediate (plan-asserted in tests/test_plans.py).
+    # corpus pass would silently run twice. LAZY localCheckpoint
+    # materializes it once at first use — and unlike persist() the
+    # blocks are freed when the DataFrame is GC'd, so a query function
+    # (which never sees its result materialized and could never
+    # unpersist) doesn't pin a cache entry for the session lifetime —
+    # the repo-wide convention (see operators/dedup.py). Plan-asserted
+    # in tests/test_plans.py.
     per = (
         hb.groupBy("doc_id", "bucket")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("is_target").cast("long")).alias("tcnt"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     w = (
         per.groupBy("bucket")

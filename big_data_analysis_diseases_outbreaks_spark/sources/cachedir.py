@@ -30,10 +30,14 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time as _time
 import uuid
 from collections.abc import Callable
 
 _DONE = "_DONE"
+# A staging/aside dir older than this is a crashed build, not a live
+# one — reclaim it. Live builds here run minutes at most.
+_STAGING_REAP_SECONDS = 6 * 3600
 
 
 def source_fingerprint(*paths: str) -> str:
@@ -61,14 +65,25 @@ def build_cached_dir(
     if os.path.exists(os.path.join(final, _DONE)):
         return final
     # Prune superseded fingerprints — best-effort, never load-bearing.
-    # In-flight staging/aside dirs of ANY fingerprint are exempt: an
+    # RECENT staging/aside dirs of ANY fingerprint are exempt: an
     # older-fingerprint build may still be running in another process
     # and deleting under its feet would crash it instead of letting it
-    # finish (its completed dir is pruned on the next new-fp call).
+    # finish. Stale ones (crashed builds — SIGKILL'd bench rep, OOM)
+    # ARE reclaimed past the age cutoff; without that they accumulate
+    # in /tmp unboundedly, since a crashed build never completes.
+    now = _time.time()
     for old in glob.glob(os.path.join(tmp, f"{prefix}-*")):
         base = os.path.basename(old)
-        if old != final and ".build-" not in base and ".aside-" not in base:
-            shutil.rmtree(old, ignore_errors=True)
+        if old == final:
+            continue
+        if ".build-" in base or ".aside-" in base:
+            try:
+                age = now - os.stat(old).st_mtime
+            except OSError:
+                continue
+            if age < _STAGING_REAP_SECONDS:
+                continue
+        shutil.rmtree(old, ignore_errors=True)
     staging = f"{final}.build-{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
     try:
@@ -94,12 +109,14 @@ def build_cached_dir(
             aside = None  # squatter vanished (racer replaced/removed it)
         if aside and os.path.exists(os.path.join(aside, _DONE)):
             # We captured a COMPLETE dir published after our check —
-            # restore it and discard our own build.
-            shutil.rmtree(staging, ignore_errors=True)
+            # restore it FIRST (a reader already holds the final path;
+            # every instant it stays aside is an outage for them), only
+            # then spend time deleting our own build.
             try:
                 os.rename(aside, final)
             except OSError:
                 shutil.rmtree(aside, ignore_errors=True)
+            shutil.rmtree(staging, ignore_errors=True)
             if os.path.exists(os.path.join(final, _DONE)):
                 return final
             raise OSError(f"cache dir {final} lost in publication race")

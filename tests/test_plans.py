@@ -440,17 +440,18 @@ def _final_plan_section(plan: str) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
-def test_dsir_single_corpus_pass_via_persist(spark):
+def test_dsir_single_corpus_pass_via_checkpoint(spark):
     """doc_dsir_select's (doc_id, bucket) table is consumed twice; the
-    persist must surface as InMemoryTableScans on BOTH consumers
-    (ReuseExchange can't dedupe here — the consumers prune different
-    columns — so without the persist the corpus pass runs twice)."""
+    lazy localCheckpoint must put ONE shared materialized RDD under
+    both consumers (ReuseExchange can't dedupe here — the consumers
+    prune different columns — so without it the corpus pass runs
+    twice)."""
     df = all_queries()["doc_dsir_select"].fn(spark, SF_SMALL)
-    # The optimized LOGICAL plan shows both consumers replaced by the
-    # cached relation (the executed plan hides one inside a broadcast
-    # query-stage reference, so it can't be counted there).
     opt = df._jdf.queryExecution().optimizedPlan().toString()
-    assert opt.count("InMemoryRelation") == 2, "persist not in plan"
+    # Both consumers read the checkpointed relation (LogicalRDD /
+    # ExistingRDD), and the corpus scan is gone from the lazy plan.
+    assert opt.count("LogicalRDD") + opt.count("ExistingRDD") == 2, opt[:400]
+    assert "Relation" not in opt or "documents" not in opt
 
 
 def test_cms_reuses_token_frequency_exchange(spark):

@@ -180,7 +180,7 @@ def test_maxsim_matches_numpy_reference(spark):
 
     from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     got = (
         all_queries()["colbert_maxsim_topk"]
         .fn(spark, sf)
@@ -217,7 +217,7 @@ def test_rag_chunk_retrieval_contract(spark):
 
     rows = (
         all_queries()["rag_chunk_retrieval"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_SMALL)
         .orderBy("query_doc_id", "rank")
         .collect()
     )
