@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Canonicalize to undirected-distinct, then orient each edge
-    lower-(degree, id) → higher-(degree, id). Returns (a, b)."""
-    und = (
+def undirected_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Canonicalize to the undirected-distinct edge set (u < v)."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -35,6 +36,16 @@ def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def oriented_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonicalize to undirected-distinct, then orient each edge
+    lower-(degree, id) → higher-(degree, id). Returns (a, b)."""
+    und = undirected_edges(edges, src, dst)
+    return _orient(und)
+
+
+def _orient(und: DataFrame) -> DataFrame:
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -69,16 +80,41 @@ def triangle_counts(
     (operators/checkpointing.py)."""
     from .checkpointing import truncator
 
-    o = oriented_edges(edges, src, dst)
-    # The oriented edge set feeds three join sides; materialize once so
-    # the caller's (possibly expensive) edge lineage runs a single time.
-    o = truncator(o, checkpoint_dir)(o)
-    o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    o2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    o3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = o1.join(o2, "y").join(o3, ["x", "z"])
-    return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    truncate = truncator(edges, checkpoint_dir)
+    spark = edges.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    # Pin the shuffle width to the graph for the whole computation
+    # (saved/restored — the pagerank/components pattern): the
+    # checkpointed stages execute WITHOUT AQE's small-partition
+    # coalescing, so at the 200-partition session default every keyed
+    # exchange here is hundreds of near-empty tasks of pure scheduling
+    # overhead. Start at cluster width (edge count unknown yet), then
+    # re-pin with the size-derived width once the edge set is counted —
+    # at real scale n_part grows with the edge count.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, width)))
+    try:
+        # Materialize the canonical edge set once: it feeds the degree
+        # agg, the orientation join, and (via orientation) three
+        # wedge-join sides, so the caller's (possibly expensive) edge
+        # lineage must run a single time — and its count sizes the
+        # width for the heavy wedge stage (Σ outdeg² work).
+        und = truncate(undirected_edges(edges, src, dst))
+        n_edges = und.count()  # cheap: scans the materialized blocks
+        n_part = max(max(8, width), n_edges // 1_000_000 + 1)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        o = truncate(_orient(und))
+        o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        o2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        o3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = o1.join(o2, "y").join(o3, ["x", "z"])
+        # Materialize the (small) per-node counts under the pinned
+        # width — returned lazy, the wedge join would execute after the
+        # conf restore at full session width.
+        return truncate(
+            tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -185,3 +185,13 @@ def test_triangles_reliable_checkpoint_matches_local(spark, tmp_path):
     )
     assert reliable == local
     assert any((tmp_path / "tri_ckpt").rglob("*")), "no checkpoint written"
+
+
+def test_triangles_restore_shuffle_partitions(spark):
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    triangle_counts(_edges(spark, [(1, 2), (2, 3), (3, 1)])).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
