@@ -465,3 +465,38 @@ def test_cms_reuses_token_frequency_exchange(spark):
         df._jdf.queryExecution().executedPlan().toString()
     )
     assert "ReusedExchange" in plan
+
+
+def test_streaming_microbatch_plans_are_scale_safe(spark):
+    """The batch plan gate (test_plan_gate.py) excludes stream-replay
+    queries — their fn() returns a memory-sink scan, not the micro-batch
+    plan. This closes that hole for the core stateful shapes: the LAST
+    EXECUTED micro-batch plan (StreamExecution.explainInternal) must
+    contain the stateful operator and none of the scale-killing
+    patterns, and state exchanges must be keyed, never single-partition."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        daily_agg_stream,
+        run_to_memory,
+        sliding_agg_stream,
+        trends_stream,
+    )
+
+    builders = {
+        "daily": lambda: daily_agg_stream(
+            trends_stream(spark, SF_SMALL), watermark=None
+        ),
+        "sliding": lambda: sliding_agg_stream(
+            trends_stream(spark, SF_SMALL), watermark=None
+        ),
+    }
+    for label, build in builders.items():
+        _, q = run_to_memory(build(), output_mode="complete")
+        plan = q._jsq.explainInternal(True)
+        assert "StateStore" in plan, f"{label}: no stateful operator?"
+        for bad in (
+            "BatchEvalPython",
+            "Exchange SinglePartition",
+            "CartesianProduct",
+        ):
+            assert bad not in plan, f"{label}: {bad} in micro-batch plan"
+        assert "hashpartitioning" in plan, f"{label}: state not keyed"
