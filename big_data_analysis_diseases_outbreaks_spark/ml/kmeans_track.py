@@ -82,17 +82,22 @@ def select_k(scaled: DataFrame, k_range=range(2, 7)):
     return best_k, best_model
 
 
-def kmeans_anomalies(
-    wide: DataFrame, feature_cols: list[str], pca_k: int = 4, z_thresh: float = 2.0
+def prepare_features(
+    wide: DataFrame, feature_cols: list[str], pca_k: int = 4
 ) -> DataFrame:
-    """wide (date, region, features...) → (date, region, score, is_anomaly)."""
-    # The pivot upstream is scanned by the scaler fit, the PCA fit, and
-    # every KMeans iteration — persist it once instead of recomputing the
-    # shuffle per fit. Every MLlib fit here is a treeAggregate whose cost
-    # on small inputs is per-task overhead (measured ~2.5 s/fit on 150
-    # rows × 32 partitions, ~0.3 s on 1), so small tables collapse to one
-    # partition BEFORE the first fit (reference notebook: coalesce(8)
-    # pre-ML).
+    """wide → PERSISTED PCA feature frame (``features`` vector column).
+
+    The shared prep path for the anomaly track and the model-selection
+    surface (SURVEY.md §2.K1-K3). The pivot upstream is scanned by the
+    scaler fit, the PCA fit, and every KMeans iteration — persist it
+    once instead of recomputing the shuffle per fit. Every MLlib fit
+    here is a treeAggregate whose cost on small inputs is per-task
+    overhead (measured ~2.5 s/fit on 150 rows × 32 partitions, ~0.3 s
+    on 1), so SMALL tables collapse to one partition BEFORE the first
+    fit (reference notebook: coalesce(8) pre-ML) — guarded by a size
+    count so a 100×-scale grid keeps its parallelism (no unconditional
+    single-task funnel).
+    """
     cached = VectorAssembler(
         inputCols=feature_cols, outputCol="raw_features"
     ).transform(wide).persist()
@@ -108,6 +113,14 @@ def kmeans_anomalies(
     feats = pca.transform(scaled).persist()
     feats.count()  # materialize before the fit loop; upstream cache can go
     cached.unpersist()
+    return feats
+
+
+def kmeans_anomalies(
+    wide: DataFrame, feature_cols: list[str], pca_k: int = 4, z_thresh: float = 2.0
+) -> DataFrame:
+    """wide (date, region, features...) → (date, region, score, is_anomaly)."""
+    feats = prepare_features(wide, feature_cols, pca_k)
 
     _, model = select_k(feats)
     pred = model.transform(feats)

@@ -36,26 +36,36 @@ def register(name: str, oracle: str | None = None):
 # so ordering is signal — and it is a ROTATING window: a query that has
 # produced a driver-green row in ANY past round keeps that evidence
 # forever, so each round the window is refilled with the oracle-backed
-# queries that have never had one.  Round-6 rotation (per VERDICT r5 §1):
-# the final 26 never-driver-checked oracle-backed queries lead; the two
-# rows-only ML entries are DROPPED from the window (the driver can only
-# ever record `err: no_oracle` for them — their evidence lives in pytest
-# determinism/recall tests and BASELINE.md); the remaining slots (19
-# after the 5 round-6 operators + 26 rotations) are backfilled with
-# flagship already-green queries for re-confirmation. EXACTLY 50
-# entries — a 51st would silently fall outside the driver's window
+# queries that have never had one.  Round-7 rotation (per VERDICT r6
+# §1/§3): `doc_embed_deterministic` — the ONE oracle-backed query never
+# driver-green (its r6 red was a driver-canonicalizer crash on
+# array<double>, now reshaped to exploded hashable rows) — leads,
+# followed by the 4 rows-only queries that have never even had a driver
+# row (they can only score `no_oracle`, but rows>0 + err-free execution
+# under the driver's session is still evidence), then the round-7 new
+# operators; the remaining slots are backfilled with flagship
+# already-green queries for re-confirmation. EXACTLY 50 entries — a
+# 51st would silently fall outside the driver's window
 # (test-enforced). tools/rotate_window.py regenerates this list;
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
-    # Round-6 new operators (never driver-checked) lead the window
+    # The last never-green oracle-backed query (reshaped this round)
+    "doc_embed_deterministic",
+    # Rows-only queries never yet seen by the driver (VERDICT r6 §3)
+    "ann_ivf_pq_topk",
+    "ann_recall_report",
+    "dedup_semdedup",
+    "doc_stratified_sample",
+    # Round-7 new operators (never driver-checked)
+    # (inserted as they land)
+    # Re-confirmation backfill: flagship + one per family, all
+    # driver-green in a prior round
     "doc_dsir_select",
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
     "cms_heavy_hitters",
     "rag_chunk_retrieval",
-    # Never-green oracle-backed (26) — close the book this round
-    "doc_embed_deterministic",
     "similarity_radius_search",
     "ann_index_stream_topk",
     "multimodal_patchify",
@@ -79,10 +89,7 @@ _PRIORITY: list[str] = [
     "doc_intra_dedup",
     "producer_generate",
     "producer_daily_mean",
-    "json_variant_props",
     "recursive_date_spine",
-    # Re-confirmation backfill (19): flagship + one per family, all
-    # driver-green in a prior round
     "anomaly_zscore",
     "trends_detrend",
     "trends_daily_agg",
@@ -92,11 +99,8 @@ _PRIORITY: list[str] = [
     "json_roundtrip",
     "revenue_by_nation",
     "top10_customers",
-    "global_minmax_date",
     "value_stats_by_region",
-    "customers_only_first_half",
     "asof_last_signup",
-    "series_threshold_filter",
     "stream_daily_agg",
     "stream_sliding_agg",
     "dedup_exact",

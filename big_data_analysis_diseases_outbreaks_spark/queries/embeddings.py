@@ -493,16 +493,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DIM = 16
 
 
-def _md5_embed_sql(expr: str) -> str:
-    """DuckDB twin of the md5-derived embedding over ``expr`` — the ONE
-    definition of the stand-in encoder's SQL (doc_embed_deterministic's
-    oracle and the RAG pipeline's both build from it)."""
-    return f"""list_transform(range({_EMB_DIM}),
-      i -> ((strpos('0123456789abcdef',
-                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+def _md5_embed_element_sql(expr: str, idx: str) -> str:
+    """DuckDB SQL for dimension ``idx`` of the md5-derived embedding of
+    ``expr`` — the ONE definition of the stand-in encoder's per-element
+    math (the list form and doc_embed_deterministic's exploded oracle
+    both build from it, so they can never drift)."""
+    return f"""((strpos('0123456789abcdef',
+                    substr(md5({expr} || ':' || CAST({idx} AS VARCHAR)), 1, 1)) - 1) * 16
           + (strpos('0123456789abcdef',
-                    substr(md5({expr} || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1)
-          - 127.5) / 128.0)"""
+                    substr(md5({expr} || ':' || CAST({idx} AS VARCHAR)), 2, 1)) - 1)
+          - 127.5) / 128.0"""
+
+
+def _md5_embed_sql(expr: str) -> str:
+    """DuckDB twin of the md5-derived embedding over ``expr`` as a list
+    (the RAG pipeline's oracle builds from it)."""
+    return (
+        f"list_transform(range({_EMB_DIM}),"
+        f" i -> {_md5_embed_element_sql(expr, 'i')})"
+    )
 
 
 def _md5_embed_udf():
@@ -533,14 +542,24 @@ def _md5_embed_udf():
 @register(
     "doc_embed_deterministic",
     oracle=f"""
-SELECT doc_id, {_md5_embed_sql('text')} AS embedding
-FROM documents
+SELECT d.doc_id, CAST(t.i AS INTEGER) AS dim,
+       {_md5_embed_element_sql('d.text', 't.i')} AS value
+FROM documents d, range({_EMB_DIM}) t(i)
 """.strip(),
 )
 def doc_embed_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → Arrow-batched encoder → EXPLODED (doc_id, dim, value)
+    rows. Long form, not array<double>: the driver's canonicalizer
+    sorts a pandas frame over all columns and an ndarray cell is
+    unhashable (r6's one red row) — exploding keeps every matrix value
+    oracle-checked while staying driver-canonicalizable. Downstream
+    consumers (ANN/SemDeDup/RAG) still get the array column from the
+    shared ``_md5_embed_udf``; posexplode is a narrow generate (no
+    shuffle), so this surface costs one in-task expansion."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", _md5_embed_udf()(F.col("text")).alias("embedding")
+        "doc_id",
+        F.posexplode(_md5_embed_udf()(F.col("text"))).alias("dim", "value"),
     )
 
 

@@ -45,20 +45,18 @@ def ml_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's rows-only check and pinned exactly by the blanket
     determinism test. Columns: detector, planted_date, planted_region,
     planted_flagged, n_flagged."""
-    from pyspark.sql import Window
-
     from ..ml.iforest import iforest_by_region
 
     wide = _features_wide(spark, sf_dir)
     cols = list(KW_VALUES)
-    # Deterministic target: min (date, region) — computed in-plan (one
-    # tiny broadcast join), not via a driver-side first()/collect().
-    w = Window.orderBy("date", "region")
+    # Deterministic target: min (date, region) — a one-row
+    # min(struct(...)) aggregate (map-side partial agg, no global sort)
+    # broadcast back into the join below. The scale-safe form of "pick
+    # the lexicographically first row": an unpartitioned
+    # Window.orderBy would funnel the grid through one partition.
     target = (
-        wide.select("date", "region")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        wide.agg(F.min(F.struct("date", "region")).alias("t"))
+        .select("t.date", "t.region")
         .withColumn("planted", F.lit(1))
     )
     spiked = wide.join(F.broadcast(target), ["date", "region"], "left")
@@ -102,32 +100,15 @@ def kmeans_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's notebook select_k loop, cell 10) as a result table —
     (k, silhouette, is_selected). Seeded fits ⇒ deterministic;
     tests/test_ml.py pins the selected k stable across runs."""
-    from pyspark.ml.feature import PCA, StandardScaler, VectorAssembler
-
-    from ..ml.kmeans_track import silhouette_profile
+    from ..ml.kmeans_track import prepare_features, silhouette_profile
 
     wide = _features_wide(spark, sf_dir)
     cols = list(KW_VALUES)
-    assembled = (
-        VectorAssembler(inputCols=cols, outputCol="raw_features")
-        .transform(wide)
-        .coalesce(1)
-    )
-    scaled = (
-        StandardScaler(
-            inputCol="raw_features", outputCol="scaled",
-            withStd=True, withMean=True,
-        )
-        .fit(assembled)
-        .transform(assembled)
-    )
-    feats = (
-        PCA(k=4, inputCol="scaled", outputCol="features")
-        .fit(scaled)
-        .transform(scaled)
-        .persist()
-    )
-    feats.count()
+    # Shared guarded prep (assemble → scale → PCA, coalesce(1) only
+    # under the <100k size guard) — the same path kmeans_anomalies
+    # uses, so the model-selection surface can't drift into an
+    # unconditional single-task funnel again (VERDICT r6 §wrong-2).
+    feats = prepare_features(wide, feature_cols=cols, pca_k=4)
     prof = silhouette_profile(feats)
     # same reduction as select_k: ascending k, strict improvement wins
     best, best_score = None, float("-inf")

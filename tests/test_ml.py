@@ -92,3 +92,31 @@ def test_kmeans_flags_injected_spike(spark):
     ).first()
     assert row is not None
     assert row["is_anomaly"] == 1
+
+
+def test_prepare_features_size_guard_keeps_parallelism(spark):
+    """The pre-fit coalesce(1) is a small-table optimization ONLY: at
+    >=100k rows (the 100x-scale grid) the shared prep path must keep
+    its partitioning, or every MLlib fit downstream becomes a
+    single-task pipeline (VERDICT r6 §wrong-2)."""
+    from big_data_analysis_diseases_outbreaks_spark.ml.kmeans_track import (
+        prepare_features,
+    )
+
+    big = spark.range(100_000).selectExpr(
+        "CAST(id AS DOUBLE) AS f1", "CAST(id % 97 AS DOUBLE) AS f2"
+    ).repartition(8)
+    feats = prepare_features(big, ["f1", "f2"], pca_k=2)
+    try:
+        assert feats.rdd.getNumPartitions() > 1
+    finally:
+        feats.unpersist()
+
+    small = spark.range(64).selectExpr(
+        "CAST(id AS DOUBLE) AS f1", "CAST(id % 7 AS DOUBLE) AS f2"
+    ).repartition(8)
+    feats_small = prepare_features(small, ["f1", "f2"], pca_k=2)
+    try:
+        assert feats_small.rdd.getNumPartitions() == 1
+    finally:
+        feats_small.unpersist()

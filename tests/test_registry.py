@@ -7,8 +7,10 @@ These tests pin the rotation protocol so hand-curated window drift
 
 * every oracle-backed query that has never been driver-green must sit
   inside the first-50 window;
-* rows-only queries must NOT occupy window slots (the driver can only
-  record ``err: no_oracle`` for them — their evidence is pytest-tier);
+* rows-only queries may occupy window slots ONLY while they have never
+  had a driver row (rows>0 + err-free execution under the driver's
+  session is still evidence, VERDICT r6 §3); once recorded, they must
+  rotate out — a repeat can only score ``err: no_oracle`` again;
 * every window name resolves to a registered query.
 """
 
@@ -70,15 +72,25 @@ def test_window_covers_never_green():
     )
 
 
-def test_window_has_no_rows_only_entries():
+def test_window_rows_only_entries_are_never_seen():
+    """A rows-only query earns a window slot exactly once: its first
+    driver row (rows>0, err-free under the driver's session) is the
+    whole evidence it can ever collect. After any CORRECTNESS file
+    records it, a repeat slot is pure waste — rotate it out."""
     from big_data_analysis_diseases_outbreaks_spark.queries import (
         _PRIORITY,
         all_queries,
     )
 
+    seen: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        seen.update(json.load(open(f)))
+
     qs = all_queries()
-    rows_only = [n for n in _PRIORITY[:50] if qs[n].oracle is None]
-    assert rows_only == [], (
-        "rows-only queries waste driver window slots (they can only "
-        f"record err=no_oracle): {rows_only}"
+    stale = [
+        n for n in _PRIORITY[:50] if qs[n].oracle is None and n in seen
+    ]
+    assert stale == [], (
+        "rows-only queries that already have a driver row waste window "
+        f"slots (they can only record err=no_oracle again): {stale}"
     )
