@@ -113,6 +113,9 @@ HEADLINE = [
     "colbert_maxsim_topk",
     "cms_heavy_hitters",
     "rag_chunk_retrieval",
+    # round-7 additions
+    "value_percentiles_by_type",
+    "rag_rerank_topk",
 ]
 
 
@@ -232,11 +235,16 @@ def main() -> None:
     # fragment. Keep the machine-readable line MINIMAL (metric + total +
     # sf + per-query best, ms precision); the full payload with per-rep
     # spreads goes to a side file and stderr.
+    # Sorted-name query map: the driver's bounded stdout tail truncated
+    # rounds 4-6's per-query maps mid-line, and in HEADLINE order the
+    # cut prefix changes whenever queries are appended — sorting makes
+    # truncation hit the SAME prefix each round so round-over-round
+    # diffs stay complete for every query that fits.
     summary = {
         "metric": "total_wall_clock_headline_queries",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "queries": {n: round(timings[n], 3) for n in sorted(timings)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     full = dict(summary, reps=rep_times)

@@ -58,7 +58,8 @@ _PRIORITY: list[str] = [
     "dedup_semdedup",
     "doc_stratified_sample",
     # Round-7 new operators (never driver-checked)
-    # (inserted as they land)
+    "value_percentiles_by_type",
+    "rag_rerank_topk",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -88,8 +89,6 @@ _PRIORITY: list[str] = [
     "corpus_budget_select",
     "doc_intra_dedup",
     "producer_generate",
-    "producer_daily_mean",
-    "recursive_date_spine",
     "anomaly_zscore",
     "trends_detrend",
     "trends_daily_agg",

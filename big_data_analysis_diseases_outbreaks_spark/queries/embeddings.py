@@ -933,3 +933,174 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _RAG_K)
     )
+
+
+# --- Two-stage retrieval: bi-encoder shortlist → cross-encoder rerank -----
+# The production RAG shape: a cheap vector-similarity stage shortlists
+# candidates, then an expensive pairwise model re-scores ONLY the
+# shortlist. The "cross-encoder" stand-in is a deterministic md5-derived
+# interaction score over the (query_text, chunk_text) PAIR — exactly
+# what a bi-encoder cannot express (its score factorizes) — computed
+# with JVM builtins (md5/conv), no Python crossing. The combined score
+# is an exact BIGINT (cos·10⁴·65535 + x·10⁴ ≡ equal-weight blend of
+# cos and x/65535, order-isomorphic, no float rounding to diverge on).
+# Scale shape: stage 1 is the rag_chunk_retrieval plan (broadcast(Q)
+# BNLJ, ANN shortlist at 100 TB); stage 2 touches |Q|·SHORTLIST rows —
+# negligible — and reuses stage 1's query_doc_id partitioning, so the
+# rerank adds no new shuffle of anything corpus-sized.
+
+_RERANK_SHORTLIST = 8
+
+
+def _md5_hex4_int_sql(expr: str) -> str:
+    """DuckDB twin of Spark ``conv(substring(md5(x),1,4),16,10)``: the
+    first 4 hex nibbles of md5 as an integer 0..65535."""
+    h = f"md5({expr})"
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+@register(
+    "rag_rerank_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(u.s / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+         array_to_string(t[u.s + 1 : u.s + {CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM toks, UNNEST(range(0, GREATEST(len(t), 1), {CHUNK_STRIDE})) AS u(s)),
+ce AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         {_md5_embed_sql('chunk_text')} AS e
+  FROM chunks),
+q AS (
+  SELECT doc_id AS query_doc_id, text AS query_text,
+         {_md5_embed_sql('text')} AS qe
+  FROM documents WHERE doc_id < {_RAG_QUERIES}),
+scored AS (
+  SELECT q.query_doc_id, q.query_text, ce.doc_id AS cand_doc_id,
+         ce.chunk_id, ce.chunk_text,
+         ROUND(
+           list_sum(list_transform(range(1, {_EMB_DIM} + 1), k -> qe[k] * e[k]))
+           / NULLIF(sqrt(list_sum(list_transform(qe, x -> x * x)))
+                    * sqrt(list_sum(list_transform(e, x -> x * x))), 0),
+           4) AS cos_sim
+  FROM q JOIN ce ON ce.doc_id <> q.query_doc_id),
+shortlist AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc_id
+             ORDER BY cos_sim DESC, cand_doc_id ASC, chunk_id ASC) AS srank
+    FROM scored) WHERE srank <= {_RERANK_SHORTLIST}),
+rerank AS (
+  SELECT query_doc_id, cand_doc_id, chunk_id, cos_sim,
+         CAST({_md5_hex4_int_sql("query_text || '##' || chunk_text")}
+              AS BIGINT) AS xmatch
+  FROM shortlist),
+final AS (
+  SELECT *, CAST(ROUND(cos_sim * 10000) AS BIGINT) * 65535
+              + xmatch * 10000 AS score
+  FROM rerank)
+SELECT query_doc_id, cand_doc_id, chunk_id, cos_sim, xmatch, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_doc_id
+            ORDER BY score DESC, cand_doc_id ASC, chunk_id ASC) AS BIGINT)
+         AS rank
+FROM final
+QUALIFY rank <= {_RAG_K}
+""".strip(),
+)
+def rag_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    embed = _md5_embed_udf()
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunk_structs = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, CHUNK_TOKENS)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    ce = docs.select("doc_id", F.explode_outer(chunk_structs).alias("c")).select(
+        F.col("doc_id").alias("cand_doc_id"),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        embed(F.col("c.chunk_text")).alias("e"),
+    )
+    q = docs.where(F.col("doc_id") < _RAG_QUERIES).select(
+        F.col("doc_id").alias("query_doc_id"),
+        F.col("text").alias("query_text"),
+        embed(F.col("text")).alias("qe"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        dot(F.col("qe"), F.col("e"))
+        / F.nullif(
+            F.sqrt(dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot(F.col("e"), F.col("e"))),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    w1 = Window.partitionBy("query_doc_id").orderBy(
+        F.col("cos_sim").desc(),
+        F.col("cand_doc_id").asc(),
+        F.col("chunk_id").asc(),
+    )
+    shortlist = (
+        F.broadcast(q)
+        .join(ce, F.col("cand_doc_id") != F.col("query_doc_id"))
+        .select(
+            "query_doc_id", "query_text", "cand_doc_id", "chunk_id",
+            "chunk_text", cos.alias("cos_sim"),
+        )
+        .withColumn("srank", F.row_number().over(w1))
+        .where(F.col("srank") <= _RERANK_SHORTLIST)
+    )
+    xmatch = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("##", F.col("query_text"), F.col("chunk_text"))),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("long")
+    w2 = Window.partitionBy("query_doc_id").orderBy(
+        F.col("score").desc(),
+        F.col("cand_doc_id").asc(),
+        F.col("chunk_id").asc(),
+    )
+    return (
+        shortlist.withColumn("xmatch", xmatch)
+        .withColumn(
+            "score",
+            F.round(F.col("cos_sim") * 10000).cast("long") * 65535
+            + F.col("xmatch") * 10000,
+        )
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= _RAG_K)
+        .select(
+            "query_doc_id", "cand_doc_id", "chunk_id", "cos_sim",
+            "xmatch", "score", "rank",
+        )
+    )

@@ -545,6 +545,44 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY value) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""".strip(),
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type quartiles — the SQL-tier twin of the KLL sketch in
+    ``approx_distinct_users`` (which stays the 100 TB default), and the
+    DISCRETE companion of ``value_percentiles`` (interpolated + rounded
+    in queries/trends.py). ANSI
+    ``percentile_disc`` picks an actual data element (no interpolation),
+    so Spark and DuckDB agree bit-for-bit — ``percentile``/
+    ``quantile_cont`` would interpolate in floating point and can
+    diverge at round() ties. Scale note: Spark's exact percentile
+    aggregate merges per-partition value→count maps, so memory grows
+    with DISTINCT values per group, not rows — fine for bounded-domain
+    metrics, sketch path for unbounded ones."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY value)"
+        ).alias("p25"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+        ).alias("p50"),
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY value)"
+        ).alias("p75"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # --- Q17-style: correlated agg subquery by join+agg decorrelation ---------
 
 
