@@ -42,11 +42,23 @@ _STAGING_REAP_SECONDS = 6 * 3600
 
 def source_fingerprint(*paths: str) -> str:
     """Cheap content-version fingerprint of source files: (size,
-    mtime_ns) per path — no data read. Any regeneration bumps mtime."""
+    mtime_ns) per path plus a first/last-4KB content sample. The
+    metadata alone misses a regenerated file restored with preserved
+    timestamps (``cp -p``, tar extract); the head/tail sample catches
+    that for columnar formats (parquet footers change with any rewrite)
+    without reading the whole file. A same-size same-timestamp rewrite
+    whose sampled bytes also match is still served stale — accepted for
+    a /tmp test-host cache (ADVICE r6)."""
     h = hashlib.md5()
     for p in paths:
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns};".encode())
+        if os.path.isfile(p):
+            with open(p, "rb") as fh:
+                h.update(fh.read(4096))
+                if st.st_size > 4096:
+                    fh.seek(max(st.st_size - 4096, 0))
+                    h.update(fh.read(4096))
     return h.hexdigest()[:12]
 
 
@@ -65,24 +77,24 @@ def build_cached_dir(
     if os.path.exists(os.path.join(final, _DONE)):
         return final
     # Prune superseded fingerprints — best-effort, never load-bearing.
-    # RECENT staging/aside dirs of ANY fingerprint are exempt: an
-    # older-fingerprint build may still be running in another process
-    # and deleting under its feet would crash it instead of letting it
-    # finish. Stale ones (crashed builds — SIGKILL'd bench rep, OOM)
-    # ARE reclaimed past the age cutoff; without that they accumulate
-    # in /tmp unboundedly, since a crashed build never completes.
+    # RECENT siblings of ANY kind are exempt, not just staging/aside:
+    # an older-fingerprint build may still be running in another
+    # process, and a PUBLISHED older-fingerprint dir may still be
+    # streamed from by a process that resolved it before the source
+    # regenerated (ADVICE r6) — deleting chunk/index files under either
+    # fails them mid-run. Stale siblings (crashed builds, long-
+    # superseded caches) ARE reclaimed past the age cutoff; without
+    # that they accumulate in /tmp unboundedly.
     now = _time.time()
     for old in glob.glob(os.path.join(tmp, f"{prefix}-*")):
-        base = os.path.basename(old)
         if old == final:
             continue
-        if ".build-" in base or ".aside-" in base:
-            try:
-                age = now - os.stat(old).st_mtime
-            except OSError:
-                continue
-            if age < _STAGING_REAP_SECONDS:
-                continue
+        try:
+            age = now - os.stat(old).st_mtime
+        except OSError:
+            continue
+        if age < _STAGING_REAP_SECONDS:
+            continue
         shutil.rmtree(old, ignore_errors=True)
     staging = f"{final}.build-{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)

@@ -43,6 +43,13 @@ from ..sources.fsutil import dir_has_data, path_exists
 
 CURATION_QUALITY_MIN = 0.35
 
+# Test hook: when set to a list, each micro-batch appends the planned
+# survivors plan string (the batch-canonical window + seen-store
+# anti-join — the pipeline's heavy plan). foreachBatch bodies run as
+# ordinary batch jobs that StreamExecution.explainInternal never sees,
+# so the plan gate (tests/test_plans.py) captures them here instead.
+PLAN_CAPTURE: list[str] | None = None
+
 
 def _batch_canonical(batch: DataFrame) -> DataFrame:
     """Batch-internal keep-first: one row per fingerprint (min doc_id).
@@ -101,6 +108,10 @@ def process_curation_batch(
         survivors = b.join(seen, "fp", "left_anti")
     else:
         survivors = b
+    if PLAN_CAPTURE is not None:
+        PLAN_CAPTURE.append(
+            survivors._jdf.queryExecution().executedPlan().toString()
+        )
     # localCheckpoint: `survivors` feeds BOTH sinks; without it the
     # second write re-runs the anti-join lineage, and the corpus write
     # below must not observe the seen-store append (its own fps would

@@ -48,7 +48,19 @@ def test_fingerprint_change_rebuilds_and_prunes(tmp_path):
     assert d1 != d2
     assert built == ["A", "B"]
     assert open(os.path.join(d2, "data.txt")).read() == "B"
-    # The superseded fingerprint's dir is pruned best-effort.
+    # A FRESHLY superseded published dir survives the prune: another
+    # process that resolved it before the source regenerated may still
+    # be streaming files from it (ADVICE r6).
+    assert os.path.exists(d1)
+    # Past the reap cutoff it IS reclaimed (no unbounded /tmp growth).
+    from big_data_analysis_diseases_outbreaks_spark.sources.cachedir import (
+        _STAGING_REAP_SECONDS,
+    )
+
+    old = time.time() - _STAGING_REAP_SECONDS - 60
+    os.utime(d1, (old, old))
+    d3 = build_cached_dir(prefix, "fpC", mk("C"))
+    assert os.path.exists(d3)
     assert not os.path.exists(d1)
 
 

@@ -70,10 +70,12 @@ def test_results_csv_sink_emits_reference_shape(spark):
     """anomaly_map_series → single-file CSV sink → identical header and
     lossless round-trip: a reference user's downstream choropleth code
     reads our artifact unchanged."""
-    if not os.path.exists(GOLDEN):
-        import pytest
+    import pytest
 
+    if not os.path.exists(GOLDEN):
         pytest.skip("reference artifact not present in this environment")
+    if not os.path.isdir(SF):
+        pytest.skip("sf0.001 testdata not present in this environment")
     from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
 
     out_df = (
@@ -108,3 +110,33 @@ def test_results_csv_sink_emits_reference_shape(spark):
             for r in back.orderBy("date", "region").collect()
         ]
         assert a == b
+
+
+def test_anomaly_map_artifact_matches_golden_bytes(spark, tmp_path):
+    """The rendered choropleth SVGs must be byte-identical to the
+    checked-in expected artifacts for the sf0.001 fixture: the feed
+    queries are value-oracled and deterministic and the renderer is
+    pure string assembly, so ANY byte drift is a real behavior change
+    in either. Regenerate the expected files with
+    ``write_anomaly_map(spark, SF, 'tests/data/anomaly_map_sf0001.svg')``
+    after an intentional change."""
+    import pytest
+
+    if not os.path.isdir(SF):
+        pytest.skip("sf0.001 testdata not present in this environment")
+    from big_data_analysis_diseases_outbreaks_spark.artifacts import (
+        write_anomaly_map,
+    )
+
+    out = str(tmp_path / "map.svg")
+    write_anomaly_map(spark, SF, out)
+    exp_dir = os.path.join(os.path.dirname(__file__), "data")
+    for got_path, want_name in (
+        (out, "anomaly_map_sf0001.svg"),
+        (str(tmp_path / "map_series.svg"), "anomaly_map_sf0001_series.svg"),
+    ):
+        with open(got_path, "rb") as fh:
+            got = fh.read()
+        with open(os.path.join(exp_dir, want_name), "rb") as fh:
+            want = fh.read()
+        assert got == want, f"artifact bytes drifted vs {want_name}"

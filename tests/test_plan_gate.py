@@ -32,8 +32,6 @@ rare and deliberate.
 
 from __future__ import annotations
 
-import pytest
-
 FORBIDDEN = (
     "Exchange SinglePartition",
     "CartesianProduct",
@@ -64,7 +62,11 @@ def test_no_scale_killing_operators_anywhere(spark):
             df = q.fn(spark, sf)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # noqa: BLE001
-            pytest.fail(f"{name}: failed to plan: {exc!r}")
+            # Collect, don't fail-fast: one broken query must not hide
+            # the remaining planning failures and forbidden-operator
+            # hits in the same sweep (ADVICE r6).
+            violations.append(f"{name}: failed to plan: {exc!r}")
+            continue
         for pat in FORBIDDEN:
             if pat in plan:
                 allowed = ALLOWLIST.get(name)

@@ -500,3 +500,109 @@ def test_streaming_microbatch_plans_are_scale_safe(spark):
         ):
             assert bad not in plan, f"{label}: {bad} in micro-batch plan"
         assert "hashpartitioning" in plan, f"{label}: state not keyed"
+
+
+def test_interval_join_microbatch_plan_is_scale_safe(spark):
+    """Extends the micro-batch gate to the stream-stream interval join:
+    the executed plan must use the symmetric hash join with BOTH state
+    sides hash-partitioned on the join key — and none of the
+    scale-killing patterns."""
+    from big_data_analysis_diseases_outbreaks_spark.streaming.pipeline import (
+        interval_join_stream,
+        run_to_memory,
+    )
+
+    _, q = run_to_memory(
+        interval_join_stream(spark, SF_SMALL), output_mode="append"
+    )
+    plan = q._jsq.explainInternal(True)
+    assert "StreamingSymmetricHashJoin" in plan, plan[:500]
+    for bad in (
+        "BatchEvalPython",
+        "Exchange SinglePartition",
+        "CartesianProduct",
+    ):
+        assert bad not in plan, f"{bad} in micro-batch plan"
+    assert "hashpartitioning" in plan, "join state not keyed"
+
+
+def test_curation_microbatch_plans_are_scale_safe(spark, tmp_path):
+    """foreachBatch bodies are invisible to explainInternal — the
+    curation pipeline records each batch's survivors plan through its
+    PLAN_CAPTURE hook instead. Every captured plan (batch-canonical
+    window + seen-store anti-join) must be free of the scale-killing
+    patterns, and cross-batch dedup must actually plan an anti join
+    once the seen store exists."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        _docs_chunk_dir,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.streaming import curation
+
+    src = _docs_chunk_dir(spark, SF_SMALL, n_chunks=3)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    curation.PLAN_CAPTURE = []
+    try:
+        curation.run_stream_curation(spark, docs, str(tmp_path / "out"))
+        plans = curation.PLAN_CAPTURE
+    finally:
+        curation.PLAN_CAPTURE = None
+    assert len(plans) >= 2, f"expected >=2 micro-batches, got {len(plans)}"
+    for i, plan in enumerate(plans):
+        for bad in (
+            "BatchEvalPython",
+            "Exchange SinglePartition",
+            "CartesianProduct",
+        ):
+            assert bad not in plan, f"batch {i}: {bad} in plan"
+    assert any("LeftAnti" in p for p in plans[1:]), (
+        "no anti join planned after the seen store exists"
+    )
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark):
+    """The 100 TB semi-join reduction path: Catalyst injects a bloom
+    filter built from the FILTERED dimension (creation side) into the
+    fact scan (application side), pruning shuffle input before the
+    exchange — the engine-native form of the hand-rolled bloom prejoin
+    (`might_contain` is not SQL-registered, so this optimizer rule IS
+    the supported surface). The rule is threshold-gated on byte sizes
+    (defaults 10MB creation / 10GB application), so fixture-sized data
+    can't trigger it organically — this pins the RECIPE: with the
+    application-side threshold scaled down and broadcast disabled, the
+    optimized plan must gain might_contain + bloom_filter_agg around
+    the fact side."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMALL, "lineitem")
+        orders = load_table(spark, SF_SMALL, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:800]
+        assert "bloom_filter_agg" in opt, opt[:800]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
