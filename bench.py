@@ -116,6 +116,7 @@ HEADLINE = [
     # round-7 additions
     "value_percentiles_by_type",
     "rag_rerank_topk",
+    "token_pmi_pairs",
 ]
 
 

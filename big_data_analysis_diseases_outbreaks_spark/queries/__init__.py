@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     # Round-7 new operators (never driver-checked)
     "value_percentiles_by_type",
     "rag_rerank_topk",
+    "token_pmi_pairs",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -94,7 +95,6 @@ _PRIORITY: list[str] = [
     "trends_daily_agg",
     "qfactor_normalization",
     "pivot_wide",
-    "month_onehot",
     "json_roundtrip",
     "revenue_by_nation",
     "top10_customers",

@@ -2501,3 +2501,111 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
     )
+
+
+# --- token co-occurrence mining (document-level PMI inputs) ---------------
+# Word-association mining over the corpus: which head-vocabulary token
+# pairs co-occur in more documents than chance predicts. Emits the
+# EXACT integer PMI inputs (n_both, n_a, n_b, n_docs) rather than the
+# float PMI itself — ln() is not correctly-rounded across engines, so
+# the score stays one expression away while every emitted cell is
+# bit-comparable. Scale shape: pair space is bounded by restricting to
+# the top-M document-frequency tokens (the standard min-df/head-vocab
+# cut — unrestricted PMI is |V|² and unpayable at 100 TB); the head
+# vocab is a TakeOrderedAndProject top-M broadcast, the doc-level
+# self-join shuffles both sides on doc_id (identical subtrees — one
+# exchange, reused), and per-doc token lists are ≤ M after the filter
+# so no doc explodes quadratically.
+
+_PMI_VOCAB = 30
+_PMI_MIN_BOTH = 2
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents)),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM dt GROUP BY token
+  ORDER BY n_tok DESC, token ASC LIMIT {_PMI_VOCAB}),
+ft AS (SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) >= {_PMI_MIN_BOTH}),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT p.token_a, p.token_b, p.n_both,
+       va.n_tok AS n_a, vb.n_tok AS n_b, t.n_docs
+FROM pairs p
+JOIN vocab va ON va.token = p.token_a
+JOIN vocab vb ON vb.token = p.token_b
+CROSS JOIN total t
+""".strip(),
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
+    # persist: the head vocab is consumed three times (membership
+    # filter + n_a + n_b lookups) and each consumer would otherwise
+    # re-plan the whole corpus-sized dt lineage under its own
+    # TakeOrderedAndProject (per-consumer pruning defeats
+    # ReuseExchange) — 30 cached rows buy one corpus pass instead of
+    # four. Cache released by the caller's clearCache()/session end.
+    vocab = (
+        dt.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .orderBy(F.col("n_tok").desc(), F.col("token").asc())
+        .limit(_PMI_VOCAB)
+        .persist()
+    )
+    ft = dt.join(F.broadcast(vocab.select("token")), "token").select(
+        "doc_id", "token"
+    )
+    fa = ft.select("doc_id", F.col("token").alias("token_a"))
+    fb = ft.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        fa.join(fb, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _PMI_MIN_BOTH)
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        pairs.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("token").alias("token_a"),
+                    F.col("n_tok").alias("n_a"),
+                )
+            ),
+            "token_a",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("token").alias("token_b"),
+                    F.col("n_tok").alias("n_b"),
+                )
+            ),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_a", "token_b", "n_both", "n_a", "n_b", "n_docs"
+        )
+    )

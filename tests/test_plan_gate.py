@@ -3,12 +3,19 @@
 The per-query plan assertions (tests/test_plans.py etc.) protect the
 queries they name — and rot as the registry grows. This sweep compiles
 EVERY registered batch query at sf0.001 and fails on scale-killing
-physical operators anywhere in the formatted plan:
+physical operators anywhere in the plan:
 
-* ``Exchange SinglePartition`` — a global funnel: one task processes the
-  whole dataset (global sort/limit surfaces must plan as
-  TakeOrderedAndProject or stay partitioned; the composed pipelines go
-  through the O(P) global-rank operator for exactly this reason).
+* ``Exchange SinglePartition`` over anything but a PARTIAL AGGREGATE —
+  a global funnel: one task processes data-sized input (global
+  sort/window/limit surfaces must plan as TakeOrderedAndProject or go
+  through the O(P) global-rank operator). The partial-aggregate
+  exemption is principled, not a convenience: under a scalar aggregate
+  (``df.agg(...)`` with no keys) the map side pre-reduces every
+  partition to ONE row, so exactly P rows cross the single-partition
+  exchange — O(cluster), not O(data) — and forbidding that would
+  outlaw every global count/min/max. The gate therefore inspects the
+  exchange's CHILD: ``partial_``-function aggregates pass, anything
+  else (Sort, LocalLimit, Window, a bare join side) is a violation.
 * ``CartesianProduct`` — an unkeyed data×data cross join. The engine's
   deliberate cross joins (rank.py / zorder.py control-table triangles)
   are O(P)/O(1)-sized and broadcast, so they plan as
@@ -18,6 +25,14 @@ physical operators anywhere in the formatted plan:
   hot path; every sanctioned Python boundary is Arrow-batched
   (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas), which this
   pattern does not match.
+
+The sweep reads the SIMPLE explain string, where the pattern prints
+contiguously as ``Exchange SinglePartition`` with its child on the next
+line. The previous revision grepped the FORMATTED string — where the
+same exchange prints as ``(N) Exchange`` + ``Arguments:
+SinglePartition`` on separate lines — so the single-partition check had
+never actually fired (found round 7 when a deliberately-funneling draft
+query sailed through).
 
 Stream-replay queries (``stream_*``, ``producer_*``) are excluded: their
 fn() executes the stream and returns a memory-sink scan, so the plan
@@ -33,15 +48,33 @@ rare and deliberate.
 from __future__ import annotations
 
 FORBIDDEN = (
-    "Exchange SinglePartition",
     "CartesianProduct",
     "BatchEvalPython",
 )
+
+# Child-line markers that make an Exchange SinglePartition benign: a
+# partial (map-side) aggregate reduces each partition to one row before
+# the exchange, so O(P) rows cross it.
+_PARTIAL_AGG_MARKER = "partial_"
 
 # name -> (pattern, why it is acceptable THERE). Empty today; keep it so.
 ALLOWLIST: dict[str, tuple[str, str]] = {}
 
 _STREAM_PREFIXES = ("stream_", "producer_")
+
+
+def _single_partition_violations(plan: str) -> list[str]:
+    """Every ``Exchange SinglePartition`` whose child is not a partial
+    aggregate, reported with the offending child line."""
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1].strip() if i + 1 < len(lines) else "<none>"
+        if _PARTIAL_AGG_MARKER not in child:
+            out.append(f"Exchange SinglePartition over [{child[:80]}]")
+    return out
 
 
 def test_no_scale_killing_operators_anywhere(spark):
@@ -50,7 +83,7 @@ def test_no_scale_killing_operators_anywhere(spark):
     sf = "/root/testdata/sf0.001"
     jvm = spark._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
+        "simple"
     )
     violations: list[str] = []
     scanned = 0
@@ -67,12 +100,13 @@ def test_no_scale_killing_operators_anywhere(spark):
             # hits in the same sweep (ADVICE r6).
             violations.append(f"{name}: failed to plan: {exc!r}")
             continue
-        for pat in FORBIDDEN:
-            if pat in plan:
-                allowed = ALLOWLIST.get(name)
-                if allowed and allowed[0] == pat:
-                    continue
-                violations.append(f"{name}: {pat}")
+        found = [pat for pat in FORBIDDEN if pat in plan]
+        found.extend(_single_partition_violations(plan))
+        for desc in found:
+            allowed = ALLOWLIST.get(name)
+            if allowed and allowed[0] in desc:
+                continue
+            violations.append(f"{name}: {desc}")
     assert scanned > 150, f"registry shrank? scanned only {scanned}"
     assert violations == [], (
         "scale-killing operators in registry plans (justify in ALLOWLIST "
