@@ -117,6 +117,8 @@ HEADLINE = [
     "value_percentiles_by_type",
     "rag_rerank_topk",
     "token_pmi_pairs",
+    "dq_expectations_report",
+    "part_copurchase_kcore",
 ]
 
 

@@ -61,6 +61,8 @@ _PRIORITY: list[str] = [
     "value_percentiles_by_type",
     "rag_rerank_topk",
     "token_pmi_pairs",
+    "dq_expectations_report",
+    "part_copurchase_kcore",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -81,7 +83,6 @@ _PRIORITY: list[str] = [
     "stream_incremental_curation",
     "doc_segment_dedup",
     "corpus_mixture_plan",
-    "dedup_incremental",
     "curation_pipeline_v2",
     "doc_dup_ngram_chars",
     "training_order_shuffle",
@@ -89,7 +90,6 @@ _PRIORITY: list[str] = [
     "length_bucketed_batching",
     "corpus_budget_select",
     "doc_intra_dedup",
-    "producer_generate",
     "anomaly_zscore",
     "trends_detrend",
     "trends_daily_agg",

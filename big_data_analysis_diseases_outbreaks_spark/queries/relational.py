@@ -2072,3 +2072,126 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), F.col("part_key").asc())
         .limit(_TRI_TOPK)
     )
+
+
+# --- declarative data-quality expectations (Deequ-style, one pass) --------
+# A pipeline admission gate as a QUERY: each expectation row reports an
+# exact rational metric (num/den BIGINTs — never a rounded float, so
+# the report is bit-comparable) plus its pass flag. All expectations
+# over a table come out of ONE aggregate pass (map-side partials; the
+# count-distinct expands the same scan, nothing re-reads the table),
+# so the 100 TB cost is the same scan the pipeline's first real job
+# pays anyway. Constraint set mirrors the checks the reference applies
+# imperatively (row-count guards, NaN repair preconditions —
+# Main.scala:191-195's repair assumes value completeness).
+
+_DQ_EXPECTATIONS = [
+    # (table, expectation, num_sql_duck, den_sql_duck)
+    ("orders", "o_orderkey_unique",
+     "COUNT(DISTINCT o_orderkey)", "COUNT(*)"),
+    ("orders", "o_custkey_complete",
+     "COUNT(o_custkey)", "COUNT(*)"),
+    ("orders", "o_totalprice_positive",
+     "COUNT(*) FILTER (WHERE o_totalprice > 0)", "COUNT(*)"),
+    ("lineitem", "l_pk_unique",
+     "COUNT(DISTINCT (l_orderkey, l_linenumber))", "COUNT(*)"),
+    ("lineitem", "l_discount_in_unit_range",
+     "COUNT(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 1)",
+     "COUNT(*)"),
+    ("lineitem", "l_shipdate_complete",
+     "COUNT(l_shipdate)", "COUNT(*)"),
+]
+
+
+@register(
+    "dq_expectations_report",
+    oracle=f"""
+{" UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, '{name}' AS expectation, "
+    f"CAST({num} AS BIGINT) AS metric_num, "
+    f"CAST({den} AS BIGINT) AS metric_den, "
+    f"CAST(CASE WHEN {num} = {den} THEN 1 ELSE 0 END AS INTEGER) AS passed "
+    f"FROM {t}"
+    for t, name, num, den in _DQ_EXPECTATIONS
+)}
+""".strip(),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_metrics = {
+        "o_orderkey_unique": (
+            F.countDistinct("o_orderkey"), F.count(F.lit(1))),
+        "o_custkey_complete": (F.count("o_custkey"), F.count(F.lit(1))),
+        "o_totalprice_positive": (
+            F.count_if(F.col("o_totalprice") > 0), F.count(F.lit(1))),
+        "l_pk_unique": (
+            F.countDistinct(F.struct("l_orderkey", "l_linenumber")),
+            F.count(F.lit(1))),
+        "l_discount_in_unit_range": (
+            F.count_if(
+                (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)),
+            F.count(F.lit(1))),
+        "l_shipdate_complete": (F.count("l_shipdate"), F.count(F.lit(1))),
+    }
+    reports = []
+    for table in ("orders", "lineitem"):
+        names = [n for t, n, _, _ in _DQ_EXPECTATIONS if t == table]
+        aggs = []
+        for n in names:
+            num, den = spark_metrics[n]
+            aggs += [
+                num.cast("long").alias(f"{n}__num"),
+                den.cast("long").alias(f"{n}__den"),
+            ]
+        one = load_table(spark, sf_dir, table).agg(*aggs)
+        # one row → one row per expectation: stack() is a pure project
+        # over the single aggregate row (no extra pass, no shuffle).
+        stacked = one.select(
+            F.lit(table).alias("table_name"),
+            F.expr(
+                "stack({}, {})".format(
+                    len(names),
+                    ", ".join(
+                        f"'{n}', {n}__num, {n}__den" for n in names
+                    ),
+                )
+            ).alias("expectation", "metric_num", "metric_den"),
+        )
+        reports.append(stacked)
+    out = reports[0].unionByName(reports[1])
+    return out.withColumn(
+        "passed",
+        (F.col("metric_num") == F.col("metric_den")).cast("int"),
+    )
+
+
+# --- k-core of the co-purchase graph (iterative peel — operators/
+# kcore.py): the dense-cohesion complement to PageRank's centrality and
+# triangles' local clustering. Rows-only: the peel's round count is
+# data-dependent, so no bounded CTE unrolling is a correct oracle at
+# every scale; exactness is pinned by tests/test_kcore.py against a
+# pure-Python reference peel (fixture + random graphs). -------------------
+
+_KCORE_K = 22
+
+
+@register("part_copurchase_kcore", oracle=None)
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kcore import kcore_nodes
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return kcore_nodes(edges, k=_KCORE_K).select(
+        F.col("node").alias("part_key"), "core_deg"
+    )
