@@ -88,6 +88,9 @@ def kcore_nodes(
 
 
 def _peel_loop(live, k, n_part, prev_edges, max_iters, truncate):
+    """Peel to fixpoint; raises on an exhausted round budget (a
+    truncated peel is WRONG, not approximate — survivors may have
+    degree < k)."""
     for _ in range(max_iters):
         deg = (
             live.select(F.col("u").alias("node"))
@@ -115,6 +118,13 @@ def _peel_loop(live, k, n_part, prev_edges, max_iters, truncate):
         n_next = nxt.count()
         live = nxt
         if n_next == prev_edges:
-            break
+            return live, prev_edges
         prev_edges = n_next
-    return live, prev_edges
+    # Exhausting the round budget mid-peel would silently return nodes
+    # with core_deg < k — fail loud instead (the caller can raise
+    # max_iters; the batch peel needs O(peel depth) rounds, which can
+    # reach O(n) on pathological path graphs).
+    raise RuntimeError(
+        f"k-core peel did not converge within {max_iters} rounds "
+        f"({prev_edges} edges still live) — raise max_iters"
+    )

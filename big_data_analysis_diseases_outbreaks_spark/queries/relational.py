@@ -1945,6 +1945,36 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 8
 
+# Graph-construction cutoff shared by every co-purchase operator
+# (pagerank / triangles / k-core) and their oracles/tests.
+COPURCHASE_SHIPDATE_LO = "1998-01-01"
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recent part co-purchase graph (parts appearing in the same
+    order) as a directed (src, dst) edge frame — the ONE edge recipe
+    all graph operators and their tests build from. The shipdate
+    predicate is pushed to the parquet scan on BOTH join sides,
+    bounding graph construction — at 100 TB you build the graph from
+    the partitions you care about, not the full history."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+
 
 def _pagerank_oracle() -> str:
     from ..operators.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
@@ -1985,25 +2015,7 @@ SELECT node AS part_key, rank AS pagerank_scaled FROM r{_PR_ITERS}
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pagerank import pagerank
 
-    # Recent co-purchase graph: the shipdate predicate is pushed to the
-    # parquet scan on BOTH join sides, bounding graph construction — at
-    # 100 TB you build the graph from the partitions you care about,
-    # not the full history.
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(spark, sf_dir).distinct()
     return pagerank(edges, n_iter=_PR_ITERS).select(
         F.col("node").alias("part_key"), "pagerank_scaled"
     )
@@ -2052,20 +2064,7 @@ LIMIT {_TRI_TOPK}
 def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.triangles import triangle_counts
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    edges = copurchase_edges(spark, sf_dir)
     return (
         triangle_counts(edges)
         .select(F.col("node").alias("part_key"), "n_triangles")
@@ -2178,20 +2177,7 @@ _KCORE_K = 22
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kcore import kcore_nodes
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    edges = copurchase_edges(spark, sf_dir)
     return kcore_nodes(edges, k=_KCORE_K).select(
         F.col("node").alias("part_key"), "core_deg"
     )

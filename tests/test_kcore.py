@@ -31,24 +31,14 @@ def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
 
 
 def _copurchase_edges(spark):
-    from big_data_analysis_diseases_outbreaks_spark.sources.tables import (
-        load_table,
+    # The SAME builder the registered graph queries use — the reference
+    # peel below must validate kcore_nodes on the edge set the query
+    # actually runs on, not a copy that can drift.
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        copurchase_edges,
     )
 
-    li = (
-        load_table(spark, SF_SMALL, "lineitem")
-        .where(F.to_date("l_shipdate") >= F.lit("1998-01-01").cast("date"))
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-    )
+    return copurchase_edges(spark, SF_SMALL)
 
 
 def test_kcore_matches_reference_on_fixture(spark):
@@ -88,3 +78,16 @@ def test_kcore_deterministic(spark):
     assert a == b
     assert a, "k=22 core must be non-empty on the fixture"
     assert all(d >= 22 for _, d in a)
+
+
+def test_kcore_raises_on_exhausted_round_budget(spark):
+    """A truncated peel is wrong, not approximate: survivors may have
+    degree < k. A path graph peels only its 2 endpoints per round, so
+    a tight round budget must raise instead of returning the
+    half-peeled edge set."""
+    import pytest
+
+    path = spark.range(29).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_nodes(path, k=2, max_iters=3)
+    assert kcore_nodes(path, k=2, max_iters=30).count() == 0

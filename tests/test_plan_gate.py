@@ -52,10 +52,20 @@ FORBIDDEN = (
     "BatchEvalPython",
 )
 
-# Child-line markers that make an Exchange SinglePartition benign: a
-# partial (map-side) aggregate reduces each partition to one row before
-# the exchange, so O(P) rows cross it.
-_PARTIAL_AGG_MARKER = "partial_"
+# Child-line shape that makes an Exchange SinglePartition benign: an
+# aggregate operator whose functions are partial (map-side) reductions,
+# so each partition sends ONE row across the exchange. The check is
+# structural, not a bare substring: the child must BE an aggregate node
+# (a column merely named `partial_x` under a Sort doesn't pass), and
+# `partial_collect_list`/`partial_collect_set` are excluded — their
+# partial buffers carry every value of the column, so all data bytes
+# still funnel through the single task.
+import re as _re
+
+_PARTIAL_AGG_CHILD = _re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(.*partial_"
+)
+_DATA_SIZED_PARTIAL = "partial_collect_"
 
 # name -> (pattern, why it is acceptable THERE). Empty today; keep it so.
 ALLOWLIST: dict[str, tuple[str, str]] = {}
@@ -72,7 +82,9 @@ def _single_partition_violations(plan: str) -> list[str]:
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1].strip() if i + 1 < len(lines) else "<none>"
-        if _PARTIAL_AGG_MARKER not in child:
+        if not _PARTIAL_AGG_CHILD.search(child) or (
+            _DATA_SIZED_PARTIAL in child
+        ):
             out.append(f"Exchange SinglePartition over [{child[:80]}]")
     return out
 
