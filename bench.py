@@ -119,6 +119,8 @@ HEADLINE = [
     "token_pmi_pairs",
     "dq_expectations_report",
     "part_copurchase_kcore",
+    "mv_join_delta_maintenance",
+    "stream_observed_dq",
 ]
 
 

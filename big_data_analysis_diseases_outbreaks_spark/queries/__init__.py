@@ -63,6 +63,8 @@ _PRIORITY: list[str] = [
     "token_pmi_pairs",
     "dq_expectations_report",
     "part_copurchase_kcore",
+    "mv_join_delta_maintenance",
+    "stream_observed_dq",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -81,8 +83,6 @@ _PRIORITY: list[str] = [
     "stream_full_interval_join",
     "stream_producer_daily_agg",
     "stream_incremental_curation",
-    "doc_segment_dedup",
-    "corpus_mixture_plan",
     "curation_pipeline_v2",
     "doc_dup_ngram_chars",
     "training_order_shuffle",

@@ -2181,3 +2181,53 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_nodes(edges, k=_KCORE_K).select(
         F.col("node").alias("part_key"), "core_deg"
     )
+
+
+# --- incremental materialized-view maintenance (join delta algebra) -------
+# The engine capability behind "don't recompute the view, maintain it":
+# for an insert-only batch (ΔA into orders, ΔB into lineitem) the delta
+# of the join view V = A ⋈ B is exactly
+#     ΔV = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+# — three joins each bounded by a DELTA-sized side, never a recompute
+# of V. At 100 TB the delta sides broadcast (or bloom-prune the base
+# scan — see the runtime-filter recipe in tests/test_plans.py) and the
+# view stays a partitioned table the delta appends to. The oracle IS
+# the definition being maintained against: full view EXCEPT ALL old
+# view — so the query proves the delta algebra equals recompute-diff,
+# multiset-exact. Deterministic split: key-mod predicates stand in for
+# the arriving batch.
+
+_MV_DELTA_A = "o_orderkey % 7 = 0"   # "newly inserted" orders
+_MV_DELTA_B = "l_orderkey % 5 = 0"   # "newly inserted" lineitems
+
+
+@register(
+    "mv_join_delta_maintenance",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_custkey, l.l_partkey, l.l_quantity
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+EXCEPT ALL
+SELECT o.o_orderkey, o.o_custkey, l.l_partkey, l.l_quantity
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE NOT (o.{_MV_DELTA_A}) AND NOT (l.{_MV_DELTA_B})
+""".strip(),
+)
+def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    d_a = F.expr(_MV_DELTA_A)
+    d_b = F.expr(_MV_DELTA_B)
+    a_old, a_new = orders.where(~d_a), orders.where(d_a)
+    b_old, b_new = li.where(~d_b), li.where(d_b)
+    cols = ["o_orderkey", "o_custkey", "l_partkey", "l_quantity"]
+
+    def term(a, b):
+        return a.join(
+            b, a["o_orderkey"] == b["l_orderkey"]
+        ).select(*cols)
+
+    return (
+        term(a_new, b_old)
+        .unionAll(term(a_old, b_new))
+        .unionAll(term(a_new, b_new))
+    )

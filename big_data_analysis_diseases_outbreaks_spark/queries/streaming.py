@@ -7,6 +7,7 @@ tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.stable import scaled_long, scaled_long_sql
 from ..functions.text import quality_score_sql
@@ -551,3 +552,86 @@ def stream_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="spark_curation_out_")
     run_stream_curation(spark, docs, out)
     return curated_corpus(spark, out)
+
+
+# --- in-flight observed data-quality metrics (observe() API) --------------
+# The streaming half of dq_expectations_report: per-micro-batch DQ
+# metrics (row count, empty-text count, id range) collected FROM THE
+# RUNNING QUERY's observe() instrumentation — zero extra passes over
+# the data; the metrics ride the batch's own execution and surface
+# through StreamingQueryProgress. This is the production monitoring
+# hook (alert on n_empty > 0 / gap in id ranges) — at 100 TB a second
+# "metrics job" over the stream would double the read. Bounded replay
+# over the deterministic chunk layout (ascending doc_id ranges, one
+# file per trigger) makes every batch's metrics value-oracle-able: the
+# oracle recomputes them as a GROUP BY over the chunk assignment
+# (row_number // chunk size — the chunk builder's LIMIT/OFFSET rule).
+
+_OBS_CHUNKS = 3
+
+
+@register(
+    "stream_observed_dq",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, text,
+         CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn,
+         (SELECT COUNT(*) FROM documents) AS total
+  FROM documents)
+SELECT CAST(rn // ((total + {_OBS_CHUNKS} - 1) // {_OBS_CHUNKS}) AS BIGINT)
+         AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE length(text) = 0) AS BIGINT) AS n_empty,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM r GROUP BY 1
+""".strip(),
+)
+def stream_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = _docs_chunk_dir(spark, sf_dir, n_chunks=_OBS_CHUNKS)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    observed = docs.observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.length("text") == 0).alias("n_empty"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="spark_obsdq_ckpt_")
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # recentProgress is the query's OWN progress log (synchronous after
+    # awaitTermination — no listener race); one observed row per batch.
+    # Driver-side by design: the observe() contract surfaces metric
+    # rows (O(batches)), never data.
+    rows = []
+    for p in q.recentProgress:
+        om = (p["observedMetrics"] or {}).get("dq")
+        if om is not None and om["n_docs"] > 0:
+            rows.append(
+                (
+                    int(p["batchId"]),
+                    int(om["n_docs"]),
+                    int(om["n_empty"]),
+                    int(om["min_doc"]),
+                    int(om["max_doc"]),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "batch_id BIGINT, n_docs BIGINT, n_empty BIGINT, "
+        "min_doc BIGINT, max_doc BIGINT",
+    )
