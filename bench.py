@@ -121,6 +121,13 @@ HEADLINE = [
     "part_copurchase_kcore",
     "mv_join_delta_maintenance",
     "stream_observed_dq",
+    "trend_slope_by_region",
+    "value_trend_runs",
+    "events_gap_fill_locf",
+    "markov_event_transitions",
+    "bpe_top_merges",
+    "fuzzy_name_pairs",
+    "part_copurchase_khop",
 ]
 
 

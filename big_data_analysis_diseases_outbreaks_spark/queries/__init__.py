@@ -65,6 +65,13 @@ _PRIORITY: list[str] = [
     "part_copurchase_kcore",
     "mv_join_delta_maintenance",
     "stream_observed_dq",
+    "trend_slope_by_region",
+    "value_trend_runs",
+    "events_gap_fill_locf",
+    "markov_event_transitions",
+    "bpe_top_merges",
+    "fuzzy_name_pairs",
+    "part_copurchase_khop",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -98,13 +105,6 @@ _PRIORITY: list[str] = [
     "json_roundtrip",
     "revenue_by_nation",
     "top10_customers",
-    "value_stats_by_region",
-    "asof_last_signup",
-    "stream_daily_agg",
-    "stream_sliding_agg",
-    "dedup_exact",
-    "dedup_components",
-    "dedup_keep_best",
 ]
 
 

@@ -2231,3 +2231,102 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(term(a_old, b_new))
         .unionAll(term(a_new, b_new))
     )
+
+
+# --- edit-distance-1 fuzzy self-join (deletion-neighborhood blocking) -----
+# Entity-resolution / typo-dedup primitive: all customer-name pairs
+# within Levenshtein distance 1, WITHOUT the all-pairs comparison. Two
+# strings at distance ≤1 share a key in the deletion neighborhood
+# {s} ∪ {s minus position i} (the FastSS family; also the blocking
+# behind SymSpell) — so the plan is: expand each name to length+1 keys
+# (sequence()+transform() HOFs, JVM-side), equi-join on the key,
+# dedup candidate pairs, verify with the built-in levenshtein(). At
+# 100 TB this is n·(L+1) rows hash-joined on short keys with bounded
+# block sizes, vs the n² quadratic scan — the same candidates-then-
+# verify shape as the MinHash-LSH dedup family. The ORACLE is the
+# quadratic spec (obviously-correct definition) — proving the blocked
+# plan finds exactly the naive join's pairs.
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1""".strip(),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = load_table(spark, sf_dir, "customer").select("c_name")
+    keyed = names.select(
+        F.col("c_name").alias("name"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i ->"
+                    " concat(substring(c_name, 1, i - 1),"
+                    " substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cands = (
+        a.join(b, "key")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cands.where(
+        F.levenshtein("name_a", "name_b") <= 1
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+    )
+
+
+# --- bounded-depth BFS reachability on the co-purchase graph --------------
+# "Everything within 3 hops of the seed parts": blast-radius /
+# neighborhood-expansion over the same edge recipe as PageRank /
+# triangles / k-core (operators/bfs.py — level-synchronous frontier
+# joins, visited-set anti-join, per-round lineage truncation). Seeds
+# are the parts with key ≡ 0 (mod 500) — deterministic, a handful per
+# SF. Oracled against a depth-bounded recursive CTE: min hop distance
+# per reachable node.
+
+_BFS_HOPS = 3
+_BFS_SEED_MOD = 500
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % {_BFS_SEED_MOD} = 0),
+bfs(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON bfs.node = e.src
+  WHERE bfs.d < {_BFS_HOPS})
+SELECT CAST(node AS BIGINT) AS part_key, CAST(MIN(d) AS BIGINT) AS dist
+FROM bfs GROUP BY node""".strip()
+
+
+@register("part_copurchase_khop", oracle=_BFS_ORACLE)
+def part_copurchase_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bfs import bfs_distances
+
+    edges = copurchase_edges(spark, sf_dir).distinct()
+    seeds = edges.where(F.col("src") % _BFS_SEED_MOD == 0).select(
+        F.col("src").alias("node")
+    )
+    return bfs_distances(edges, seeds, max_hops=_BFS_HOPS).select(
+        F.col("node").alias("part_key"), "dist"
+    )

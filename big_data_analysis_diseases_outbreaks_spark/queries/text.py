@@ -2609,3 +2609,67 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_a", "token_b", "n_both", "n_a", "n_b", "n_docs"
         )
     )
+
+
+# --- BPE tokenizer training: adjacent-pair merge counting ------------------
+# The inner loop of byte-pair-encoding tokenizer training (Sennrich et
+# al. 2016): count every adjacent symbol pair across the corpus
+# vocabulary, weighted by word frequency — the argmax pair is the next
+# merge rule. Expressed pipeline-shaped: corpus → word-frequency table
+# (ONE aggregation over the exploded token stream; at 100 TB the
+# vocabulary is millions of rows, corpus-size-independent) → per-word
+# adjacent bigrams via sequence()+transform() HOFs (JVM-side, no Python
+# crossing) weighted by freq → one more aggregate. Everything after the
+# first aggregate runs on vocabulary-sized data — the reason real BPE
+# trainers operate on word counts, not raw text. Top-20 under a total
+# (count DESC, pair ASC) order is deterministic through the driver's
+# value hash.
+
+_BPE_TOPN = 20
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents) t
+  WHERE length(w) >= 2
+  GROUP BY w),
+pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+  FROM words,
+       LATERAL (SELECT UNNEST(generate_series(1, length(word)-1)) AS i) g),
+agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair)
+SELECT pair, n_occurrences FROM agg
+ORDER BY n_occurrences DESC, pair ASC LIMIT {_BPE_TOPN}""".strip(),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(_BPE_TOPN)
+    )

@@ -1408,3 +1408,242 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- per-series OLS trend slope (closed-form regression) ------------------
+# The quantitative companion to trends_detrend's moving-average trend
+# estimate (Main.scala:168-171): a least-squares slope per
+# (region, kw) series — "is this keyword's volume rising, and how
+# fast" — computed in ONE grouped aggregation from exact integer sums
+# (x = days since epoch, y = 100-scaled daily value; the closed-form
+# slope combines the five sums in identical IEEE-double expression
+# trees on both engines, so no rounding is needed). Scale: a single
+# partial+final hash aggregate over the daily fact — the minimal plan;
+# no window, no second pass. Degenerate series (single day) yield NULL
+# via the NULLIF-guarded denominator (ANSI-safe).
+
+_SLOPE_EPOCH = "2009-01-01"
+
+
+@register(
+    "trend_slope_by_region",
+    oracle=f"""{_PREFIX},
+xy AS (
+  SELECT region, kw,
+         CAST(date - DATE '{_SLOPE_EPOCH}' AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM daily),
+s AS (
+  SELECT region, kw,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM xy GROUP BY region, kw)
+SELECT region, kw, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / NULLIF((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 100.0, 0.0)
+         AS slope_per_day
+FROM s""".strip(),
+)
+def trend_slope_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.detrend import VALUE_SCALE
+
+    daily = _daily(spark, sf_dir)
+    xy = daily.select(
+        "region",
+        "kw",
+        F.datediff("date", F.lit(_SLOPE_EPOCH).cast("date"))
+        .cast("long")
+        .alias("x"),
+        scaled_long(F.col("value"), VALUE_SCALE).alias("y"),
+    )
+    s = xy.groupBy("region", "kw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = F.nullif((n_d * sxx_d - sx_d * sx_d) * F.lit(100.0), F.lit(0.0))
+    return s.select(
+        "region",
+        "kw",
+        "n",
+        ((n_d * sxy_d - sx_d * sy_d) / den).alias("slope_per_day"),
+    )
+
+
+# --- up/down run-length encoding (gaps-and-islands on movement sign) ------
+# MATCH_RECOGNIZE-style pattern summarization without the operator:
+# consecutive same-direction day-over-day movements of each series
+# collapse into runs ("7 straight rising days" is the outbreak-shaped
+# signal the reference's z-rule reacts to late). Classic two-window
+# gaps-and-islands: direction via lag, island id via a running sum of
+# change-points — both windows partitioned on the series key, so the
+# whole query is one shuffle on (region, kw) reused across both windows
+# and the final aggregate. The series' first day (no predecessor)
+# lands in direction 0, identically in both engines (NULL comparisons
+# fall through to the flat branch).
+
+@register(
+    "value_trend_runs",
+    oracle=f"""{_PREFIX},
+d AS (
+  SELECT region, kw, date,
+         CASE WHEN value > LAG(value) OVER w THEN 1
+              WHEN value < LAG(value) OVER w THEN -1 ELSE 0 END AS dir
+  FROM daily WINDOW w AS (PARTITION BY region, kw ORDER BY date)),
+marked AS (
+  SELECT region, kw, date, dir,
+         CASE WHEN dir IS DISTINCT FROM LAG(dir) OVER w THEN 1 ELSE 0 END
+           AS brk
+  FROM d WINDOW w AS (PARTITION BY region, kw ORDER BY date)),
+runs AS (
+  SELECT region, kw, dir, date,
+         SUM(brk) OVER (PARTITION BY region, kw ORDER BY date) AS run_id
+  FROM marked)
+SELECT region, kw, CAST(run_id AS BIGINT) AS run_id,
+       CAST(dir AS BIGINT) AS direction,
+       MIN(date) AS run_start, CAST(COUNT(*) AS BIGINT) AS run_len
+FROM runs GROUP BY region, kw, dir, run_id""".strip(),
+)
+def value_trend_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("region", "kw").orderBy("date")
+    lag_v = F.lag("value").over(w)
+    d = daily.select(
+        "region",
+        "kw",
+        "date",
+        F.when(F.col("value") > lag_v, F.lit(1))
+        .when(F.col("value") < lag_v, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("dir"),
+    )
+    marked = d.withColumn(
+        "brk",
+        F.when(F.col("dir").eqNullSafe(F.lag("dir").over(w)), F.lit(0))
+        .otherwise(F.lit(1)),
+    )
+    runs = marked.withColumn("run_id", F.sum("brk").over(w))
+    return runs.groupBy("region", "kw", "dir", "run_id").agg(
+        F.min("date").alias("run_start"),
+        F.count(F.lit(1)).alias("run_len"),
+    ).select(
+        "region",
+        "kw",
+        F.col("run_id").cast("long").alias("run_id"),
+        F.col("dir").cast("long").alias("direction"),
+        "run_start",
+        "run_len",
+    )
+
+
+# --- per-series calendar gap-fill + last-observation-carried-forward ------
+# The imputation step the reference's notebook does host-side with
+# pandas reindex/ffill (M1-M4 masking/stitching family), expressed as a
+# distributed operator: each series' calendar spine is generated with
+# sequence() FROM ITS OWN bounds aggregate (no global cross join, no
+# driver loop), outer-joined to the observations, and filled with
+# last(value, ignorenulls) over the series window. One shuffle on the
+# series key covers the bounds aggregate, the join, and the fill
+# window; spine size is bounded by span × series count (daily grain:
+# ~10k rows per series per 30 years — partition-safe at 100 TB).
+
+@register(
+    "events_gap_fill_locf",
+    oracle=f"""{_PREFIX},
+cal AS (
+  SELECT b.region, b.kw, CAST(gs.g AS DATE) AS date
+  FROM (SELECT region, kw, MIN(date) AS lo, MAX(date) AS hi
+        FROM daily GROUP BY 1, 2) b,
+       LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 DAY)) AS g) gs),
+joined AS (
+  SELECT c.region, c.kw, c.date, d.value,
+         CASE WHEN d.value IS NULL THEN 1 ELSE 0 END AS is_imputed
+  FROM cal c LEFT JOIN daily d
+    ON c.region = d.region AND c.kw = d.kw AND c.date = d.date)
+SELECT region, kw, date,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY region, kw ORDER BY date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CAST(is_imputed AS BIGINT) AS is_imputed
+FROM joined""".strip(),
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    bounds = daily.groupBy("region", "kw").agg(
+        F.min("date").alias("lo"), F.max("date").alias("hi")
+    )
+    cal = bounds.select(
+        "region",
+        "kw",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("date"),
+    )
+    joined = cal.join(daily, ["region", "kw", "date"], "left")
+    w = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "region",
+        "kw",
+        "date",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+        F.when(F.col("value").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_imputed"),
+    )
+
+
+# --- first-order Markov transition counts over user event sequences -------
+# Behavioral-model fitting as relational algebra: each user's
+# time-ordered event stream yields (prev_type → type) transitions via
+# one lag window partitioned on user_id (ties broken by event_id —
+# deterministic at any parallelism), then a global count per ordered
+# pair. Probabilities are emitted as exact num/den BIGINTs
+# (n_trans / n_from) rather than a rounded float — the dq_expectations
+# rational-metric convention, so the oracle hash is exact. Scale: the
+# lag window shuffles once on user_id; the transition aggregate is over
+# a 25-row (|types|²) result — partial aggregation collapses it
+# map-side.
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, n_trans,
+       CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
+FROM t""".strip(),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    wf = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        F.sum("n_trans").over(wf).alias("n_from"),
+    )
