@@ -128,6 +128,10 @@ HEADLINE = [
     "bpe_top_merges",
     "fuzzy_name_pairs",
     "part_copurchase_khop",
+    "stream_cms_incremental",
+    "table_reconcile_checksums",
+    "shipment_interval_overlap",
+    "corpus_greedy_coverage",
 ]
 
 

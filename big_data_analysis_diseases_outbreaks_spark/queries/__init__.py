@@ -72,6 +72,10 @@ _PRIORITY: list[str] = [
     "bpe_top_merges",
     "fuzzy_name_pairs",
     "part_copurchase_khop",
+    "stream_cms_incremental",
+    "table_reconcile_checksums",
+    "shipment_interval_overlap",
+    "corpus_greedy_coverage",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -101,10 +105,6 @@ _PRIORITY: list[str] = [
     "trends_detrend",
     "trends_daily_agg",
     "qfactor_normalization",
-    "pivot_wide",
-    "json_roundtrip",
-    "revenue_by_nation",
-    "top10_customers",
 ]
 
 

@@ -2330,3 +2330,184 @@ def part_copurchase_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=_BFS_HOPS).select(
         F.col("node").alias("part_key"), "dist"
     )
+
+
+# --- Merkle-style table reconciliation (bucket checksums) -----------------
+# Anti-entropy between two table replicas/snapshots without comparing
+# rows: each side reduces to N_BUCKET (bucket, row-count, checksum)
+# summaries — the checksum an order-independent SUM of per-row
+# polynomial hashes over a canonical row rendering (exact integers, the
+# repo's rolling-hash family) — and only the summaries are joined.
+# Divergent buckets localize the drift to 1/N of the keyspace; at
+# 100 TB the comparison ships 2·N rows instead of 2·|table| (the
+# Merkle-tree / DynamoDB anti-entropy recipe, one level deep). The
+# "remote" replica is simulated deterministically from the same
+# parquet: rows of ONE bucket get a one-cent price drift, part of one
+# OTHER bucket is missing — so the query proves exactly those two
+# buckets (and no others) flag as divergent, i.e. the summaries
+# localize the drift. Floats never enter the checksum: price is
+# canonicalized to exact cents, dates to ISO strings.
+
+_RECON_BUCKETS = 64
+_RECON_DRIFT_BUCKET = 3    # this bucket's rows drift one cent
+_RECON_DELETE_BUCKET = 17  # every 5th row of this bucket is missing
+
+
+def _recon_canon_sql(price_expr: str) -> str:
+    return (
+        "CONCAT(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|', "
+        f"CAST(CAST(ROUND(({price_expr}) * 100) AS BIGINT) AS VARCHAR), "
+        "'|', CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
+    )
+
+
+def _recon_oracle() -> str:
+    from .text import RH_INIT, RH_MOD, RH_MULT
+
+    def side(name: str, where: str, price: str) -> str:
+        canon = _recon_canon_sql(price)
+        return f"""{name} AS (
+  SELECT o_orderkey % {_RECON_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(list_reduce(list_prepend(CAST({RH_INIT} AS BIGINT),
+                list_transform(string_split({canon}, ''),
+                               x -> CAST(ascii(x) AS BIGINT))),
+              (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS BIGINT)
+           AS checksum
+  FROM orders {where} GROUP BY 1)"""
+
+    a = side("a", "", "o_totalprice")
+    b = side(
+        "b",
+        f"WHERE NOT (o_orderkey % {_RECON_BUCKETS} = {_RECON_DELETE_BUCKET}"
+        " AND o_orderkey % 5 = 0)",
+        "o_totalprice + (CASE WHEN"
+        f" o_orderkey % {_RECON_BUCKETS} = {_RECON_DRIFT_BUCKET}"
+        " THEN 0.01 ELSE 0.0 END)",
+    )
+    return f"""
+WITH {a},
+{b}
+SELECT a.bucket, a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       a.checksum AS checksum_a, b.checksum AS checksum_b,
+       CAST(CASE WHEN a.n_rows <> b.n_rows OR a.checksum <> b.checksum
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_divergent
+FROM a JOIN b ON a.bucket = b.bucket""".strip()
+
+
+@register("table_reconcile_checksums", oracle=_recon_oracle())
+def table_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import RH_INIT, RH_MOD, RH_MULT
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def canon(price) -> F.Column:
+        return F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            F.round(price * 100).cast("long").cast("string"),
+            F.lit("|"),
+            F.to_date("o_orderdate").cast("string"),
+        )
+
+    def summarize(df: DataFrame, price) -> DataFrame:
+        rowhash = F.aggregate(
+            F.split(canon(price), ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        )
+        return df.groupBy(
+            (F.col("o_orderkey") % _RECON_BUCKETS).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(rowhash).alias("checksum"),
+        )
+
+    a = summarize(orders, F.col("o_totalprice"))
+    drift = F.when(
+        F.col("o_orderkey") % _RECON_BUCKETS == _RECON_DRIFT_BUCKET,
+        F.lit(0.01),
+    ).otherwise(F.lit(0.0))
+    b = summarize(
+        orders.where(
+            ~(
+                (F.col("o_orderkey") % _RECON_BUCKETS == _RECON_DELETE_BUCKET)
+                & (F.col("o_orderkey") % 5 == 0)
+            )
+        ),
+        F.col("o_totalprice") + drift,
+    )
+    a, b = a.alias("a"), b.alias("b")
+    return a.join(b, "bucket").select(
+        "bucket",
+        F.col("a.n_rows").alias("n_rows_a"),
+        F.col("b.n_rows").alias("n_rows_b"),
+        F.col("a.checksum").alias("checksum_a"),
+        F.col("b.checksum").alias("checksum_b"),
+        (
+            (F.col("a.n_rows") != F.col("b.n_rows"))
+            | (F.col("a.checksum") != F.col("b.checksum"))
+        )
+        .cast("long")
+        .alias("is_divergent"),
+    )
+
+
+# --- interval-overlap count via bucket rewrite (range join → equi) --------
+# "How many shipments are in transit during each month" — the interval
+# overlap count that naively is a RANGE join (month BETWEEN
+# trunc(ship) AND trunc(receipt)) and therefore a broadcast-
+# nested-loop: every interval × every month. The engine rewrite:
+# EXPLODE each interval into the months it spans (sequence() HOF —
+# bounded by interval length / bucket width, here ≤3 months per
+# shipment) and equi-aggregate on the month — linear in the data, no
+# join at all. This is the standard interval-bucketing trick that
+# turns temporal-overlap analytics into hash aggregation at 100 TB.
+# The ORACLE is the naive range join against a generate_series month
+# dimension — proving the rewrite exact. Transit intervals are
+# synthesized deterministically (ship + 1..30 days by key) since the
+# fixture carries no receipt date.
+
+@register(
+    "shipment_interval_overlap",
+    oracle="""
+WITH li AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_shipdate AS DATE)
+           + CAST((1 + l_orderkey % 30) AS INTEGER) AS receipt
+  FROM lineitem),
+bounds AS (
+  SELECT CAST(date_trunc('month', MIN(ship)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(receipt)) AS DATE) AS hi
+  FROM li),
+months AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+           AS month
+  FROM bounds)
+SELECT m.month, CAST(COUNT(*) AS BIGINT) AS n_in_transit
+FROM months m JOIN li
+  ON m.month BETWEEN CAST(date_trunc('month', li.ship) AS DATE)
+                 AND CAST(date_trunc('month', li.receipt) AS DATE)
+GROUP BY m.month""".strip(),
+)
+def shipment_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("ship"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.lit(1) + F.col("l_orderkey") % 30).cast("int"),
+        ).alias("receipt"),
+    )
+    spanned = li.select(
+        F.explode(
+            F.expr(
+                "sequence(trunc(ship, 'MM'), trunc(receipt, 'MM'),"
+                " interval 1 month)"
+            )
+        ).alias("month")
+    )
+    return spanned.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_in_transit")
+    )

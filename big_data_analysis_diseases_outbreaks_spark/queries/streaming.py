@@ -635,3 +635,85 @@ def stream_observed_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id BIGINT, n_docs BIGINT, n_empty BIGINT, "
         "min_doc BIGINT, max_doc BIGINT",
     )
+
+
+# --- incremental Count-Min sketch maintenance (linear-sketch merge) -------
+# The streaming half of cms_heavy_hitters, and a proof of the property
+# that makes sketches THE streaming summary structure: CMS is a LINEAR
+# sketch, so per-micro-batch sketches summed cell-wise ARE the sketch
+# of the whole stream — no rebuild, no replay. Each micro-batch builds
+# its own d×w cell table (vocabulary-sized work, not corpus-sized) and
+# appends it under its batch_id partition with dynamic partition
+# overwrite (a retried batch REPLACES its own partition — the
+# exactly-once recipe of streaming/curation.py); the maintained sketch
+# is one SUM over O(batches · d · w) constant-size rows. The oracle is
+# the BATCH sketch's oracle verbatim — value equality proves the
+# incremental merge is exact, not approximate-on-approximate. At
+# 100 TB the stream never re-reads history: per-batch work is bounded
+# by the batch, the merge by batches × 1024 cells.
+
+@register("stream_cms_incremental")
+def stream_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .text import (
+        _cms_oracle,
+        cms_probe_heavy_hitters,
+        cms_sketch_cells,
+        cms_token_occurrences,
+    )
+    from ..sources.tables import load_table
+
+    src = _docs_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_cms_cells_")
+    cells_dir = os.path.join(out, "cells")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_sketch_cells(cms_token_occurrences(batch_df))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_dir)
+        )
+
+    (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    maintained = (
+        spark.read.parquet(cells_dir)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    # Probe with the exact top-20 of the full corpus (static side):
+    # output shape and values must equal the batch query's.
+    occ = cms_token_occurrences(load_table(spark, sf_dir, "documents"))
+    return cms_probe_heavy_hitters(occ, maintained)
+
+
+# Late-bind the oracle: the batch sketch's oracle VERBATIM (linearity
+# proof — see block comment). Registered after the function body so the
+# text-module import stays inside the function (queries modules import
+# in registry order; text.py imports streaming helpers' module too).
+def _bind_cms_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+    from .text import _cms_oracle
+
+    q = _REGISTRY["stream_cms_incremental"]
+    _REGISTRY["stream_cms_incremental"] = Query(q.name, q.fn, _cms_oracle())
+
+
+_bind_cms_stream_oracle()

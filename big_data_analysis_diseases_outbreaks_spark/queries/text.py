@@ -2449,29 +2449,85 @@ ORDER BY freq_exact DESC, token ASC
 """.strip()
 
 
-@register("cms_heavy_hitters", oracle=_cms_oracle())
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select(
+def cms_token_occurrences(docs: DataFrame) -> DataFrame:
+    """documents(text) → one row per token occurrence."""
+    return docs.select(
         F.explode_outer(tokens(F.lower(F.col("text")))).alias("token")
     ).where(F.col("token").isNotNull())
-    polyhash = F.aggregate(
+
+
+def _cms_polyhash():
+    return F.aggregate(
         F.split(F.col("token"), ""),
         F.lit(RH_INIT).cast("long"),
         lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
     )
 
-    def cells(df: DataFrame) -> DataFrame:
-        """(…, h) → one row per sketch row with its derived bucket."""
-        buckets = F.array(
-            *[
-                ((F.lit(a) * F.col("h") + F.lit(b)) % RH_MOD) % _CMS_W
-                for a, b in zip(_CMS_A, _CMS_B)
-            ]
+
+def _cms_cells(df: DataFrame) -> DataFrame:
+    """(…, h) → one row per sketch row with its derived bucket."""
+    buckets = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % RH_MOD) % _CMS_W
+            for a, b in zip(_CMS_A, _CMS_B)
+        ]
+    )
+    return df.select(
+        "*", F.posexplode(buckets).alias("row_i", "bucket")
+    ).drop("h")
+
+
+def cms_sketch_cells(occ: DataFrame) -> DataFrame:
+    """Token occurrences → the d×w sketch as (row_i, bucket, cnt) rows.
+    Builds from the token-frequency aggregate so the polynomial
+    char-fold runs once per DISTINCT token; shared by the batch query
+    and the per-micro-batch incremental build (CMS is a LINEAR sketch:
+    per-batch cells summed cell-wise ≡ the full-corpus sketch)."""
+    freq = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq_exact")
+    )
+    return (
+        _cms_cells(freq.select("freq_exact", _cms_polyhash().alias("h")))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("freq_exact").cast("long").alias("cnt"))
+    )
+
+
+def cms_probe_heavy_hitters(occ: DataFrame, cms: DataFrame) -> DataFrame:
+    """Exact top-20 tokens joined against a (row_i, bucket, cnt) sketch:
+    (token, freq_exact, freq_cms, overestimate) — certifies the CMS
+    guarantee estimate ≥ exact. The constant-size sketch broadcasts."""
+    freq = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq_exact")
+    )
+    top_exact = freq.orderBy(
+        F.col("freq_exact").desc(), F.col("token").asc()
+    ).limit(_CMS_PROBE)
+    probe = _cms_cells(
+        top_exact.select("token", "freq_exact", _cms_polyhash().alias("h"))
+    )
+    return (
+        probe.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("token", "freq_exact")
+        .agg(F.min("cnt").cast("long").alias("freq_cms"))
+        .select(
+            "token",
+            "freq_exact",
+            "freq_cms",
+            (F.col("freq_cms") - F.col("freq_exact"))
+            .cast("long")
+            .alias("overestimate"),
         )
-        return df.select(
-            "*", F.posexplode(buckets).alias("row_i", "bucket")
-        ).drop("h")
+        .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
+    )
+
+
+@register("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = cms_token_occurrences(docs)
+    polyhash = _cms_polyhash()
+    cells = _cms_cells
 
     # Shared subtree: the token-frequency exchange feeds the sketch
     # build AND the probe side (ReuseExchange — one corpus pass).
@@ -2672,4 +2728,65 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(_BPE_TOPN)
+    )
+
+
+# --- greedy max-coverage corpus selection (submodular curation) ------------
+# Budgeted data selection with a coverage objective: pick K documents
+# maximizing the number of DISTINCT tokens covered — the classic
+# submodular facility-location/coverage objective behind
+# diversity-driven training-data subset selection, with the greedy
+# algorithm's (1 − 1/e) guarantee. Per round: one broadcast anti-join
+# of the (doc, token) fact against the covered-token set (selected
+# docs' tokens — K·|doc| rows, always broadcastable), one count per
+# doc, one TakeOrderedAndProject argmax. K passes over the fact, which
+# is localCheckpointed once; the only driver traffic is the K argmax
+# rows (the sanctioned bounded-collect pattern of the codebook fits).
+# Ties break on doc_id — fully deterministic, so the pure-Python greedy
+# in tests/test_fuzzy_bpe.py pins exact parity. (The distributed-scale
+# variant — GreeDi: partition, greedy per partition, greedy over the
+# union of candidates [Mirzasoleiman et al.] — composes from this same
+# round body applied per partition; not needed at fixture scale.)
+
+_COVER_K = 10
+
+
+@register("corpus_greedy_coverage")
+def corpus_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = spark.createDataFrame([], "token STRING")
+    picks: list[tuple[int, int, int, int]] = []
+    total = 0
+    for step in range(_COVER_K):
+        top = (
+            dt.join(F.broadcast(covered), "token", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = int(top[0]["doc_id"]), int(top[0]["gain"])
+        total += gain
+        picks.append((step, doc, gain, total))
+        covered = (
+            covered.unionByName(
+                dt.where(F.col("doc_id") == doc).select("token")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        picks, "step BIGINT, doc_id BIGINT, gain BIGINT, covered_total BIGINT"
     )

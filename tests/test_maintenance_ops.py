@@ -1,0 +1,136 @@
+"""Round-7 maintenance/selection operators: sketch linearity, Merkle
+reconciliation localization, interval-bucket rewrite, greedy coverage
+vs the pure-Python reference."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+    _RECON_DELETE_BUCKET,
+    _RECON_DRIFT_BUCKET,
+    table_reconcile_checksums,
+)
+from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+    _COVER_K,
+    cms_sketch_cells,
+    cms_token_occurrences,
+    corpus_greedy_coverage,
+    tokens as _tokens_expr,
+)
+from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+
+def test_cms_sketch_is_linear(spark):
+    """Cell-wise sum of per-split sketches == the full-corpus sketch —
+    the property the incremental stream (stream_cms_incremental)
+    relies on for exactness."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    full = {
+        (r["row_i"], r["bucket"]): r["cnt"]
+        for r in cms_sketch_cells(cms_token_occurrences(docs)).collect()
+    }
+    merged: dict[tuple[int, int], int] = {}
+    for part in (
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    ):
+        for r in cms_sketch_cells(cms_token_occurrences(part)).collect():
+            k = (r["row_i"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == full
+
+
+def test_reconciliation_localizes_divergence(spark):
+    """Exactly the perturbed buckets flag divergent; counts expose the
+    deletion, checksums alone expose the price drift."""
+    rows = {
+        r["bucket"]: r for r in table_reconcile_checksums(spark, SF_SMALL).collect()
+    }
+    divergent = {b for b, r in rows.items() if r["is_divergent"] == 1}
+    assert divergent == {_RECON_DRIFT_BUCKET, _RECON_DELETE_BUCKET}
+    drift = rows[_RECON_DRIFT_BUCKET]
+    assert drift["n_rows_a"] == drift["n_rows_b"]  # same rows, drifted cells
+    assert drift["checksum_a"] != drift["checksum_b"]
+    dele = rows[_RECON_DELETE_BUCKET]
+    assert dele["n_rows_b"] < dele["n_rows_a"]  # missing rows
+
+
+def test_greedy_coverage_matches_python_reference(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    # Mirror functions/text.tokens via the registered expression itself
+    # so the reference can't drift from the engine's tokenizer.
+    tok_df = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(
+            "doc_id",
+            F.explode_outer(_tokens_expr(F.lower(F.col("text")))).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .collect()
+    )
+    doc_tokens: dict[int, set[str]] = {}
+    for r in tok_df:
+        doc_tokens.setdefault(r["doc_id"], set()).add(r["t"])
+    covered: set[str] = set()
+    want = []
+    total = 0
+    for step in range(_COVER_K):
+        best = None
+        for d in sorted(doc_tokens):
+            g = len(doc_tokens[d] - covered)
+            if best is None or g > best[1]:
+                best = (d, g)
+        if best is None or best[1] == 0:
+            # Exhausted coverage: the engine's anti-join leaves no rows
+            # for zero-gain docs, so it stops here too.
+            break
+        total += best[1]
+        want.append((step, best[0], best[1], total))
+        covered |= doc_tokens[best[0]]
+    got = [
+        (r["step"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in corpus_greedy_coverage(spark, SF_SMALL)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_interval_overlap_spans_at_most_two_months(spark):
+    """The rewrite's per-row explode is bounded: a ≤30-day transit
+    interval spans at most 3 calendar months (Jan 31 + 30 days crosses
+    short February into March) — the bucket-width invariant that keeps
+    the explode linear."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        shipment_interval_overlap,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.to_date("l_shipdate").alias("ship"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.lit(1) + F.col("l_orderkey") % 30).cast("int"),
+        ).alias("receipt"),
+    )
+    spans = li.select(
+        F.size(
+            F.expr(
+                "sequence(trunc(ship, 'MM'), trunc(receipt, 'MM'),"
+                " interval 1 month)"
+            )
+        ).alias("n")
+    )
+    assert spans.agg(F.max("n")).first()[0] <= 3
+    # and the query itself runs with a sane total
+    out = shipment_interval_overlap(spark, SF_SMALL)
+    n_li = li.count()
+    total = out.agg(F.sum("n_in_transit")).first()[0]
+    assert n_li <= total <= 3 * n_li
