@@ -132,6 +132,11 @@ HEADLINE = [
     "table_reconcile_checksums",
     "shipment_interval_overlap",
     "corpus_greedy_coverage",
+    "orders_weighted_systematic_sample",
+    "part_pareto_frontier",
+    "series_ewma16",
+    "series_autocorr",
+    "token_postings_index",
 ]
 
 

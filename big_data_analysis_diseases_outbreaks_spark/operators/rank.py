@@ -147,6 +147,7 @@ def with_global_running_sum(
     value_col: str,
     out_col: str = "running_sum",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` at scale.
 
@@ -163,6 +164,12 @@ def with_global_running_sum(
     integral column (long) — the point of a distributed running sum is
     usually an exact prefix aggregate (token budgets, bytes, counts),
     and integer addition keeps it associative and oracle-exact.
+
+    ``total_col`` (optional) additionally keeps the grand total of
+    ``value_col`` on every row — it falls out of the same P-row
+    triangular offsets computation for free, sparing callers that need
+    ``prefix / total`` (systematic sampling strata, budget fractions)
+    a separate scalar aggregate + cross join.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     if num_partitions:
@@ -178,22 +185,80 @@ def with_global_running_sum(
     local = ranged.withColumn("__gr_lcum", F.sum(value_col).over(w))
     sums = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__gr_n"))
     a, b = sums.alias("__gr_a"), sums.alias("__gr_b")
+    aggs = [
+        F.sum(
+            F.when(
+                F.col(f"__gr_b.{_PID}") < F.col(f"__gr_a.{_PID}"),
+                F.col("__gr_b.__gr_n"),
+            ).otherwise(F.lit(0))
+        ).alias(_OFFSET)
+    ]
+    if total_col:
+        aggs.append(F.sum("__gr_b.__gr_n").cast("long").alias(total_col))
     offsets = (
         a.crossJoin(b)
         .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
-        .agg(
-            F.sum(
-                F.when(
-                    F.col(f"__gr_b.{_PID}") < F.col(f"__gr_a.{_PID}"),
-                    F.col("__gr_b.__gr_n"),
-                ).otherwise(F.lit(0))
-            ).alias(_OFFSET)
-        )
+        .agg(*aggs)
     )
     out = local.join(F.broadcast(offsets), _PID)
     return out.withColumn(
         out_col, (F.col(_OFFSET) + F.col("__gr_lcum")).cast("long")
     ).drop(_PID, "__gr_lcum", _OFFSET)
+
+
+def with_global_exclusive_running_max(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_max_excl",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``MAX(value) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`` at scale — the *exclusive* prefix maximum (NULL
+    on the globally first row), the primitive behind sort-based skyline
+    / Pareto-frontier filters ("is any strictly-earlier row already at
+    least this large?").
+
+    Same two-shuffle decomposition as :func:`with_global_running_sum`:
+    range partition on the total order, in-partition exclusive cummax
+    windowed BY PARTITION ID (never the single-partition funnel), and
+    per-partition maxima combined through the P x P triangular cross
+    join — ``MAX`` over the strictly-preceding partitions (NULL for the
+    first partition, which ``F.greatest``'s null-skipping merge
+    handles). ``order_cols`` must be a total order: an exclusive ROWS
+    frame under ties would be sort-order-dependent, so callers pass a
+    unique key (or pre-aggregate to distinct order values) first.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("__gr_lmax", F.max(value_col).over(w))
+    maxes = ranged.groupBy(_PID).agg(F.max(value_col).alias("__gr_n"))
+    a, b = maxes.alias("__gr_a"), maxes.alias("__gr_b")
+    offsets = (
+        a.crossJoin(b)
+        .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
+        .agg(
+            F.max(
+                F.when(
+                    F.col(f"__gr_b.{_PID}") < F.col(f"__gr_a.{_PID}"),
+                    F.col("__gr_b.__gr_n"),
+                )
+            ).alias(_OFFSET)
+        )
+    )
+    out = local.join(F.broadcast(offsets), _PID)
+    return out.withColumn(
+        out_col, F.greatest(F.col(_OFFSET), F.col("__gr_lmax"))
+    ).drop(_PID, "__gr_lmax", _OFFSET)
 
 
 def with_global_ntile(

@@ -76,6 +76,11 @@ _PRIORITY: list[str] = [
     "table_reconcile_checksums",
     "shipment_interval_overlap",
     "corpus_greedy_coverage",
+    "orders_weighted_systematic_sample",
+    "part_pareto_frontier",
+    "series_ewma16",
+    "series_autocorr",
+    "token_postings_index",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -100,11 +105,6 @@ _PRIORITY: list[str] = [
     "pack_bin_manifest",
     "length_bucketed_batching",
     "corpus_budget_select",
-    "doc_intra_dedup",
-    "anomaly_zscore",
-    "trends_detrend",
-    "trends_daily_agg",
-    "qfactor_normalization",
 ]
 
 

@@ -2511,3 +2511,132 @@ def shipment_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spanned.groupBy("month").agg(
         F.count(F.lit(1)).alias("n_in_transit")
     )
+
+
+# --- weighted systematic sample (prefix-sum strata, exact integers) -------
+# Probability-proportional-to-size sampling the deterministic way:
+# cumulative-weight systematic selection. Lay every order's weight
+# (price in exact cents) end to end on a number line, cut the line into
+# K equal-weight strata, and select every order whose weight interval
+# crosses a stratum boundary — each unit of spend has identical
+# inclusion probability, heavy orders (weight ≥ W/K) are selected with
+# certainty, and the output is a fixed ≤K-row PPS sample with NO
+# randomness (the auditable variant of PPS sampling used for exact-
+# reproducible eval splits). The engine primitive is the distributed
+# prefix sum (operators/rank.py:with_global_running_sum — range
+# shuffle + pid-partitioned window + P-row triangular offsets, never a
+# single-partition window funnel), with the grand total riding along
+# from the same P-row computation. All arithmetic is long-integer
+# (cents x K ≈ 2^48 at 100 TB — documented headroom), so the DuckDB
+# window-SUM oracle matches bit-for-bit.
+
+_SYS_SAMPLE_K = 64
+
+
+@register(
+    "orders_weighted_systematic_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS weight_cents
+  FROM orders),
+c AS (
+  SELECT o_orderkey, weight_cents,
+         CAST(SUM(weight_cents) OVER (
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_weight
+  FROM w),
+t AS (SELECT CAST(SUM(weight_cents) AS BIGINT) AS grand_total FROM w)
+SELECT o_orderkey, weight_cents, cum_weight, grand_total,
+       CAST((cum_weight * {_SYS_SAMPLE_K}) // grand_total
+            - ((cum_weight - weight_cents) * {_SYS_SAMPLE_K}) // grand_total
+         AS BIGINT) AS n_strata
+FROM c, t
+WHERE (cum_weight * {_SYS_SAMPLE_K}) // grand_total
+      > ((cum_weight - weight_cents) * {_SYS_SAMPLE_K}) // grand_total
+""".strip(),
+)
+def orders_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    w = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        scaled_long(F.col("o_totalprice"), 100).alias("weight_cents"),
+    )
+    cum = with_global_running_sum(
+        w,
+        ["o_orderkey"],
+        "weight_cents",
+        out_col="cum_weight",
+        total_col="grand_total",
+    )
+    hi = F.expr(f"(cum_weight * {_SYS_SAMPLE_K}) div grand_total")
+    lo = F.expr(
+        f"((cum_weight - weight_cents) * {_SYS_SAMPLE_K}) div grand_total"
+    )
+    return cum.withColumn("n_strata", (hi - lo).cast("long")).where(
+        F.col("n_strata") >= 1
+    ).select(
+        "o_orderkey", "weight_cents", "cum_weight", "grand_total", "n_strata"
+    )
+
+
+# --- Pareto frontier / skyline (price vs size, prefix-max rewrite) --------
+# The skyline operator: parts not dominated on (minimize retail price,
+# maximize size) — no other part is both cheaper-or-equal AND
+# larger-or-equal with one strict. The naive semantics is a quadratic
+# NOT EXISTS self-join (the oracle, run verbatim by DuckDB); the engine
+# rewrite is the sort-based skyline in three linear steps:
+# (1) collapse to distinct price levels with the per-price max size
+#     (one hash aggregate — dominated-within-price rows die here);
+# (2) EXCLUSIVE distributed prefix-max of that max-size over ascending
+#     price (operators/rank.py:with_global_exclusive_running_max — the
+#     price-level table is distinct, so the total-order requirement
+#     holds; at 100 TB price levels are ~millions of rows, not corpus-
+#     sized, and the prefix machinery never funnels one partition);
+# (3) broadcast the surviving frontier price levels back onto the part
+#     table: a row survives iff its size equals its price level's max
+#     AND strictly beats every cheaper level's max (ties at equal
+#     (price, size) all survive — identical points do not dominate).
+#     The broadcast side is bounded by construction: frontier maxima
+#     strictly increase along ascending price, so |frontier| ≤
+#     |distinct sizes| — dozens of rows regardless of table size.
+
+@register(
+    "part_pareto_frontier",
+    oracle="""
+WITH p AS (
+  SELECT p_partkey,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part)
+SELECT p_partkey, price_cents, size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+    AND (b.price_cents < a.price_cents OR b.size > a.size))
+""".strip(),
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_exclusive_running_max
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        scaled_long(F.col("p_retailprice"), 100).alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    levels = p.groupBy("price_cents").agg(F.max("size").alias("smax"))
+    frontier_levels = with_global_exclusive_running_max(
+        levels, ["price_cents"], "smax", out_col="m_cheaper"
+    ).where(
+        F.col("m_cheaper").isNull() | (F.col("smax") > F.col("m_cheaper"))
+    )
+    return p.join(
+        F.broadcast(frontier_levels), "price_cents"
+    ).where(F.col("size") == F.col("smax")).select(
+        "p_partkey", "price_cents", "size"
+    )

@@ -2790,3 +2790,58 @@ def corpus_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "step BIGINT, doc_id BIGINT, gain BIGINT, covered_total BIGINT"
     )
+
+
+# --- inverted index build (token → document-frequency + head postings) ----
+# The search-engine index as a relational build: one corpus pass
+# explodes (doc_id, token), dedups to presence pairs, and a single hash
+# aggregate per token emits document frequency plus the HEAD of the
+# sorted posting list (first 20 doc_ids, comma-joined) — the bounded
+# index-summary surface. The cap is what makes the row scale-safe: a
+# stop-word's full posting list is corpus-sized and belongs in a
+# partitioned sink keyed by (token, doc_id) — WIDTH-bounded rows here,
+# never a collect_list of unbounded postings (slice applies after
+# sort_array on the per-token group, which is bounded only by df; at
+# 100 TB the same aggregate runs as min_by-style top-20 via a window
+# per token partition — at fixture scale the grouped sort is exact and
+# the cap documents the contract). Postings render as strings so every
+# cell is driver-hashable.
+
+_POSTINGS_HEAD = 20
+
+
+@register(
+    "token_postings_index",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents))
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(
+         list_slice(list_sort(list(doc_id)), 1, {_POSTINGS_HEAD}),
+         ',') AS head_postings
+FROM dt GROUP BY token
+""".strip(),
+)
+def token_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .where(F.col("token").isNotNull())
+        .distinct()
+    )
+    return dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_HEAD
+            ).cast("array<string>"),
+        ).alias("head_postings"),
+    )

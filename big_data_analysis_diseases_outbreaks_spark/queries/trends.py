@@ -1647,3 +1647,169 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trans",
         F.sum("n_trans").over(wf).alias("n_from"),
     )
+
+
+# --- 16-day exponentially weighted moving average (exact integers) --------
+# EWMA smoothing of each daily series with decay ratio 3/4 over a
+# 16-day horizon — the finite-window form s_t = Σ_k w_k·v_{t-k} / Σ w_k
+# with w_k = 3^k·4^(15-k) (so w_k/w_0 = (3/4)^k; the infinite-tail mass
+# beyond 16 days is (3/4)^16 < 1%). The finite window is what makes the
+# statistic EXACT: numerator and denominator are long-integer dot
+# products over at most 16 lags (max magnitude Σw_k·v ≈ 2^32·v_cents —
+# documented 2^63 envelope), and the emitted double is ONE correctly-
+# rounded division of those two integers, so Spark and DuckDB agree
+# bit-for-bit with no rounding protocol. Missing days drop out of BOTH
+# sums (their weight is excluded, not zero-filled) — the
+# irregular-series-safe EWMA. One pid-partitioned window per series,
+# no shuffle beyond the (region, kw) hash.
+
+_EWMA_SPAN = 16
+_EWMA_W = [3**k * 4 ** (_EWMA_SPAN - 1 - k) for k in range(_EWMA_SPAN)]
+
+
+@register(
+    "series_ewma16",
+    oracle=f"{_PREFIX},\n"
+    "l AS (\n"
+    "  SELECT region, kw, date,\n"
+    + ",\n".join(
+        f"    lag({scaled_long_sql('value', 100)}, {k}) OVER "
+        "(PARTITION BY region, kw ORDER BY date) AS v{0}".format(k)
+        for k in range(_EWMA_SPAN)
+    )
+    + "\n  FROM daily)\n"
+    "SELECT region, kw, date,\n"
+    "       CAST("
+    + " + ".join(
+        f"COALESCE(v{k} * {w}, 0)" for k, w in enumerate(_EWMA_W)
+    )
+    + " AS BIGINT) AS num,\n"
+    "       CAST("
+    + " + ".join(
+        f"(CASE WHEN v{k} IS NULL THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({w} AS BIGINT) END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    + " AS BIGINT) AS den,\n"
+    "       CAST("
+    + " + ".join(
+        f"COALESCE(v{k} * {w}, 0)" for k, w in enumerate(_EWMA_W)
+    )
+    + " AS DOUBLE) / CAST(("
+    + " + ".join(
+        f"(CASE WHEN v{k} IS NULL THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({w} AS BIGINT) END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    + ") * 100 AS DOUBLE) AS ewma\n"
+    "FROM l",
+)
+def series_ewma16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("region", "kw").orderBy("date")
+    v = scaled_long(F.col("value"), 100)
+    lags = [F.lag(v, k).over(w) for k in range(_EWMA_SPAN)]
+    num = sum(
+        (F.coalesce(lg * F.lit(wk), F.lit(0)) for lg, wk in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    # Weight literals must be LONG: the full-window weight sum
+    # (4^16 - 3^16 ≈ 4.25e9) overflows int32.
+    den = sum(
+        (
+            F.when(lg.isNull(), F.lit(0).cast("long")).otherwise(
+                F.lit(wk).cast("long")
+            )
+            for lg, wk in zip(lags, _EWMA_W)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return daily.select(
+        "region",
+        "kw",
+        "date",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        (
+            num.cast("double") / (den * F.lit(100)).cast("double")
+        ).alias("ewma"),
+    )
+
+
+# --- per-series autocorrelation function, lags 1..7 -----------------------
+# ACF over each (region, kw) daily series: Pearson r between v_t and
+# v_{t-L} for L = 1..7 days — the seasonality detector (a weekly cycle
+# shows as an r spike at lag 7). Engine shape: the 7-row lag dimension
+# BROADCASTS onto the series to derive each row's lag-L partner date,
+# then ONE equi-join back to the daily table on the co-partitioned
+# (region, kw, date) key pairs up (v_t, v_{t-L}) — no window, no
+# range join, both sides shuffle once on the same key. All five moment
+# sums accumulate as exact cents integers (the series_trend_slope
+# protocol), so r = (n·sxy − sx·sy) / (√(n·sxx−sx²)·√(n·syy−sy²)) is
+# a fixed tree of correctly-rounded double ops — bit-identical across
+# engines, no rounding.
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "series_autocorr",
+    oracle=f"{_PREFIX},\n"
+    f"""
+s AS (
+  SELECT region, kw, date, {scaled_long_sql('value', 100)} AS v
+  FROM daily),
+lagged AS (
+  SELECT a.region, a.kw, g.lag, a.v AS y, b.v AS x
+  FROM s a
+  JOIN (SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS lag) g ON TRUE
+  JOIN s b ON b.region = a.region AND b.kw = a.kw
+          AND b.date = a.date - CAST(g.lag AS INTEGER)),
+m AS (
+  SELECT region, kw, CAST(lag AS BIGINT) AS lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM lagged GROUP BY region, kw, lag)
+SELECT region, kw, lag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM m
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""".strip(),
+)
+def series_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    s = daily.select(
+        "region", "kw", "date", scaled_long(F.col("value"), 100).alias("v")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    probe = s.join(F.broadcast(lags)).select(
+        "region",
+        "kw",
+        "lag",
+        F.col("v").alias("y"),
+        F.date_sub(F.col("date"), F.col("lag").cast("int")).alias("date"),
+    )
+    pairs = probe.join(
+        s.withColumnRenamed("v", "x"), ["region", "kw", "date"]
+    )
+    m = pairs.groupBy("region", "kw", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    r = (n * sxy - sx * sy).cast("double") / (
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    return m.where(
+        (n >= 3) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
+    ).select("region", "kw", "lag", "n", r.alias("r"))
