@@ -137,6 +137,9 @@ HEADLINE = [
     "series_ewma16",
     "series_autocorr",
     "token_postings_index",
+    "series_stl_decompose",
+    "join_skew_profile",
+    "part_copurchase_lpa",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Synchronous label propagation (community detection) — deterministic.
+
+Classic LPA (Raghavan et al. 2007): every node starts in its own
+community (label = node id) and each round adopts the label most common
+among its neighbors. Async LPA with random tie-breaks is
+non-reproducible; this is the SYNCHRONOUS variant with a total-order
+tie-break — (vote count DESC, label ASC) — and a FIXED round count, so
+the result is a pure function of the graph and both a DuckDB
+chained-CTE oracle and a pure-Python reference can replay it exactly.
+
+Scale shape mirrors ``operators/components.py``: the symmetric edge
+frame is materialized once, pre-hashed on the vote join key, with a
+pinned edge-derived partition width; each round is one join (edges ⋈
+labels, co-partitioned on the pinned key) + two hash aggregates — the
+per-node argmax is an ``F.max(struct(cnt, -label))`` AGGREGATE, not a
+window, so no per-node sort machinery — with per-round lineage
+truncation (executor-local by default, reliable ``checkpoint()`` via
+``checkpoint_dir`` on clusters). Per-round traffic is one
+labels-vector shuffle; the edge side never re-shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EDGES_PER_PARTITION = 2_000_000
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(src, dst) symmetric edges → (node, community) after exactly
+    ``n_rounds`` synchronous votes. ``edges`` must already contain both
+    directions of every undirected edge (the co-purchase self-join
+    emits both by construction); vote weight is 1 per distinct
+    neighbor."""
+    from .checkpointing import truncator
+
+    truncate = truncator(edges, checkpoint_dir)
+    e = truncate(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    )
+    n_edges = e.count()
+    spark = e.sparkSession
+    n_part = min(
+        spark.sparkContext.defaultParallelism,
+        n_edges // _EDGES_PER_PARTITION + 1,
+    )
+    e = e.repartition(n_part, "b").transform(truncate)
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .repartition(n_part, "node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .transform(truncate)
+    )
+    for _ in range(n_rounds):
+        votes = e.join(labels, e["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
+        )
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax by (cnt DESC, label ASC) as a plain aggregate: max of
+        # struct(cnt, -label) — labels are non-negative ids, so max of
+        # the negation is the minimum label among tied counts.
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg_label")).alias("label"))
+            .repartition(n_part, "node")
+            .transform(truncate)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -81,6 +81,9 @@ _PRIORITY: list[str] = [
     "series_ewma16",
     "series_autocorr",
     "token_postings_index",
+    "series_stl_decompose",
+    "join_skew_profile",
+    "part_copurchase_lpa",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -102,9 +105,6 @@ _PRIORITY: list[str] = [
     "curation_pipeline_v2",
     "doc_dup_ngram_chars",
     "training_order_shuffle",
-    "pack_bin_manifest",
-    "length_bucketed_batching",
-    "corpus_budget_select",
 ]
 
 

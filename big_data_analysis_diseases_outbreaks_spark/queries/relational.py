@@ -2640,3 +2640,131 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("size") == F.col("smax")).select(
         "p_partkey", "price_cents", "size"
     )
+
+
+# --- join skew profiler (hot-key detection before the shuffle) ------------
+# The operational pre-flight for any large shuffle join: per-key
+# cardinalities of BOTH sides and the per-key join-output contribution
+# n_left·n_right, ranked — the exact diagnostic that decides between a
+# plain hash join, AQE skew splitting, or salting (operators/skew.py).
+# Profiled here: events.user_id ⋈ orders.o_custkey (both sides real
+# multiplicity). Engine shape: each side collapses to its key histogram
+# FIRST (two hash aggregates — the only corpus-sized passes), the
+# histograms join on the key (distinct-key-sized, not row-sized), the
+# grand total of output contributions comes from a second aggregate
+# over that small joined histogram (partial-agg merge, no data-sized
+# funnel), broadcast back for the share computation; top-20 via
+# TakeOrderedAndProject. share = one exact integer division per row —
+# bit-identical across engines.
+
+_SKEW_TOP = 20
+
+
+@register(
+    "join_skew_profile",
+    oracle=f"""
+WITH l AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_left
+  FROM events GROUP BY user_id),
+r AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_right
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT l.key, l.n_left, r.n_right,
+         l.n_left * r.n_right AS out_rows
+  FROM l JOIN r USING (key)),
+t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS total_out FROM j)
+SELECT j.key, j.n_left, j.n_right,
+       CAST(j.out_rows AS BIGINT) AS out_rows,
+       t.total_out,
+       CAST(j.out_rows AS DOUBLE) / CAST(t.total_out AS DOUBLE) AS share
+FROM j, t
+ORDER BY j.out_rows DESC, j.key ASC
+LIMIT {_SKEW_TOP}
+""".strip(),
+)
+def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    right = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    j = left.join(right, "key").withColumn(
+        "out_rows", (F.col("n_left") * F.col("n_right")).cast("long")
+    )
+    total = j.agg(F.sum("out_rows").cast("long").alias("total_out"))
+    return (
+        j.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "out_rows",
+            "total_out",
+            (
+                F.col("out_rows").cast("double")
+                / F.col("total_out").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("out_rows").desc(), F.col("key").asc())
+        .limit(_SKEW_TOP)
+    )
+
+
+# --- LPA community detection over the co-purchase graph -------------------
+# The fifth graph operator (after pagerank / triangles / k-core / BFS /
+# connected components): synchronous label propagation with the
+# deterministic (count DESC, label ASC) tie-break and a fixed 4 rounds
+# (operators/lpa.py), which makes community detection — normally a
+# randomized heuristic — an exactly-replayable dataflow: the oracle
+# unrolls the same recurrence as 4 chained CTEs with a ROW_NUMBER
+# argmax. Communities differ from connected components: LPA splits a
+# connected graph along dense regions.
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM (SELECT e.src AS node, l.label, COUNT(*) AS cnt
+          FROM edges e JOIN l{i - 1} l ON e.dst = l.node
+          GROUP BY e.src, l.label))
+  WHERE rn = 1)"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{joined}
+SELECT node AS part_key, CAST(label AS BIGINT) AS community
+FROM l{_LPA_ROUNDS}
+""".strip()
+
+
+@register("part_copurchase_lpa", oracle=_lpa_oracle())
+def part_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lpa import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, n_rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("part_key"),
+        F.col("community").cast("long").alias("community"),
+    )

@@ -1813,3 +1813,108 @@ def series_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.where(
         (n >= 3) & (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
     ).select("region", "kw", "lag", "n", r.alias("r"))
+
+
+# --- STL-lite seasonal decomposition (trend / weekly seasonal / residual) --
+# Classic decomposition of each daily series into trend + day-of-week
+# seasonal + residual, with EVERY emitted statistic exact: the trend is
+# a centered 7-OBSERVATION moving average (full windows only), the
+# seasonal term is the day-of-week mean of the detrended series, the
+# residual is what remains — and all three are rationals with exact
+# long-integer numerators carried through to a SINGLE correctly-rounded
+# division each:
+#   trend     = sum7 / (7·100)
+#   detrended = (7·v − sum7) / 7                  [cents]
+#   seasonal  = Σ_dow(7·v − sum7) / (7·n_dow·100)
+#   residual  = (n_dow·(7·v − sum7) − Σ_dow(7·v − sum7)) / (7·n_dow·100)
+# No float accumulates across rows, so Spark and DuckDB agree
+# bit-for-bit with no rounding protocol. Day-of-week is computed
+# portably as pmod(days-since-epoch-anchor, 7). Engine shape: one
+# rows-frame window per series (partitioned by the series key — never
+# a global window), one (series, dow) aggregate, one co-partitioned
+# join back; everything shuffles on the series key it already carries.
+
+_STL_ANCHOR = "2024-01-01"  # Monday; dow 0 = Monday
+
+
+@register(
+    "series_stl_decompose",
+    oracle=f"{_PREFIX},\n"
+    f"""
+s AS (
+  SELECT region, kw, date, {scaled_long_sql('value', 100)} AS v,
+         CAST(((date_diff('day', DATE '{_STL_ANCHOR}', date) % 7) + 7) % 7
+              AS BIGINT) AS dow
+  FROM daily),
+w AS (
+  SELECT region, kw, date, v, dow,
+         CAST(SUM(v) OVER f AS BIGINT) AS sum7,
+         COUNT(*) OVER f AS n_w
+  FROM s
+  WINDOW f AS (PARTITION BY region, kw ORDER BY date
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+d AS (
+  SELECT region, kw, date, v, dow, sum7, 7 * v - sum7 AS det_num
+  FROM w WHERE n_w = 7),
+seas AS (
+  SELECT region, kw, dow,
+         CAST(SUM(det_num) AS BIGINT) AS s_num,
+         CAST(COUNT(*) AS BIGINT) AS n_dow
+  FROM d GROUP BY region, kw, dow)
+SELECT d.region, d.kw, d.date, d.dow,
+       CAST(d.sum7 AS DOUBLE) / 700.0 AS trend,
+       CAST(s.s_num AS DOUBLE) / CAST(7 * s.n_dow * 100 AS DOUBLE)
+         AS seasonal,
+       CAST(s.n_dow * d.det_num - s.s_num AS DOUBLE)
+         / CAST(7 * s.n_dow * 100 AS DOUBLE) AS residual
+FROM d JOIN seas s
+  ON s.region = d.region AND s.kw = d.kw AND s.dow = d.dow
+""".strip(),
+)
+def series_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    s = daily.select(
+        "region",
+        "kw",
+        "date",
+        scaled_long(F.col("value"), 100).alias("v"),
+        F.pmod(
+            F.datediff(F.col("date"), F.lit(_STL_ANCHOR).cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    f = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(-3, 3)
+    )
+    w = s.select(
+        "*",
+        F.sum("v").over(f).alias("sum7"),
+        F.count(F.lit(1)).over(f).alias("n_w"),
+    )
+    d = w.where(F.col("n_w") == 7).withColumn(
+        "det_num", F.lit(7) * F.col("v") - F.col("sum7")
+    )
+    seas = d.groupBy("region", "kw", "dow").agg(
+        F.sum("det_num").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("n_dow"),
+    )
+    j = d.join(seas, ["region", "kw", "dow"])
+    den = (F.lit(7) * F.col("n_dow") * F.lit(100)).cast("double")
+    return j.select(
+        "region",
+        "kw",
+        "date",
+        "dow",
+        (F.col("sum7").cast("double") / F.lit(700.0)).alias("trend"),
+        (F.col("s_num").cast("double") / den).alias("seasonal"),
+        (
+            (F.col("n_dow") * F.col("det_num") - F.col("s_num")).cast(
+                "double"
+            )
+            / den
+        ).alias("residual"),
+    )
