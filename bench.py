@@ -140,6 +140,11 @@ HEADLINE = [
     "series_stl_decompose",
     "join_skew_profile",
     "part_copurchase_lpa",
+    "doc_lm_oov_rate",
+    "events_robust_zscore",
+    "part_abc_classification",
+    "customer_rfm_segments",
+    "part_twap_price",
 ]
 
 

@@ -86,7 +86,7 @@ def _ranked_with_total(
     ).drop("__gr_maxl")
     a, b = counts.alias("__gr_a"), counts.alias("__gr_b")
     offsets = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
         .agg(
             F.sum(
@@ -196,7 +196,7 @@ def with_global_running_sum(
     if total_col:
         aggs.append(F.sum("__gr_b.__gr_n").cast("long").alias(total_col))
     offsets = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
         .agg(*aggs)
     )
@@ -244,7 +244,7 @@ def with_global_exclusive_running_max(
     maxes = ranged.groupBy(_PID).agg(F.max(value_col).alias("__gr_n"))
     a, b = maxes.alias("__gr_a"), maxes.alias("__gr_b")
     offsets = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .groupBy(F.col(f"__gr_a.{_PID}").alias(_PID))
         .agg(
             F.max(

@@ -84,6 +84,11 @@ _PRIORITY: list[str] = [
     "series_stl_decompose",
     "join_skew_profile",
     "part_copurchase_lpa",
+    "doc_lm_oov_rate",
+    "events_robust_zscore",
+    "part_abc_classification",
+    "customer_rfm_segments",
+    "part_twap_price",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -100,11 +105,6 @@ _PRIORITY: list[str] = [
     "lateral_top2_orders",
     "part_copurchase_pagerank",
     "stream_full_interval_join",
-    "stream_producer_daily_agg",
-    "stream_incremental_curation",
-    "curation_pipeline_v2",
-    "doc_dup_ngram_chars",
-    "training_order_shuffle",
 ]
 
 

@@ -2768,3 +2768,207 @@ def part_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_key"),
         F.col("community").cast("long").alias("community"),
     )
+
+
+# --- ABC / Pareto-class inventory analysis (prefix-share rewrite) ---------
+# The classic 80/15/5 revenue classification: rank parts by revenue,
+# class A while the PRECEDING cumulative share is under 80%, B under
+# 95%, C otherwise (each class includes the row that crosses its
+# boundary — the standard convention that also makes the top row
+# always A). The naive form is a global window over the ranked table;
+# the engine shape is the distributed prefix sum on the total order
+# (revenue DESC, part key — negated revenue as the range key since the
+# prefix machinery range-partitions ascending), grand total riding
+# along from the same P-row offsets computation. Class boundaries
+# compare as pure integer cross-multiplications (prev·5 < total·4,
+# prev·20 < total·19) on 1e4-scaled exact revenue — no percentage
+# float exists anywhere, so the DuckDB window-SUM oracle matches
+# bit-for-bit. Headroom: scaled revenue sums ≈ 2^52 at 100 TB; ×20
+# stays under 2^63.
+
+@register(
+    "part_abc_classification",
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey),
+c AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(rev) OVER (
+            ORDER BY rev DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_rev
+  FROM rev),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total_rev FROM rev)
+SELECT c.l_partkey AS part_key, c.rev, c.cum_rev, t.total_rev,
+       CASE WHEN (c.cum_rev - c.rev) * 5 < t.total_rev * 4 THEN 'A'
+            WHEN (c.cum_rev - c.rev) * 20 < t.total_rev * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c, t
+""".strip(),
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            scaled_long(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            )
+        ).alias("rev")
+    )
+    ordered = rev.withColumn("neg_rev", -F.col("rev"))
+    cum = with_global_running_sum(
+        ordered,
+        ["neg_rev", "l_partkey"],
+        "rev",
+        out_col="cum_rev",
+        total_col="total_rev",
+    )
+    prev = F.col("cum_rev") - F.col("rev")
+    return cum.select(
+        F.col("l_partkey").alias("part_key"),
+        "rev",
+        "cum_rev",
+        "total_rev",
+        F.when(prev * 5 < F.col("total_rev") * 4, "A")
+        .when(prev * 20 < F.col("total_rev") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+# --- RFM customer segmentation (three distributed quintiles) --------------
+# The marketing-analytics staple: score every customer 1-5 on Recency
+# (latest order date), Frequency (order count), and Monetary (exact
+# cents spend), each score a GLOBAL quintile under a total order
+# (customer key tiebreak), concatenated into the 'RFM' segment code
+# (555 = best). Engine shape: one grouped aggregate builds the three
+# exact statistics, then three passes of the distributed NTILE
+# (operators/rank.py:with_global_ntile — range shuffle + P-row offsets,
+# never a single-partition window funnel), one per dimension — at scale
+# each pass is one range shuffle of the customer-grain table. The
+# oracle is three SQL NTILE windows, which with_global_ntile matches
+# boundary-exactly (floor((rank-1)·n/N)+1).
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS recency_date,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, recency_date, frequency, monetary_cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_date, o_custkey) AS INTEGER)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER)
+         AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS INTEGER)
+         AS m_score,
+       CAST(NTILE(5) OVER (ORDER BY recency_date, o_custkey) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)
+                 AS VARCHAR) AS rfm_segment
+FROM rfm
+""".strip(),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("recency_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = with_global_ntile(
+        rfm, ["recency_date", "o_custkey"], 5, "r_score"
+    )
+    scored = with_global_ntile(
+        scored, ["frequency", "o_custkey"], 5, "f_score"
+    )
+    scored = with_global_ntile(
+        scored, ["monetary_cents", "o_custkey"], 5, "m_score"
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_date",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )
+
+
+# --- time-weighted average price (TWAP over irregular observations) -------
+# The irregular-sampling average done right: each price observation
+# holds until the NEXT observation of the same part, so it contributes
+# weight = days-in-effect — a plain AVG would over-weight bursts of
+# closely-spaced observations. Observations collapse to one per
+# (part, day) first (MIN — deterministic), the holding interval comes
+# from a lead() window on the series key, and TWAP = Σ(price·days) /
+# Σ(days) accumulates as exact long integers with ONE final division —
+# bit-identical cross-engine. The final (open-ended) observation drops
+# out of the weighting, the standard convention. One shuffle on the
+# part key shared by the window and the aggregate.
+
+@register(
+    "part_twap_price",
+    oracle="""
+WITH obs AS (
+  SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS price_cents
+  FROM lineitem GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+iv AS (
+  SELECT l_partkey, d, price_cents,
+         date_diff('day', d,
+                   lead(d) OVER (PARTITION BY l_partkey ORDER BY d))
+           AS dt_days
+  FROM obs)
+SELECT l_partkey AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(price_cents * dt_days) AS BIGINT) AS pw_num,
+       CAST(SUM(dt_days) AS BIGINT) AS span_days,
+       CAST(SUM(price_cents * dt_days) AS DOUBLE)
+         / CAST(SUM(dt_days) * 100 AS DOUBLE) AS twap
+FROM iv WHERE dt_days IS NOT NULL
+GROUP BY l_partkey
+""".strip(),
+)
+def part_twap_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("d")
+    ).agg(
+        F.min(scaled_long(F.col("l_extendedprice"), 100)).alias(
+            "price_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("d")
+    iv = obs.withColumn(
+        "dt_days",
+        F.datediff(F.lead("d").over(w), F.col("d")).cast("long"),
+    ).where(F.col("dt_days").isNotNull())
+    return iv.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("price_cents") * F.col("dt_days")).alias("pw_num"),
+        F.sum("dt_days").alias("span_days"),
+        (
+            F.sum(F.col("price_cents") * F.col("dt_days")).cast("double")
+            / (F.sum("dt_days") * F.lit(100)).cast("double")
+        ).alias("twap"),
+    )

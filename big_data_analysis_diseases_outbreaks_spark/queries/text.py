@@ -2845,3 +2845,91 @@ def token_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("array<string>"),
         ).alias("head_postings"),
     )
+
+
+# --- bigram-LM out-of-vocabulary rate (perplexity-filter surface) ---------
+# The CCNet-style language-model quality filter with every emitted cell
+# exact: instead of a float perplexity (whose ln() is not correctly-
+# rounded across engines — the token_pmi_pairs protocol), documents are
+# scored by the fraction of their word bigrams that fall OUTSIDE the
+# corpus head LM (top-M bigrams by corpus frequency under a total
+# order). High OOV rate ⇒ text unlike the corpus — the same signal
+# perplexity filtering thresholds, as exact integers + ONE division.
+# Engine shape: bigrams via JVM zip_with slices (no Python), the
+# M-row head vocabulary is a TakeOrderedAndProject BROADCAST, scoring
+# is one left join + per-doc aggregate — a single corpus pass after
+# the vocabulary build.
+
+_LM_VOCAB_M = 200
+
+
+@register(
+    "doc_lm_oov_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS ts
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)),
+                i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM tok WHERE len(ts) >= 2),
+vocab AS (
+  SELECT bigram FROM (
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bg GROUP BY bigram
+    ORDER BY c DESC, bigram ASC LIMIT {{M}})),
+scored AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CASE WHEN v.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM bg b LEFT JOIN vocab v ON b.bigram = v.bigram
+  GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS oov_rate
+FROM scored
+""".strip().format(TOKEN_RE=TOKEN_RE, M=_LM_VOCAB_M),
+)
+def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.lower(F.col("text")))
+    bigrams = F.zip_with(
+        F.slice(ts, 1, F.greatest(F.size(ts) - 1, F.lit(0))),
+        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bg = (
+        docs.where(F.size(ts) >= 2)
+        .select("doc_id", F.explode_outer(bigrams).alias("bigram"))
+        # One corpus pass feeds BOTH the vocabulary build and the
+        # scoring join (ReuseExchange is defeated by per-consumer
+        # pruning — persist the shared fact explicitly).
+        .persist()
+    )
+    vocab = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bigram").asc())
+        .limit(_LM_VOCAB_M)
+        .select("bigram", F.lit(1).alias("_in_vocab"))
+    )
+    scored = (
+        bg.join(F.broadcast(vocab), "bigram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        (
+            F.col("n_oov").cast("double")
+            / F.col("n_bigrams").cast("double")
+        ).alias("oov_rate"),
+    )

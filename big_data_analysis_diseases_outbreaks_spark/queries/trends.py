@@ -1918,3 +1918,85 @@ def series_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den
         ).alias("residual"),
     )
+
+
+# --- robust z-score outliers (median/MAD, exact half-integer protocol) ----
+# The robust twin of anomaly_zscore: the Iglewicz–Hoaglin modified
+# z-score M = 0.6745·(v − median)/MAD with the 3.5 outlier cut —
+# immune to the outliers a mean/stddev z-score lets poison its own
+# baseline. Exactness protocol: a median of integers is a half-integer,
+# so DOUBLED medians are exact longs — med2 = 2·median(cents),
+# dev2 = |2v − med2| (integers), mad4 = 2·median(dev2) — and
+# M = 0.6745 · (2·(2v − med2)/mad4) is a fixed three-op IEEE tree
+# (one exact-integer division, one multiply by the same literal) —
+# bit-identical across engines with no rounding. Both engines'
+# interpolating medians agree exactly because (a+b)/2 on integers is
+# representable. Engine shape: two grouped EXACT percentile aggregates
+# on the series key + co-partitioned joins back — no window, no
+# single-partition funnel; constant series (mad4 = 0) are excluded
+# (the statistic is undefined there).
+
+_ROBUST_Z_CUT = 3.5
+
+
+@register(
+    "events_robust_zscore",
+    oracle=f"{_PREFIX},\n"
+    f"""
+s AS (
+  SELECT region, kw, date, {scaled_long_sql('value', 100)} AS v
+  FROM daily),
+med AS (
+  SELECT region, kw,
+         CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+  FROM s GROUP BY region, kw),
+d AS (
+  SELECT s.region, s.kw, s.date, s.v, med.med2,
+         ABS(2 * s.v - med.med2) AS dev2
+  FROM s JOIN med ON med.region = s.region AND med.kw = s.kw),
+mad AS (
+  SELECT region, kw,
+         CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+  FROM d GROUP BY region, kw)
+SELECT d.region, d.kw, d.date, d.v AS v_cents, d.med2, mad.mad4,
+       0.6745 * (CAST(2 * (2 * d.v - d.med2) AS DOUBLE)
+                 / CAST(mad.mad4 AS DOUBLE)) AS z_mod,
+       CAST(CASE WHEN ABS(0.6745 * (CAST(2 * (2 * d.v - d.med2) AS DOUBLE)
+                                    / CAST(mad.mad4 AS DOUBLE)))
+                      > {_ROBUST_Z_CUT} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM d JOIN mad ON mad.region = d.region AND mad.kw = d.kw
+WHERE mad.mad4 > 0
+""".strip(),
+)
+def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    s = daily.select(
+        "region", "kw", "date", scaled_long(F.col("value"), 100).alias("v")
+    )
+    med = s.groupBy("region", "kw").agg(
+        (F.lit(2) * F.expr("percentile(v, 0.5)")).cast("long").alias("med2")
+    )
+    d = s.join(med, ["region", "kw"]).withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    )
+    mad = d.groupBy("region", "kw").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    j = d.join(mad, ["region", "kw"]).where(F.col("mad4") > 0)
+    z = F.lit(0.6745) * (
+        (F.lit(2) * (F.lit(2) * F.col("v") - F.col("med2"))).cast("double")
+        / F.col("mad4").cast("double")
+    )
+    return j.select(
+        "region",
+        "kw",
+        "date",
+        F.col("v").alias("v_cents"),
+        "med2",
+        "mad4",
+        z.alias("z_mod"),
+        (F.abs(z) > F.lit(_ROBUST_Z_CUT)).cast("long").alias("is_outlier"),
+    )
