@@ -145,6 +145,7 @@ HEADLINE = [
     "part_abc_classification",
     "customer_rfm_segments",
     "part_twap_price",
+    "stream_python_sink_roundtrip",
 ]
 
 

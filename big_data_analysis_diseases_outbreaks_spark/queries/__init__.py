@@ -89,6 +89,7 @@ _PRIORITY: list[str] = [
     "part_abc_classification",
     "customer_rfm_segments",
     "part_twap_price",
+    "stream_python_sink_roundtrip",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "file_provenance_audit",
     "lateral_top2_orders",
     "part_copurchase_pagerank",
-    "stream_full_interval_join",
 ]
 
 

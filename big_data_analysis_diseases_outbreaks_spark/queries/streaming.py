@@ -717,3 +717,67 @@ def _bind_cms_stream_oracle() -> None:
 
 
 _bind_cms_stream_oracle()
+
+
+# --- Python DataSource streaming sink round-trip (engine-owned sink) ------
+# The writer-side twin of the producer DataSource (A10): micro-batches
+# of the deterministic document chunk replay flow through
+# ``format("audit_sink")`` (sources/python_sink.py) — executors stage
+# per-partition CSV files, the driver's two-phase commit() moves them
+# into batch=<id>/ with replace semantics — and the query returns the
+# rows READ BACK from the committed directories. The oracle is the
+# BATCH token-count query verbatim: value equality proves every row
+# crossed the custom sink protocol exactly once (no loss, no
+# duplication across batches/retries). Token counting itself runs
+# JVM-side BEFORE the sink — the Python crossing ships two longs per
+# document, not text.
+
+def _sink_roundtrip_oracle() -> str:
+    from ..functions.text import TOKEN_RE
+
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+         AS n_tokens
+FROM documents
+""".strip()
+
+
+@register("stream_python_sink_roundtrip", oracle=_sink_roundtrip_oracle())
+def stream_python_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..functions.text import token_count
+    from ..sources.python_sink import AUDIT_SINK_SCHEMA, register_audit_sink
+
+    register_audit_sink(spark)
+    src = _docs_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    counted = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = tempfile.mkdtemp(prefix="spark_audit_sink_")
+    sink_dir = os.path.join(out, "rows")
+    os.makedirs(sink_dir, exist_ok=True)
+    (
+        counted.writeStream.format("audit_sink")
+        .option("path", sink_dir)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return (
+        spark.read.schema(AUDIT_SINK_SCHEMA)
+        .csv(os.path.join(sink_dir, "batch=*"))
+        .select("doc_id", "n_tokens")
+    )
