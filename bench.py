@@ -146,6 +146,9 @@ HEADLINE = [
     "customer_rfm_segments",
     "part_twap_price",
     "stream_python_sink_roundtrip",
+    "part_edge_jaccard",
+    "multimodal_exact_dedup",
+    "doc_rake_word_stats",
 ]
 
 

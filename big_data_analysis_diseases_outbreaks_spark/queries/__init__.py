@@ -90,6 +90,9 @@ _PRIORITY: list[str] = [
     "customer_rfm_segments",
     "part_twap_price",
     "stream_python_sink_roundtrip",
+    "part_edge_jaccard",
+    "multimodal_exact_dedup",
+    "doc_rake_word_stats",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -102,9 +105,6 @@ _PRIORITY: list[str] = [
     "multimodal_patchify",
     "cdc_merge_apply",
     "snapshot_diff_classes",
-    "file_provenance_audit",
-    "lateral_top2_orders",
-    "part_copurchase_pagerank",
 ]
 
 

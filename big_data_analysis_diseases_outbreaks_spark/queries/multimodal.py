@@ -118,3 +118,36 @@ def multimodal_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return patchify(with_binary_payload(docs), patch_bytes=64)
+
+
+# --- exact binary dedup (content-hash grouping over media payloads) -------
+# The multimodal twin of dedup_exact: byte-identical payload detection
+# via md5 over the BINARY column — the first pass of any media dedup
+# pipeline (cheap hash grouping BEFORE perceptual/embedding near-dup).
+# JVM md5 on payload bytes; only (hash, count, canonical id) aggregates
+# leave the scan, never payload bytes — at 100 TB the shuffle carries
+# 16-byte digests. Canonical = min doc_id (the dedup_keep_best
+# convention); singleton groups are retained with n_copies = 1 so the
+# output is a full manifest, is_dup flags the actual duplicates.
+
+@register(
+    "multimodal_exact_dedup",
+    oracle="""
+SELECT md5(text) AS payload_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM documents
+GROUP BY md5(text)
+""".strip(),
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    return payloads.groupBy(F.md5(F.col("payload")).alias("payload_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+        (F.count(F.lit(1)) > 1).cast("long").alias("is_dup"),
+    )

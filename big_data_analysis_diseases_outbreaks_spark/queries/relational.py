@@ -2972,3 +2972,87 @@ def part_twap_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("dt_days") * F.lit(100)).cast("double")
         ).alias("twap"),
     )
+
+
+# --- edge Jaccard similarity (link-prediction coefficients) ---------------
+# For every co-purchase edge (u, v): the Jaccard coefficient of the two
+# endpoints' neighborhoods, J = |N(u)∩N(v)| / |N(u)∪N(v)\{u,v}| — the
+# classic link-prediction / edge-strength weight (Adamic-style tie
+# strength; weak-tie edges are bridge candidates). Restricting to
+# ADJACENT pairs is what makes this exact AND scalable: the common-
+# neighbor count of an existing edge is its per-edge TRIANGLE count,
+# which the degree-ordered O(√m) wedge join computes without the Σdeg²
+# blowup of all-pairs neighborhood comparison
+# (operators/triangles.py:edge_triangle_counts; all-pairs node
+# similarity at 100 TB goes through neighborhood MinHash instead — the
+# dedup_minhash_lsh machinery). Exact integers + one division; the
+# oracle counts common neighbors by the naive adjacency self-join.
+
+@register(
+    "part_edge_jaccard",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY a),
+cn AS (
+  SELECT e.u, e.v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e
+  JOIN sym n1 ON n1.a = e.u
+  JOIN sym n2 ON n2.a = e.v AND n2.b = n1.b
+  GROUP BY e.u, e.v)
+SELECT e.u, e.v,
+       COALESCE(cn.c, 0) AS n_common,
+       du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(COALESCE(cn.c, 0) AS DOUBLE)
+         / CAST(du.deg + dv.deg - 2 - COALESCE(cn.c, 0) AS DOUBLE)
+         AS jaccard
+FROM e
+JOIN deg du ON du.node = e.u
+JOIN deg dv ON dv.node = e.v
+LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+WHERE du.deg + dv.deg - 2 - COALESCE(cn.c, 0) > 0
+""".strip(),
+)
+def part_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import edge_triangle_counts, undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = edge_triangle_counts(edges)
+    j = (
+        und.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .join(tri, ["u", "v"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_triangles"), F.lit(0)))
+    )
+    union = F.col("deg_u") + F.col("deg_v") - 2 - F.col("n_common")
+    return j.where(union > 0).select(
+        "u",
+        "v",
+        "n_common",
+        "deg_u",
+        "deg_v",
+        (F.col("n_common").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )

@@ -2933,3 +2933,97 @@ def doc_lm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_bigrams").cast("double")
         ).alias("oov_rate"),
     )
+
+
+# --- RAKE keyword-extraction word statistics ------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal runs of non-stopword tokens; each word scores
+# degree/frequency where freq counts its occurrences in candidates and
+# degree sums the lengths of the phrases containing it (a word in long
+# phrases co-occurs with more words ⇒ higher degree). Phrase
+# segmentation is the engine part: posexplode the token array, flag
+# stopwords, and the running stopword count WITHIN each document
+# (doc-partitioned window — never global) is the phrase id; two hash
+# aggregates later every statistic is an exact long, score is one
+# division. Output is per (doc, word) — RAKE is a per-document
+# extractor; the corpus never pairs across documents.
+
+_RAKE_STOPWORDS = (
+    "the,a,an,of,and,or,in,on,to,is,are,was,for,with,as,by,at,it,this"
+)
+
+
+@register(
+    "doc_rake_word_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(ts) AS token,
+         UNNEST(range(1, len(ts) + 1)) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS ts
+        FROM documents)),
+seg AS (
+  SELECT doc_id, token, pos,
+         CAST(token IN ({{STOPS}}) AS INTEGER) AS is_stop,
+         SUM(CAST(token IN ({{STOPS}}) AS INTEGER))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS phrase_id
+  FROM tok),
+words AS (SELECT doc_id, token, phrase_id FROM seg WHERE is_stop = 0),
+plen AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS phrase_len
+  FROM words GROUP BY doc_id, phrase_id)
+SELECT w.doc_id, w.token AS word,
+       CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(p.phrase_len) AS BIGINT) AS degree,
+       CAST(SUM(p.phrase_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS rake_score
+FROM words w
+JOIN plen p ON p.doc_id = w.doc_id AND p.phrase_id = w.phrase_id
+GROUP BY w.doc_id, w.token
+""".strip().format(
+        TOKEN_RE=TOKEN_RE,
+        STOPS=", ".join(f"'{s}'" for s in _RAKE_STOPWORDS.split(",")),
+    ),
+)
+def doc_rake_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    stops = _RAKE_STOPWORDS.split(",")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode_outer(tokens(F.lower(F.col("text")))).alias(
+            "pos", "token"
+        ),
+    ).where(F.col("token").isNotNull())
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_stop = F.col("token").isin(stops).cast("int")
+    seg = tok.select(
+        "doc_id",
+        "token",
+        is_stop.alias("is_stop"),
+        F.sum(is_stop).over(w).alias("phrase_id"),
+    )
+    words = seg.where(F.col("is_stop") == 0).select(
+        "doc_id", "token", "phrase_id"
+    )
+    plen = words.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("phrase_len")
+    )
+    return (
+        words.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("doc_id", F.col("token").alias("word"))
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").cast("long").alias("degree"),
+            (
+                F.sum("phrase_len").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("rake_score"),
+        )
+    )
