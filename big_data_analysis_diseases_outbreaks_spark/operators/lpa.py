@@ -51,35 +51,47 @@ def label_propagation(
         spark.sparkContext.defaultParallelism,
         n_edges // _EDGES_PER_PARTITION + 1,
     )
-    e = e.repartition(n_part, "b").transform(truncate)
-    labels = (
-        e.select(F.col("a").alias("node"))
-        .repartition(n_part, "node")
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .transform(truncate)
-    )
-    for _ in range(n_rounds):
-        votes = e.join(labels, e["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "label"
-        )
-        counts = votes.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        # argmax by (cnt DESC, label ASC) as a plain aggregate: max of
-        # struct(cnt, -label) — labels are non-negative ids, so max of
-        # the negation is the minimum label among tied counts.
+    # Pin the shuffle width for the loop (save/restore — the pagerank/
+    # components pattern): checkpointed rounds execute WITHOUT AQE's
+    # small-partition coalescing, so at the session default every
+    # per-round vote/argmax aggregate would be hundreds of near-empty
+    # tasks; the explicit repartition() calls pin only the join inputs,
+    # not the two aggregate exchanges inside the loop.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        e = e.repartition(n_part, "b").transform(truncate)
         labels = (
-            counts.groupBy("node")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("cnt"), (-F.col("label")).alias("neg_label")
-                    )
-                ).alias("m")
-            )
-            .select("node", (-F.col("m.neg_label")).alias("label"))
+            e.select(F.col("a").alias("node"))
             .repartition(n_part, "node")
+            .distinct()
+            .withColumn("label", F.col("node"))
             .transform(truncate)
         )
-    return labels.select("node", F.col("label").alias("community"))
+        for _ in range(n_rounds):
+            votes = e.join(labels, e["b"] == labels["node"]).select(
+                F.col("a").alias("node"), "label"
+            )
+            counts = votes.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            # argmax by (cnt DESC, label ASC) as a plain aggregate: max
+            # of struct(cnt, -label) — labels are non-negative ids, so
+            # max of the negation is the minimum label among tied
+            # counts.
+            labels = (
+                counts.groupBy("node")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt"), (-F.col("label")).alias("neg_label")
+                        )
+                    ).alias("m")
+                )
+                .select("node", (-F.col("m.neg_label")).alias("label"))
+                .repartition(n_part, "node")
+                .transform(truncate)
+            )
+        return labels.select("node", F.col("label").alias("community"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

@@ -270,15 +270,33 @@ def with_global_ntile(
 ) -> DataFrame:
     """SQL ``NTILE(n) OVER (ORDER BY ...)`` at scale.
 
-    NTILE assigns the first ``N mod n`` buckets ``ceil(N/n)`` rows and the
-    rest ``floor(N/n)``; for 1-based rank r over N rows that is exactly
-    ``floor((r-1) * n / N) + 1`` (integer arithmetic). The total count N
-    rides along from the rank computation's per-partition counts (no
-    separate scalar-agg pass, whose final merge would plan an Exchange
-    SinglePartition).
+    NTILE assigns the first ``N mod n`` buckets ``ceil(N/n)`` rows and
+    the remaining buckets ``floor(N/n)``. That is NOT the even-spread
+    ``floor((r-1)*n/N)+1`` (which interleaves the big buckets across
+    the range — the two differ whenever ``N % n != 0``, e.g. N=7, n=5:
+    NTILE gives [1,1,2,2,3,4,5], the even-spread [1,1,2,3,3,4,5]); the
+    exact piecewise form for 1-based rank r with q = N div n,
+    rem = N mod n, cut = rem*(q+1) is::
+
+        tile(r) = (r-1) div (q+1) + 1                 if r <= cut
+                  rem + (r-1-cut) div q + 1           otherwise
+
+    All integer arithmetic (`div` — a double `/` would round at 2^53 on
+    petabyte-scale row counts). The total count N rides along from the
+    rank computation's per-partition counts (no separate scalar-agg
+    pass, whose final merge would plan an Exchange SinglePartition).
     """
     ranked = _ranked_with_total(df, order_cols, "__gr_rank", num_partitions)
-    # `div`: exact integer floor-division (a double `/` would round at
-    # 2^53 on petabyte-scale row counts).
-    tile = F.expr(f"((__gr_rank - 1) * {int(n)}) div {_TOTAL}") + 1
+    n = int(n)
+    # greatest(q, 1): when N < n, q = 0 but every rank falls in the
+    # r <= cut branch (cut = N); the guard only keeps the dead branch
+    # from dividing by zero.
+    tile = F.expr(
+        f"CASE WHEN __gr_rank <= ({_TOTAL} % {n}) * (({_TOTAL} div {n}) + 1)"
+        f" THEN (__gr_rank - 1) div (({_TOTAL} div {n}) + 1) + 1"
+        f" ELSE ({_TOTAL} % {n})"
+        f"      + (__gr_rank - 1 - ({_TOTAL} % {n}) * (({_TOTAL} div {n}) + 1))"
+        f"        div greatest({_TOTAL} div {n}, 1)"
+        f"      + 1 END"
+    )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("__gr_rank", _TOTAL)

@@ -125,13 +125,19 @@ def edge_triangle_counts(
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
+    undirected: DataFrame | None = None,
 ) -> DataFrame:
     """Per-EDGE triangle counts: (u, v, n_triangles) over the canonical
     undirected edge set (u < v) — the number of common neighbors of u
     and v, i.e. the numerator of the edge Jaccard/link-prediction
     coefficients. Same O(√m)-bounded oriented wedge join as
     :func:`triangle_counts`; each triangle attributes to its three
-    canonical edges. Edges in no triangle are absent (count 0)."""
+    canonical edges. Edges in no triangle are absent (count 0).
+
+    ``undirected``: an ALREADY-MATERIALIZED canonical (u, v) edge frame
+    (e.g. the caller truncated :func:`undirected_edges` once to also
+    feed a degree aggregate) — passing it avoids re-executing the
+    possibly-expensive raw edge lineage here."""
     from .checkpointing import truncator
 
     truncate = truncator(edges, checkpoint_dir)
@@ -140,7 +146,11 @@ def edge_triangle_counts(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, width)))
     try:
-        und = truncate(undirected_edges(edges, src, dst))
+        und = (
+            undirected
+            if undirected is not None
+            else truncate(undirected_edges(edges, src, dst))
+        )
         n_edges = und.count()
         n_part = max(max(8, width), n_edges // 1_000_000 + 1)
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))

@@ -2354,9 +2354,11 @@ _RECON_DELETE_BUCKET = 17  # every 5th row of this bucket is missing
 
 
 def _recon_canon_sql(price_expr: str) -> str:
+    from ..functions.stable import scaled_long_sql
+
     return (
         "CONCAT(CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|', "
-        f"CAST(CAST(ROUND(({price_expr}) * 100) AS BIGINT) AS VARCHAR), "
+        f"CAST({scaled_long_sql(price_expr, 100)} AS VARCHAR), "
         "'|', CAST(CAST(o_orderdate AS DATE) AS VARCHAR))"
     )
 
@@ -2407,7 +2409,7 @@ def table_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("|"),
             F.col("o_orderstatus"),
             F.lit("|"),
-            F.round(price * 100).cast("long").cast("string"),
+            scaled_long(price, 100).cast("string"),
             F.lit("|"),
             F.to_date("o_orderdate").cast("string"),
         )
@@ -2694,8 +2696,15 @@ def join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("n_right"))
     )
-    j = left.join(right, "key").withColumn(
-        "out_rows", (F.col("n_left") * F.col("n_right")).cast("long")
+    j = (
+        left.join(right, "key")
+        .withColumn(
+            "out_rows", (F.col("n_left") * F.col("n_right")).cast("long")
+        )
+        # Two consumers (scalar total + final projection) with different
+        # column sets: without persist, per-consumer pruning defeats
+        # ReuseExchange and both corpus-sized histogram passes run twice.
+        .persist()
     )
     total = j.agg(F.sum("out_rows").cast("long").alias("total_out"))
     return (
@@ -3022,17 +3031,23 @@ WHERE du.deg + dv.deg - 2 - COALESCE(cn.c, 0) > 0
 """.strip(),
 )
 def part_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.checkpointing import truncator
     from ..operators.triangles import edge_triangle_counts, undirected_edges
 
     edges = copurchase_edges(spark, sf_dir)
-    und = undirected_edges(edges)
+    # Materialize the canonical edge set ONCE: it feeds the degree
+    # aggregate (two scans), the output join, and the triangle
+    # machinery — without truncation the quadratic lineitem self-join
+    # lineage would re-execute for every consumer (ReuseExchange does
+    # not survive per-consumer column pruning).
+    und = truncator(edges, None)(undirected_edges(edges))
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    tri = edge_triangle_counts(edges)
+    tri = edge_triangle_counts(edges, undirected=und)
     j = (
         und.join(
             deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")),

@@ -2493,13 +2493,15 @@ def cms_sketch_cells(occ: DataFrame) -> DataFrame:
     )
 
 
-def cms_probe_heavy_hitters(occ: DataFrame, cms: DataFrame) -> DataFrame:
-    """Exact top-20 tokens joined against a (row_i, bucket, cnt) sketch:
+def _cms_probe_from_freq(freq: DataFrame, cms: DataFrame) -> DataFrame:
+    """The probe tail shared by the batch and streaming sketch queries:
+    exact top-20 tokens (from a precomputed token-frequency frame)
+    joined against a (row_i, bucket, cnt) sketch →
     (token, freq_exact, freq_cms, overestimate) — certifies the CMS
-    guarantee estimate ≥ exact. The constant-size sketch broadcasts."""
-    freq = occ.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("freq_exact")
-    )
+    guarantee estimate ≥ exact. The constant-size sketch broadcasts.
+    Taking ``freq`` (not raw occurrences) lets cms_heavy_hitters keep
+    its shared token-frequency exchange (ReuseExchange — one corpus
+    pass feeds sketch build AND probe)."""
     top_exact = freq.orderBy(
         F.col("freq_exact").desc(), F.col("token").asc()
     ).limit(_CMS_PROBE)
@@ -2522,12 +2524,18 @@ def cms_probe_heavy_hitters(occ: DataFrame, cms: DataFrame) -> DataFrame:
     )
 
 
+def cms_probe_heavy_hitters(occ: DataFrame, cms: DataFrame) -> DataFrame:
+    """:func:`_cms_probe_from_freq` over raw token occurrences."""
+    freq = occ.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("freq_exact")
+    )
+    return _cms_probe_from_freq(freq, cms)
+
+
 @register("cms_heavy_hitters", oracle=_cms_oracle())
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     occ = cms_token_occurrences(docs)
-    polyhash = _cms_polyhash()
-    cells = _cms_cells
 
     # Shared subtree: the token-frequency exchange feeds the sketch
     # build AND the probe side (ReuseExchange — one corpus pass).
@@ -2535,28 +2543,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("freq_exact")
     )
     cms = (
-        cells(freq.select("freq_exact", polyhash.alias("h")))
+        _cms_cells(freq.select("freq_exact", _cms_polyhash().alias("h")))
         .groupBy("row_i", "bucket")
         .agg(F.sum("freq_exact").cast("long").alias("cnt"))
     )
-    top_exact = freq.orderBy(
-        F.col("freq_exact").desc(), F.col("token").asc()
-    ).limit(_CMS_PROBE)
-    probe = cells(top_exact.select("token", "freq_exact", polyhash.alias("h")))
-    return (
-        probe.join(F.broadcast(cms), ["row_i", "bucket"])
-        .groupBy("token", "freq_exact")
-        .agg(F.min("cnt").cast("long").alias("freq_cms"))
-        .select(
-            "token",
-            "freq_exact",
-            "freq_cms",
-            (F.col("freq_cms") - F.col("freq_exact"))
-            .cast("long")
-            .alias("overestimate"),
-        )
-        .orderBy(F.col("freq_exact").desc(), F.col("token").asc())
-    )
+    return _cms_probe_from_freq(freq, cms)
 
 
 # --- token co-occurrence mining (document-level PMI inputs) ---------------
@@ -2743,7 +2734,7 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is localCheckpointed once; the only driver traffic is the K argmax
 # rows (the sanctioned bounded-collect pattern of the codebook fits).
 # Ties break on doc_id — fully deterministic, so the pure-Python greedy
-# in tests/test_fuzzy_bpe.py pins exact parity. (The distributed-scale
+# in tests/test_maintenance_ops.py pins exact parity. (The distributed-scale
 # variant — GreeDi: partition, greedy per partition, greedy over the
 # union of candidates [Mirzasoleiman et al.] — composes from this same
 # round body applied per partition; not needed at fixture scale.)

@@ -184,3 +184,34 @@ def test_postings_index_parity(spark):
         assert r["head_postings"] == ",".join(
             str(d) for d in docs[:_POSTINGS_HEAD]
         )
+
+
+def test_ntile_matches_sql_semantics_at_ragged_sizes(spark):
+    """SQL NTILE puts the first N%n buckets at ceil(N/n) rows — NOT the
+    even-spread floor((r-1)*n/N)+1 (differs whenever N%n != 0; the
+    formula this operator shipped with until round 7)."""
+    import duckdb
+
+    from big_data_analysis_diseases_outbreaks_spark.operators.rank import (
+        with_global_ntile,
+    )
+
+    for n_rows in (3, 7, 13, 100, 101, 104):
+        for n in (4, 5, 10):
+            df = spark.createDataFrame(
+                [(i,) for i in range(n_rows)], "k BIGINT"
+            )
+            got = {
+                r["k"]: r["tile"]
+                for r in with_global_ntile(
+                    df, ["k"], n, num_partitions=4
+                ).collect()
+            }
+            want = {
+                k: t
+                for k, t in duckdb.sql(
+                    f"SELECT k, NTILE({n}) OVER (ORDER BY k) FROM "
+                    f"(SELECT UNNEST(range({n_rows})) AS k)"
+                ).fetchall()
+            }
+            assert got == want, (n_rows, n)
