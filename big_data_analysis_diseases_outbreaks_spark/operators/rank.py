@@ -62,6 +62,13 @@ def _ranked_with_total(
     local = ranged.withColumn(_PID, F.shiftrightunsigned(mid, _LOCAL_BITS)).withColumn(
         _LOCAL, mid.bitwiseAND((1 << _LOCAL_BITS) - 1)
     )
+    # persist: the rows branch and the P-row counts branch prune
+    # different columns, so ReuseExchange does NOT cover them (the
+    # repo's documented trap) — without this the caller's input lineage
+    # executes twice, and worse, the two executions could in principle
+    # range-sample differently and assign INCONSISTENT (pid, local)
+    # pairs between branches. One materialization removes both risks.
+    local = local.persist()
     # P rows (P = partition count, O(cluster size) not O(data)); the
     # prefix sum AND the grand total come out of one P x P cross join —
     # so no global window and no single-partition exchange (not even the
@@ -156,9 +163,10 @@ def with_global_running_sum(
     by the physical partition id (wide shuffle #2 — but hash-partitioned
     P ways, never the single-partition funnel a bare global window
     plans), plus broadcast per-partition prefix offsets from the same
-    P x P triangular cross join the rank uses. Catalyst reuses the range
-    exchange for the offsets branch (ReusedExchange), so the input is
-    shuffled twice, scanned once.
+    P x P triangular cross join the rank uses. The post-shuffle frame is
+    persisted — the offsets branch prunes different columns than the
+    rows branch, so ReuseExchange would NOT cover them and the input
+    lineage would otherwise execute twice.
 
     ``order_cols`` must be a total order; ``value_col`` should be an
     integral column (long) — the point of a distributed running sum is
@@ -176,7 +184,10 @@ def with_global_running_sum(
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    ranged = ranged.withColumn(_PID, F.spark_partition_id()).persist()
+    # persist: the running-window branch and the per-partition totals
+    # branch prune different columns — ReuseExchange does not cover
+    # them, so without materialization the input lineage runs twice.
     w = (
         Window.partitionBy(_PID)
         .orderBy(*cols)
@@ -234,7 +245,8 @@ def with_global_exclusive_running_max(
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:
         ranged = df.repartitionByRange(*cols)
-    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    ranged = ranged.withColumn(_PID, F.spark_partition_id()).persist()
+    # persist: same two-consumer pruning rationale as the running sum.
     w = (
         Window.partitionBy(_PID)
         .orderBy(*cols)
