@@ -149,6 +149,7 @@ HEADLINE = [
     "part_edge_jaccard",
     "multimodal_exact_dedup",
     "doc_rake_word_stats",
+    "part_node_similarity",
 ]
 
 

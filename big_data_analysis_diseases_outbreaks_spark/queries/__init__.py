@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "part_edge_jaccard",
     "multimodal_exact_dedup",
     "doc_rake_word_stats",
+    "part_node_similarity",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "ann_index_stream_topk",
     "multimodal_patchify",
     "cdc_merge_apply",
-    "snapshot_diff_classes",
 ]
 
 

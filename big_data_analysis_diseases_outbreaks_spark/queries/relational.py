@@ -3071,3 +3071,114 @@ def part_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard"
         ),
     )
+
+
+# --- all-pairs node similarity via prefix-filtered set join ---------------
+# The documented scale path for node similarity beyond adjacent pairs
+# (part_edge_jaccard covers edges): Jaccard of raw neighbor SETS for
+# ALL part pairs with J ≥ t, computed with the AllPairs/PPJoin prefix
+# filter [Bayardo et al. WWW'07] instead of the |V|² product — the same
+# lossless theorem the text dedup family uses (operators/dedup.py):
+# order each neighbor set, keep the first |s|−ceil(t·|s|)+1 elements;
+# any pair with J ≥ t must share a prefix element, so the candidate
+# join on (prefix neighbor) plus a length-ratio prune is EXACT. The
+# oracle is the quadratic common-neighbor self-join (valid superset:
+# J ≥ t > 0 implies ≥ 1 shared neighbor). Candidates re-verify with
+# array_intersect on the adjacency arrays; per-pair output is exact
+# integers + one division. Parallelism keys on the shared-neighbor id —
+# at 100 TB, re-order prefixes by neighbor document-frequency ascending
+# so hub neighbors fall out of prefixes (the dedup.py note).
+
+_NODE_SIM_T = 0.5
+
+
+@register(
+    "part_node_similarity",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY a),
+cn AS (
+  SELECT n1.a AS u, n2.a AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+  GROUP BY n1.a, n2.a)
+SELECT cn.u, cn.v, cn.c AS n_common,
+       du.deg + dv.deg - cn.c AS n_union,
+       CAST(cn.c AS DOUBLE) / CAST(du.deg + dv.deg - cn.c AS DOUBLE)
+         AS jaccard
+FROM cn
+JOIN deg du ON du.node = cn.u
+JOIN deg dv ON dv.node = cn.v
+WHERE CAST(cn.c AS DOUBLE)
+      >= {_NODE_SIM_T} * CAST(du.deg + dv.deg - cn.c AS DOUBLE)
+""".strip(),
+)
+def part_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.checkpointing import truncator
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = truncator(edges, None)(undirected_edges(edges))
+    sym = und.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = (
+        sym.groupBy("node")
+        .agg(F.array_sort(F.collect_list("nbr")).alias("nbrs"))
+        .withColumn("sz", F.size("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(_NODE_SIM_T)) + 1
+    ).cast("int")
+    pref = adj.select(
+        "node",
+        "sz",
+        F.explode_outer(F.slice("nbrs", F.lit(1), prefix_len)).alias("tok"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.node") < F.col("b.node"))
+            & (
+                F.col("a.sz").cast("double")
+                >= F.lit(_NODE_SIM_T) * F.col("b.sz")
+            )
+            & (
+                F.col("b.sz").cast("double")
+                >= F.lit(_NODE_SIM_T) * F.col("a.sz")
+            ),
+        )
+        .select(
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("v"),
+        )
+        .distinct()
+    )
+    verified = cand.join(
+        adj.select(F.col("node").alias("u"), F.col("nbrs").alias("na")), "u"
+    ).join(
+        adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nb")), "v"
+    )
+    inter = F.size(F.array_intersect("na", "nb")).cast("long")
+    union = (F.size("na") + F.size("nb")).cast("long") - inter
+    return verified.select(
+        "u",
+        "v",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).where(
+        F.col("n_common").cast("double")
+        >= F.lit(_NODE_SIM_T) * F.col("n_union").cast("double")
+    )

@@ -104,3 +104,29 @@ def test_rake_matches_python(spark):
         f, d = want[(r["doc_id"], r["word"])]
         assert (r["freq"], r["degree"]) == (f, d)
         assert r["rake_score"] == d / f
+
+
+def test_node_similarity_matches_bruteforce(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        _NODE_SIM_T,
+        part_node_similarity,
+    )
+
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    for r in copurchase_edges(spark, SF_SMALL).collect():
+        u, v = sorted((r["src"], r["dst"]))
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    nodes = sorted(nbrs)
+    want = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            inter = len(nbrs[u] & nbrs[v])
+            union = len(nbrs[u] | nbrs[v])
+            if union and inter >= _NODE_SIM_T * union:
+                want[(u, v)] = (inter, union)
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["n_union"])
+        for r in part_node_similarity(spark, SF_SMALL).collect()
+    }
+    assert got == want
