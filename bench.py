@@ -150,6 +150,8 @@ HEADLINE = [
     "multimodal_exact_dedup",
     "doc_rake_word_stats",
     "part_node_similarity",
+    "stream_sliding_topk",
+    "orders_duplicate_invoices",
 ]
 
 

@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     "multimodal_exact_dedup",
     "doc_rake_word_stats",
     "part_node_similarity",
+    "stream_sliding_topk",
+    "orders_duplicate_invoices",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -103,8 +105,6 @@ _PRIORITY: list[str] = [
     "rag_chunk_retrieval",
     "similarity_radius_search",
     "ann_index_stream_topk",
-    "multimodal_patchify",
-    "cdc_merge_apply",
 ]
 
 

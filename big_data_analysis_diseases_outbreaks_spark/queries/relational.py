@@ -3182,3 +3182,83 @@ def part_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("double")
         >= F.lit(_NODE_SIM_T) * F.col("n_union").cast("double")
     )
+
+
+# --- duplicate-invoice detection (banded blocking record matching) --------
+# The accounts-payable dedup rule: two orders from the same customer
+# with amounts within $1000 of each other, within 30 days, are
+# duplicate-payment suspects. The engine point is the BANDED BLOCKING
+# rewrite every tolerance-rule matcher needs at scale: the equality
+# part of the rule (customer) plus the QUANTIZED amount band
+# floor(cents / W) become the equi-join key; one side probes its own
+# band ±1 (an explode to three keys) so near-boundary pairs are never
+# missed — a pair within tolerance W differs by at most one band. The
+# candidate join is therefore exact (candidates-then-verify, the
+# fuzzy_name_pairs shape with numeric banding instead of deletion
+# neighborhoods), and each qualifying pair matches in exactly one band
+# (the right side carries a single band key), so no dedup pass is
+# needed. Only the date-proximity inequality remains as a post-join
+# filter. The oracle is the naive quadratic tolerance join.
+
+_DUP_INVOICE_DAYS = 30
+_DUP_INVOICE_TOL_CENTS = 100_000  # $1000 band width == tolerance
+
+
+@register(
+    "orders_duplicate_invoices",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders)
+SELECT a.o_custkey,
+       a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
+       CAST(ABS(a.cents - b.cents) AS BIGINT) AS amount_diff_cents,
+       CAST(ABS(date_diff('day', a.d, b.d)) AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND ABS(a.cents - b.cents) <= {_DUP_INVOICE_TOL_CENTS}
+ AND ABS(date_diff('day', a.d, b.d)) <= {_DUP_INVOICE_DAYS}
+""".strip(),
+)
+def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _DUP_INVOICE_TOL_CENTS
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    probe = o.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"cents div {w} - 1"),
+                F.expr(f"cents div {w}"),
+                F.expr(f"cents div {w} + 1"),
+            )
+        ).alias("band"),
+    ).alias("a")
+    build = o.withColumn("band", F.expr(f"cents div {w}")).alias("b")
+    days = F.abs(F.datediff(F.col("b.d"), F.col("a.d")))
+    return (
+        probe.join(
+            build,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.col("a.cents") - F.col("b.cents")) <= w)
+            & (days <= _DUP_INVOICE_DAYS),
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("orderkey_1"),
+            F.col("b.o_orderkey").alias("orderkey_2"),
+            F.abs(F.col("a.cents") - F.col("b.cents"))
+            .cast("long")
+            .alias("amount_diff_cents"),
+            days.cast("long").alias("days_apart"),
+        )
+    )

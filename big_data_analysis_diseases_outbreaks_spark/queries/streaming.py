@@ -781,3 +781,58 @@ def stream_python_sink_roundtrip(
         .csv(os.path.join(sink_dir, "batch=*"))
         .select("doc_id", "n_tokens")
     )
+
+
+# --- sliding-window top-k (streaming agg + batch rank finisher) -----------
+# "Top 3 regions by value in every 7-day sliding window" — the
+# leaderboard query. Ranking is not expressible INSIDE a streaming
+# aggregation (no windows over streaming aggregates), so the engine
+# shape is the two-stage pattern: the unbounded part (the sliding-
+# window SUM) runs as a streaming aggregation with bounded state, and
+# the per-window top-k runs as a BATCH window function over the
+# window-grain result (window-start-partitioned — parallel by window,
+# never global). Rank keys on the emitted 4-dp value with the region
+# as tie-break, so the ordering is deterministic cross-engine. The
+# oracle expands each event into its window starts (the
+# stream_sliding_agg recipe) and applies the same ROW_NUMBER.
+
+_SLIDING_TOPK = 3
+
+
+@register(
+    "stream_sliding_topk",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+ev AS (SELECT CAST(datetime AS DATE) AS d, region, value FROM trends),
+agg AS (
+  SELECT (d - CAST(i AS INTEGER)) AS window_start, region,
+         ROUND(SUM(value), 4) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev, range(0, 7) t(i)
+  GROUP BY 1, 2)
+SELECT window_start, region, value, n, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY value DESC, region ASC) AS rnk
+  FROM agg)
+WHERE rnk <= {_SLIDING_TOPK}
+""".strip(),
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = sliding_agg_stream(
+        trends_stream(spark, sf_dir),
+        window="7 days",
+        slide="1 day",
+        watermark=None,
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("value").desc(), F.col("region").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _SLIDING_TOPK)
+    )

@@ -352,3 +352,43 @@ def test_cms_guarantee_on_random_streams(spark):
         assert r["freq_cms"] >= r["freq_exact"], r
         assert r["overestimate"] == r["freq_cms"] - r["freq_exact"]
         assert r["overestimate"] <= 3 * n_stream / _CMS_W, r
+
+
+def test_edge_and_node_similarity_lossless_on_random_graphs(spark):
+    """The per-edge triangle attribution and the AllPairs prefix filter
+    on neighbor sets are LOSSLESS on randomized graphs — the prefix
+    theorem ("any pair with J >= t shares a prefix element") is exactly
+    the kind of claim a single fixture can't stress."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.triangles import (
+        edge_triangle_counts,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = rng.randrange(6, 12)
+        pairs = [
+            (a, b)
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.4
+        ]
+        und = {(min(a, b), max(a, b)) for a, b in pairs}
+        if not und:
+            continue
+        nbrs: dict[int, set[int]] = {}
+        for u, v in und:
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        # per-edge triangle counts == common-neighbor counts of endpoints
+        expected_edges = {
+            (u, v): len(nbrs[u] & nbrs[v])
+            for u, v in und
+            if nbrs[u] & nbrs[v]
+        }
+        got_edges = {
+            (r["u"], r["v"]): r["n_triangles"]
+            for r in edge_triangle_counts(
+                spark.createDataFrame(pairs, "src long, dst long")
+            ).collect()
+        }
+        assert got_edges == expected_edges, f"trial {trial}"

@@ -130,3 +130,41 @@ def test_node_similarity_matches_bruteforce(spark):
         for r in part_node_similarity(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_banded_blocking_catches_boundary_pairs(spark, tmp_path):
+    """Pairs whose amounts straddle a band boundary (same tolerance,
+    different floor(c/W)) must still match — the ±1 probe bands are the
+    part a fixture without boundary pairs never exercises."""
+    import datetime
+
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        _DUP_INVOICE_TOL_CENTS as W,
+        orders_duplicate_invoices,
+    )
+
+    d0 = datetime.date(2024, 1, 10)
+    rows = [
+        # straddles the band edge: cents W-1 vs W+1 (diff 2 <= W)
+        (1, 7, (W - 1) / 100.0, d0),
+        (2, 7, (W + 1) / 100.0, d0 + datetime.timedelta(days=5)),
+        # same band, inside tolerance
+        (3, 8, 5 * W / 100.0 + 1.0, d0),
+        (4, 8, 5 * W / 100.0 + 2.0, d0 + datetime.timedelta(days=2)),
+        # outside tolerance (diff > W) — must NOT match
+        (5, 9, 10 * W / 100.0, d0),
+        (6, 9, 12 * W / 100.0, d0),
+        # inside tolerance but too far apart in time
+        (7, 10, 42.0, d0),
+        (8, 10, 42.0, d0 + datetime.timedelta(days=300)),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE"
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/orders.parquet")
+    got = {
+        (r["orderkey_1"], r["orderkey_2"])
+        for r in orders_duplicate_invoices(spark, sf).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
