@@ -152,6 +152,7 @@ HEADLINE = [
     "part_node_similarity",
     "stream_sliding_topk",
     "orders_duplicate_invoices",
+    "stream_ewma_recursive",
 ]
 
 

@@ -96,6 +96,7 @@ _PRIORITY: list[str] = [
     "part_node_similarity",
     "stream_sliding_topk",
     "orders_duplicate_invoices",
+    "stream_ewma_recursive",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "rag_chunk_retrieval",
     "similarity_radius_search",
-    "ann_index_stream_topk",
 ]
 
 

@@ -836,3 +836,42 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _SLIDING_TOPK)
     )
+
+
+# --- recursive EWMA as a stateful stream (full oracle via RECURSIVE CTE) --
+# s_t = (v_t + 3·s_{t-1}) div 4 on exact cents per daily series — each
+# output depends on the previous OUTPUT, so no single SQL window can
+# express it; streaming group state computes it in O(1) per series
+# (streaming/stateful.py:_recursive_ewma), and the oracle unrolls the
+# same recursion as a DuckDB RECURSIVE CTE over row-numbered days.
+# Integer floor division at every step ⇒ bit-exact cross-engine; the
+# one emitted double is a single division.
+
+@register(
+    "stream_ewma_recursive",
+    oracle=f"""
+WITH RECURSIVE {TRENDS_ORACLE_CTE},
+{DAILY_CTE},
+s AS (
+  SELECT region, kw, date, {scaled_long_sql('value', 100)} AS v,
+         ROW_NUMBER() OVER (PARTITION BY region, kw ORDER BY date) AS rn
+  FROM daily),
+r AS (
+  SELECT region, kw, date, v, rn, v AS ewma_scaled FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.region, s.kw, s.date, s.v, s.rn,
+         CAST((s.v + 3 * r.ewma_scaled) // 4 AS BIGINT)
+  FROM s JOIN r ON s.region = r.region AND s.kw = r.kw
+               AND s.rn = r.rn + 1)
+SELECT region, kw, date, v AS v_cents,
+       CAST(ewma_scaled AS BIGINT) AS ewma_scaled,
+       CAST(ewma_scaled AS DOUBLE) / 100.0 AS ewma
+FROM r
+""".strip(),
+)
+def stream_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import recursive_ewma_stream
+
+    out = recursive_ewma_stream(trends_stream(spark, sf_dir))
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

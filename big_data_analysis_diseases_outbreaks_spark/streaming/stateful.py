@@ -166,3 +166,63 @@ def cusum_stream(trends: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- exact recursive EWMA (third arbitrary-state exemplar) ----------------
+# The TRUE recursive exponentially-weighted average s_t = (v_t +
+# 3·s_{t-1}) div 4 on exact cents — a statistic NO single SQL window
+# can express (each output depends on the previous OUTPUT, not the
+# previous input; series_ewma16 is its finite-window approximation).
+# Streaming state is the natural home for recursion: O(1) integer
+# state per series, each batch folds its days in order. Integer floor
+# division keeps every step exact, so the DuckDB RECURSIVE-CTE oracle
+# matches bit-for-bit — a full value oracle for a recursive stateful
+# operator. Same determinism contract as the z-score op above (a
+# day's events arrive within one micro-batch, batches arrive in day
+# order — true for the bounded chunk replay and for daily drops).
+
+EWMA_OUTPUT_SCHEMA = (
+    "region STRING, kw STRING, date DATE, v_cents BIGINT, "
+    "ewma_scaled BIGINT, ewma DOUBLE"
+)
+EWMA_STATE_SCHEMA = "s BIGINT, started BIGINT"
+
+
+def _recursive_ewma(key, pdf_iter, state):
+    import numpy as np
+
+    region, kw = key
+    frames = [p for p in pdf_iter]
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    days = pdf["datetime"].dt.normalize()
+    vs = np.rint(pdf["value"].to_numpy() * SCALE).astype("int64")
+    daily = (
+        pd.DataFrame({"d": days, "sv": vs})
+        .groupby("d", sort=True)["sv"]
+        .sum()
+    )
+    s, started = state.get if state.exists else (0, 0)
+    rows = []
+    for d, sv in daily.items():
+        sv = int(sv)
+        s = sv if not started else (sv + 3 * s) // 4
+        started = 1
+        rows.append((region, kw, d.date(), sv, s, s / 100.0))
+    state.update((s, started))
+    yield pd.DataFrame(
+        rows,
+        columns=["region", "kw", "date", "v_cents", "ewma_scaled", "ewma"],
+    )
+
+
+def recursive_ewma_stream(trends: DataFrame) -> DataFrame:
+    """(datetime, kw, region, value) stream → exact recursive EWMA."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return trends.groupBy("region", "kw").applyInPandasWithState(
+        _recursive_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -210,3 +210,28 @@ def test_twap_matches_python(spark):
         )
         assert r["twap"] == num / (den * 100)
     assert len(got) == n_expected
+
+
+def test_recursive_ewma_matches_python_recursion(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        stream_ewma_recursive,
+    )
+
+    daily: dict[tuple, list] = {}
+    for r in (
+        _daily(spark, SF_SMALL).orderBy("region", "kw", "date").collect()
+    ):
+        daily.setdefault((r["region"], r["kw"]), []).append(
+            (r["date"], int(round(r["value"] * 100)))
+        )
+    want = {}
+    for (region, kw), series in daily.items():
+        s = None
+        for d, v in series:
+            s = v if s is None else (v + 3 * s) // 4
+            want[(region, kw, d)] = (v, s)
+    got = {
+        (r["region"], r["kw"], r["date"]): (r["v_cents"], r["ewma_scaled"])
+        for r in stream_ewma_recursive(spark, SF_SMALL).collect()
+    }
+    assert got == want
