@@ -153,6 +153,9 @@ HEADLINE = [
     "stream_sliding_topk",
     "orders_duplicate_invoices",
     "stream_ewma_recursive",
+    "series_forecast_backtest",
+    "part_return_rate_eb",
+    "doc_winnowing_fingerprints",
 ]
 
 

@@ -97,14 +97,14 @@ _PRIORITY: list[str] = [
     "stream_sliding_topk",
     "orders_duplicate_invoices",
     "stream_ewma_recursive",
+    "series_forecast_backtest",
+    "part_return_rate_eb",
+    "doc_winnowing_fingerprints",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
     "part_copurchase_triangles",
     "colbert_maxsim_topk",
-    "cms_heavy_hitters",
-    "rag_chunk_retrieval",
-    "similarity_radius_search",
 ]
 
 

@@ -3262,3 +3262,72 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             days.cast("long").alias("days_apart"),
         )
     )
+
+
+# --- empirical-Bayes shrunk return rates (small-n ranking fix) ------------
+# "Which parts get returned most" ranked by RAW rate is dominated by
+# parts with 2 lineitems — the classic small-sample pathology. The
+# empirical-Bayes fix shrinks every part's rate toward the corpus
+# prior with K pseudo-observations: shrunk = (x + K·p0)/(n + K) with
+# p0 = Xg/Ng the global return rate. Exactness: the nested rational
+# collapses to ONE integer division — shrunk = (x·Ng + K·Xg) /
+# (Ng·(n + K)) — so both engines emit identical doubles with no
+# rounding. Engine shape: one fact aggregate per part + the global
+# totals as a partial-agg scalar broadcast back (the min(struct)
+# recipe); integer envelope x·Ng < 2^63 holds through ~10^9-row
+# fixtures — at larger corpora quantize p0 to a 1e-9 integer first.
+
+_EB_PSEUDO_N = 25
+
+
+@register(
+    "part_return_rate_eb",
+    oracle=f"""
+WITH per AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem GROUP BY l_partkey),
+g AS (
+  SELECT CAST(SUM(n_items) AS BIGINT) AS ng,
+         CAST(SUM(n_returned) AS BIGINT) AS xg
+  FROM per)
+SELECT per.l_partkey AS part_key, per.n_items, per.n_returned,
+       CAST(per.n_returned AS DOUBLE) / CAST(per.n_items AS DOUBLE)
+         AS raw_rate,
+       CAST(per.n_returned * g.ng + {_EB_PSEUDO_N} * g.xg AS DOUBLE)
+         / CAST(g.ng * (per.n_items + {_EB_PSEUDO_N}) AS DOUBLE)
+         AS shrunk_rate
+FROM per, g
+""".strip(),
+)
+def part_return_rate_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+    )
+    g = per.agg(
+        F.sum("n_items").cast("long").alias("ng"),
+        F.sum("n_returned").cast("long").alias("xg"),
+    )
+    k = F.lit(_EB_PSEUDO_N)
+    out = per.crossJoin(F.broadcast(g))
+    return out.select(
+        "part_key",
+        "n_items",
+        "n_returned",
+        (
+            F.col("n_returned").cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("raw_rate"),
+        (
+            (F.col("n_returned") * F.col("ng") + k * F.col("xg")).cast(
+                "double"
+            )
+            / (F.col("ng") * (F.col("n_items") + k)).cast("double")
+        ).alias("shrunk_rate"),
+    )

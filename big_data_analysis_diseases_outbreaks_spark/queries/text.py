@@ -3018,3 +3018,102 @@ def doc_rake_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rake_score"),
         )
     )
+
+
+# --- winnowing fingerprints (MOSS document fingerprint selection) ---------
+# Winnowing [Schleimer, Wilkerson, Aiken, SIGMOD'03 — the MOSS
+# algorithm]: hash every word 3-gram, slide a window of W=4 gram
+# hashes, keep each window's MINIMUM — the selected fingerprint set is
+# position-robust (guaranteed to share fingerprints with any copy that
+# overlaps by ≥ W+2 words) yet ~1/W the gram count. Gram hashes are
+# the repo's cross-engine polynomial fold (xxhash64 is not
+# reproducible in the oracle engine; the RH family is — the
+# table_reconcile/cms protocol). All-JVM HOFs: gram build, per-gram
+# char fold, window minima, distinct+sort — one narrow pass, no
+# shuffle until the (bounded) output. Fingerprint lists render as
+# head-30 strings (the token_postings_index width bound).
+
+_WINNOW_W = 4
+_WINNOW_HEAD = 30
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])
+           AS grams
+  FROM tok WHERE len(ts) >= 3),
+h AS (
+  SELECT doc_id,
+         list_transform(grams, s ->
+           list_reduce(
+             list_prepend(CAST({RH_INIT} AS BIGINT),
+                          list_transform(string_split(s, ''),
+                                         x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS gh
+  FROM g),
+w AS (
+  SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+         list_sort(list_distinct(
+           list_transform(range(1, len(gh) - {_WINNOW_W} + 2),
+                          i -> list_min(list_slice(gh, i,
+                                                   i + {_WINNOW_W} - 1)))))
+           AS fps
+  FROM h WHERE len(gh) >= {_WINNOW_W})
+SELECT doc_id, n_grams,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       array_to_string(list_slice(fps, 1, {_WINNOW_HEAD}), ',')
+         AS head_fps
+FROM w
+""".strip(),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn(
+        "_ts", tokens(F.lower(F.col("text")))
+    ).where(F.size("_ts") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("_ts", i),
+            F.element_at("_ts", i + 1),
+            F.element_at("_ts", i + 2),
+        ),
+    )
+    g = toked.select("doc_id", grams.alias("_grams")).drop("_ts")
+    gh = F.transform(
+        F.col("_grams"),
+        lambda s: F.aggregate(
+            F.split(s, ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        ),
+    )
+    h = g.select("doc_id", gh.alias("_gh")).where(
+        F.size("_gh") >= _WINNOW_W
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("_gh") - _WINNOW_W + 1),
+        lambda i: F.array_min(F.slice("_gh", i, _WINNOW_W)),
+    )
+    w = h.select(
+        "doc_id",
+        F.size("_gh").cast("long").alias("n_grams"),
+        F.array_sort(F.array_distinct(wins)).alias("_fps"),
+    )
+    return w.select(
+        "doc_id",
+        "n_grams",
+        F.size("_fps").cast("long").alias("n_fingerprints"),
+        F.concat_ws(
+            ",",
+            F.slice("_fps", 1, _WINNOW_HEAD).cast("array<string>"),
+        ).alias("head_fps"),
+    )

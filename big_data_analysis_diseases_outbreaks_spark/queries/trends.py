@@ -2000,3 +2000,99 @@ def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_mod"),
         (F.abs(z) > F.lit(_ROBUST_Z_CUT)).cast("long").alias("is_outlier"),
     )
+
+
+# --- walk-forward forecast backtest (expanding-window regression) ---------
+# Model evaluation as a dataflow: at EVERY day of every series, fit the
+# OLS trend on all PRIOR days (expanding window) and score the
+# prediction against that day's actual — the leakage-free walk-forward
+# backtest, the honest way to evaluate series_linear_forecast. The
+# engine shape makes "refit at every cutoff" free: the five regression
+# moment sums are RUNNING integer sums over a 1-PRECEDING frame
+# (series-partitioned window — one shuffle), so each row carries its
+# own prior-only model; slope/intercept/prediction/error are a fixed
+# tree of IEEE ops on exact integers — bit-identical cross-engine, no
+# refit loop, no rounding. Rows need n_prior ≥ 2 and a non-degenerate
+# prior design (det > 0).
+
+@register(
+    "series_forecast_backtest",
+    oracle=f"{_PREFIX},\n"
+    f"""
+s AS (
+  SELECT region, kw, date,
+         CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT) AS x,
+         {scaled_long_sql('value', 100)} AS y
+  FROM daily),
+m AS (
+  SELECT region, kw, date, x, y,
+         CAST(COUNT(*) OVER wp AS BIGINT) AS n,
+         CAST(SUM(x) OVER wp AS BIGINT) AS sx,
+         CAST(SUM(y) OVER wp AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER wp AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER wp AS BIGINT) AS sxx
+  FROM s
+  WINDOW wp AS (PARTITION BY region, kw ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT region, kw, date, n AS n_prior,
+       CAST(y AS DOUBLE) / 100.0 AS actual,
+       (CAST(sy AS DOUBLE) / (n * 100.0)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+          * (CAST(sx AS DOUBLE) / n))
+       + (CAST(n * sxy - sx * sy AS DOUBLE)
+          / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+         * CAST(x AS DOUBLE) AS predicted,
+       CAST(y AS DOUBLE) / 100.0
+       - ((CAST(sy AS DOUBLE) / (n * 100.0)
+           - (CAST(n * sxy - sx * sy AS DOUBLE)
+              / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+             * (CAST(sx AS DOUBLE) / n))
+          + (CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0))
+            * CAST(x AS DOUBLE)) AS error
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0
+""".strip(),
+)
+def series_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    s = daily.select(
+        "region",
+        "kw",
+        "date",
+        F.datediff(F.col("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        scaled_long(F.col("value"), 100).alias("y"),
+    )
+    wp = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = s.select(
+        "*",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+        F.sum("y").over(wp).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wp).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wp).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy).cast("double") / (det.cast("double") * 100.0)
+    intercept = sy.cast("double") / (n * F.lit(100.0)) - slope * (
+        sx.cast("double") / n
+    )
+    pred = intercept + slope * F.col("x").cast("double")
+    actual = F.col("y").cast("double") / F.lit(100.0)
+    return m.where((n >= 2) & (det > 0)).select(
+        "region",
+        "kw",
+        "date",
+        n.alias("n_prior"),
+        actual.alias("actual"),
+        pred.alias("predicted"),
+        (actual - pred).alias("error"),
+    )

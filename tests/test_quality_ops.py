@@ -235,3 +235,104 @@ def test_recursive_ewma_matches_python_recursion(spark):
         for r in stream_ewma_recursive(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_forecast_backtest_matches_python(spark):
+    import datetime
+
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        series_forecast_backtest,
+    )
+
+    daily: dict[tuple, list] = {}
+    for r in _daily(spark, SF_SMALL).orderBy("region", "kw", "date").collect():
+        daily.setdefault((r["region"], r["kw"]), []).append(
+            (r["date"], int(round(r["value"] * 100)))
+        )
+    anchor = datetime.date(2024, 1, 1)
+    got = {
+        (r["region"], r["kw"], r["date"]): r
+        for r in series_forecast_backtest(spark, SF_SMALL).collect()
+    }
+    n_checked = 0
+    for (region, kw), series in daily.items():
+        n = sx = sy = sxy = sxx = 0
+        for d, v in series:
+            x = (d - anchor).days
+            det = n * sxx - sx * sx
+            if n >= 2 and det > 0:
+                slope = float(n * sxy - sx * sy) / (float(det) * 100.0)
+                intercept = float(sy) / (n * 100.0) - slope * (float(sx) / n)
+                pred = intercept + slope * float(x)
+                r = got[(region, kw, d)]
+                assert r["n_prior"] == n
+                assert r["predicted"] == pred
+                assert r["error"] == v / 100.0 - pred
+                n_checked += 1
+            n += 1
+            sx += x
+            sy += v
+            sxy += x * v
+            sxx += x * x
+    assert n_checked == len(got) > 0
+
+
+def test_eb_shrinkage_orders_small_samples_toward_prior(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        part_return_rate_eb,
+    )
+
+    rows = part_return_rate_eb(spark, SF_SMALL).collect()
+    assert rows
+    ng = sum(r["n_items"] for r in rows)
+    xg = sum(r["n_returned"] for r in rows)
+    p0 = xg / ng
+    for r in rows:
+        # shrunk lies strictly between raw and the prior (or equals both)
+        lo, hi = sorted((r["raw_rate"], p0))
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+        # exact formula
+        want = (r["n_returned"] * ng + 25 * xg) / (ng * (r["n_items"] + 25))
+        assert r["shrunk_rate"] == want
+
+
+def test_winnowing_matches_python(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _WINNOW_HEAD,
+        _WINNOW_W,
+        RH_INIT,
+        RH_MOD,
+        RH_MULT,
+        doc_winnowing_fingerprints,
+        tokens,
+    )
+
+    toks = {
+        r["doc_id"]: r["ts"]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", tokens(F.lower(F.col("text"))).alias("ts"))
+        .collect()
+    }
+
+    def polyhash(s: str) -> int:
+        acc = RH_INIT
+        for ch in s:
+            acc = (acc * RH_MULT + ord(ch)) % RH_MOD
+        return acc
+
+    got = {r["doc_id"]: r for r in doc_winnowing_fingerprints(spark, SF_SMALL).collect()}
+    n_checked = 0
+    for doc, ts in toks.items():
+        grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
+        gh = [polyhash(g) for g in grams]
+        if len(gh) < _WINNOW_W:
+            assert doc not in got
+            continue
+        wins = sorted(
+            {min(gh[i : i + _WINNOW_W]) for i in range(len(gh) - _WINNOW_W + 1)}
+        )
+        r = got[doc]
+        assert (r["n_grams"], r["n_fingerprints"]) == (len(gh), len(wins))
+        assert r["head_fps"] == ",".join(str(x) for x in wins[:_WINNOW_HEAD])
+        n_checked += 1
+    assert n_checked == len(got) > 0
