@@ -156,6 +156,7 @@ HEADLINE = [
     "series_forecast_backtest",
     "part_return_rate_eb",
     "doc_winnowing_fingerprints",
+    "customer_interpurchase_days",
 ]
 
 

@@ -100,11 +100,11 @@ _PRIORITY: list[str] = [
     "series_forecast_backtest",
     "part_return_rate_eb",
     "doc_winnowing_fingerprints",
+    "customer_interpurchase_days",
     # Re-confirmation backfill: flagship + one per family, all
     # driver-green in a prior round
     "doc_dsir_select",
     "part_copurchase_triangles",
-    "colbert_maxsim_topk",
 ]
 
 

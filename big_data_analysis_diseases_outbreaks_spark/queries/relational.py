@@ -3331,3 +3331,71 @@ def part_return_rate_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ng") * (F.col("n_items") + k)).cast("double")
         ).alias("shrunk_rate"),
     )
+
+
+# --- inter-purchase cadence by market segment -----------------------------
+# How often customers come back, by segment: days between CONSECUTIVE
+# orders of the same customer (lag on the customer-partitioned window
+# — one shuffle on the natural key), summarized per market segment as
+# exact discrete quartiles (ANSI percentile_disc picks actual data
+# elements — zero interpolation, bit-exact cross-engine; the
+# value_percentiles_by_type protocol; the integer-day domain is
+# bounded, so the exact percentile aggregate's value→count maps stay
+# small at any corpus size). The segment dimension broadcasts.
+
+@register(
+    "customer_interpurchase_days",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_custkey),
+              d) AS BIGINT) AS gap_days
+  FROM (SELECT o_custkey, d FROM o)),
+seg AS (
+  SELECT g.gap_days, c.c_mktsegment AS segment
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY gap_days) AS p25,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY gap_days) AS p50,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY gap_days) AS p75,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM seg GROUP BY segment
+""".strip(),
+)
+def customer_interpurchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias(
+            "gap_days"
+        ),
+    ).where(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = gaps.join(F.broadcast(cust), "o_custkey")
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        # Spark's percentile_disc returns DOUBLE even on integral
+        # input; the selected element is an exact day count, so the
+        # long cast is lossless and matches the oracle's BIGINT.
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p75"),
+        F.max("gap_days").alias("max_gap"),
+    )
