@@ -36,75 +36,74 @@ def register(name: str, oracle: str | None = None):
 # so ordering is signal — and it is a ROTATING window: a query that has
 # produced a driver-green row in ANY past round keeps that evidence
 # forever, so each round the window is refilled with the oracle-backed
-# queries that have never had one.  Round-7 rotation (per VERDICT r6
-# §1/§3): `doc_embed_deterministic` — the ONE oracle-backed query never
-# driver-green (its r6 red was a driver-canonicalizer crash on
-# array<double>, now reshaped to exploded hashable rows) — leads,
-# followed by the 4 rows-only queries that have never even had a driver
-# row (they can only score `no_oracle`, but rows>0 + err-free execution
-# under the driver's session is still evidence), then the round-7 new
-# operators; the remaining slots are backfilled with flagship
-# already-green queries for re-confirmation. EXACTLY 50 entries — a
+# queries that have never had one.  Round-8 rotation (per VERDICT r7
+# §"Next round" #1): CORRECTNESS_r07 closed the book — 205/205
+# oracle-backed queries ever green, every rows-only query has its
+# driver row — so `tools/rotate_window.py` reports 50 spare slots.
+# The round-8 window therefore leads with the queries whose oracles are
+# RESHAPED this round (their old hash evidence no longer applies:
+# winnowing's cheaper token-hash composition, node-similarity's hub
+# cap) and new round-8 operators, then backfills with flagship
+# re-confirmation queries, one per family. EXACTLY 50 entries — a
 # 51st would silently fall outside the driver's window
 # (test-enforced). tools/rotate_window.py regenerates this list;
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
-    # The last never-green oracle-backed query (reshaped this round)
-    "doc_embed_deterministic",
-    # Rows-only queries never yet seen by the driver (VERDICT r6 §3)
-    "ann_ivf_pq_topk",
-    "ann_recall_report",
-    "dedup_semdedup",
-    "doc_stratified_sample",
-    # Round-7 new operators (never driver-checked)
-    "value_percentiles_by_type",
-    "rag_rerank_topk",
-    "token_pmi_pairs",
-    "dq_expectations_report",
-    "part_copurchase_kcore",
-    "mv_join_delta_maintenance",
-    "stream_observed_dq",
-    "trend_slope_by_region",
-    "value_trend_runs",
-    "events_gap_fill_locf",
-    "markov_event_transitions",
-    "bpe_top_merges",
-    "fuzzy_name_pairs",
-    "part_copurchase_khop",
-    "stream_cms_incremental",
-    "table_reconcile_checksums",
-    "shipment_interval_overlap",
-    "corpus_greedy_coverage",
-    "orders_weighted_systematic_sample",
-    "part_pareto_frontier",
-    "series_ewma16",
-    "series_autocorr",
-    "token_postings_index",
-    "series_stl_decompose",
-    "join_skew_profile",
-    "part_copurchase_lpa",
-    "doc_lm_oov_rate",
-    "events_robust_zscore",
-    "part_abc_classification",
-    "customer_rfm_segments",
-    "part_twap_price",
-    "stream_python_sink_roundtrip",
-    "part_edge_jaccard",
-    "multimodal_exact_dedup",
-    "doc_rake_word_stats",
-    "part_node_similarity",
-    "stream_sliding_topk",
-    "orders_duplicate_invoices",
-    "stream_ewma_recursive",
-    "series_forecast_backtest",
-    "part_return_rate_eb",
+    # Reshaped this round (fresh hash evidence needed)
     "doc_winnowing_fingerprints",
-    "customer_interpurchase_days",
-    # Re-confirmation backfill: flagship + one per family, all
-    # driver-green in a prior round
+    "part_node_similarity",
+    # Re-confirmation backfill: flagships, one per family, all
+    # driver-green in a prior round (round-8 new operators displace
+    # from the tail as they land)
+    "tpch_q1_pricing",
+    "revenue_by_nation",
+    "top10_customers",
+    "national_market_share",
+    "product_type_profit",
+    "returned_item_reporting",
+    "large_volume_customers",
+    "top3_customers_per_nation",
+    "orders_above_customer_avg",
+    "merge_upsert_orders",
+    "scd2_priority_epochs",
+    "salted_type_join",
+    "lateral_top2_orders",
+    "cdc_merge_apply",
+    "asof_last_signup",
+    "qfactor_normalization",
+    "fuzzy_name_pairs",
+    "orders_duplicate_invoices",
+    "trends_daily_agg",
+    "trends_detrend",
+    "anomaly_zscore",
+    "pivot_wide",
+    "daily_zero_filled",
+    "sessionize_events",
+    "user_retention_cohorts",
+    "series_linear_forecast",
+    "stream_ewma_recursive",
+    "doc_token_count",
+    "doc_quality_score",
+    "doc_lang_id",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "doc_simhash16",
+    "tfidf_top_terms",
+    "doc_gopher_quality",
+    "doc_pii_scrub",
+    "training_data_pipeline",
+    "corpus_budget_select",
+    "cms_heavy_hitters",
     "doc_dsir_select",
-    "part_copurchase_triangles",
+    "cosine_topk",
+    "dedup_embedding_cosine",
+    "embedding_quantize_int8",
+    "colbert_maxsim_topk",
+    "rag_chunk_retrieval",
+    "multimodal_exact_dedup",
+    "part_copurchase_pagerank",
+    "part_copurchase_lpa",
 ]
 
 
