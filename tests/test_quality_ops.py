@@ -323,8 +323,15 @@ def test_winnowing_matches_python(spark):
     got = {r["doc_id"]: r for r in doc_winnowing_fingerprints(spark, SF_SMALL).collect()}
     n_checked = 0
     for doc, ts in toks.items():
-        grams = [" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)]
-        gh = [polyhash(g) for g in grams]
+        # token-level hash once, then the same polynomial over the 3
+        # token hashes per gram (the r8 single-fold reshape)
+        th = [polyhash(t) for t in ts]
+        gh = []
+        for i in range(len(ts) - 2):
+            acc = RH_INIT
+            for x in th[i : i + 3]:
+                acc = (acc * RH_MULT + x) % RH_MOD
+            gh.append(acc)
         if len(gh) < _WINNOW_W:
             assert doc not in got
             continue
