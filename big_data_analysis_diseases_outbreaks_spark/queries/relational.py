@@ -3123,65 +3123,17 @@ WHERE CAST(cn.c AS DOUBLE)
 )
 def part_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.checkpointing import truncator
+    from ..operators.node_similarity import node_similarity_pairs
     from ..operators.triangles import undirected_edges
 
     edges = copurchase_edges(spark, sf_dir)
     und = truncator(edges, None)(undirected_edges(edges))
-    sym = und.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-    adj = (
-        sym.groupBy("node")
-        .agg(F.array_sort(F.collect_list("nbr")).alias("nbrs"))
-        .withColumn("sz", F.size("nbrs"))
-        .localCheckpoint(eager=True)
-    )
-    prefix_len = (
-        F.col("sz") - F.ceil(F.col("sz") * F.lit(_NODE_SIM_T)) + 1
-    ).cast("int")
-    pref = adj.select(
-        "node",
-        "sz",
-        F.explode_outer(F.slice("nbrs", F.lit(1), prefix_len)).alias("tok"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.node") < F.col("b.node"))
-            & (
-                F.col("a.sz").cast("double")
-                >= F.lit(_NODE_SIM_T) * F.col("b.sz")
-            )
-            & (
-                F.col("b.sz").cast("double")
-                >= F.lit(_NODE_SIM_T) * F.col("a.sz")
-            ),
-        )
-        .select(
-            F.col("a.node").alias("u"),
-            F.col("b.node").alias("v"),
-        )
-        .distinct()
-    )
-    verified = cand.join(
-        adj.select(F.col("node").alias("u"), F.col("nbrs").alias("na")), "u"
-    ).join(
-        adj.select(F.col("node").alias("v"), F.col("nbrs").alias("nb")), "v"
-    )
-    inter = F.size(F.array_intersect("na", "nb")).cast("long")
-    union = (F.size("na") + F.size("nb")).cast("long") - inter
-    return verified.select(
-        "u",
-        "v",
-        inter.alias("n_common"),
-        union.alias("n_union"),
-        (inter.cast("double") / union.cast("double")).alias("jaccard"),
-    ).where(
-        F.col("n_common").cast("double")
-        >= F.lit(_NODE_SIM_T) * F.col("n_union").cast("double")
-    )
+    # Hub-capped AllPairs: adjacency rows bounded at NODE_SIM_DEG_CAP
+    # elements; hub pairs route through the MinHash-LSH fallback with
+    # exact wedge-join verification (operators/node_similarity.py).
+    # The co-purchase graph's max degree is ~84 at sf0.1, far below
+    # the cap, so the result is identical to the exact oracle.
+    return node_similarity_pairs(und, _NODE_SIM_T)
 
 
 # --- duplicate-invoice detection (banded blocking record matching) --------
