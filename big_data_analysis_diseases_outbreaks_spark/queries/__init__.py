@@ -50,9 +50,11 @@ def register(name: str, oracle: str | None = None):
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
 _PRIORITY: list[str] = [
-    # Reshaped this round (fresh hash evidence needed)
+    # Reshaped / newly oracle-backed this round (fresh hash evidence
+    # needed)
     "doc_winnowing_fingerprints",
     "part_node_similarity",
+    "corpus_greedy_coverage",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -103,7 +105,6 @@ _PRIORITY: list[str] = [
     "rag_chunk_retrieval",
     "multimodal_exact_dedup",
     "part_copurchase_pagerank",
-    "part_copurchase_lpa",
 ]
 
 

@@ -2742,7 +2742,55 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVER_K = 10
 
 
-@register("corpus_greedy_coverage")
+def _greedy_coverage_oracle() -> str:
+    """Chained-CTE replay of the FIXED-K greedy loop (the
+    part_copurchase_lpa oracle pattern): step i's pick is a
+    top-1-by-(gain, doc_id) aggregate over tokens not yet covered, and
+    the covered set is the union of the first i picks' token sets.  An
+    exhausted corpus makes step i's pick CTE empty, every later pick
+    identical (covered set unchanged) and empty, and the final union
+    simply shorter — mirroring the engine's loop break."""
+    parts = [
+        f"""WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+    FROM documents)),
+s0 AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM dt GROUP BY doc_id
+  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+c0 AS MATERIALIZED (
+  SELECT token FROM dt WHERE doc_id = (SELECT doc_id FROM s0))"""
+    ]
+    for i in range(1, _COVER_K):
+        parts.append(
+            f"""s{i} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM dt WHERE token NOT IN (SELECT token FROM c{i - 1})
+  GROUP BY doc_id
+  ORDER BY gain DESC, doc_id ASC LIMIT 1),
+c{i} AS MATERIALIZED (
+  SELECT token FROM c{i - 1}
+  UNION
+  SELECT token FROM dt WHERE doc_id = (SELECT doc_id FROM s{i}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, doc_id, gain FROM s{i}"
+        for i in range(_COVER_K)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+picks AS (
+{union})
+SELECT step, CAST(doc_id AS BIGINT) AS doc_id, gain,
+       CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+FROM picks"""
+    )
+
+
+@register("corpus_greedy_coverage", oracle=_greedy_coverage_oracle())
 def corpus_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     dt = (
