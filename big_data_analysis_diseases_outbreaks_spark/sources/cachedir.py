@@ -75,6 +75,14 @@ def build_cached_dir(
     tmp = tempfile.gettempdir()
     final = os.path.join(tmp, f"{prefix}-{fingerprint}")
     if os.path.exists(os.path.join(final, _DONE)):
+        # Mark the dir as in-use: the reap cutoff below measures age
+        # since last RESOLVE, not since creation, so a published dir a
+        # long-lived process keeps streaming from is never reclaimed
+        # out from under it by a sibling build (ADVICE r7).
+        try:
+            os.utime(final)
+        except OSError:
+            pass
         return final
     # Prune superseded fingerprints — best-effort, never load-bearing.
     # RECENT siblings of ANY kind are exempt, not just staging/aside:
