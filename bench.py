@@ -157,6 +157,8 @@ HEADLINE = [
     "part_return_rate_eb",
     "doc_winnowing_fingerprints",
     "customer_interpurchase_days",
+    # round-8 additions
+    "doc_duplicate_spans",
 ]
 
 

@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "doc_winnowing_fingerprints",
     "part_node_similarity",
     "corpus_greedy_coverage",
+    "doc_duplicate_spans",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "colbert_maxsim_topk",
     "rag_chunk_retrieval",
     "multimodal_exact_dedup",
-    "part_copurchase_pagerank",
 ]
 
 

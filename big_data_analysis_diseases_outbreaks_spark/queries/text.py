@@ -2831,6 +2831,79 @@ def corpus_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-document exact substring (duplicate-span) dedup ----------------
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" (ACL'22) find exact duplicate text SPANS across documents
+# with a suffix array; the bounded relational rewrite is fixed-length
+# span grouping: every L-token window (L=8) becomes a group key, and a
+# span held by >= 2 distinct documents is a cross-document exact
+# duplicate (any duplicate span of length >= L contains an L-window,
+# so recall at granularity L is exact). Engine shape: one narrow
+# map-only pass (tokenize -> sliding L-window join), then ONE hash
+# aggregate keyed by the span — candidates-then-verify degenerates to
+# a single groupBy because grouping on the span TEXT is already exact
+# verification. At 100 TB the shuffle key would be the span's 16-byte
+# digest with the text kept only for in-group verification (the
+# multimodal_exact_dedup protocol); at test scale the plain-text key
+# keeps the query oracle-exact. Reference parity: extends the
+# reference's doc-level dedup (its distinct-by-content pass) to
+# sub-document granularity.
+
+_SPAN_L = 8
+_SPAN_HEAD = 10
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts) - {_SPAN_L} + 2),
+                               i -> array_to_string(
+                                 list_slice(ts, i, i + {_SPAN_L} - 1),
+                                 ' '))) AS span
+  FROM tok WHERE len(ts) >= {_SPAN_L})
+SELECT span,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       array_to_string(
+         list_slice(list_sort(list(DISTINCT doc_id)), 1, {_SPAN_HEAD}),
+         ',') AS head_docs
+FROM g GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+""".strip(),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn(
+        "_ts", tokens(F.lower(F.col("text")))
+    ).where(F.size("_ts") >= _SPAN_L)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - _SPAN_L + 1),
+        lambda i: F.array_join(F.slice("_ts", i, _SPAN_L), " "),
+    )
+    g = toked.select("doc_id", F.explode_outer(spans).alias("span"))
+    return (
+        g.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")),
+                    1,
+                    _SPAN_HEAD,
+                ).cast("array<string>"),
+            ).alias("head_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 # --- inverted index build (token → document-frequency + head postings) ----
 # The search-engine index as a relational build: one corpus pass
 # explodes (doc_id, token), dedups to presence pairs, and a single hash

@@ -128,3 +128,35 @@ def test_dedup_operators_degenerate_inputs(spark):
     assert cc.count() == 0
     canon = dedup_cluster_canonical(cc, one).collect()
     assert len(canon) == 1 and canon[0].is_canonical == 1
+
+
+def test_duplicate_spans_planted(spark, tmp_path):
+    """Cross-document exact L-token spans: a full duplicate shares every
+    window, a partial overlap shares exactly its common window, and an
+    INTRA-doc repeat (n_docs == 1) stays out."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _SPAN_L,
+        doc_duplicate_spans,
+    )
+
+    assert _SPAN_L == 8
+    base = "a b c d e f g h i j"  # windows: a..h, b..i, c..j
+    rows = [
+        (1, base),
+        (2, "z y c d e f g h i j"),  # shares only "c d e f g h i j"
+        (3, "one two three four five six seven eight nine"),
+        (4, base),  # full duplicate of doc 1
+        # intra-doc repeat: same 8-token span twice in ONE doc
+        (5, "p q r s t u v w " + "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["span"]: (r["n_occurrences"], r["n_docs"], r["head_docs"])
+        for r in doc_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "a b c d e f g h": (2, 2, "1,4"),
+        "b c d e f g h i": (2, 2, "1,4"),
+        "c d e f g h i j": (3, 3, "1,2,4"),
+    }
