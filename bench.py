@@ -159,6 +159,7 @@ HEADLINE = [
     "customer_interpurchase_days",
     # round-8 additions
     "doc_duplicate_spans",
+    "doc_duplicate_span_rate",
 ]
 
 

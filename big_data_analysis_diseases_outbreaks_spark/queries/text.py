@@ -2904,6 +2904,77 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-document duplicate-span rate (the Lee et al. trim signal) --------
+# The companion per-doc surface of doc_duplicate_spans: what FRACTION
+# of a document's L-token windows also appear in at least one OTHER
+# document — the statistic Lee et al. threshold to decide which
+# documents to trim/drop. Two-level aggregation keeps it one corpus
+# pass: window occurrences collapse to distinct (doc, span, cnt) rows
+# first (persisted — both the span-level doc-frequency aggregate and
+# the rate join consume it, with different pruned columns, so
+# ReuseExchange would not cover the shared corpus pass), then a
+# span-keyed doc-frequency aggregate joins back on the SAME span key —
+# co-partitioned, no extra corpus scan. Rate is one exact int/int
+# IEEE division (the jaccard protocol).
+
+@register(
+    "doc_duplicate_span_rate",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts) - {_SPAN_L} + 2),
+                               i -> array_to_string(
+                                 list_slice(ts, i, i + {_SPAN_L} - 1),
+                                 ' '))) AS span
+  FROM tok WHERE len(ts) >= {_SPAN_L}),
+d1 AS (
+  SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, span),
+ss AS (
+  SELECT span, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM d1 GROUP BY span)
+SELECT d1.doc_id,
+       CAST(SUM(d1.cnt) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN ss.nd >= 2 THEN d1.cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       CAST(SUM(CASE WHEN ss.nd >= 2 THEN d1.cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(d1.cnt) AS DOUBLE) AS dup_rate
+FROM d1 JOIN ss ON d1.span = ss.span
+GROUP BY d1.doc_id
+""".strip(),
+)
+def doc_duplicate_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn(
+        "_ts", tokens(F.lower(F.col("text")))
+    ).where(F.size("_ts") >= _SPAN_L)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size("_ts") - _SPAN_L + 1),
+        lambda i: F.array_join(F.slice("_ts", i, _SPAN_L), " "),
+    )
+    g = toked.select("doc_id", F.explode_outer(spans).alias("span"))
+    d1 = (
+        g.groupBy("doc_id", "span")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    ss = d1.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
+    dup_cnt = F.sum(
+        F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    )
+    joined = d1.join(ss, "span")
+    return joined.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        dup_cnt.alias("n_dup_windows"),
+        (
+            dup_cnt.cast("double") / F.sum("cnt").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 # --- inverted index build (token → document-frequency + head postings) ----
 # The search-engine index as a relational build: one corpus pass
 # explodes (doc_id, token), dedups to presence pairs, and a single hash

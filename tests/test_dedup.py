@@ -160,3 +160,33 @@ def test_duplicate_spans_planted(spark, tmp_path):
         "b c d e f g h i": (2, 2, "1,4"),
         "c d e f g h i j": (3, 3, "1,2,4"),
     }
+
+
+def test_duplicate_span_rate_planted(spark, tmp_path):
+    """Per-doc dup-window fraction on the same planted corpus: full
+    duplicates rate 1.0, the partial overlap 1/3, singles 0.0."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        doc_duplicate_span_rate,
+    )
+
+    base = "a b c d e f g h i j"
+    rows = [
+        (1, base),
+        (2, "z y c d e f g h i j"),
+        (3, "one two three four five six seven eight nine"),
+        (4, base),
+        (5, "p q r s t u v w " + "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_rate"])
+        for r in doc_duplicate_span_rate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 1, 1 / 3),
+        3: (2, 0, 0.0),
+        4: (3, 3, 1.0),
+        5: (9, 0, 0.0),
+    }
