@@ -160,6 +160,7 @@ HEADLINE = [
     # round-8 additions
     "doc_duplicate_spans",
     "doc_duplicate_span_rate",
+    "part_copurchase_ppr",
 ]
 
 

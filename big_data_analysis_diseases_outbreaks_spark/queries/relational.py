@@ -2021,6 +2021,83 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Personalized PageRank on the co-purchase graph -----------------------
+# "Related items": random walks restarting at a seed basket — here the
+# 5 highest-degree parts (ties → smallest key) — so rank mass decays
+# with distance from the seeds (operators/pagerank.py:
+# personalized_pagerank; exact-integer protocol, chained-CTE oracle
+# replay like part_copurchase_pagerank/lpa). Output is the bounded
+# top-50 by scaled rank (integer ties → key order: deterministic).
+
+_PPR_SEEDS = 5
+_PPR_TOPK = 50
+
+
+def _ppr_oracle() -> str:
+    from ..operators.pagerank import BASE, DAMP_DEN, DAMP_NUM, SCALE
+
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(n.nbase
+              + {DAMP_NUM} * (COALESCE(c.contrib, 0) // {DAMP_DEN})
+              + ({DAMP_NUM} * (COALESCE(c.contrib, 0) % {DAMP_DEN}))
+                // {DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS contrib
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN deg g ON e.src = g.src
+    GROUP BY e.dst) c USING (node))"""
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+seeds AS MATERIALIZED (
+  SELECT src AS node FROM deg
+  ORDER BY outdeg DESC, src ASC LIMIT {_PPR_SEEDS}),
+nodes AS MATERIALIZED (
+  SELECT d.src AS node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {BASE} ELSE 0 END
+              AS BIGINT) AS nbase,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {SCALE} ELSE 0 END
+              AS BIGINT) AS r0v
+  FROM deg d LEFT JOIN seeds s ON d.src = s.node),
+r0 AS (SELECT node, r0v AS rank FROM nodes),
+{joined}
+SELECT node AS part_key, rank AS ppr_scaled FROM r{_PR_ITERS}
+ORDER BY ppr_scaled DESC, part_key ASC LIMIT {_PPR_TOPK}
+""".strip()
+
+
+@register("part_copurchase_ppr", oracle=_ppr_oracle())
+def part_copurchase_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import personalized_pagerank
+
+    edges = copurchase_edges(spark, sf_dir).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = (
+        deg.orderBy(F.col("outdeg").desc(), F.col("src").asc())
+        .limit(_PPR_SEEDS)
+        .select("src")
+    )
+    return (
+        personalized_pagerank(edges, seeds, n_iter=_PR_ITERS)
+        .orderBy(F.col("ppr_scaled").desc(), F.col("node").asc())
+        .limit(_PPR_TOPK)
+        .select(F.col("node").alias("part_key"), "ppr_scaled")
+    )
+
+
 # --- Triangle counting on the same co-purchase graph (degree-ordered
 # orientation — operators/triangles.py): per-part triangle participation,
 # the clustering-structure complement to PageRank's centrality. Exact

@@ -195,3 +195,85 @@ def test_triangles_restore_shuffle_partitions(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     triangle_counts(_edges(spark, [(1, 2), (2, 3), (3, 1)])).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# --- Personalized PageRank (operators/pagerank.py) --------------------------
+
+
+def _ppr_python(edges, seeds, n_iter, scale):
+    """Pure-Python replica of the exact-integer PPR recurrence."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        DAMP_DEN,
+        DAMP_NUM,
+    )
+
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    nodes = sorted(outdeg)
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            if d in contrib:
+                contrib[d] += rank[s] // outdeg[s]
+        rank = {
+            n: (base if n in seeds else 0)
+            + DAMP_NUM * (contrib[n] // DAMP_DEN)
+            + (DAMP_NUM * (contrib[n] % DAMP_DEN)) // DAMP_DEN
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_python_and_decays_from_seed(spark):
+    """Two symmetrized chains a-b-c-d and x-y; seed {a}: the far end of
+    the seed's chain ranks below the near end, the x-y component gets
+    ZERO mass, and every value matches the pure-Python integer replica.
+    (No strict per-hop monotonicity claim: a degree-1 seed forwards
+    ALL its mass to its only neighbor, which can legitimately outrank
+    the seed itself.)"""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        SCALE,
+        personalized_pagerank,
+    )
+
+    pairs = []
+    for u, v in [(1, 2), (2, 3), (3, 4), (10, 11)]:
+        pairs += [(u, v), (v, u)]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(1,)], "node LONG")
+    got = {
+        r["node"]: r["ppr_scaled"]
+        for r in personalized_pagerank(edges, seeds, n_iter=6).collect()
+    }
+    want = _ppr_python(pairs, {1}, 6, SCALE)
+    assert got == want
+    assert min(got[1], got[2], got[3], got[4]) > 0
+    assert got[4] < got[2]
+    assert got[10] == got[11] == 0
+
+
+def test_ppr_uniform_seed_set_equals_pagerank(spark):
+    """Seeding EVERY node reduces PPR to ordinary PageRank exactly
+    (identical integer recurrences)."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.pagerank import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    pairs = []
+    for leaf in range(2, 6):
+        pairs += [(1, leaf), (leaf, 1)]
+    edges = _edges(spark, pairs)
+    seeds = spark.createDataFrame([(n,) for n in range(1, 6)], "node LONG")
+    ppr = {
+        r["node"]: r["ppr_scaled"]
+        for r in personalized_pagerank(edges, seeds, n_iter=4).collect()
+    }
+    pr = {
+        r["node"]: r["pagerank_scaled"]
+        for r in pagerank(edges, n_iter=4).collect()
+    }
+    assert ppr == pr
