@@ -161,6 +161,7 @@ HEADLINE = [
     "doc_duplicate_spans",
     "doc_duplicate_span_rate",
     "part_copurchase_ppr",
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -1104,3 +1104,120 @@ def rag_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xmatch", "score", "rank",
         )
     )
+
+
+# --- Matryoshka truncation-recall report ----------------------------------
+# Matryoshka representation learning [Kusupati et al., NeurIPS'22]
+# trains embeddings whose PREFIX dimensions are themselves usable
+# vectors; serving stacks exploit it by retrieving with the first d
+# dims (d << D) and re-ranking with the full vector. This query is the
+# quality surface for choosing d: exact top-k retrieval under each
+# prefix length vs the full-dimension baseline, reported as
+# recall@k — integer hit counts plus ONE exact int/int IEEE division.
+# Ranking uses the repo's rounded-score + vec_id tie-break protocol
+# (brute_force_topk), so both engines rank identically; scores are
+# never emitted. Scale shape: each prefix run is the documented
+# brute-force baseline (broadcast query side); the production path for
+# large corpora swaps in the IVF/PQ operators unchanged — this report
+# is how you'd validate them per prefix length.
+
+_MAT_DIMS = (8, 16, 32, 64)
+_MAT_K = 3
+
+
+def _matryoshka_oracle() -> str:
+    sels = []
+    for d in _MAT_DIMS:
+        sels.append(
+            f"""sel{d} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           ROUND(
+             list_sum(list_transform(range(1, {d} + 1),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(c.embedding[i] AS DOUBLE)))
+             / NULLIF(
+               sqrt(list_sum(list_transform(list_slice(q.embedding, 1, {d}),
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * sqrt(list_sum(list_transform(list_slice(c.embedding, 1, {d}),
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0),
+             4) AS cos_sim
+    FROM q JOIN embeddings c ON q.vec_id <> c.vec_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, cand_id ASC) <= {_MAT_K})"""
+        )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS trunc_dim,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sel{d} s
+        JOIN sel{_MAT_DIMS[-1]} b USING (query_id, cand_id)) AS hits
+"""
+        for d in _MAT_DIMS
+    )
+    return (
+        f"WITH q AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id < {_N_QUERIES}),\n"
+        + ",\n".join(sels)
+        + f""",
+base_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_expected
+           FROM sel{_MAT_DIMS[-1]}),
+hits AS (
+{rows})
+SELECT h.trunc_dim, h.hits, b.n_expected,
+       CAST(h.hits AS DOUBLE) / CAST(b.n_expected AS DOUBLE) AS recall
+FROM hits h, base_n b
+""".strip()
+    )
+
+
+@register("embedding_matryoshka_recall", oracle=_matryoshka_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    tagged = []
+    for d in _MAT_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        topk = brute_force_topk(
+            trunc.where(F.col("vec_id") < _N_QUERIES), trunc, k=_MAT_K
+        ).select(
+            F.lit(d).cast("long").alias("trunc_dim"),
+            "query_id",
+            "cand_id",
+        )
+        tagged.append(topk)
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    # tiny (k · n_queries rows); persisted — the full-dim baseline is
+    # joined against every prefix length
+    base = (
+        tagged[-1].select("query_id", "cand_id").persist()
+    )
+    hits = (
+        u.join(base, ["query_id", "cand_id"])
+        .groupBy("trunc_dim")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in _MAT_DIMS], "trunc_dim LONG"
+    )
+    n_expected = base.agg(
+        F.count(F.lit(1)).alias("n_expected")
+    )
+    return (
+        dims.join(hits, "trunc_dim", "left")
+        .select(
+            "trunc_dim",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .crossJoin(F.broadcast(n_expected))
+        .select(
+            "trunc_dim",
+            "hits",
+            "n_expected",
+            (
+                F.col("hits").cast("double")
+                / F.col("n_expected").cast("double")
+            ).alias("recall"),
+        )
+    )

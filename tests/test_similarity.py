@@ -231,3 +231,27 @@ def test_rag_chunk_retrieval_contract(spark):
         assert [r["rank"] for r in rs] == [1, 2, 3], q
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True), q
+
+
+def test_matryoshka_recall_full_dim_is_one(spark):
+    """The full-dimension row is its own baseline (recall exactly 1.0),
+    every configured prefix length appears, and hit counts are bounded
+    by k x n_queries."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.embeddings import (
+        _MAT_DIMS,
+        _MAT_K,
+        _N_QUERIES,
+        embedding_matryoshka_recall,
+    )
+
+    rows = {
+        r["trunc_dim"]: r
+        for r in embedding_matryoshka_recall(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(_MAT_DIMS)
+    full = rows[_MAT_DIMS[-1]]
+    assert full["n_expected"] == _MAT_K * _N_QUERIES
+    assert full["hits"] == full["n_expected"] and full["recall"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["hits"] <= r["n_expected"]
+        assert r["recall"] == r["hits"] / r["n_expected"]
