@@ -409,3 +409,24 @@ def test_producer_datasource_fanout_and_options(spark):
     kws = {r["kw"] for r in rows}
     assert kws == {"kw_0", "kw_1", "kw_2"}
     assert {r["region"] for r in rows} == {"US", "IL"}
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark):
+    """ORC source/sink (the other columnar format Spark ships built-in):
+    lossless value round-trip of a typed aggregate, and a filter on the
+    read-back relation reaches the ORC scan as a pushed filter (the
+    parquet-pushdown contract extended to the second format)."""
+    daily = daily_aggregate(trends_view(spark, SF_SMALL))
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "daily_orc")
+        daily.write.mode("overwrite").orc(out)
+        back = spark.read.orc(out)
+        assert back.count() == daily.count()
+        assert back.schema == daily.schema
+        a = daily.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+        b = back.agg(F.round(F.sum("value"), 2)).collect()[0][0]
+        assert a == b
+        filtered = back.where(F.col("value") > 50)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "GreaterThan(value,50" in plan
+        assert filtered.count() == daily.where(F.col("value") > 50).count()
