@@ -162,6 +162,7 @@ HEADLINE = [
     "doc_duplicate_span_rate",
     "part_copurchase_ppr",
     "embedding_matryoshka_recall",
+    "mv_agg_delta_maintenance",
 ]
 
 

@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "doc_duplicate_span_rate",
     "part_copurchase_ppr",
     "embedding_matryoshka_recall",
+    "mv_agg_delta_maintenance",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "doc_dsir_select",
     "cosine_topk",
     "dedup_embedding_cosine",
-    "embedding_quantize_int8",
 ]
 
 

@@ -2310,6 +2310,75 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental materialized-view maintenance (aggregate delta) ----------
+# The aggregate sibling of the join-delta algebra: a grouped
+# SUM/COUNT view V is maintained under a batch of INSERTS and DELETES
+# by aggregating ONLY the delta rows and merging into the view state:
+#     n' = n + n_ins - n_del,  s' = s + s_ins - s_del,
+# groups reaching n' = 0 drop out, unseen keys appear — a three-way
+# full-outer merge on the group key, never a base rescan (SUM/COUNT
+# are self-maintainable aggregates; MIN/MAX are not under deletes and
+# would need the per-group top-k sidecar). Quantities ride the
+# integer-scaled exact-sum protocol (functions/stable.py) so the
+# merge arithmetic is associative and engine-portable. The oracle is
+# the definition being maintained against: a direct recompute over
+# (base \\ deletes) ∪ inserts. Deterministic split: key-mod
+# predicates stand in for the arriving batch.
+
+_MV_AGG_INS = "l_orderkey % 11 = 0"   # "newly inserted" lineitems
+_MV_AGG_DEL = "l_suppkey % 13 = 0"    # deletes among the OLD base
+
+
+@register(
+    "mv_agg_delta_maintenance",
+    oracle=f"""
+WITH new_base AS (
+  SELECT l_partkey, l_quantity FROM lineitem
+  WHERE ({_MV_AGG_INS})
+     OR (NOT ({_MV_AGG_INS}) AND NOT ({_MV_AGG_DEL})))
+SELECT l_partkey AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c
+FROM new_base GROUP BY l_partkey
+""".strip(),
+)
+def mv_agg_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(_MV_AGG_INS).alias("_ins"),
+        F.expr(_MV_AGG_DEL).alias("_del"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("_qc"),
+    )
+
+    def agg(df, n_name, s_name):
+        return df.groupBy(F.col("l_partkey").alias("part_key")).agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum("_qc").alias(s_name),
+        )
+
+    old_view = agg(li.where(~F.col("_ins")), "n", "s")  # the MV state
+    ins = agg(li.where(F.col("_ins")), "n_i", "s_i")
+    dels = agg(
+        li.where(~F.col("_ins") & F.col("_del")), "n_d", "s_d"
+    )
+    merged = old_view.join(ins, "part_key", "full").join(
+        dels, "part_key", "full"
+    )
+    z = F.lit(0).cast("long")
+    n_new = (
+        F.coalesce("n", z) + F.coalesce("n_i", z) - F.coalesce("n_d", z)
+    )
+    s_new = (
+        F.coalesce("s", z) + F.coalesce("s_i", z) - F.coalesce("s_d", z)
+    )
+    return merged.select(
+        "part_key",
+        n_new.cast("long").alias("n_items"),
+        s_new.cast("long").alias("sum_qty_c"),
+    ).where(F.col("n_items") > 0)
+
+
 # --- edit-distance-1 fuzzy self-join (deletion-neighborhood blocking) -----
 # Entity-resolution / typo-dedup primitive: all customer-name pairs
 # within Levenshtein distance 1, WITHOUT the all-pairs comparison. Two

@@ -134,3 +134,39 @@ def test_interval_overlap_spans_at_most_two_months(spark):
     n_li = li.count()
     total = out.agg(F.sum("n_in_transit")).first()[0]
     assert n_li <= total <= 3 * n_li
+
+
+def test_mv_agg_delta_planted_insert_delete_cases(spark, tmp_path):
+    """The three maintenance cases the mod-split fixture can't
+    guarantee: a group whose rows are ALL deleted must vanish, a group
+    introduced only by the insert batch must appear, and a mixed group
+    must carry exact merged arithmetic."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        mv_agg_delta_maintenance,
+    )
+
+    # predicates: ins = l_orderkey % 11 == 0; del = l_suppkey % 13 == 0
+    rows = [
+        # part 100: old rows only, ALL deleted -> group vanishes
+        (1, 100, 13, 5.0),
+        (2, 100, 26, 7.0),
+        # part 200: only inserted rows -> appears with their sums
+        (11, 200, 1, 3.0),
+        (22, 200, 2, 4.5),
+        # part 300: old kept + old deleted + inserted (mixed)
+        (3, 300, 1, 10.0),   # old, kept
+        (4, 300, 13, 20.0),  # old, deleted
+        (33, 300, 13, 40.0), # inserted (del-pred irrelevant for inserts)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"
+    )
+    df.write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["part_key"]: (r["n_items"], r["sum_qty_c"])
+        for r in mv_agg_delta_maintenance(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        200: (2, 750),
+        300: (2, 5000),
+    }
