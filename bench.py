@@ -163,6 +163,7 @@ HEADLINE = [
     "part_copurchase_ppr",
     "embedding_matryoshka_recall",
     "mv_agg_delta_maintenance",
+    "orders_zorder_cells",
 ]
 
 

@@ -60,6 +60,7 @@ _PRIORITY: list[str] = [
     "part_copurchase_ppr",
     "embedding_matryoshka_recall",
     "mv_agg_delta_maintenance",
+    "orders_zorder_cells",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "doc_dsir_select",
     "cosine_topk",
-    "dedup_embedding_cosine",
 ]
 
 

@@ -2310,6 +2310,94 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z-order (Morton) clustering cells ------------------------------------
+# The multi-dimensional data-layout primitive behind Delta/Iceberg
+# OPTIMIZE ZORDER: interleave the bits of two bucketed dimensions so
+# that sorting by the z-value co-locates rows close in BOTH dims, and
+# per-file min/max stats then skip files for predicates on EITHER
+# column. Pure integer bit arithmetic (shift/and/or), identical in any
+# engine — fully oracle-able. The query buckets customers (mod 256)
+# and order dates (8-day buckets mod 256), interleaves to a 16-bit
+# z-value, and reports per z-cell (top-6 bits) row counts plus each
+# dimension's min/max — every cell is provably a <=32x32 rectangle
+# (tests pin it), which IS the file-skipping property: a z-sorted
+# write keeps both columns' per-file ranges narrow. Usage at scale:
+# `df.repartitionByRange(N, zval).sortWithinPartitions(zval).write...`
+# — the layout step; this query is its verification surface.
+
+_Z_BITS = 8          # per-dimension bucket bits
+_Z_CELL_SHIFT = 10   # 16-bit z >> 10 → 64 cells, each a 32x32 rectangle
+
+
+def _interleave_sql(x: str, y: str, bits: int) -> str:
+    """Morton interleave as portable integer arithmetic: x occupies
+    even bit positions, y odd."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "orders_zorder_cells",
+    oracle=f"""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS xb,
+         CAST((date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) // 8) % 256
+              AS BIGINT) AS yb
+  FROM orders),
+z AS (
+  SELECT o_orderkey, xb, yb,
+         CAST({_interleave_sql('xb', 'yb', _Z_BITS)} AS BIGINT) AS zval
+  FROM b)
+SELECT CAST(zval >> {_Z_CELL_SHIFT} AS BIGINT) AS zcell,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(xb) AS min_xb, MAX(xb) AS max_xb,
+       MIN(yb) AS min_yb, MAX(yb) AS max_yb
+FROM z GROUP BY zcell
+""".strip(),
+)
+def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("xb"),
+        (
+            (
+                F.datediff(
+                    F.to_date("o_orderdate"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+                / F.lit(8)
+            ).cast("long")
+            % 256
+        ).alias("yb"),
+    )
+    z = b.select(
+        "o_orderkey",
+        "xb",
+        "yb",
+        F.expr(_interleave_sql("xb", "yb", _Z_BITS))
+        .cast("long")
+        .alias("zval"),
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zval", _Z_CELL_SHIFT).cast("long").alias("zcell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("xb").alias("min_xb"),
+            F.max("xb").alias("max_xb"),
+            F.min("yb").alias("min_yb"),
+            F.max("yb").alias("max_yb"),
+        )
+    )
+
+
 # --- incremental materialized-view maintenance (aggregate delta) ----------
 # The aggregate sibling of the join-delta algebra: a grouped
 # SUM/COUNT view V is maintained under a batch of INSERTS and DELETES

@@ -170,3 +170,60 @@ def test_mv_agg_delta_planted_insert_delete_cases(spark, tmp_path):
         200: (2, 750),
         300: (2, 5000),
     }
+
+
+def test_zorder_cells_are_bounded_rectangles(spark):
+    """The z-order locality property: dropping the low 10 bits of a
+    16-bit Morton code fixes the top 3 bits of each dimension, so every
+    cell's rows span at most a 32x32 rectangle in (custkey-bucket,
+    date-bucket) — exactly why per-file min/max stats skip on BOTH
+    columns after a z-sorted write. Also checks the Morton math on
+    known values."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        orders_zorder_cells,
+    )
+
+    rows = orders_zorder_cells(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert 0 <= r["zcell"] < 64
+        assert r["max_xb"] - r["min_xb"] < 32
+        assert r["max_yb"] - r["min_yb"] < 32
+        # the cell's x/y high bits are determined by the cell id:
+        # zcell = (x>>5)<<3 grouping? — verify via re-interleave of the
+        # high bits: bits of zcell alternate x(5..7), y(5..7)
+        total += r["n_orders"]
+    # conservation: every order lands in exactly one cell
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import (
+        load_table,
+    )
+
+    assert total == load_table(spark, "/root/testdata/sf0.001", "orders").count()
+
+
+def test_morton_interleave_known_values(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        _interleave_sql,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x LONG, y LONG"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            F.expr(_interleave_sql("x", "y", 8)).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]
+    assert got[1] == 1 and got[2] == 2 and got[-1] == 65535
