@@ -164,6 +164,7 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "mv_agg_delta_maintenance",
     "orders_zorder_cells",
+    "asof_nearest_signup",
 ]
 
 

@@ -323,6 +323,89 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest-direction as-of join with tolerance --------------------------
+# The full merge_asof surface (operators/asof.py): for each purchase,
+# the NEAREST signup in either direction within 7 days — backward wins
+# ties — with the matched timestamp, absolute gap, and direction.
+# Same single-window-pass shape as asof_last_signup (no join, no
+# range-banding), run in both directions; the oracle mirrors it with
+# a RANGE frame per direction.
+
+_ASOF_TOL_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "asof_nearest_signup",
+    oracle=f"""
+WITH tagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+         MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+  FROM events),
+sel AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN bts IS NULL THEN fts
+           WHEN fts IS NULL THEN bts
+           WHEN epoch_us(fts) - epoch_us(ts)
+                < epoch_us(ts) - epoch_us(bts) THEN fts
+           ELSE bts END AS mts
+  FROM tagged WHERE event_type = 'purchase'),
+tol AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN mts IS NOT NULL
+                   AND ABS(epoch_us(mts) - epoch_us(ts)) <= {_ASOF_TOL_US}
+              THEN mts END AS mts
+  FROM sel)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       epoch_us(mts) AS matched_ts_us,
+       ABS(epoch_us(mts) - epoch_us(ts)) AS gap_us,
+       CASE WHEN mts IS NULL THEN NULL
+            WHEN mts <= ts THEN 'backward' ELSE 'forward' END AS direction
+FROM tol
+""".strip(),
+)
+def asof_nearest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event_id"),
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        key="user_id",
+        ts="ts",
+        direction="nearest",
+        tolerance_us=_ASOF_TOL_US,
+        tiebreak_col="signup_event_id",
+    )
+    gap = F.abs(
+        F.unix_micros(F.col("asof.ts")) - F.unix_micros(F.col("ts"))
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof.ts").alias("matched_ts_us"),
+        gap.alias("gap_us"),
+        F.when(F.col("asof").isNull(), F.lit(None).cast("string"))
+        .when(F.col("asof.ts") <= F.col("ts"), F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 # --- Sessionization: lag + cumulative-sum session ids (gap > 30 min) ------
 
 
