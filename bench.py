@@ -165,6 +165,7 @@ HEADLINE = [
     "mv_agg_delta_maintenance",
     "orders_zorder_cells",
     "asof_nearest_signup",
+    "referential_integrity_report",
 ]
 
 

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "mv_agg_delta_maintenance",
     "orders_zorder_cells",
     "asof_nearest_signup",
+    "referential_integrity_report",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "training_data_pipeline",
     "corpus_budget_select",
     "cms_heavy_hitters",
-    "doc_dsir_select",
 ]
 
 

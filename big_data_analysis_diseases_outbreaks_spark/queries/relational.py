@@ -2310,6 +2310,78 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- referential-integrity report (FK orphan audit) -----------------------
+# The data-quality sibling of dq_expectations_report focused on the
+# relationships: for each foreign-key edge of the schema, the child
+# row count and the number of ORPHANS (child rows whose parent is
+# missing), via left-anti joins — the scan-and-verify pass every
+# warehouse runs after a load. Anti joins broadcast the parent-key
+# side when small and shuffle otherwise (AQE's call); each check's
+# scalar counts cross the single-partition exchange as partial
+# aggregates only.
+
+_RI_CHECKS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _RI_CHECKS:
+        parts.append(
+            f"""SELECT '{name}' AS check_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{ck})) AS n_orphans"""
+        )
+    return (
+        "\nUNION ALL\n".join(parts)
+        .strip()
+    )
+
+
+@register(
+    "referential_integrity_report",
+    oracle=f"""
+WITH checks AS (
+{_ri_oracle()})
+SELECT check_name, n_child, n_orphans,
+       CAST(n_orphans = 0 AS INT) AS ok
+FROM checks
+""".strip(),
+)
+def referential_integrity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rows = []
+    for name, child, ck, parent, pk in _RI_CHECKS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk))
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        rows.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            ).select(
+                F.lit(name).alias("check_name"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.withColumn(
+        "ok", (F.col("n_orphans") == 0).cast("int")
+    )
+
+
 # --- Z-order (Morton) clustering cells ------------------------------------
 # The multi-dimensional data-layout primitive behind Delta/Iceberg
 # OPTIMIZE ZORDER: interleave the bits of two bucketed dimensions so

@@ -227,3 +227,43 @@ def test_morton_interleave_known_values(spark):
 
     assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]
     assert got[1] == 1 and got[2] == 2 and got[-1] == 65535
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """Planted orphans must be counted, intact edges report ok=1."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        referential_integrity_report,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)],  # orderkey 3 -> custkey 99 orphan
+        "o_orderkey BIGINT, o_custkey BIGINT",
+    ).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 0)], "c_custkey BIGINT, c_nationkey BIGINT"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (7, 300)],  # lineitem orderkey 7 orphan
+        "l_orderkey BIGINT, l_partkey BIGINT",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(100,), (300,)], "p_partkey BIGINT"  # partkey 200 orphan
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(0,)], "n_nationkey BIGINT"
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(5, 1)], "s_suppkey BIGINT, s_nationkey BIGINT"  # nation 1 orphan
+    ).write.parquet(f"{sf}/supplier.parquet")
+    got = {
+        r["check_name"]: (r["n_child"], r["n_orphans"], r["ok"])
+        for r in referential_integrity_report(spark, sf).collect()
+    }
+    assert got == {
+        "lineitem_orders": (3, 1, 0),
+        "orders_customer": (3, 1, 0),
+        "lineitem_part": (3, 1, 0),
+        "customer_nation": (1, 0, 1),
+        "supplier_nation": (1, 1, 0),
+    }
