@@ -166,6 +166,7 @@ HEADLINE = [
     "orders_zorder_cells",
     "asof_nearest_signup",
     "referential_integrity_report",
+    "part_copurchase_ktruss",
 ]
 
 

@@ -1,0 +1,114 @@
+"""k-truss decomposition by iterative edge peeling.
+
+The k-truss is the maximal subgraph in which every EDGE closes at
+least k-2 triangles — the edge-level cohesion criterion (Cohen '08),
+strictly stronger than the k-core's node-degree one: a (k)-truss is
+always inside the (k-1)-core, and truss edges are the classic
+community-backbone / strong-tie extractor. Distributed batch peel
+(the k-core loop lifted from nodes to edges):
+
+    repeat: per-edge triangle support → drop edges with support < k-2
+    until no edge is dropped.
+
+Per round: one orientation (degree agg + join, the O(√m)-bounded
+layout from operators/triangles.py), one wedge self-join, one support
+aggregate keyed by the canonical edge, one semi-join dropping weak
+edges — every step keyed and cluster-wide. Rounds converge in O(peel
+depth). Same loop hygiene as kcore/pagerank: per-round eager lineage
+truncation, shuffle width pinned from the edge count, reliable-
+checkpoint option, fail-loud round budget (a truncated peel is wrong,
+not approximate).
+
+Not SQL-oracle-able (data-dependent fixpoint, the kcore rationale);
+exactness is pinned by tests/test_ktruss.py against a pure-Python
+reference peel on fixtures and random graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .kcore import _EDGES_PER_PARTITION
+from .triangles import _orient, undirected_edges
+
+
+def _edge_support(live: DataFrame) -> DataFrame:
+    """(u, v, support): triangles per canonical live edge (absent =
+    zero support)."""
+    o = _orient(live)
+    o1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    o2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    o3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = o1.join(o2, "y").join(o3, ["x", "z"])
+    sides = F.array(
+        F.struct(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")),
+        F.struct(F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")),
+        F.struct(F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")),
+    )
+    return (
+        tri.select(F.explode(sides).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(u, v, support) for every edge of the k-truss (u < v);
+    ``support`` is the edge's triangle count WITHIN the truss
+    (≥ k-2 by definition). Edges outside the truss are absent.
+    Requires k ≥ 3. Deterministic: the batch peel drops the same edge
+    set regardless of partitioning."""
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3")
+    from .checkpointing import truncator
+
+    truncate = truncator(edges, checkpoint_dir)
+    live = truncate(undirected_edges(edges, src, dst))
+    n_edges = live.count()
+    spark = live.sparkSession
+    n_part = min(
+        spark.sparkContext.defaultParallelism,
+        n_edges // _EDGES_PER_PARTITION + 1,
+    )
+    live = live.repartition(n_part, "u").transform(truncate)
+    prev_edges = n_edges
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        for _ in range(max_iters):
+            sup = _edge_support(live)
+            keep = sup.where(F.col("support") >= k - 2)
+            # Semi-join keeps ONLY supported edges: a live edge absent
+            # from `sup` closed zero triangles and must drop (k >= 3).
+            nxt = (
+                live.join(keep, ["u", "v"], "left_semi")
+                .repartition(n_part, "u")
+                .transform(truncate)
+            )
+            n_next = nxt.count()
+            if n_next == prev_edges:
+                # Fixpoint: nothing dropped, so this round's support IS
+                # the within-truss support of every survivor.
+                return live.join(keep, ["u", "v"]).select(
+                    "u", "v", "support"
+                )
+            live, prev_edges = nxt, n_next
+            if n_next == 0:
+                return live.select(
+                    "u", "v", F.lit(0).cast("long").alias("support")
+                )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    raise RuntimeError(
+        f"k-truss peel did not converge within {max_iters} rounds "
+        f"({prev_edges} edges still live) — raise max_iters"
+    )

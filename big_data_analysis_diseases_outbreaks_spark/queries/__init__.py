@@ -63,6 +63,8 @@ _PRIORITY: list[str] = [
     "orders_zorder_cells",
     "asof_nearest_signup",
     "referential_integrity_report",
+    # Rows-only, never driver-seen (first rows-row wanted)
+    "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
@@ -104,7 +106,6 @@ _PRIORITY: list[str] = [
     "doc_pii_scrub",
     "training_data_pipeline",
     "corpus_budget_select",
-    "cms_heavy_hitters",
 ]
 
 

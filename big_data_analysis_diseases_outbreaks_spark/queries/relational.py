@@ -2260,6 +2260,27 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-truss of the co-purchase graph (iterative edge peel —
+# operators/ktruss.py): edge-level cohesion, the community backbone
+# one notch stronger than k-core's node criterion. Rows-only for the
+# kcore reason (data-dependent fixpoint); exactness pinned by
+# tests/test_ktruss.py against a pure-Python reference peel. ---------------
+
+_KTRUSS_K = 9
+
+
+@register("part_copurchase_ktruss", oracle=None)
+def part_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ktruss import ktruss_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    return ktruss_edges(edges, k=_KTRUSS_K).select(
+        F.col("u").alias("part_key_1"),
+        F.col("v").alias("part_key_2"),
+        "support",
+    )
+
+
 # --- incremental materialized-view maintenance (join delta algebra) -------
 # The engine capability behind "don't recompute the view, maintain it":
 # for an insert-only batch (ΔA into orders, ΔB into lineitem) the delta
