@@ -167,6 +167,7 @@ HEADLINE = [
     "asof_nearest_signup",
     "referential_integrity_report",
     "part_copurchase_ktruss",
+    "part_association_rules",
 ]
 
 

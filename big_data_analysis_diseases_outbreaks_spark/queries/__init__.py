@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "orders_zorder_cells",
     "asof_nearest_signup",
     "referential_integrity_report",
+    "part_association_rules",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "doc_gopher_quality",
     "doc_pii_scrub",
     "training_data_pipeline",
-    "corpus_budget_select",
 ]
 
 

@@ -2331,6 +2331,112 @@ def mv_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- market-basket association rules (support / confidence / lift) -------
+# The classic co-occurrence mining surface over order baskets: for the
+# top part PAIRS by joint support, both directed rules' confidence and
+# the (symmetric) lift. Counts are exact integers from one basket
+# self-join (bounded per-order: the same shape as copurchase_edges);
+# confidence and lift are single exact int/int IEEE divisions — no
+# floats accumulate. Top-20 by (joint support, pair) is an integer
+# ordering → deterministic TakeOrderedAndProject. A full Apriori/
+# FP-growth generalizes this to higher-order itemsets; pairs are the
+# scale-safe first pass every basket pipeline runs (k=2 candidates
+# need no candidate generation at all).
+
+_ASSOC_TOPK = 20
+
+
+@register(
+    "part_association_rules",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM b GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_joint
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY a.l_partkey, c.l_partkey)
+SELECT p.part_a, p.part_b, p.n_joint,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(p.n_joint AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+         AS conf_a_to_b,
+       CAST(p.n_joint AS DOUBLE) / CAST(ib.n_item AS DOUBLE)
+         AS conf_b_to_a,
+       CAST(p.n_joint * n.n_baskets AS DOUBLE)
+         / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+FROM pair p
+JOIN item ia ON ia.l_partkey = p.part_a
+JOIN item ib ON ib.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY p.n_joint DESC, p.part_a ASC, p.part_b ASC
+LIMIT {_ASSOC_TOPK}
+""".strip(),
+)
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    item = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_joint",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_joint").cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("conf_a_to_b"),
+            (
+                F.col("n_joint").cast("double")
+                / F.col("n_b").cast("double")
+            ).alias("conf_b_to_a"),
+            (
+                (F.col("n_joint") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_joint").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(_ASSOC_TOPK)
+    )
+
+
 # --- referential-integrity report (FK orphan audit) -----------------------
 # The data-quality sibling of dq_expectations_report focused on the
 # relationships: for each foreign-key edge of the schema, the child

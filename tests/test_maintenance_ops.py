@@ -267,3 +267,35 @@ def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
         "customer_nation": (1, 0, 1),
         "supplier_nation": (1, 1, 0),
     }
+
+
+def test_association_rules_planted_baskets(spark, tmp_path):
+    """Hand-checkable baskets: joint counts, both confidences, and lift
+    (duplicate lineitems of the same part in one order count once)."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        part_association_rules,
+    )
+
+    baskets = {
+        1: [10, 20],
+        2: [10, 20],
+        3: [10, 30],
+        4: [20, 30, 30],  # dup 30 collapses
+        5: [10],
+    }
+    rows = [
+        (o, p) for o, ps in baskets.items() for p in ps
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey BIGINT, l_partkey BIGINT"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in part_association_rules(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {(10, 20), (10, 30), (20, 30)}
+    r = got[(10, 20)]
+    # n(10)=4, n(20)=3, joint=2, N=5
+    assert (r["n_joint"], r["n_a"], r["n_b"]) == (2, 4, 3)
+    assert r["conf_a_to_b"] == 2 / 4 and r["conf_b_to_a"] == 2 / 3
+    assert r["lift"] == (2 * 5) / (4 * 3)
