@@ -168,6 +168,7 @@ HEADLINE = [
     "referential_integrity_report",
     "part_copurchase_ktruss",
     "part_association_rules",
+    "events_chi2_independence",
 ]
 
 

@@ -64,6 +64,7 @@ _PRIORITY: list[str] = [
     "asof_nearest_signup",
     "referential_integrity_report",
     "part_association_rules",
+    "events_chi2_independence",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",
     "doc_gopher_quality",
     "doc_pii_scrub",
-    "training_data_pipeline",
 ]
 
 

@@ -323,6 +323,94 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- chi-square independence contributions (contingency analysis) ---------
+# Is event type independent of day-of-week? The per-cell chi-square
+# contribution (O-E)^2/E over the type x dow contingency table,
+# computed so every emitted double is CROSS-ENGINE DETERMINISTIC:
+# counts and margins are exact int64; the deviation (O*N - rt*ct)
+# stays an exact int64 (< 2^53, so its double cast is exact); one
+# IEEE multiply and one IEEE divide per cell — both correctly rounded,
+# so Spark and DuckDB agree bit-for-bit. The table-level chi2 TOTAL is
+# deliberately NOT emitted: a sum of doubles is order-dependent
+# (functions/stable.py rationale) — consumers sum the per-cell column
+# under their own reduction order. Day-of-week is epoch-day mod 7
+# (portable; no engine-specific week-start conventions).
+
+@register(
+    "events_chi2_independence",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow
+  FROM events),
+o AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM e GROUP BY event_type, dow),
+rt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_type
+       FROM o GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS n_dow
+       FROM o GROUP BY dow),
+n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o)
+SELECT o.event_type, o.dow, o.n_obs, rt.n_type, ct.n_dow,
+       CAST(rt.n_type * ct.n_dow AS DOUBLE) / CAST(n.n_total AS DOUBLE)
+         AS expected,
+       (CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE)
+        * CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE))
+       / CAST(rt.n_type * ct.n_dow * n.n_total AS DOUBLE) AS chi2_cell
+FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+""".strip(),
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    o = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    # the cell table is tiny (|types| x 7) — persist: three margin
+    # consumers would each re-run the corpus aggregate otherwise
+    o = o.persist()
+    rt = o.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n_type")
+    )
+    ct = o.groupBy("dow").agg(F.sum("n_obs").cast("long").alias("n_dow"))
+    n = o.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    dev = (
+        F.col("n_obs") * F.col("n_total")
+        - F.col("n_type") * F.col("n_dow")
+    ).cast("double")
+    return (
+        o.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            "n_obs",
+            "n_type",
+            "n_dow",
+            (
+                (F.col("n_type") * F.col("n_dow")).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("expected"),
+            (
+                dev * dev
+                / (
+                    F.col("n_type") * F.col("n_dow") * F.col("n_total")
+                ).cast("double")
+            ).alias("chi2_cell"),
+        )
+    )
+
+
 # --- nearest-direction as-of join with tolerance --------------------------
 # The full merge_asof surface (operators/asof.py): for each purchase,
 # the NEAREST signup in either direction within 7 days — backward wins

@@ -343,3 +343,28 @@ def test_winnowing_matches_python(spark):
         assert r["head_fps"] == ",".join(str(x) for x in wins[:_WINNOW_HEAD])
         n_checked += 1
     assert n_checked == len(got) > 0
+
+
+def test_chi2_cells_match_python(spark):
+    """Per-cell chi-square contributions equal the exact-rational
+    formula evaluated in Python (same IEEE operation order)."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        events_chi2_independence,
+    )
+
+    rows = events_chi2_independence(spark, SF_SMALL).collect()
+    assert rows
+    n_total = sum(r["n_obs"] for r in rows)
+    for r in rows:
+        assert r["n_type"] == sum(
+            x["n_obs"] for x in rows if x["event_type"] == r["event_type"]
+        )
+        assert r["n_dow"] == sum(
+            x["n_obs"] for x in rows if x["dow"] == r["dow"]
+        )
+        dev = float(r["n_obs"] * n_total - r["n_type"] * r["n_dow"])
+        want = dev * dev / float(r["n_type"] * r["n_dow"] * n_total)
+        assert r["chi2_cell"] == want
+        assert r["expected"] == float(r["n_type"] * r["n_dow"]) / n_total
+    # margins cover every (type, dow) pair present
+    assert 0 <= max(r["dow"] for r in rows) <= 6
