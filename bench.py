@@ -169,6 +169,7 @@ HEADLINE = [
     "part_copurchase_ktruss",
     "part_association_rules",
     "events_chi2_independence",
+    "stream_watermark_late_drop",
 ]
 
 

@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "referential_integrity_report",
     "part_association_rules",
     "events_chi2_independence",
+    "stream_watermark_late_drop",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "doc_simhash16",
     "tfidf_top_terms",
     "doc_gopher_quality",
-    "doc_pii_scrub",
 ]
 
 

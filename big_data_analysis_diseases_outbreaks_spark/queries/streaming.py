@@ -875,3 +875,138 @@ def stream_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = recursive_ewma_stream(trends_stream(spark, sf_dir))
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# --- watermark late-data drop, fully value-oracled ------------------------
+# THE append-mode watermark contract, pinned cell-for-cell: events
+# replay as 3 time-ordered chunks with every 10th row arriving in the LAST
+# chunk (deterministic lateness injection: 10% of the stream shows up
+# at the end, days-to-weeks late), through a 1-day
+# tumbling count with a 2-day watermark in APPEND mode. Two pieces of
+# real engine behavior become oracle-checkable:
+#   1. the late filter in micro-batch k uses the watermark advanced by
+#      data through batch k-2 — Spark commits the new watermark only
+#      at the NEXT batch after the one that observed the max (the
+#      documented one-batch lag; verified empirically here: modeling
+#      it as k-1 overcounts drops, DIFF=0 with the lag), so with 3
+#      chunks only batch 3 filters, against max(chunk 1's data) - 2d;
+#   2. availableNow's final flush emits exactly the windows whose end
+#      is <= global-max - 2d; later windows stay in (discarded) state.
+# The oracle replays both rules as plain SQL over the same rank-based
+# chunk assignment the builder wrote. This is the strongest kind of
+# streaming evidence the driver can record: watermark SEMANTICS, not
+# just row counts, hash-matched against an independent engine.
+
+_WM_CHUNKS = 3
+_WM_LATE_EVERY = 10
+_WM_DELAY_DAYS = 2
+
+
+def _events_late_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet as 3 chunks ordered by (ts, event_id), with every
+    10th row displaced one chunk later (the lateness injection); cached
+    per source version (sources/cachedir.py)."""
+    import os
+
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        for i in range(_WM_CHUNKS):
+            con.execute(
+                f"""
+                COPY (
+                  WITH rk AS (
+                    SELECT *,
+                           ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1
+                             AS r
+                    FROM read_parquet('{src}'))
+                  SELECT * EXCLUDE (r) FROM rk
+                  WHERE CASE WHEN r % {_WM_LATE_EVERY} = 0
+                             THEN {_WM_CHUNKS} - 1
+                             ELSE (r * {_WM_CHUNKS}) // {n} END = {i}
+                  ORDER BY r
+                ) TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
+                  (FORMAT PARQUET)
+                """
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_wmlate_src_{key}", source_fingerprint(src), _build
+    )
+
+
+@register(
+    "stream_watermark_late_drop",
+    oracle=f"""
+WITH rk AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS r,
+         (SELECT COUNT(*) FROM events) AS n
+  FROM events),
+ch AS (
+  SELECT event_type, ts,
+         CASE WHEN r % {_WM_LATE_EVERY} = 0
+              THEN {_WM_CHUNKS} - 1
+              ELSE (r * {_WM_CHUNKS}) // n END AS chunk
+  FROM rk),
+wm AS (SELECT MAX(ts) - INTERVAL {_WM_DELAY_DAYS} DAY AS wm_last
+       FROM ch WHERE chunk = 0),
+gw AS (SELECT MAX(ts) - INTERVAL {_WM_DELAY_DAYS} DAY AS wm_final FROM ch),
+adm AS (
+  SELECT event_type, date_trunc('day', ts) AS ws FROM ch, wm
+  WHERE chunk < {_WM_CHUNKS} - 1
+     OR date_trunc('day', ts) + INTERVAL 1 DAY > wm.wm_last)
+SELECT CAST(ws AS DATE) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM adm, gw
+WHERE ws + INTERVAL 1 DAY <= gw.wm_final
+GROUP BY 1, 2
+""".strip(),
+)
+def stream_watermark_late_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.tables import configure_runtime
+
+    configure_runtime(spark)
+    src = _events_late_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    ts_type = dict(st.dtypes)["ts"]
+    if ts_type == "bigint":
+        st = st.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"NTZ conversion requires session tz UTC, got {tz!r}"
+            )
+        st = st.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    agg = (
+        st.withWatermark("ts", f"{_WM_DELAY_DAYS} days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name, _ = run_to_memory(agg, output_mode="append")
+    return spark.table(name).select(
+        F.col("w.start").cast("date").alias("window_start"),
+        "event_type",
+        "n",
+    )

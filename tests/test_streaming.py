@@ -988,3 +988,43 @@ def test_transform_with_state_running_total(spark, tmp_path):
             spark.conf.set(provider_key, saved)
         else:
             spark.conf.unset(provider_key)
+
+
+def test_watermark_late_drop_fires_and_is_repeatable(spark):
+    """The late filter must actually DROP displaced rows (the injected
+    lateness is not a no-op), emitted windows end before the final
+    watermark, and a second replay in the same session is identical."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.streaming import (
+        stream_watermark_late_drop,
+    )
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = SF_SMALL
+    a = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in stream_watermark_late_drop(spark, sf).collect()
+    }
+    b = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in stream_watermark_late_drop(spark, sf).collect()
+    }
+    assert a == b and a
+    ev = load_table(spark, sf, "events").select("ts", "event_type").collect()
+    import datetime
+
+    wm_final = max(r["ts"] for r in ev) - datetime.timedelta(days=2)
+    batch = {}
+    for r in ev:
+        ws = r["ts"].date()
+        if datetime.datetime.combine(ws, datetime.time()) + datetime.timedelta(
+            days=1
+        ) <= wm_final:
+            batch[(ws, r["event_type"])] = (
+                batch.get((ws, r["event_type"]), 0) + 1
+            )
+    # same window set as the closed-window batch aggregate…
+    assert set(a) == set(batch)
+    # …but strictly fewer rows overall: the displaced late rows dropped
+    assert sum(a.values()) < sum(batch.values())
