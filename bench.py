@@ -170,6 +170,7 @@ HEADLINE = [
     "part_association_rules",
     "events_chi2_independence",
     "stream_watermark_late_drop",
+    "doc_sentence_chunks",
 ]
 
 

@@ -66,6 +66,7 @@ _PRIORITY: list[str] = [
     "part_association_rules",
     "events_chi2_independence",
     "stream_watermark_late_drop",
+    "doc_sentence_chunks",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_pairs",
     "doc_simhash16",
     "tfidf_top_terms",
-    "doc_gopher_quality",
 ]
 
 

@@ -3328,3 +3328,74 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("_fps", 1, _WINNOW_HEAD).cast("array<string>"),
         ).alias("head_fps"),
     )
+
+
+# --- sentence chunking via an Arrow-optimized Python UDTF ------------------
+# The one sanctioned-Python surface the registry had not yet
+# exercised: a table-valued function. Sentence chunking is the
+# RAG-pipeline step that genuinely WANTS row-expansion semantics (one
+# doc -> N ordered sentence rows with per-row derived fields), and a
+# UDTF expresses it as a LATERAL join. Arrow-optimized (`useArrow`):
+# the plan shows ArrowEvalPythonUDTF — batch-transferred, NOT the
+# forbidden row-at-a-time BatchEvalPython the registry-wide gate
+# rejects. Split rule is deliberately trivial-deterministic
+# ([.!?]+ then ASCII-whitespace trim) so the DuckDB oracle replays it
+# with regexp_split_to_array — the UDTF's value is the expansion
+# SHAPE, not NLP quality. Sentence ids are assigned inside the UDTF
+# (per-doc emission order), so output is order-independent.
+
+_SENT_TRIM = " \t\n\r\f\v"
+
+
+@register(
+    "doc_sentence_chunks",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+  FROM documents),
+x AS (
+  SELECT doc_id, t.i AS pos,
+         trim(parts[t.i], ' ' || chr(9) || chr(10) || chr(13)
+              || chr(12) || chr(11)) AS sentence
+  FROM raw, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+f AS (
+  SELECT doc_id, sentence,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS sentence_id
+  FROM x WHERE sentence <> '')
+SELECT doc_id, CAST(sentence_id AS INT) AS sentence_id, sentence,
+       CAST(len(regexp_extract_all(sentence, '{TOKEN_RE}')) AS INT)
+         AS n_tokens
+FROM f
+""".strip(),
+)
+def doc_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sentence_id int, sentence string, n_tokens int",
+        useArrow=True,
+    )
+    class _SplitSentences:
+        def eval(self, text):
+            import re
+
+            if text is None:
+                return
+            i = 0
+            for raw in re.split(r"[.!?]+", text):
+                s = raw.strip(" \t\n\r\f\v")
+                if s:
+                    i += 1
+                    yield i, s, len(re.findall(r"\S+", s))
+
+    spark.udtf.register("split_sentences", _SplitSentences)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    view = f"docs_for_sentences_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, s.sentence_id, s.sentence, s.n_tokens "
+        f"FROM {view}, LATERAL split_sentences(text) s"
+    )

@@ -368,3 +368,36 @@ def test_chi2_cells_match_python(spark):
         assert r["expected"] == float(r["n_type"] * r["n_dow"]) / n_total
     # margins cover every (type, dow) pair present
     assert 0 <= max(r["dow"] for r in rows) <= 6
+
+
+def test_sentence_chunks_planted_and_arrow_plan(spark, tmp_path):
+    """UDTF expansion: ordered ids, trimmed sentences, token counts —
+    and the plan must use the Arrow UDTF node, never row-at-a-time
+    BatchEvalPython."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        doc_sentence_chunks,
+    )
+
+    spark.createDataFrame(
+        [
+            (1, "Hello there. How are you?  Fine! "),
+            (2, "no terminator at all"),
+            (3, "!!!"),
+            (4, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    df = doc_sentence_chunks(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython(" not in plan
+    got = {
+        (r["doc_id"], r["sentence_id"]): (r["sentence"], r["n_tokens"])
+        for r in df.collect()
+    }
+    assert got == {
+        (1, 1): ("Hello there", 2),
+        (1, 2): ("How are you", 3),
+        (1, 3): ("Fine", 1),
+        (2, 1): ("no terminator at all", 4),
+    }
