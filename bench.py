@@ -171,6 +171,7 @@ HEADLINE = [
     "events_chi2_independence",
     "stream_watermark_late_drop",
     "doc_sentence_chunks",
+    "sql_pipe_quarterly_revenue",
 ]
 
 

@@ -67,6 +67,7 @@ _PRIORITY: list[str] = [
     "events_chi2_independence",
     "stream_watermark_late_drop",
     "doc_sentence_chunks",
+    "sql_pipe_quarterly_revenue",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "doc_simhash16",
-    "tfidf_top_terms",
 ]
 
 

@@ -1056,6 +1056,48 @@ def sql_api_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQL pipe-syntax surface (Spark 4 `|>` operators) ---------------------
+# The second SQL-API entry exercises Spark 4's pipe syntax
+# (FROM ... |> EXTEND ... |> AGGREGATE ... GROUP BY — the GoogleSQL
+# pipe dialect adopted upstream): same declarative plan as the classic
+# form, alternative surface. Reads the parquet file through the
+# `parquet.` path-table syntax — no temp view, and the filter/pruning
+# behavior is identical to load_table's scan. Oracle is the classic
+# ANSI formulation (DuckDB has no pipe dialect).
+
+
+@register(
+    "sql_pipe_quarterly_revenue",
+    oracle="""
+SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+""".strip(),
+)
+def sql_pipe_quarterly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.tables import configure_runtime
+
+    configure_runtime(spark)
+    return spark.sql(
+        f"""
+        FROM parquet.`{sf_dir}/orders.parquet`
+        |> EXTEND CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+                  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS revenue_cents
+           GROUP BY yr, qtr
+        |> SELECT yr, qtr, n_orders, revenue_cents
+        """
+    )
+
+
 # --- multiset set-ops: EXCEPT ALL / INTERSECT ALL (duplicate-preserving
 # — the bag semantics dropDuplicates-based dedup cannot express). ----------
 
