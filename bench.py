@@ -172,6 +172,7 @@ HEADLINE = [
     "stream_watermark_late_drop",
     "doc_sentence_chunks",
     "sql_pipe_quarterly_revenue",
+    "orders_winsorized_stats",
 ]
 
 

@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "stream_watermark_late_drop",
     "doc_sentence_chunks",
     "sql_pipe_quarterly_revenue",
+    "orders_winsorized_stats",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "doc_lang_id",
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "doc_simhash16",
 ]
 
 

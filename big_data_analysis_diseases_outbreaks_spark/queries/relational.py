@@ -583,6 +583,76 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winsorized robust statistics (clamp at exact P05/P95) ----------------
+# The outlier-robust mean every metrics pipeline needs: per priority
+# class, order totals CLAMPED to the group's exact [P05, P95] before
+# averaging. Exactness chain: totals as integer cents →
+# percentile_disc picks an actual data element (the
+# value_percentiles_by_type protocol) → clamp is integer min/max →
+# one exact int sum → a single IEEE division. Two-pass shape: the
+# tiny per-group percentile table joins back onto the same grouping
+# key (co-partitioned with the final aggregate — one logical shuffle
+# chain, no window-sort over the fact table).
+
+
+@register(
+    "orders_winsorized_stats",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+p AS (
+  SELECT o_orderpriority,
+         PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY cents) AS p05,
+         PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY cents) AS p95
+  FROM o GROUP BY o_orderpriority)
+SELECT o.o_orderpriority, p.p05 AS p05_cents, p.p95 AS p95_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(LEAST(GREATEST(o.cents, p.p05), p.p95)) AS BIGINT)
+         AS winsorized_sum_cents,
+       CAST(SUM(LEAST(GREATEST(o.cents, p.p05), p.p95)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean_cents
+FROM o JOIN p USING (o_orderpriority)
+GROUP BY o.o_orderpriority, p.p05, p.p95
+""".strip(),
+)
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    p = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)"
+        ).cast("long").alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)"
+        ).cast("long").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(p, "o_orderpriority")
+        .groupBy("o_orderpriority", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(clamped).cast("long").alias("winsorized_sum_cents"),
+            (
+                F.sum(clamped).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "n_orders",
+            "winsorized_sum_cents",
+            "winsorized_mean_cents",
+        )
+    )
+
+
 # --- Q17-style: correlated agg subquery by join+agg decorrelation ---------
 
 

@@ -401,3 +401,42 @@ def test_sentence_chunks_planted_and_arrow_plan(spark, tmp_path):
         (1, 3): ("Fine", 1),
         (2, 1): ("no terminator at all", 4),
     }
+
+
+def test_winsorized_stats_match_python(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        orders_winsorized_stats,
+    )
+
+    rows = (
+        load_table(spark, SF_SMALL, "orders")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in rows:
+        groups.setdefault(r["o_orderpriority"], []).append(r["c"])
+    got = {
+        r["o_orderpriority"]: r
+        for r in orders_winsorized_stats(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(groups)
+    for prio, cs in groups.items():
+        cs.sort()
+        n = len(cs)
+        import math
+
+        # percentile_disc(f): smallest element with cume_dist >= f
+        p05 = cs[max(0, math.ceil(0.05 * n) - 1)]
+        p95 = cs[max(0, math.ceil(0.95 * n) - 1)]
+        w = [min(max(c, p05), p95) for c in cs]
+        r = got[prio]
+        assert (r["p05_cents"], r["p95_cents"]) == (p05, p95)
+        assert r["n_orders"] == n
+        assert r["winsorized_sum_cents"] == sum(w)
+        assert r["winsorized_mean_cents"] == sum(w) / n
+        # clamping actually engaged (outliers exist in every class)
+        assert r["winsorized_sum_cents"] != sum(cs)
