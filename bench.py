@@ -173,6 +173,7 @@ HEADLINE = [
     "doc_sentence_chunks",
     "sql_pipe_quarterly_revenue",
     "orders_winsorized_stats",
+    "corpus_heaps_law",
 ]
 
 

@@ -3399,3 +3399,101 @@ def doc_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, s.sentence_id, s.sentence, s.n_tokens "
         f"FROM {view}, LATERAL split_sentences(text) s"
     )
+
+
+# --- Heaps-law vocabulary growth (corpus statistics) ----------------------
+# How fast does the vocabulary grow as the corpus grows? The classic
+# Heaps/Herdan curve drives dedup and tokenizer-budget decisions
+# (a flattening curve means new data is increasingly redundant). Docs
+# are split into 10 rank-deciles (distributed total-order rank — the
+# rank.py machinery, no global window) and each decile reports the
+# CUMULATIVE token count, cumulative distinct vocabulary (a token
+# counts at its FIRST decile — one min-aggregate, so the running
+# distinct needs no re-scan per decile), and the type/token ratio as
+# one exact division. Running sums over the 10-row decile frame use
+# the distributed prefix-sum (gate-safe: no single-partition window).
+
+_HEAPS_BUCKETS = 10
+
+
+@register(
+    "corpus_heaps_law",
+    oracle=f"""
+WITH d AS (
+  SELECT text,
+         ((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * {_HEAPS_BUCKETS})
+           // (SELECT COUNT(*) FROM documents) AS bucket
+  FROM documents),
+tok AS (
+  SELECT bucket,
+         UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM d),
+bc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tok GROUP BY bucket),
+fb AS (SELECT token, MIN(bucket) AS fbk FROM tok GROUP BY token),
+vc AS (SELECT fbk AS bucket, CAST(COUNT(*) AS BIGINT) AS v
+       FROM fb GROUP BY fbk),
+sp AS (SELECT CAST(t.i AS BIGINT) AS bucket
+       FROM range(0, {_HEAPS_BUCKETS}) t(i)),
+j AS (
+  SELECT sp.bucket, COALESCE(bc.n, 0) AS n, COALESCE(vc.v, 0) AS v
+  FROM sp LEFT JOIN bc USING (bucket) LEFT JOIN vc USING (bucket))
+SELECT bucket,
+       CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(v) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
+       CAST(SUM(v) OVER (ORDER BY bucket) AS DOUBLE)
+         / CAST(SUM(n) OVER (ORDER BY bucket) AS DOUBLE)
+         AS type_token_ratio
+FROM j
+""".strip(),
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import (
+        with_global_rank_and_total,
+        with_global_running_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = with_global_rank_and_total(
+        docs, ["doc_id"], rank_col="_r", total_col="_n"
+    )
+    d = ranked.select(
+        F.expr(f"((_r - 1) * {_HEAPS_BUCKETS}) div _n").alias("bucket"),
+        "text",
+    )
+    tok = d.select(
+        "bucket",
+        F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+    ).where(F.col("token").isNotNull())
+    bc = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    vc = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    spine = spark.range(_HEAPS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    j = (
+        spine.join(bc, "bucket", "left")
+        .join(vc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    r = with_global_running_sum(j, ["bucket"], "n", out_col="cum_tokens")
+    r = with_global_running_sum(r, ["bucket"], "v", out_col="cum_vocab")
+    return r.select(
+        "bucket",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        (
+            F.col("cum_vocab").cast("double")
+            / F.col("cum_tokens").cast("double")
+        ).alias("type_token_ratio"),
+    )

@@ -440,3 +440,27 @@ def test_winsorized_stats_match_python(spark):
         assert r["winsorized_mean_cents"] == sum(w) / n
         # clamping actually engaged (outliers exist in every class)
         assert r["winsorized_sum_cents"] != sum(cs)
+
+
+def test_heaps_law_planted_growth(spark, tmp_path):
+    """Vocabulary must count each token at its FIRST decile only, and
+    cumulative totals must be exact."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        corpus_heaps_law,
+    )
+
+    # 10 docs -> one per decile; doc i introduces token t{i} and repeats t0
+    rows = [(i, f"t0 t{i}") for i in range(10)]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["bucket"]: (r["cum_tokens"], r["cum_vocab"], r["type_token_ratio"])
+        for r in corpus_heaps_law(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(10))
+    for b in range(10):
+        ct, cv, ttr = got[b]
+        assert ct == 2 * (b + 1)
+        assert cv == b + 1  # t0 once (decile 0), t{b} new at decile b
+        assert ttr == cv / ct
