@@ -174,6 +174,7 @@ HEADLINE = [
     "sql_pipe_quarterly_revenue",
     "orders_winsorized_stats",
     "corpus_heaps_law",
+    "lineitem_pit_priority",
 ]
 
 

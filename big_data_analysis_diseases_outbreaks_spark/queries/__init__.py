@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "sql_pipe_quarterly_revenue",
     "orders_winsorized_stats",
     "corpus_heaps_law",
+    "lineitem_pit_priority",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "doc_token_count",
     "doc_quality_score",
     "doc_lang_id",
-    "dedup_exact",
 ]
 
 

@@ -1350,10 +1350,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate, all partitioned on the dimension key. -------------------------
 
 
-@register(
-    "scd2_priority_epochs",
-    oracle="""
-WITH seq AS (
+# Shared by the SCD2 build and the point-in-time join oracle below.
+_SCD2_EPOCHS_CTE = """
+seq AS (
   SELECT o_custkey, o_orderkey, o_orderpriority,
          CAST(o_orderdate AS TIMESTAMP) AS od,
          CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
@@ -1367,12 +1366,22 @@ isl AS (
 agg AS (
   SELECT o_custkey, o_orderpriority AS priority, epoch,
          MIN(od) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM isl GROUP BY o_custkey, o_orderpriority, epoch)
-SELECT o_custkey, priority, CAST(epoch AS BIGINT) AS epoch, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY epoch)
-         AS valid_to,
-       n_orders
-FROM agg
+  FROM isl GROUP BY o_custkey, o_orderpriority, epoch),
+epochs AS (
+  SELECT o_custkey, priority, CAST(epoch AS BIGINT) AS epoch, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY epoch)
+           AS valid_to,
+         n_orders
+  FROM agg)
+""".strip()
+
+
+@register(
+    "scd2_priority_epochs",
+    oracle=f"""
+WITH {_SCD2_EPOCHS_CTE}
+SELECT o_custkey, priority, epoch, valid_from, valid_to, n_orders
+FROM epochs
 """.strip(),
 )
 def scd2_priority_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1413,6 +1422,81 @@ def scd2_priority_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(wlead).alias("valid_to"),
         "n_orders",
+    )
+
+
+# --- point-in-time (PIT) join against the SCD2 dimension ------------------
+# THE temporal-warehouse correctness pattern: enrich a fact row with
+# the dimension attributes AS OF the fact's event time, never the
+# current ones (the train-serve-skew killer in feature pipelines).
+# Each lineitem picks its customer's priority EPOCH valid at ship
+# time. Engine shape: the general as-of operator (operators/asof.py,
+# backward direction) — one union-window pass co-partitioned on the
+# customer key, no range-join banding. The oracle is the textbook
+# BETWEEN formulation over [valid_from, valid_to); equal-valid_from
+# epochs (empty intervals) resolve identically: the as-of tiebreak
+# takes the greatest epoch, the BETWEEN join skips the empty one.
+
+
+@register(
+    "lineitem_pit_priority",
+    oracle=f"""
+WITH {_SCD2_EPOCHS_CTE},
+li AS (
+  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey,
+         CAST(l.l_shipdate AS TIMESTAMP) AS sd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT li.l_orderkey, li.l_linenumber, li.o_custkey,
+       epoch_us(li.sd) AS ship_us,
+       e.epoch, e.priority AS priority_at_ship,
+       epoch_us(e.valid_from) AS epoch_from_us
+FROM li JOIN epochs e
+  ON e.o_custkey = li.o_custkey AND e.valid_from <= li.sd
+ AND (e.valid_to IS NULL OR li.sd < e.valid_to)
+""".strip(),
+)
+def lineitem_pit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    epochs = scd2_priority_epochs(spark, sf_dir).select(
+        "o_custkey",
+        F.col("valid_from").alias("ts"),
+        "epoch",
+        "priority",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "ts")
+    )
+    j = asof_join(
+        li,
+        epochs,
+        key="o_custkey",
+        ts="ts",
+        direction="backward",
+        tiebreak_col="epoch",
+    )
+    # inner PIT semantics: facts before the dimension's first epoch
+    # (possible in the synthetic data, where a ship date can precede
+    # the customer's first order date) carry no as-of row and drop,
+    # mirroring the oracle's inner BETWEEN join
+    return j.where(F.col("asof").isNotNull()).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.unix_micros("ts").alias("ship_us"),
+        F.col("asof.epoch").alias("epoch"),
+        F.col("asof.priority").alias("priority_at_ship"),
+        F.unix_micros("asof.ts").alias("epoch_from_us"),
     )
 
 
