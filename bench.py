@@ -175,6 +175,7 @@ HEADLINE = [
     "orders_winsorized_stats",
     "corpus_heaps_law",
     "lineitem_pit_priority",
+    "daily_user_bitmap_distinct",
 ]
 
 

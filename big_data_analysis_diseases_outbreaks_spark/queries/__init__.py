@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "orders_winsorized_stats",
     "corpus_heaps_law",
     "lineitem_pit_priority",
+    "daily_user_bitmap_distinct",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "stream_ewma_recursive",
     "doc_token_count",
     "doc_quality_score",
-    "doc_lang_id",
 ]
 
 

@@ -323,6 +323,50 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact distinct users per day via bitmap rollup ------------------------
+# The bitmap-index trick for EXACT pre-aggregatable distinct counts on
+# a bounded id domain (the roaring-bitmap rollup every OLAP cube uses):
+# bucket user ids into 63-bit words (word = id div 63, bit = id mod
+# 63 — bit 63 stays clear so the signed-int64 shift is portable:
+# DuckDB raises on 1<<63 overflow), OR the per-(day, word) masks — an associative, mergeable
+# partial — and popcount-sum per day. Two hash aggregates, both with
+# map-side combine; no (day, user) distinct shuffle, and day partials
+# can roll up further (week/month) by OR-ing stored masks — the
+# property approx sketches give up exactness for, here exact because
+# the domain is bounded. Cross-engine exact: shiftleft/bit_or/
+# bit_count are integer ops in both engines.
+
+
+@register(
+    "daily_user_bitmap_distinct",
+    oracle="""
+WITH m AS (
+  SELECT CAST(ts AS DATE) AS d, user_id // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT d AS date, CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM m GROUP BY d
+""".strip(),
+)
+def daily_user_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.to_date("ts").alias("date"),
+        F.expr("user_id div 63").alias("word"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))"
+        ).alias("mask"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return m.groupBy("date").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
 # --- chi-square independence contributions (contingency analysis) ---------
 # Is event type independent of day-of-week? The per-cell chi-square
 # contribution (O-E)^2/E over the type x dow contingency table,

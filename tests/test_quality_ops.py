@@ -464,3 +464,26 @@ def test_heaps_law_planted_growth(spark, tmp_path):
         assert ct == 2 * (b + 1)
         assert cv == b + 1  # t0 once (decile 0), t{b} new at decile b
         assert ttr == cv / ct
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap rollup must equal the exact countDistinct per day."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        daily_user_bitmap_distinct,
+    )
+
+    got = {
+        r["date"]: (r["n_distinct_users"], r["n_events"])
+        for r in daily_user_bitmap_distinct(spark, SF_SMALL).collect()
+    }
+    want = {
+        r["date"]: (r["nd"], r["n"])
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.countDistinct("user_id").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and got
