@@ -176,6 +176,7 @@ HEADLINE = [
     "corpus_heaps_law",
     "lineitem_pit_priority",
     "daily_user_bitmap_distinct",
+    "series_conformal_intervals",
 ]
 
 

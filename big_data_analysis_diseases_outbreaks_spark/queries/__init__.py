@@ -72,6 +72,7 @@ _PRIORITY: list[str] = [
     "corpus_heaps_law",
     "lineitem_pit_priority",
     "daily_user_bitmap_distinct",
+    "series_conformal_intervals",
     # Rows-only, never driver-seen (first rows-row wanted)
     "part_copurchase_ktruss",
     # Re-confirmation backfill: flagships, one per family, all
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "series_linear_forecast",
     "stream_ewma_recursive",
     "doc_token_count",
-    "doc_quality_score",
 ]
 
 

@@ -2230,10 +2230,7 @@ def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # refit loop, no rounding. Rows need n_prior ≥ 2 and a non-degenerate
 # prior design (det > 0).
 
-@register(
-    "series_forecast_backtest",
-    oracle=f"{_PREFIX},\n"
-    f"""
+_BACKTEST_ORACLE = f"{_PREFIX},\n" + f"""
 s AS (
   SELECT region, kw, date,
          CAST(date_diff('day', DATE '2024-01-01', date) AS BIGINT) AS x,
@@ -2268,8 +2265,10 @@ SELECT region, kw, date, n AS n_prior,
             * CAST(x AS DOUBLE)) AS error
 FROM m
 WHERE n >= 2 AND n * sxx - sx * sx > 0
-""".strip(),
-)
+""".strip()
+
+
+@register("series_forecast_backtest", oracle=_BACKTEST_ORACLE)
 def series_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily(spark, sf_dir)
     s = daily.select(
@@ -2310,4 +2309,76 @@ def series_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         actual.alias("actual"),
         pred.alias("predicted"),
         (actual - pred).alias("error"),
+    )
+
+
+# --- split-conformal prediction intervals on the backtest ------------------
+# Distribution-free uncertainty for the walk-forward forecast: the
+# per-series 90th-percentile absolute backtest error becomes the
+# interval half-width (split conformal prediction, Vovk et al. /
+# Angelopoulos & Bates survey shape), and the report checks its own
+# empirical coverage. Determinism chain: backtest errors are IEEE
+# trees over exact integers (series_forecast_backtest), the quantile
+# is percentile_disc (an actual element, no interpolation), the
+# coverage comparison re-reads the same doubles, and coverage is one
+# exact division. The backtest frame is persisted — the quantile
+# aggregate and the coverage join both consume it.
+
+_CONFORMAL_ORACLE = (
+    _BACKTEST_ORACLE.replace(
+        "PRECEDING))\nSELECT region, kw, date, n AS n_prior",
+        "PRECEDING)),\nbt AS (\nSELECT region, kw, date, n AS n_prior",
+        1,
+    )
+    + """),
+q AS (
+  SELECT region, kw,
+         PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY ABS(error))
+           AS q90_abs_error
+  FROM bt GROUP BY region, kw)
+SELECT bt.region, bt.kw,
+       CAST(COUNT(*) AS BIGINT) AS n_backtests,
+       q.q90_abs_error,
+       CAST(SUM(CASE WHEN ABS(bt.error) <= q.q90_abs_error
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN ABS(bt.error) <= q.q90_abs_error
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM bt JOIN q USING (region, kw)
+GROUP BY bt.region, bt.kw, q.q90_abs_error"""
+)
+
+
+@register("series_conformal_intervals", oracle=_CONFORMAL_ORACLE)
+def series_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bt = series_forecast_backtest(spark, sf_dir).persist()
+    q = bt.groupBy("region", "kw").agg(
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY abs(error))"
+        ).alias("q90_abs_error")
+    )
+    covered = F.sum(
+        F.when(
+            F.abs(F.col("error")) <= F.col("q90_abs_error"), 1
+        ).otherwise(0)
+    )
+    return (
+        bt.join(q, ["region", "kw"])
+        .groupBy("region", "kw", "q90_abs_error")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_backtests"),
+            covered.cast("long").alias("n_covered"),
+            (
+                covered.cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("coverage"),
+        )
+        .select(
+            "region",
+            "kw",
+            "n_backtests",
+            "q90_abs_error",
+            "n_covered",
+            "coverage",
+        )
     )

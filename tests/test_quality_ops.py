@@ -487,3 +487,31 @@ def test_bitmap_distinct_equals_count_distinct(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_conformal_intervals_cover_at_least_ninety_pct(spark):
+    """Split-conformal guarantee on the calibration set itself: the
+    q90 half-width must cover >= 90% of each series' backtest errors
+    (percentile_disc picks an actual element, so coverage is >= 0.9 by
+    construction) and n_covered must recount exactly."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        series_conformal_intervals,
+        series_forecast_backtest,
+    )
+
+    errs: dict[tuple, list[float]] = {}
+    for r in series_forecast_backtest(spark, SF_SMALL).collect():
+        errs.setdefault((r["region"], r["kw"]), []).append(abs(r["error"]))
+    got = {
+        (r["region"], r["kw"]): r
+        for r in series_conformal_intervals(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(errs)
+    for key, es in errs.items():
+        r = got[key]
+        assert r["n_backtests"] == len(es)
+        n_cov = sum(1 for e in es if e <= r["q90_abs_error"])
+        assert r["n_covered"] == n_cov
+        assert r["coverage"] == n_cov / len(es)
+        assert r["coverage"] >= 0.9
+        assert r["q90_abs_error"] in es  # an actual element, not interp
