@@ -177,6 +177,16 @@ HEADLINE = [
     "lineitem_pit_priority",
     "daily_user_bitmap_distinct",
     "series_conformal_intervals",
+    "customer_k_anonymity",
+    "part_bipartite_hits",
+    "order_businessday_lag",
+    "customer_geo_grid_pairs",
+    "purchase_attribution",
+    "embedding_srp_sketch",
+    "part_supplier_hhi",
+    "customer_gini_by_nation",
+    "collated_segment_counts",
+    "stream_bitmap_distinct",
 ]
 
 

@@ -96,16 +96,17 @@ _PRIORITY: list[str] = [
     "qfactor_normalization",
     "fuzzy_name_pairs",
     "orders_duplicate_invoices",
-    "trends_daily_agg",
-    "trends_detrend",
-    "anomaly_zscore",
-    "pivot_wide",
-    "daily_zero_filled",
-    "sessionize_events",
-    "user_retention_cohorts",
-    "series_linear_forecast",
-    "stream_ewma_recursive",
-    "doc_token_count",
+    # Round-8 session-2 additions (never-green -> must sit in window)
+    "customer_k_anonymity",
+    "part_bipartite_hits",
+    "order_businessday_lag",
+    "customer_geo_grid_pairs",
+    "purchase_attribution",
+    "embedding_srp_sketch",
+    "part_supplier_hhi",
+    "customer_gini_by_nation",
+    "collated_segment_counts",
+    "stream_bitmap_distinct",
 ]
 
 

@@ -1221,3 +1221,91 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- signed-random-projection (SimHash-for-vectors) sketch ------------------
+# The classic JL/SRP bit sketch: 16 deterministic +-1 hyperplanes; bit b
+# is sign(<q, w_b>) where q is the embedding quantized to exact integers
+# (floor(x * 2^20) — floor of one IEEE multiply, identical in both
+# engines; the float->double widening is exact). Hamming distance on the
+# sketch approximates angular distance, so equal-sketch buckets are LSH
+# candidates (the vector-side twin of doc_simhash16). Plan: one narrow
+# JVM map over the scan (16 zip_with/aggregate expressions), no shuffle,
+# no Python — at 100 TB this re-encode parallelizes per-file. Weights
+# come from the split-multiply integer mixer (see
+# customer_geo_grid_pairs: a bare LCG is linear -> lattice artifacts);
+# taking a MIDDLE product bit avoids the low-bit parity bias of a
+# product of two parities.
+
+_SRP_BITS = 16
+_SRP_DIM = 64
+_SRP_QSCALE = 1 << 20
+
+
+def _srp_weight(d: int, b: int) -> int:
+    hv = ((d * _SRP_BITS + b) * 48271 + 11) % 2147483647
+    mv = (hv % 100003) * (hv // 100003 + 7)
+    return ((mv >> 6) & 1) * 2 - 1
+
+
+def _srp_oracle() -> str:
+    vals = ",".join(
+        f"({b},{d},{_srp_weight(d, b)})"
+        for b in range(_SRP_BITS)
+        for d in range(_SRP_DIM)
+    )
+    return f"""
+WITH wgt(b, d, w) AS (SELECT * FROM (VALUES {vals})),
+q AS (
+  SELECT e.vec_id, e.label, t.d,
+         CAST(FLOOR(CAST(e.embedding[t.d + 1] AS DOUBLE) * {_SRP_QSCALE})
+              AS BIGINT) AS qx
+  FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(d)),
+s AS (
+  SELECT q.vec_id, q.label, wgt.b,
+         CAST(SUM(q.qx * wgt.w) AS BIGINT) AS dot
+  FROM q JOIN wgt ON wgt.d = q.d
+  GROUP BY q.vec_id, q.label, wgt.b)
+SELECT vec_id, label,
+       CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                ELSE 0 END) AS BIGINT) AS srp_sketch,
+       CAST(SUM(CASE WHEN dot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive
+FROM s GROUP BY vec_id, label
+""".strip()
+
+
+@register("embedding_srp_sketch", oracle=_srp_oracle())
+def embedding_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(_SRP_QSCALE)).cast("long"),
+    )
+    emb = emb.select("vec_id", "label", qarr.alias("q"))
+    dots = []
+    for b in range(_SRP_BITS):
+        w = F.array(
+            *[F.lit(_srp_weight(d, b)) for d in range(_SRP_DIM)]
+        )
+        dots.append(
+            F.aggregate(
+                F.zip_with(F.col("q"), w, lambda x, wv: x * wv),
+                F.lit(0).cast("long"),
+                lambda acc, el: acc + el,
+            ).alias(f"dot{b}")
+        )
+    emb = emb.select("vec_id", "label", *dots)
+    sketch = None
+    npos = None
+    for b in range(_SRP_BITS):
+        bit = (F.col(f"dot{b}") > 0).cast("long")
+        term = bit * F.lit(1 << b).cast("long")
+        sketch = term if sketch is None else sketch + term
+        npos = bit if npos is None else npos + bit
+    return emb.select(
+        "vec_id",
+        "label",
+        sketch.alias("srp_sketch"),
+        npos.cast("long").alias("n_positive"),
+    )

@@ -3980,3 +3980,412 @@ def customer_interpurchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p75"),
         F.max("gap_days").alias("max_gap"),
     )
+
+
+# --- k-anonymity audit over quasi-identifiers ------------------------------
+# Privacy gate for releasing training data keyed on people: group the
+# customer table by its quasi-identifier tuple (nation, market segment,
+# account-balance band) and report every equivalence class with its
+# size and a below-k flag. A release is k-anonymous iff no class is
+# flagged. One hash aggregate with map-side combine — the QID class
+# count is bounded by the QID domain (25 nations x 5 segments x ~11
+# bands), so the reduced side is tiny at any corpus size. The balance
+# band is FLOOR(bal/1000): one IEEE divide + floor on the 2-dp input,
+# identical in both engines.
+
+_KANON_K = 5
+
+
+@register(
+    "customer_k_anonymity",
+    oracle=f"""
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       (COUNT(*) < {_KANON_K}) AS below_k
+FROM customer
+GROUP BY 1, 2, 3
+""".strip(),
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) < F.lit(_KANON_K)).alias("below_k"),
+    )
+
+
+# --- HITS hubs/authorities on the bipartite purchase graph -----------------
+# Kleinberg's HITS, two exact power-iteration steps on the directed
+# bipartite graph customer -> part (an edge per distinct purchase):
+# a1(p) = indegree, h1(c) = sum of a1 over parts c bought,
+# a2(p) = sum of h1 over c who bought p. Authorities are parts that
+# well-connected buyers concentrate on — a different signal from
+# part_copurchase_pagerank's co-purchase centrality. Integers stay
+# exact (bounded by deg_max^2 * |E|, far under 2^63 here); a
+# production run at 100 TB would switch the rank vector to doubles and
+# keep the identical join/agg shape. Each step is one fact-fact join
+# on a key plus one hash aggregate; the edge list is built once,
+# persisted, and reused by all three steps (same protocol as
+# operators/pagerank.py). Top-k via orderBy+limit ->
+# TakeOrderedAndProject.
+
+_HITS_TOPK = 50
+
+
+@register(
+    "part_bipartite_hits",
+    oracle=f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS a FROM edges GROUP BY p),
+h1 AS (
+  SELECT e.c, CAST(SUM(a1.a) AS BIGINT) AS h
+  FROM edges e JOIN a1 ON a1.p = e.p GROUP BY e.c),
+a2 AS (
+  SELECT e.p, CAST(SUM(h1.h) AS BIGINT) AS authority
+  FROM edges e JOIN h1 ON h1.c = e.c GROUP BY e.p)
+SELECT a2.p AS part_key, a1.a AS indegree, a2.authority
+FROM a2 JOIN a1 ON a1.p = a2.p
+ORDER BY a2.authority DESC, part_key ASC LIMIT {_HITS_TOPK}
+""".strip(),
+)
+def part_bipartite_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").cast("long").alias("authority"))
+    )
+    return (
+        a2.join(a1, "p")
+        .select(F.col("p").alias("part_key"), F.col("a").alias("indegree"),
+                "authority")
+        .orderBy(F.col("authority").desc(), F.col("part_key").asc())
+        .limit(_HITS_TOPK)
+    )
+
+
+# --- business-day fulfillment lag ------------------------------------------
+# Order-date -> first-shipment lag in BUSINESS days (Mon-Fri), as a
+# histogram. Weekday counting is pure integer arithmetic on epoch days
+# — W(e) = 5*((e+3) DIV 7) + LEAST((e+3) % 7, 5) counts weekdays in
+# [1970-01-01, e) via the Monday-anchored shift (epoch day -3 was a
+# Monday) — identical DIV/MOD/LEAST in both engines, no engine week-day
+# conventions involved. One lineitem aggregate (min shipdate per
+# order), one key join, one small histogram aggregate.
+
+
+def _weekdays_sql(e: str) -> str:
+    return f"(5 * ((({e}) + 3) // 7) + LEAST((({e}) + 3) % 7, 5))"
+
+
+@register(
+    "order_businessday_lag",
+    oracle=f"""
+WITH ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+  FROM lineitem GROUP BY l_orderkey),
+lag AS (
+  SELECT {_weekdays_sql("date_diff('day', DATE '1970-01-01', s.first_ship)")}
+         - {_weekdays_sql("date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))")}
+         AS businessday_lag
+  FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey)
+SELECT CAST(businessday_lag AS BIGINT) AS businessday_lag,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM lag GROUP BY 1
+""".strip(),
+)
+def order_businessday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def weekdays(e):  # weekdays in [epoch, e) — Monday-anchored
+        ep = e + F.lit(3)
+        return F.lit(5) * (ep - (ep % 7)) / F.lit(7) + F.least(
+            ep % 7, F.lit(5)
+        )
+
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    lag = orders.join(ship, orders.o_orderkey == ship.l_orderkey).select(
+        (
+            weekdays(F.datediff("first_ship", epoch))
+            - weekdays(F.datediff("od", epoch))
+        )
+        .cast("long")
+        .alias("businessday_lag")
+    )
+    return lag.groupBy("businessday_lag").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# --- spatial radius self-join via grid bucketing ---------------------------
+# The geohash/grid pattern for "all pairs within radius R" without an
+# all-pairs join: bucket points into R x R grid cells, probe each
+# point against its 3x3 cell neighborhood (a 9-way explode on the
+# probe side only), verify the exact distance inside candidate pairs.
+# Every qualifying pair is found exactly once (the probe side visits
+# the base point's unique cell once; the a<b key order kills the
+# mirror). Candidate volume is O(n * density), never O(n^2) — the same
+# blocked candidates-then-verify shape as the dedup family, applied to
+# coordinates. Coordinates are synthesized from the customer key with
+# a Lehmer LCG (no geo columns in the schema) — integer arithmetic,
+# identical in both engines; distances stay exact integers.
+
+_GEO_R = 50  # cell size == radius
+_GEO_SPAN = 4000  # coordinate domain [0, 4000)^2
+
+
+@register(
+    "customer_geo_grid_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
+m AS (
+  SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+pts AS (
+  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
+         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
+  FROM m)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST((a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+FROM pts a JOIN pts b
+  ON a.c_custkey < b.c_custkey
+ AND (a.lat - b.lat) * (a.lat - b.lat)
+     + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_R * _GEO_R}
+""".strip(),
+)
+def customer_geo_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nonlinear mix: a purely multiplicative LCG is linear in the key,
+    # so its (mod, div) 2-D projection is a low-discrepancy lattice with
+    # NO close pairs; the split-multiply breaks the linearity. All
+    # intermediates < 2^63 (hv < 2^31, so the product < 2.2e9 * 2^15).
+    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
+    mv = (hv % F.lit(100003)) * (
+        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
+    ).cast("long")
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (mv % _GEO_SPAN).alias("lat"),
+        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
+        .cast("long")
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "*",
+        (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
+        (F.col("lon") - F.col("lon") % _GEO_R).alias("co"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"), (F.col("id") - F.col("id") % 3)
+        .cast("long").alias("_t")
+    ).select("dx", (F.col("_t") / 3 - 1).cast("long").alias("dy"))
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cl") + F.col("dx") * _GEO_R).alias("cl"),
+        (F.col("co") + F.col("dy") * _GEO_R).alias("co"),
+    )
+    base = cells.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cl",
+        "co",
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    dist2 = dlat * dlat + dlon * dlon
+    return (
+        probes.join(base, ["cl", "co"])
+        .where(
+            (F.col("custkey_a") < F.col("custkey_b"))
+            & (dist2 <= F.lit(_GEO_R * _GEO_R))
+        )
+        .select("custkey_a", "custkey_b", dist2.cast("long").alias("dist2"))
+    )
+
+
+# --- supplier-concentration HHI per part ------------------------------------
+# Herfindahl-Hirschman index of supplier shares within each part's
+# shipped quantity: HHI = sum(share_i^2) = sum(q_i^2) / (sum q_i)^2 —
+# computed from exact integer centi-quantities so the only floats are
+# one multiply and one divide on exactly-representable operands
+# (events_chi2_independence protocol). Two hash aggregates, both with
+# map-side combine; no joins, no window.
+
+
+@register(
+    "part_supplier_hhi",
+    oracle="""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qc
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_partkey AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(qc) AS BIGINT) AS total_qty_cents,
+       CAST(SUM(qc * qc) AS DOUBLE)
+         / (CAST(SUM(qc) AS DOUBLE) * CAST(SUM(qc) AS DOUBLE)) AS hhi
+FROM sq GROUP BY 1
+""".strip(),
+)
+def part_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("qc")
+    )
+    tot = F.sum("qc").cast("long")
+    return sq.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        tot.alias("total_qty_cents"),
+        (
+            F.sum(F.col("qc") * F.col("qc")).cast("double")
+            / (tot.cast("double") * tot.cast("double"))
+        ).alias("hhi"),
+    )
+
+
+# --- Gini coefficient of customer spend, per nation -------------------------
+# Inequality of the spend distribution inside each nation, by the exact
+# rank formula G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) over
+# spend sorted ascending (ties broken by key: deterministic ranks).
+# Everything up to the final single divide is exact int64 (cents).
+# The rank window partitions by nation — ~25 balanced partitions, never
+# a single-partition global sort; customers without orders are out of
+# scope (spend undefined, not zero: the join is the filter).
+
+
+@register(
+    "customer_gini_by_nation",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT c.c_nationkey AS nationkey, s.cents, s.o_custkey
+  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey),
+r AS (
+  SELECT nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY cents, o_custkey) AS rk
+  FROM j)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(2 * CAST(SUM(rk * cents) AS BIGINT)
+            - (COUNT(*) + 1) * CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
+FROM r GROUP BY nationkey
+""".strip(),
+)
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    j = spend.join(F.broadcast(cust), "o_custkey")
+    w = Window.partitionBy("nationkey").orderBy("cents", "o_custkey")
+    r = j.select("nationkey", "cents", F.row_number().over(w).alias("rk"))
+    n = F.count(F.lit(1))
+    s = F.sum("cents").cast("long")
+    num = (
+        F.lit(2) * F.sum(F.col("rk") * F.col("cents")).cast("long")
+        - (n + F.lit(1)) * s
+    )
+    return r.groupBy("nationkey").agg(
+        n.alias("n_customers"),
+        s.alias("total_cents"),
+        (num.cast("double") / (n.cast("double") * s.cast("double"))).alias(
+            "gini"
+        ),
+    )
+
+
+# --- case-insensitive grouping via Spark 4 collations ------------------------
+# Spark 4's COLLATE: grouping mixed-case segment strings under
+# UTF8_LCASE merges case variants inside the hash aggregate itself — no
+# normalize-then-group preprocessing — while n_forms counts the raw
+# (binary-collation) variants each group absorbed. The emitted key is
+# lowercased so it is deterministic (a collated GROUP BY may surface
+# any representative). The oracle expresses the same semantics the
+# pre-Spark-4 way: GROUP BY lower(seg).
+
+
+@register(
+    "collated_segment_counts",
+    oracle="""
+WITH m AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer)
+SELECT lower(seg) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_forms
+FROM m GROUP BY lower(seg)
+""".strip(),
+)
+def collated_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = load_table(spark, sf_dir, "customer").select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lower(F.col("c_mktsegment"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg")
+    )
+    grouped = m.groupBy(
+        F.collate(F.col("seg"), "UTF8_LCASE").alias("segc")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        # distinct over the RAW column: binary collation, so 'AUTO' and
+        # 'auto' stay two forms inside the case-merged group
+        F.countDistinct(F.col("seg")).alias("n_forms"),
+    )
+    return grouped.select(
+        F.lower(F.col("segc")).cast("string").alias("segment"),
+        "n_customers",
+        "n_forms",
+    )

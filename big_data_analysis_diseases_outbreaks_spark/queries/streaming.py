@@ -1010,3 +1010,140 @@ def stream_watermark_late_drop(
         "event_type",
         "n",
     )
+
+
+# --- streaming EXACT distinct users via OR-mergeable bitmap partials -------
+# The streaming twin of daily_user_bitmap_distinct: each micro-batch
+# reduces its events to per-(day, word) 63-bit membership masks — an
+# associative, idempotent partial (OR) — appended exactly-once under
+# batch_id= partitions (the stream_cms_incremental protocol); the final
+# rollup ORs partials across batches and popcounts. OR-idempotence is
+# the point: a replayed/duplicated batch cannot change the answer, so
+# exact distinct-counting survives at-least-once delivery — the
+# guarantee HLL sketches approximate, exact here because the id domain
+# is bounded. Oracle: the BATCH bitmap query verbatim (OR linearity
+# makes chunking invisible).
+
+_BMP_CHUNKS = 3
+
+
+def _events_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet as 3 contiguous event_id chunks (one per
+    micro-batch under maxFilesPerTrigger=1); cached per source version."""
+    import os
+
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        per = (n + _BMP_CHUNKS - 1) // _BMP_CHUNKS
+        for i in range(_BMP_CHUNKS):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM read_parquet('{src}')
+                      ORDER BY event_id LIMIT {per} OFFSET {i * per})
+                TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
+                  (FORMAT PARQUET)
+                """
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_events_chunks_{key}_{_BMP_CHUNKS}",
+        source_fingerprint(src),
+        _build,
+    )
+
+
+def _bitmap_cells(ev: DataFrame) -> DataFrame:
+    return ev.groupBy(
+        F.to_date("ts").alias("date"),
+        F.expr("user_id div 63").alias("word"),
+    ).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))").alias(
+            "mask"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register("stream_bitmap_distinct")
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.tables import configure_runtime
+
+    configure_runtime(spark)
+    src = _events_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    ts_type = dict(st.dtypes)["ts"]
+    if ts_type == "bigint":
+        st = st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"NTZ conversion requires session tz UTC, got {tz!r}"
+            )
+        st = st.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    out = tempfile.mkdtemp(prefix="spark_bitmap_cells_")
+    cells_dir = os.path.join(out, "cells")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _bitmap_cells(batch_df)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cells_dir)
+        )
+
+    (
+        st.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = (
+        spark.read.parquet(cells_dir)
+        .groupBy("date", "word")
+        .agg(
+            F.expr("bit_or(mask)").alias("mask"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+    return merged.groupBy("date").agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+
+
+# Late-bind the oracle: the batch bitmap rollup's oracle VERBATIM —
+# value equality across a 3-batch replay IS the OR-linearity proof.
+def _bind_bitmap_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+    from . import trends  # noqa: F401 — registers the batch twin
+
+    q = _REGISTRY["stream_bitmap_distinct"]
+    batch = _REGISTRY["daily_user_bitmap_distinct"]
+    _REGISTRY["stream_bitmap_distinct"] = Query(q.name, q.fn, batch.oracle)
+
+
+_bind_bitmap_stream_oracle()

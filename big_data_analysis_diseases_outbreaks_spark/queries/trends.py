@@ -2382,3 +2382,99 @@ def series_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# --- multi-touch purchase attribution --------------------------------------
+# Marketing-style credit assignment: every purchase distributes its
+# value over the user's view/click touches in the preceding 7 days —
+# last-touch (everything to the most recent touch) and linear (equal
+# split) — reported per touch type. The touch<->purchase pairing is the
+# banded interval-join pattern (event_pairs_interval_join): touches
+# carry their 7-day epoch bucket, purchases probe their own bucket and
+# the previous one, so the join is an equi-join on (user, bucket) with
+# the exact timestamp range verified inside candidates — never a per-
+# user cross join. Money stays exact: integer cents, linear split as
+# cents DIV n with the remainder assigned to the last touch (sum of
+# shares == purchase cents, no float drift), so the engine and oracle
+# agree bit-for-bit.
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_ev, user_id, ts AS p_ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT event_id AS t_ev, user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT p.p_ev, p.cents, t.t_ev, t.touch_type,
+         COUNT(*) OVER (PARTITION BY p.p_ev) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p.p_ev
+                            ORDER BY t.t_ts DESC, t.t_ev DESC) AS rn
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS lasttouch_cents,
+       CAST(SUM(cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)
+            AS BIGINT) AS linear_cents
+FROM pairs GROUP BY touch_type
+""".strip(),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def bucket(ts):
+        d = F.datediff(F.to_date(ts), epoch)
+        return ((d - d % 7) / 7).cast("long")
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_ev"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        bucket("ts").alias("pb"),
+    )
+    # probe the touch's own bucket and the previous one (the 7-day
+    # lookback spans exactly those two)
+    p2 = p.crossJoin(
+        F.broadcast(spark.range(2).select(F.col("id").alias("off")))
+    ).select("p_ev", "user_id", "p_ts", "cents", (F.col("pb") - F.col("off")).alias("b"))
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_ev"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+        bucket("ts").alias("b"),
+    )
+    pairs = p2.join(t, ["user_id", "b"]).where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    w = Window.partitionBy("p_ev")
+    wo = w.orderBy(F.col("t_ts").desc(), F.col("t_ev").desc())
+    shares = pairs.select(
+        "touch_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    last = F.when(F.col("rn") == 1, F.col("cents")).otherwise(F.lit(0))
+    rem = F.when(F.col("rn") == 1, F.col("cents") % F.col("n")).otherwise(
+        F.lit(0)
+    )
+    return shares.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum(last).cast("long").alias("lasttouch_cents"),
+        F.sum(
+            (F.col("cents") - F.col("cents") % F.col("n")) / F.col("n") + rem
+        )
+        .cast("long")
+        .alias("linear_cents"),
+    )
