@@ -187,6 +187,10 @@ HEADLINE = [
     "customer_gini_by_nation",
     "collated_segment_counts",
     "stream_bitmap_distinct",
+    "series_theil_sen_slope",
+    "session_bounce_stats",
+    "part_interval_coverage",
+    "nation_equal_sample",
 ]
 
 

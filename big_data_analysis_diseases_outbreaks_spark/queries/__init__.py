@@ -78,10 +78,6 @@ _PRIORITY: list[str] = [
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
-    "tpch_q1_pricing",
-    "revenue_by_nation",
-    "top10_customers",
-    "national_market_share",
     "product_type_profit",
     "returned_item_reporting",
     "large_volume_customers",
@@ -107,6 +103,10 @@ _PRIORITY: list[str] = [
     "customer_gini_by_nation",
     "collated_segment_counts",
     "stream_bitmap_distinct",
+    "series_theil_sen_slope",
+    "session_bounce_stats",
+    "part_interval_coverage",
+    "nation_equal_sample",
 ]
 
 

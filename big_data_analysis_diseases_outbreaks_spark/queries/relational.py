@@ -4389,3 +4389,165 @@ def collated_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "n_forms",
     )
+
+
+# --- interval-union coverage per part (sweep-line as a window) --------------
+# Total DISTINCT days covered by the union of a part's (order-date ->
+# ship-date) intervals — overlap counted once, the classic sweep-line:
+# +1/-1 boundary deltas, a running sum ordered by day, and day-gaps
+# added while the running count is positive. Everything is one
+# part-partitioned window over the part's own boundary rows (bounded
+# by its lineitem count) — no pairwise interval join, no explode of
+# per-day rows (an explode would materialize O(span) rows per
+# interval; the sweep is O(boundaries)). The synthetic dates can run
+# ship < order, so intervals are normalized via least/greatest.
+
+
+@register(
+    "part_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT l.l_partkey AS part_key,
+         LEAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)),
+               date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)))
+           AS s,
+         GREATEST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)),
+                  date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)))
+           AS e
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+deltas AS (
+  SELECT part_key, d, CAST(SUM(delta) AS BIGINT) AS delta, 
+         CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT)
+           AS n_starts
+  FROM (SELECT part_key, s AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT part_key, e + 1 AS d, -1 AS delta FROM iv)
+  GROUP BY part_key, d),
+swept AS (
+  SELECT part_key, d, n_starts,
+         SUM(delta) OVER (PARTITION BY part_key ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running,
+         LEAD(d) OVER (PARTITION BY part_key ORDER BY d) AS nxt
+  FROM deltas)
+SELECT part_key,
+       CAST(SUM(n_starts) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN running > 0 AND nxt IS NOT NULL
+                     THEN nxt - d ELSE 0 END) AS BIGINT) AS covered_days
+FROM swept GROUP BY part_key
+""".strip(),
+)
+def part_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part_key"),
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("sd"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.datediff(F.to_date("o_orderdate"), epoch).alias("od")
+    )
+    iv = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "part_key",
+        F.least("od", "sd").alias("s"),
+        F.greatest("od", "sd").alias("e"),
+    )
+    deltas = (
+        iv.select("part_key", F.col("s").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            iv.select(
+                "part_key",
+                (F.col("e") + 1).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("part_key", "d")
+        .agg(
+            F.sum("delta").cast("long").alias("delta"),
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_starts"),
+        )
+    )
+    w = Window.partitionBy("part_key").orderBy("d")
+    swept = deltas.select(
+        "part_key",
+        "d",
+        "n_starts",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"),
+        F.lead("d").over(w).alias("nxt"),
+    )
+    return swept.groupBy("part_key").agg(
+        F.sum("n_starts").cast("long").alias("n_intervals"),
+        F.sum(
+            F.when(
+                (F.col("running") > 0) & F.col("nxt").isNotNull(),
+                F.col("nxt") - F.col("d"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("covered_days"),
+    )
+
+
+# --- equal-allocation stratified sample (deterministic hash rank) -----------
+# K customers per nation selected by rank over the split-multiply key
+# mixer — the equal-allocation complement to
+# orders_weighted_systematic_sample (PPS) and doc_stratified_sample
+# (proportional): every stratum contributes the same K regardless of
+# its size, the right design when per-stratum variance matters more
+# than population shares (per-nation eval splits). Deterministic: the
+# hash is a pure key function, so the sample is reproducible across
+# runs/engines — no RNG, no seed drift. One nation-partitioned
+# window; the 25-way partitioning is balanced by construction.
+
+_EQ_SAMPLE_K = 20
+
+
+@register(
+    "nation_equal_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT c_custkey, c_nationkey,
+         (c_custkey * 48271 + 11) % 2147483647 AS hv
+  FROM customer),
+m AS (
+  SELECT c_custkey, c_nationkey,
+         (hv % 100003) * (hv // 100003 + 7) AS mv
+  FROM h),
+r AS (
+  SELECT c_custkey, c_nationkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY mv, c_custkey) AS rk
+  FROM m)
+SELECT c_nationkey AS nationkey, CAST(rk AS BIGINT) AS rk,
+       c_custkey AS custkey
+FROM r WHERE rk <= {_EQ_SAMPLE_K}
+""".strip(),
+)
+def nation_equal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hv = (F.col("c_custkey") * F.lit(48271) + F.lit(11)) % F.lit(2147483647)
+    mv = (hv % F.lit(100003)) * (
+        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
+    ).cast("long")
+    m = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", mv.alias("mv")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("mv", "c_custkey")
+    return (
+        m.select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= _EQ_SAMPLE_K)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("c_custkey").alias("custkey"),
+        )
+    )

@@ -2478,3 +2478,154 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("linear_cents"),
     )
+
+
+# --- Theil-Sen robust trend slope (bounded pairs window) --------------------
+# The robust alternative to series_trend_slope's OLS: the MEDIAN of all
+# pairwise slopes over the last 90 days of each event type's daily
+# revenue. Pairwise is O(W^2) ONLY within the fixed 90-day tail —
+# ~4k pairs per series regardless of corpus size, so the self-join is
+# bounded state like series_ewma16's window, never a data-sized
+# quadratic. Each slope is one IEEE divide of exact integer deltas;
+# percentile_disc picks an actual slope element (bit-exact
+# cross-engine — the value_percentiles_by_type protocol).
+
+_TS_WINDOW_DAYS = 90
+
+
+@register(
+    "series_theil_sen_slope",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT MAX(d) AS dmax FROM daily),
+tail AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', d) AS di, cents
+  FROM daily, mx WHERE d > mx.dmax - INTERVAL {_TS_WINDOW_DAYS} DAY),
+slopes AS (
+  SELECT a.event_type,
+         CAST(b.cents - a.cents AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
+           AS slope
+  FROM tail a JOIN tail b
+    ON a.event_type = b.event_type AND a.di < b.di)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY slope)
+         AS theil_sen_slope
+FROM slopes GROUP BY event_type
+""".strip(),
+)
+def series_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    mx = daily.agg(F.max("d").alias("dmax"))
+    epoch = F.lit("1970-01-01").cast("date")
+    tail = (
+        daily.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("d") > F.date_sub(F.col("dmax"), _TS_WINDOW_DAYS)
+        )
+        .select(
+            "event_type",
+            F.datediff("d", epoch).cast("long").alias("di"),
+            "cents",
+        )
+    )
+    a, b = tail.alias("a"), tail.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.di") < F.col("b.di")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.di") - F.col("a.di")).cast("double")
+        ).alias("slope"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+# --- session-level bounce/engagement metrics --------------------------------
+# Session quality rollup on top of sessionize_events' gap>30min
+# sessions: per ENTRY event type (the session's first event —
+# min(struct(ts, event_id)) inside the session group, no second
+# window), how many sessions start there, how often they bounce
+# (single-event sessions), and the mean events per session — bounce
+# rate and mean as single IEEE divides of exact counts.
+
+
+@register(
+    "session_bounce_stats",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered),
+per_session AS (
+  SELECT user_id, session_id,
+         (MIN({'ts': ts, 'event_id': event_id, 'et': event_type})).et
+           AS entry_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_events
+FROM per_session GROUP BY entry_type
+""".strip(),
+)
+def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ordered = ev.withColumn(
+        "is_new",
+        F.when(gap > 30 * 60 * 1_000_000, F.lit(1)).otherwise(F.lit(0)),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = ordered.withColumn("session_id", F.sum("is_new").over(ws))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(
+        F.when(F.col("n_events") == 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return per_session.groupBy("entry_type").agg(
+        n.alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (bounces.cast("double") / n.cast("double")).alias("bounce_rate"),
+        (F.sum("n_events").cast("double") / n.cast("double")).alias(
+            "mean_events"
+        ),
+    )

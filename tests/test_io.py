@@ -430,3 +430,34 @@ def test_orc_roundtrip_with_predicate_pushdown(spark):
         plan = filtered._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan and "GreaterThan(value,50" in plan
         assert filtered.count() == daily.where(F.col("value") > 50).count()
+
+
+def test_binaryfile_source_reads_blobs(spark):
+    """Multimodal ingestion path (A-family source): the built-in
+    ``binaryFile`` format reads opaque blobs with (path, length,
+    content) — content bytes must round-trip exactly, and a pathGlob
+    filter must prune non-matching files."""
+    import hashlib
+
+    blobs = {f"img_{i:02d}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, payload in blobs.items():
+            with open(os.path.join(tmp, name), "wb") as fh:
+                fh.write(payload)
+        with open(os.path.join(tmp, "notes.txt"), "wb") as fh:
+            fh.write(b"not a blob")
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(tmp)
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("name"),
+                "length",
+                F.md5("content").alias("digest"),
+            )
+        )
+        rows = {r.name: r for r in df.collect()}
+    assert set(rows) == set(blobs)  # glob pruned notes.txt
+    for name, payload in blobs.items():
+        assert rows[name].length == len(payload)
+        assert rows[name].digest == hashlib.md5(payload).hexdigest()
