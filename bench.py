@@ -191,6 +191,10 @@ HEADLINE = [
     "session_bounce_stats",
     "part_interval_coverage",
     "nation_equal_sample",
+    "simhash_hamming_pairs",
+    "nation_weighted_median_balance",
+    "nation_top_revenue_share",
+    "series_cusum_changepoint",
 ]
 
 

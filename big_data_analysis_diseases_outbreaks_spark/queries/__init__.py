@@ -78,10 +78,6 @@ _PRIORITY: list[str] = [
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
-    "product_type_profit",
-    "returned_item_reporting",
-    "large_volume_customers",
-    "top3_customers_per_nation",
     "orders_above_customer_avg",
     "merge_upsert_orders",
     "scd2_priority_epochs",
@@ -107,6 +103,10 @@ _PRIORITY: list[str] = [
     "session_bounce_stats",
     "part_interval_coverage",
     "nation_equal_sample",
+    "simhash_hamming_pairs",
+    "nation_weighted_median_balance",
+    "nation_top_revenue_share",
+    "series_cusum_changepoint",
 ]
 
 

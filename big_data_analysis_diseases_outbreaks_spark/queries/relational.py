@@ -4551,3 +4551,139 @@ def nation_equal_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("custkey"),
         )
     )
+
+
+# --- weighted median (cumulative-weight window selection) --------------------
+# Per nation: the order-count-weighted median account balance — the
+# smallest balance whose cumulative weight reaches half the nation's
+# total (lower weighted median: 2*cum >= tot, deterministic ties via
+# key order). Exact integers end-to-end: cents, counts, and the
+# half-total comparison as 2*cum >= tot (no 0.5 float). One
+# nation-partitioned cumulative window + one aggregate — the same
+# shape scales to any per-group percentile-by-weight (resource quotas,
+# fee schedules) without a global sort.
+
+
+@register(
+    "nation_weighted_median_balance",
+    oracle="""
+WITH w AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+         c.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS wt
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3),
+cum AS (
+  SELECT nationkey, cents, wt,
+         SUM(wt) OVER (PARTITION BY nationkey ORDER BY cents, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wt) OVER (PARTITION BY nationkey) AS tot
+  FROM w)
+SELECT nationkey,
+       CAST(MIN(tot) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tot THEN cents END) AS BIGINT)
+         AS wmedian_cents
+FROM cum GROUP BY nationkey
+""".strip(),
+)
+def nation_weighted_median_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    w = (
+        cust.join(orders, "c_custkey")
+        .groupBy("nationkey", "cents", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    wp = Window.partitionBy("nationkey")
+    cum = w.select(
+        "nationkey",
+        "cents",
+        F.sum("wt")
+        .over(
+            wp.orderBy("cents", "c_custkey").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cw"),
+        F.sum("wt").over(wp).alias("tot"),
+    )
+    return cum.groupBy("nationkey").agg(
+        F.min("tot").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )
+
+
+# --- ratio-to-report: top revenue customers with in-nation share -------------
+# The classic percent-of-total window analytic: each customer's revenue
+# as a share of their nation's total, top-3 per nation by revenue
+# (ties -> key order). The share is one IEEE divide of exact cents;
+# both windows reuse the SAME nation partitioning (one shuffle, two
+# frames); top-k per group via rank filter, never a global sort.
+
+
+@register(
+    "nation_top_revenue_share",
+    oracle="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+sh AS (
+  SELECT nationkey, custkey, cents,
+         CAST(SUM(cents) OVER (PARTITION BY nationkey) AS BIGINT)
+           AS nation_cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY cents DESC, custkey) AS rk
+  FROM rev)
+SELECT nationkey, CAST(rk AS BIGINT) AS rk, custkey, cents,
+       CAST(cents AS DOUBLE) / CAST(nation_cents AS DOUBLE)
+         AS nation_share
+FROM sh WHERE rk <= 3
+""".strip(),
+)
+def nation_top_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("oc"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    rev = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .groupBy("nationkey", F.col("o_custkey").alias("custkey"))
+        .agg(F.sum("oc").cast("long").alias("cents"))
+    )
+    wp = Window.partitionBy("nationkey")
+    sh = rev.select(
+        "nationkey",
+        "custkey",
+        "cents",
+        F.sum("cents").over(wp).cast("long").alias("nation_cents"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cents").desc(), F.col("custkey")))
+        .alias("rk"),
+    )
+    return sh.where(F.col("rk") <= 3).select(
+        "nationkey",
+        F.col("rk").cast("long").alias("rk"),
+        "custkey",
+        "cents",
+        (F.col("cents").cast("double") / F.col("nation_cents").cast("double"))
+        .alias("nation_share"),
+    )

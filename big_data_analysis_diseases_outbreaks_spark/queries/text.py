@@ -3497,3 +3497,79 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cum_tokens").cast("double")
         ).alias("type_token_ratio"),
     )
+
+
+# --- Hamming-radius simhash pair join (pigeonhole bands, LOSSLESS) ---------
+# All document pairs whose 16-bit simhash signatures differ by <= 1 bit
+# — the radius join behind simhash dedup, made EXACT by the pigeonhole
+# principle: split the signature into 2 bytes; Hamming <= 1 can corrupt
+# at most one byte, so every qualifying pair agrees on at least one
+# byte verbatim. Candidates come from two equi-joins on (band, byte)
+# keys (explode factor 2), the exact distance is verified inside
+# candidates only — same blocked candidates-then-verify scaling shape
+# as the MinHash/FastSS families, and provably no false negatives
+# (unlike probing an LSH with missing bands). Byte buckets bound
+# candidate volume at ~n^2/256 per band worst-case; real signatures
+# spread further.
+
+
+def _simhash_pairs_oracle() -> str:
+    from . import _REGISTRY
+
+    sims = _REGISTRY["doc_simhash16"].oracle
+    return f"""
+WITH sims AS ({sims})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT))
+            AS BIGINT) AS hamming
+FROM sims a JOIN sims b
+  ON a.doc_id < b.doc_id
+ AND (a.simhash16 // 256 = b.simhash16 // 256
+      OR a.simhash16 % 256 = b.simhash16 % 256)
+WHERE bit_count(CAST(xor(a.simhash16, b.simhash16) AS BIGINT)) <= 1
+""".strip()
+
+
+@register("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = doc_simhash16(spark, sf_dir).select("doc_id", "simhash16")
+    # the signature table is the expensive part (tokenize + 16 bit sums)
+    # and is probed twice below — persist the small result, not the scan
+    sims = sims.persist()
+    bands = sims.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("simhash16") / 256).cast("int").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("simhash16") % 256).cast("int").alias("bv"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash16", "bk.band", "bk.bv")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash16").alias("sa"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash16").alias("sb"),
+        "band",
+        "bv",
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")).cast("long"))
+    return (
+        a.join(b, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()  # a pair can match on both bands — emit once
+        .where(ham <= 1)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )

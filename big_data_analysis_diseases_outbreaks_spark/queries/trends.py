@@ -2629,3 +2629,92 @@ def session_bounce_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_events"
         ),
     )
+
+
+# --- batch CUSUM changepoint estimate (exact-integer protocol) --------------
+# The batch twin of stream_cusum_changepoints: per event type, the
+# cumulative sum of deviations from the series mean; the day where
+# |cusum| peaks is the classic CUSUM single-changepoint estimate.
+# Everything stays exact int64 by clearing denominators: dev_i =
+# n*x_i - S (cents scaled by n), cusum_i = prefix sum, argmax via
+# min(struct(-|cusum|, date)) — no float mean, no order-dependent
+# double accumulation; the reported drift_ratio |cusum|/(n*S) is one
+# IEEE divide of exact operands. One series-partitioned cumulative
+# window + one argmax aggregate.
+
+
+@register(
+    "series_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM daily GROUP BY event_type),
+cu AS (
+  SELECT d.event_type, d.d, t.n, t.s,
+         CAST(SUM(t.n * d.cents - t.s)
+           OVER (PARTITION BY d.event_type ORDER BY d.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cusum
+  FROM daily d JOIN tot t ON t.event_type = d.event_type)
+SELECT event_type,
+       (MIN({'negabs': -abs(cusum), 'd': d, 'c': cusum, 'n': n, 's': s})).d
+         AS changepoint_date,
+       (MIN({'negabs': -abs(cusum), 'd': d, 'c': cusum, 'n': n, 's': s})).c
+         AS cusum_scaled,
+       CAST(abs((MIN({'negabs': -abs(cusum), 'd': d, 'c': cusum, 'n': n,
+                      's': s})).c) AS DOUBLE)
+         / CAST((MIN({'negabs': -abs(cusum), 'd': d, 'c': cusum, 'n': n,
+                      's': s})).n
+                * (MIN({'negabs': -abs(cusum), 'd': d, 'c': cusum, 'n': n,
+                        's': s})).s AS DOUBLE) AS drift_ratio
+FROM cu GROUP BY event_type
+""".strip(),
+)
+def series_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("s")
+    )
+    cu = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        "s",
+        F.sum(F.col("n") * F.col("cents") - F.col("s"))
+        .over(
+            Window.partitionBy("event_type")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("cusum"),
+    )
+    best = F.min(
+        F.struct(
+            (-F.abs(F.col("cusum"))).alias("negabs"),
+            F.col("d").alias("d"),
+            F.col("cusum").alias("c"),
+            F.col("n").alias("n"),
+            F.col("s").alias("s"),
+        )
+    )
+    return cu.groupBy("event_type").agg(
+        best["d"].alias("changepoint_date"),
+        best["c"].alias("cusum_scaled"),
+        (
+            F.abs(best["c"]).cast("double")
+            / (best["n"] * best["s"]).cast("double")
+        ).alias("drift_ratio"),
+    )

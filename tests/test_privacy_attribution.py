@@ -159,3 +159,68 @@ def test_attribution_conserves_cents(spark):
         .collect()[0][0]
     )
     assert last == (attributed or 0)
+
+
+def test_simhash_hamming_pairs_lossless(spark):
+    """Pigeonhole banding must find EVERY pair within Hamming <= 1 —
+    verified against the naive all-pairs scan of the signatures."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import doc_simhash16
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in _Q["simhash_hamming_pairs"].fn(spark, SF_SMALL).collect()
+    }
+    sims = {
+        r.doc_id: r.simhash16
+        for r in doc_simhash16(spark, SF_SMALL).collect()
+    }
+    ks = sorted(sims)
+    want = set()
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 1:
+                want.add((a, b, h))
+    assert got == want
+
+
+def test_weighted_median_is_lower_median(spark):
+    """The selected balance must be the smallest value whose cumulative
+    weight reaches half the total (lower weighted median)."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    out = {
+        r.nationkey: r
+        for r in _Q["nation_weighted_median_balance"].fn(spark, SF_SMALL).collect()
+    }
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nk"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    w = (
+        cust.join(orders, "c_custkey")
+        .groupBy("nk", "cents", "c_custkey")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in w:
+        per[r.nk].append((r.cents, r.c_custkey, r.wt))
+    for nk, rows in per.items():
+        rows.sort()
+        tot = sum(x[2] for x in rows)
+        cum = 0
+        med = None
+        for cents, _, wt in rows:
+            cum += wt
+            if 2 * cum >= tot:
+                med = cents
+                break
+        assert out[nk].wmedian_cents == med
+        assert out[nk].total_weight == tot
