@@ -195,6 +195,9 @@ HEADLINE = [
     "nation_weighted_median_balance",
     "nation_top_revenue_share",
     "series_cusum_changepoint",
+    "user_activity_lorenz",
+    "k_anonymity_generalization",
+    "orders_benford_digits",
 ]
 
 

@@ -78,9 +78,6 @@ _PRIORITY: list[str] = [
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
-    "orders_above_customer_avg",
-    "merge_upsert_orders",
-    "scd2_priority_epochs",
     "salted_type_join",
     "lateral_top2_orders",
     "cdc_merge_apply",
@@ -107,6 +104,9 @@ _PRIORITY: list[str] = [
     "nation_weighted_median_balance",
     "nation_top_revenue_share",
     "series_cusum_changepoint",
+    "user_activity_lorenz",
+    "k_anonymity_generalization",
+    "orders_benford_digits",
 ]
 
 

@@ -4687,3 +4687,181 @@ def nation_top_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.col("nation_cents").cast("double"))
         .alias("nation_share"),
     )
+
+
+# --- Lorenz curve of user activity (exact global deciles) --------------------
+# Concentration of event volume across users as Lorenz points: users
+# ranked into true SQL-NTILE deciles by activity (operators/rank.py —
+# range shuffle + P-row offsets, never an Exchange SinglePartition),
+# then per-decile event totals with the cumulative share. The running
+# sum over the 10 decile rows reuses with_global_running_sum (same
+# no-single-partition protocol); shares are single IEEE divides of
+# exact counts. Companion to customer_gini_by_nation: the curve behind
+# the coefficient.
+
+
+@register(
+    "user_activity_lorenz",
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT user_id, n_ev,
+         NTILE(10) OVER (ORDER BY n_ev, user_id) AS decile
+  FROM u),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(n_ev) AS BIGINT) AS events
+  FROM d GROUP BY decile),
+c AS (
+  SELECT decile, n_users, events,
+         CAST(SUM(events) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_events,
+         CAST(SUM(events) OVER () AS BIGINT) AS total_events
+  FROM g)
+SELECT CAST(decile AS BIGINT) AS decile, n_users, events, cum_events,
+       CAST(cum_events AS DOUBLE) / CAST(total_events AS DOUBLE)
+         AS lorenz_cum_share
+FROM c
+""".strip(),
+)
+def user_activity_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    d = with_global_ntile(u, ["n_ev", "user_id"], 10, "decile")
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").cast("long").alias("events"),
+    )
+    c = with_global_running_sum(
+        g,
+        ["decile"],
+        "events",
+        out_col="cum_events",
+        total_col="total_events",
+    )
+    return c.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "events",
+        "cum_events",
+        (
+            F.col("cum_events").cast("double")
+            / F.col("total_events").cast("double")
+        ).alias("lorenz_cum_share"),
+    )
+
+
+# --- k-anonymity generalization ladder (one Expand pass) ---------------------
+# The generalization lattice behind customer_k_anonymity: audit three
+# coarsening levels — (nation, segment, balance band) -> drop the band
+# -> drop the nation — in ONE scan via GROUPING SETS (Expand + a single
+# shuffle; the naive form is three scans + a union). Per level: class
+# count, below-k classes, smallest class, and the below-k share (one
+# IEEE divide) — the curve a release planner walks until the risk
+# share is acceptable.
+
+
+@register(
+    "k_anonymity_generalization",
+    oracle=f"""
+WITH classes AS (
+  SELECT GROUPING(c_nationkey) + GROUPING(bal_band) AS level,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM (SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer)
+  GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment, bal_band),
+                          (c_nationkey, c_mktsegment),
+                          (c_mktsegment)))
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_k,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS below_k_share
+FROM classes GROUP BY level
+""".strip(),
+)
+def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    )
+    classes = cust.groupingSets(
+        [
+            ["c_nationkey", "c_mktsegment", "bal_band"],
+            ["c_nationkey", "c_mktsegment"],
+            ["c_mktsegment"],
+        ],
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+    ).agg(
+        (F.grouping("c_nationkey") + F.grouping("bal_band")).alias("level"),
+        F.count(F.lit(1)).alias("class_size"),
+    )
+    below = F.sum(
+        F.when(F.col("class_size") < _KANON_K, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return classes.groupBy(F.col("level").cast("long").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        below.alias("n_below_k"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        (below.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "below_k_share"
+        ),
+    )
+
+
+# --- Benford first-digit audit ------------------------------------------------
+# Fraud/DQ screen: the first significant digit distribution of order
+# totals. The digit comes from the decimal RENDERING of the exact
+# integer cents (substr of the canonical base-10 string — both engines
+# print integers identically), not from log10 floats; shares are one
+# IEEE divide of exact counts. One aggregate over the scan + a
+# broadcast scalar total.
+
+
+@register(
+    "orders_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders),
+g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+SELECT g.digit, g.n,
+       CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+FROM g, t
+""".strip(),
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = g.agg(F.sum("n").cast("long").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
