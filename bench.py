@@ -198,6 +198,9 @@ HEADLINE = [
     "user_activity_lorenz",
     "k_anonymity_generalization",
     "orders_benford_digits",
+    "nation_trade_flows",
+    "segment_repeat_purchase_rate",
+    "orders_yoy_aov",
 ]
 
 

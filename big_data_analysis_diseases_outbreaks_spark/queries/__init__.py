@@ -78,9 +78,6 @@ _PRIORITY: list[str] = [
     # Re-confirmation backfill: flagships, one per family, all
     # driver-green in a prior round (round-8 new operators displace
     # from the tail as they land)
-    "salted_type_join",
-    "lateral_top2_orders",
-    "cdc_merge_apply",
     "asof_last_signup",
     "qfactor_normalization",
     "fuzzy_name_pairs",
@@ -107,6 +104,9 @@ _PRIORITY: list[str] = [
     "user_activity_lorenz",
     "k_anonymity_generalization",
     "orders_benford_digits",
+    "nation_trade_flows",
+    "segment_repeat_purchase_rate",
+    "orders_yoy_aov",
 ]
 
 

@@ -4865,3 +4865,195 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+# --- nation-to-nation trade flow matrix --------------------------------------
+# The Sankey-source aggregate: revenue flowing from supplier nation to
+# customer nation (one cell per ordered pair), with each cell's share
+# of world trade. The fact side shuffles once on orderkey for the
+# lineitem-orders join; customer and supplier keys then resolve through
+# BROADCAST dims (nation never shuffles the fact), and the total is a
+# broadcast scalar — the flow share is one IEEE divide of exact cents.
+
+
+@register(
+    "nation_trade_flows",
+    oracle="""
+WITH flows AS (
+  SELECT s.s_nationkey AS supp_nation, c.c_nationkey AS cust_nation,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM flows)
+SELECT f.supp_nation, f.cust_nation, f.cents,
+       CAST(f.cents AS DOUBLE) / CAST(t.total AS DOUBLE) AS flow_share
+FROM flows f, t
+""".strip(),
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("pc"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("cust_nation"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("supp_nation"),
+    )
+    flows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum("pc").cast("long").alias("cents"))
+    )
+    t = flows.agg(F.sum("cents").cast("long").alias("total"))
+    return flows.crossJoin(F.broadcast(t)).select(
+        "supp_nation",
+        "cust_nation",
+        "cents",
+        (F.col("cents").cast("double") / F.col("total").cast("double"))
+        .alias("flow_share"),
+    )
+
+
+# --- repeat-purchase rate within 30 days -------------------------------------
+# Retention telemetry: of consecutive purchases of the SAME part by the
+# SAME customer, how many arrive within 30 days — computed with a lag
+# window over (customer, part) groups, NOT a temporal self-join: the
+# state per group is one row, the shuffle is one hash partitioning, and
+# there is no candidate blow-up to band away. Rate per market segment
+# is one IEEE divide of exact counts.
+
+
+@register(
+    "segment_repeat_purchase_rate",
+    oracle="""
+WITH p AS (
+  SELECT o.o_custkey, l.l_partkey, CAST(o.o_orderdate AS DATE) AS d,
+         o.o_orderkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+             LAG(d) OVER (PARTITION BY o_custkey, l_partkey
+                          ORDER BY d, o_orderkey),
+             d) AS gap
+  FROM p),
+seg AS (
+  SELECT c.c_mktsegment AS segment, g.gap
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap IS NOT NULL)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_consecutive_pairs,
+       CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeats_30d,
+       CAST(SUM(CASE WHEN gap <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+FROM seg GROUP BY segment
+""".strip(),
+)
+def segment_repeat_purchase_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    p = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    w = Window.partitionBy("o_custkey", "l_partkey").orderBy(
+        "d", "o_orderkey"
+    )
+    gaps = p.select(
+        "o_custkey", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = gaps.join(F.broadcast(cust), "o_custkey")
+    rep = F.sum(
+        F.when(F.col("gap") <= 30, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    n = F.count(F.lit(1))
+    return seg.groupBy("segment").agg(
+        n.alias("n_consecutive_pairs"),
+        rep.alias("n_repeats_30d"),
+        (rep.cast("double") / n.cast("double")).alias("repeat_rate"),
+    )
+
+
+# --- year-over-year average order value ---------------------------------------
+# Calendar analytics: per (year, month), the average order value and
+# its ratio to the same month a year earlier — a self-join on the
+# derived (month, year-1) key. Both AOVs are single IEEE divides of
+# exact cents/counts; the YoY ratio is one further divide of those two
+# deterministic doubles, so the chain stays bit-equal cross-engine.
+
+
+@register(
+    "orders_yoy_aov",
+    oracle="""
+WITH m AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+a AS (
+  SELECT yr, mo, n, CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS aov
+  FROM m)
+SELECT cur.yr, cur.mo, cur.n AS n_orders, cur.aov,
+       prv.aov AS aov_prev_year, cur.aov / prv.aov AS yoy_ratio
+FROM a cur JOIN a prv ON prv.yr = cur.yr - 1 AND prv.mo = cur.mo
+""".strip(),
+)
+def orders_yoy_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = m.select(
+        "yr",
+        "mo",
+        "n",
+        (F.col("cents").cast("double") / F.col("n").cast("double")).alias(
+            "aov"
+        ),
+    )
+    cur, prv = a.alias("cur"), a.alias("prv")
+    return cur.join(
+        prv,
+        (F.col("prv.yr") == F.col("cur.yr") - 1)
+        & (F.col("prv.mo") == F.col("cur.mo")),
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mo").alias("mo"),
+        F.col("cur.n").alias("n_orders"),
+        F.col("cur.aov").alias("aov"),
+        F.col("prv.aov").alias("aov_prev_year"),
+        (F.col("cur.aov") / F.col("prv.aov")).alias("yoy_ratio"),
+    )
