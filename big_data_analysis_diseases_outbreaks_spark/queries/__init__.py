@@ -49,64 +49,68 @@ def register(name: str, oracle: str | None = None):
 # (test-enforced). tools/rotate_window.py regenerates this list;
 # tests/test_registry.py::test_window_covers_never_green asserts it
 # stays ⊇ {oracle-backed ∧ never driver-green}.
+# Round-9 rotation (per VERDICT r8 §"Next round" #1): CORRECTNESS_r08
+# closed the book again — 248/248 oracle-backed ever green, every
+# rows-only query has its driver row — so all 50 slots are
+# re-confirmation backfill.  New round-9 operators are inserted at the
+# head as they land (never-green ⇒ must sit in the window), evicting
+# backfill from the tail.  Backfill = the §2 flagship spine (no driver
+# row since r5–r6) followed by the queries whose last green row is
+# OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # Reshaped / newly oracle-backed this round (fresh hash evidence
-    # needed)
-    "doc_winnowing_fingerprints",
-    "part_node_similarity",
-    "corpus_greedy_coverage",
-    "doc_duplicate_spans",
-    "doc_duplicate_span_rate",
-    "part_copurchase_ppr",
-    "embedding_matryoshka_recall",
-    "mv_agg_delta_maintenance",
-    "orders_zorder_cells",
-    "asof_nearest_signup",
-    "referential_integrity_report",
-    "part_association_rules",
-    "events_chi2_independence",
-    "stream_watermark_late_drop",
-    "doc_sentence_chunks",
-    "sql_pipe_quarterly_revenue",
-    "orders_winsorized_stats",
-    "corpus_heaps_law",
-    "lineitem_pit_priority",
-    "daily_user_bitmap_distinct",
-    "series_conformal_intervals",
-    # Rows-only, never driver-seen (first rows-row wanted)
-    "part_copurchase_ktruss",
-    # Re-confirmation backfill: flagships, one per family, all
-    # driver-green in a prior round (round-8 new operators displace
-    # from the tail as they land)
-    "asof_last_signup",
-    "qfactor_normalization",
-    "fuzzy_name_pairs",
-    "orders_duplicate_invoices",
-    # Round-8 session-2 additions (never-green -> must sit in window)
-    "customer_k_anonymity",
-    "part_bipartite_hits",
-    "order_businessday_lag",
-    "customer_geo_grid_pairs",
-    "purchase_attribution",
-    "embedding_srp_sketch",
-    "part_supplier_hhi",
-    "customer_gini_by_nation",
-    "collated_segment_counts",
-    "stream_bitmap_distinct",
-    "series_theil_sen_slope",
-    "session_bounce_stats",
-    "part_interval_coverage",
-    "nation_equal_sample",
-    "simhash_hamming_pairs",
-    "nation_weighted_median_balance",
-    "nation_top_revenue_share",
-    "series_cusum_changepoint",
-    "user_activity_lorenz",
-    "k_anonymity_generalization",
-    "orders_benford_digits",
-    "nation_trade_flows",
-    "segment_repeat_purchase_rate",
-    "orders_yoy_aov",
+    # --- Round-9 additions (never-green; newest first) ---
+    # --- Re-confirmation: §2 flagship spine (last green r4–r6) ---
+    "trends_detrend",
+    "pivot_wide",
+    "stream_daily_agg",
+    "anomaly_zscore",
+    "dedup_exact",
+    "revenue_by_nation",
+    "top10_customers",
+    "json_roundtrip",
+    "month_onehot",
+    "global_minmax_date",
+    "value_stats_by_region",
+    "series_threshold_filter",
+    "customers_only_first_half",
+    "trends_daily_agg",
+    "stream_sliding_agg",
+    "kw_correlation_matrix",
+    "producer_daily_mean",
+    "producer_generate",
+    "curation_pipeline_v2",
+    "doc_quality_score",
+    "doc_lang_id",
+    # --- Re-confirmation: oldest green evidence (r1, then r3) ---
+    "doc_bpe_token_count",
+    "doc_rolling_fingerprint",
+    "token_frequencies",
+    "cube_orders_status",
+    "customer_halves_outer",
+    "customer_order_frame",
+    "customer_order_sequence",
+    "customer_spend_deciles",
+    "customer_spend_percentile",
+    "customers_active_both_halves",
+    "dedup_embedding_cosine",
+    "disjunctive_promo_revenue",
+    "distinct_users_per_type",
+    "embedding_activation_stats",
+    "embedding_quantize_int8",
+    "event_prop_key_stats",
+    "fuzzy_part_name_pairs",
+    "grouping_sets_order_stats",
+    "label_centroids",
+    "late_shipment_orders",
+    "merge_upsert_orders",
+    "monthly_rollup_from_daily",
+    "order_price_histogram",
+    "orders_above_customer_avg",
+    "orders_calendar_rollup",
+    "orders_price_band",
+    "parts_not_recently_shipped",
+    "promo_revenue_share",
+    "region_shipment_flags",
 ]
 
 

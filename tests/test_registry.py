@@ -19,8 +19,44 @@ from __future__ import annotations
 import glob
 import json
 import os
+import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WINDOW_FILE = os.path.join(
+    REPO, "big_data_analysis_diseases_outbreaks_spark", "queries", "__init__.py"
+)
+
+
+def _correctness_files_for_tripwire() -> list[str]:
+    """All CORRECTNESS_r*.json, minus the newest one when it post-dates
+    the last commit touching the window list.
+
+    The driver writes CORRECTNESS_r{N}.json AFTER the round closes, so
+    the round-N window legitimately contains rows-only queries whose
+    first (and only collectible) rows-row lands in that very file.
+    Counting that file against the round-N window made this tripwire
+    fire every round on healthy bookkeeping (VERDICT r7 + r8 "What's
+    wrong" #1).  A file older than the last `_PRIORITY` edit is real
+    staleness and still trips."""
+    files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if not files:
+        return files
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", _WINDOW_FILE],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        window_commit_ts = int(out.stdout.strip())
+    except (ValueError, OSError, subprocess.SubprocessError):
+        return files  # no git evidence — keep the strict behavior
+    newest = files[-1]
+    if os.path.getmtime(newest) > window_commit_ts:
+        return files[:-1]
+    return files
 
 
 def _driver_green() -> set[str]:
@@ -89,7 +125,7 @@ def test_window_rows_only_entries_are_never_seen():
     # on record. (`no_oracle` in the err field is the driver's marker
     # for a successful rows-only run, not an error.)
     seen: set[str] = set()
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for f in _correctness_files_for_tripwire():
         for name, r in json.load(open(f)).items():
             err = r.get("err")
             if (err is None or err == "no_oracle") and (
