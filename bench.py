@@ -325,14 +325,38 @@ def main() -> None:
     # cut prefix changes whenever queries are appended — sorting makes
     # truncation hit the SAME prefix each round so round-over-round
     # diffs stay complete for every query that fits.
+    # Round-8 showed the driver's tail capture can truncate EITHER end
+    # of a long line (BENCH_r08 lost the leading totals; r4-5 lost the
+    # trailing map).  Defense: keep the stdout line SHORT — totals +
+    # only the slowest-N queries (the lines a perf reader actually
+    # needs) — and repeat the headline numbers at BOTH ends of the
+    # object so any one-sided cut still leaves a parseable total.  The
+    # complete per-query map + per-rep spreads live in the side file
+    # and on stderr.
+    slowest_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOPN", "40"))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:slowest_n]
+    )
     summary = {
         "metric": "total_wall_clock_headline_queries",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": {n: round(timings[n], 3) for n in sorted(timings)},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries": {n: round(slowest[n], 3) for n in sorted(slowest)},
+        "queries_note": f"slowest {len(slowest)} of {len(timings)}; "
+        "full map in BENCH_LOCAL.json",
+        "total_sec": round(total, 3),
+        "sf_tail": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    full = dict(summary, reps=rep_times)
+    full = {
+        "metric": "total_wall_clock_headline_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": {n: round(timings[n], 3) for n in sorted(timings)},
+        "reps": rep_times,
+    }
     side = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try:
         with open(side, "w") as fh:

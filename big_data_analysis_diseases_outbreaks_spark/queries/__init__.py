@@ -59,6 +59,12 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "doc_quality_classifier",
+    "curation_pipeline_clf",
+    "copurchase_edges_mv",
+    "dedup_incremental_bloom",
+    "part_copurchase_kcore",
+    "part_copurchase_ktruss",
     # --- Re-confirmation: §2 flagship spine (last green r4–r6) ---
     "trends_detrend",
     "pivot_wide",
@@ -105,12 +111,6 @@ _PRIORITY: list[str] = [
     "merge_upsert_orders",
     "monthly_rollup_from_daily",
     "order_price_histogram",
-    "orders_above_customer_avg",
-    "orders_calendar_rollup",
-    "orders_price_band",
-    "parts_not_recently_shipped",
-    "promo_revenue_share",
-    "region_shipment_flags",
 ]
 
 

@@ -2438,15 +2438,56 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- k-core of the co-purchase graph (iterative peel — operators/
 # kcore.py): the dense-cohesion complement to PageRank's centrality and
-# triangles' local clustering. Rows-only: the peel's round count is
-# data-dependent, so no bounded CTE unrolling is a correct oracle at
-# every scale; exactness is pinned by tests/test_kcore.py against a
-# pure-Python reference peel (fixture + random graphs). -------------------
+# triangles' local clustering. The peel's round count is
+# data-dependent, but a peel applied past its fixpoint is the IDENTITY
+# — so a chained-CTE oracle unrolled to R rounds is exact whenever the
+# fixture's peel depth ≤ R (the LPA / greedy-coverage protocol for
+# data-dependent loops). Measured depths at the oracle SFs: 3 rounds
+# at sf0.001, 5 at sf0.01; the unroll carries R = 8. A deeper peel
+# can't silently pass: the Spark side runs to the true fixpoint, so a
+# depth > R fixture HASH-MISMATCHES the R-round oracle (and the
+# operator's own round budget fails loud long before). Exactness on
+# arbitrary graphs is additionally pinned by tests/test_kcore.py
+# against a pure-Python reference peel. -------------------------------------
 
 _KCORE_K = 22
+_PEEL_UNROLL = 8  # ≥ measured peel depth at every oracle SF, with margin
 
 
-@register("part_copurchase_kcore", oracle=None)
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, _PEEL_UNROLL + 1):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e{i - 1}
+        UNION ALL SELECT v AS node FROM e{i - 1})
+  GROUP BY node),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v
+  FROM e{i - 1} e
+  JOIN d{i} a ON e.u = a.node JOIN d{i} b ON e.v = b.node
+  WHERE a.deg >= {_KCORE_K} AND b.deg >= {_KCORE_K})"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+{joined}
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e{_PEEL_UNROLL}
+      UNION ALL SELECT v AS node FROM e{_PEEL_UNROLL})
+GROUP BY node
+""".strip()
+
+
+@register("part_copurchase_kcore", oracle=_kcore_oracle())
 def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kcore import kcore_nodes
 
@@ -2458,14 +2499,62 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- k-truss of the co-purchase graph (iterative edge peel —
 # operators/ktruss.py): edge-level cohesion, the community backbone
-# one notch stronger than k-core's node criterion. Rows-only for the
-# kcore reason (data-dependent fixpoint); exactness pinned by
-# tests/test_ktruss.py against a pure-Python reference peel. ---------------
+# one notch stronger than k-core's node criterion. Oracle-backed by
+# the same past-fixpoint-is-identity unroll as k-core (measured depths
+# 6 at sf0.001, 3 at sf0.01; unroll 8): each round recomputes edge
+# support (common-neighbor count via the symmetrized wedge join) on
+# the live set and keeps support ≥ k−2 — edges closing zero triangles
+# fall out of the support join, matching the operator's semi-join
+# drop. The final support is recomputed ON the fixpoint set (the
+# operator returns the keep-round's support). -------------------------------
 
 _KTRUSS_K = 9
 
 
-@register("part_copurchase_ktruss", oracle=None)
+def _ktruss_oracle() -> str:
+    rounds = []
+    for i in range(1, _PEEL_UNROLL + 1):
+        rounds.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT e.u, e.v, COUNT(*) AS support
+  FROM e{i - 1} e
+  JOIN (SELECT u AS a, v AS b FROM e{i - 1}
+        UNION ALL SELECT v AS a, u AS b FROM e{i - 1}) p ON p.a = e.u
+  JOIN (SELECT u AS a, v AS b FROM e{i - 1}
+        UNION ALL SELECT v AS a, u AS b FROM e{i - 1}) q
+    ON q.a = e.v AND q.b = p.b
+  GROUP BY e.u, e.v),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM s{i} WHERE support >= {_KTRUSS_K - 2})"""
+        )
+    joined = ",\n".join(rounds)
+    n = _PEEL_UNROLL
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+{joined},
+sfin AS (
+  SELECT e.u, e.v, COUNT(*) AS support
+  FROM e{n} e
+  JOIN (SELECT u AS a, v AS b FROM e{n}
+        UNION ALL SELECT v AS a, u AS b FROM e{n}) p ON p.a = e.u
+  JOIN (SELECT u AS a, v AS b FROM e{n}
+        UNION ALL SELECT v AS a, u AS b FROM e{n}) q
+    ON q.a = e.v AND q.b = p.b
+  GROUP BY e.u, e.v)
+SELECT u AS part_key_1, v AS part_key_2,
+       CAST(support AS BIGINT) AS support
+FROM sfin
+""".strip()
+
+
+@register("part_copurchase_ktruss", oracle=_ktruss_oracle())
 def part_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ktruss import ktruss_edges
 
@@ -5057,3 +5146,100 @@ def orders_yoy_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prv.aov").alias("aov_prev_year"),
         (F.col("cur.aov") / F.col("prv.aov")).alias("yoy_ratio"),
     )
+
+
+# --- co-purchase edge table as a delta-maintained materialized view -------
+# The round-8 protocol note argued that at 100 TB the right design for
+# the graph family's shared input IS a materialized edge table — the
+# per-query rebuild (a lineitem self-join) is the one cost every graph
+# consumer re-pays. This operator makes that path oracle-backed: the
+# WEIGHTED undirected co-purchase edge view  V(u, v, w) = #{lineitem
+# pairs in the same order, u < v by part}  is maintained under a batch
+# of APPENDED lineitems with the join-delta algebra
+#     Δ(L ⋈ L) = ΔL ⋈ L_old  ∪  L_old ⋈ ΔL  ∪  ΔL ⋈ ΔL
+# (pairs never cross orders, so each unordered new pair falls in
+# exactly one of {new×old, new×new}); weights merge with a full-outer
+# coalesce-add on (u, v) — never a base rescan. SUM/COUNT are
+# self-maintainable, so appends to EXISTING orders are handled exactly
+# (the case a date-partition rebuild cannot express). The arriving
+# batch is a deterministic key-mod split; the ORACLE is the view
+# definition recomputed over the full table, so a hash-green row IS
+# the proof that delta-maintained ≡ full rebuild. At 100 TB: the delta
+# self-joins shuffle only ΔL and the orders ΔL touches (semi-join
+# pushdown below), and the merge shuffles |V| keys — vs the full
+# rebuild's |L| ⋈ |L|. Graph consumers take these edges through the
+# pass-your-own-edges API (operators' und= parameter).
+
+_EDGE_MV_NEW = "l_suppkey % 5 = 0"  # the arriving append batch
+
+
+@register(
+    "copurchase_edges_mv",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}')
+SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+       GREATEST(a.l_partkey, b.l_partkey) AS v,
+       CAST(COUNT(*) AS BIGINT) AS w
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+""".strip(),
+)
+def copurchase_edges_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.expr(_EDGE_MV_NEW).alias("_new"),
+        )
+    )
+    old = li.where(~F.col("_new")).select("l_orderkey", "l_partkey")
+    new = li.where(F.col("_new")).select("l_orderkey", "l_partkey")
+
+    def pair_weights(a: DataFrame, b: DataFrame, strict: bool) -> DataFrame:
+        """Weighted unordered pairs from a ⋈ b on orderkey.  With
+        ``strict`` (self-join) the a<b predicate emits each unordered
+        pair once; across disjoint sides every unordered pair appears
+        exactly once already, so != suffices."""
+        cond = (
+            F.col("a.l_partkey") < F.col("b.l_partkey")
+            if strict
+            else F.col("a.l_partkey") != F.col("b.l_partkey")
+        )
+        return (
+            a.alias("a")
+            .join(b.alias("b"), "l_orderkey")
+            .where(cond)
+            .groupBy(
+                F.least("a.l_partkey", "b.l_partkey").alias("u"),
+                F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    old_view = pair_weights(old, old, strict=True)  # the MV state
+    # Delta: new×old (one direction covers both — sides are disjoint)
+    # plus new×new.  Semi-join pushdown: only old rows in orders the
+    # batch touched can contribute to the delta.
+    touched = new.select("l_orderkey").distinct()
+    old_touched = old.join(touched, "l_orderkey", "left_semi")
+    delta = (
+        pair_weights(new, old_touched, strict=False)
+        .unionByName(pair_weights(new, new, strict=True))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w_d"))
+    )
+    z = F.lit(0).cast("long")
+    merged = old_view.join(delta, ["u", "v"], "full").select(
+        "u",
+        "v",
+        (F.coalesce("w", z) + F.coalesce("w_d", z)).cast("long").alias("w"),
+    )
+    return merged.where(F.col("w") > 0)

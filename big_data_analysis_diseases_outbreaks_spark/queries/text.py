@@ -3573,3 +3573,389 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(ham <= 1)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+# --- model-based quality scoring (linear hashed-n-gram classifier) ---------
+# The FineWeb-Edu / fastText-style curation gate: a LINEAR text
+# classifier scored entirely JVM-side. Features are hashed word
+# unigrams + bigrams (the hashing trick [Weinberger et al., ICML'09] —
+# no vocabulary, bounded state); the "pretrained" weight vector is
+# fixed-point integer DATA (milli-units), not a fit, so the score is
+# exactly reproducible in the oracle engine. Token hashes reuse the
+# repo's cross-engine RH polynomial fold, hashed ONCE per token (the
+# winnowing protocol); bigram features combine the two token hashes
+# with the same polynomial. With D = 64 buckets the weight vector is a
+# plan constant — Spark ships the literal array inside the task binary
+# (a broadcast), and element_at() scores each doc in the scan
+# projection: the whole classifier is MAP-ONLY, zero shuffles, and at
+# 100 TB it runs at parquet-scan speed. For a large D (fastText uses
+# 2M buckets) the same plan swaps the literal for a broadcast-join on
+# bucket id; the gate below (score >= threshold) is the curation
+# pipeline's model-based alternative to the heuristic quality_score.
+# Reference scope: the reference has no model gate; this extends its
+# filter family (Main.scala's threshold filters) to learned weights.
+
+_QCLF_D = 64          # hashed feature buckets
+_QCLF_BIAS = -1500    # milli-units
+_QCLF_THRESHOLD = 0   # decision threshold on the integer score
+
+
+def _qclf_weights() -> list[int]:
+    """The fixed 'pretrained' weight vector, milli-units in
+    [-1000, 1000] — a Weyl-sequence mix of the bucket id so both
+    engines embed the same literals."""
+    return [((d * 2654435761 + 40503) % 2001) - 1000 for d in range(_QCLF_D)]
+
+
+def _qclf_oracle() -> str:
+    w = ", ".join(str(x) for x in _qclf_weights())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+th AS (
+  SELECT doc_id, source,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST({RH_INIT} AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+  FROM tok),
+feats AS (
+  SELECT doc_id, source,
+         list_transform(hs, h -> h % {_QCLF_D}) AS uni,
+         list_transform(range(1, len(hs)), i ->
+           ((((CAST({RH_INIT} AS BIGINT) * {RH_MULT} + hs[i]) % {RH_MOD})
+             * {RH_MULT} + hs[i + 1]) % {RH_MOD}) % {_QCLF_D}) AS bi
+  FROM th)
+SELECT doc_id, source,
+       CAST(len(uni) + len(bi) AS BIGINT) AS n_features,
+       CAST({_QCLF_BIAS}
+            + COALESCE(list_sum(list_transform(uni, b -> [{w}][b + 1])), 0)
+            + COALESCE(list_sum(list_transform(bi, b -> [{w}][b + 1])), 0)
+            AS BIGINT) AS score_milli,
+       ({_QCLF_BIAS}
+        + COALESCE(list_sum(list_transform(uni, b -> [{w}][b + 1])), 0)
+        + COALESCE(list_sum(list_transform(bi, b -> [{w}][b + 1])), 0))
+         >= {_QCLF_THRESHOLD} AS passes
+FROM feats
+""".strip()
+
+
+def _qclf_score_cols(text_col):
+    """(n_features, score_milli) columns for the hashed-n-gram linear
+    classifier over ``text_col`` — one let-bound token-hash array, all
+    JVM HOFs, no shuffle."""
+    wvec = F.array(*[F.lit(x) for x in _qclf_weights()])
+    tok_hash = F.transform(
+        tokens(F.lower(text_col)),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        ),
+    )
+
+    def _bigram(th, i):
+        c1 = (
+            F.lit(RH_INIT).cast("long") * RH_MULT + F.element_at(th, i)
+        ) % RH_MOD
+        return (c1 * RH_MULT + F.element_at(th, (i + 1).cast("int"))) % RH_MOD
+
+    def _wsum(buckets):
+        return F.aggregate(
+            buckets,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.element_at(wvec, (b + 1).cast("int")),
+        )
+
+    # Let-bind the token-hash array (transform over a 1-element array)
+    # so interpreted HOFs never re-run the char fold per feature — the
+    # winnowing re-evaluation trap.
+    scored = F.element_at(
+        F.transform(
+            F.array(tok_hash),
+            lambda th: F.struct(
+                F.size(th).alias("_n_uni"),
+                _wsum(F.transform(th, lambda h: h % _QCLF_D)).alias("_s_uni"),
+                _wsum(
+                    F.when(
+                        F.size(th) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(th) - 1),
+                            lambda i: _bigram(th, i) % _QCLF_D,
+                        ),
+                    ).otherwise(F.array().cast("array<bigint>"))
+                ).alias("_s_bi"),
+            ),
+        ),
+        1,
+    )
+    n_features = (
+        F.col("_sc._n_uni")
+        + F.greatest(F.col("_sc._n_uni") - 1, F.lit(0))
+    ).cast("long")
+    score = (
+        F.lit(_QCLF_BIAS) + F.col("_sc._s_uni") + F.col("_sc._s_bi")
+    ).cast("long")
+    return scored, n_features, score
+
+
+@register("doc_quality_classifier", oracle=_qclf_oracle())
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored, n_features, score = _qclf_score_cols(F.col("text"))
+    return (
+        docs.select("doc_id", "source", scored.alias("_sc"))
+        .select(
+            "doc_id",
+            "source",
+            n_features.alias("n_features"),
+            score.alias("score_milli"),
+            (score >= _QCLF_THRESHOLD).alias("passes"),
+        )
+    )
+
+
+# --- Curation pipeline, model-gated variant --------------------------------
+# curation_pipeline_v2 with the heuristic quality_score gate swapped
+# for the doc_quality_classifier's learned linear gate — the FineWeb
+# shape (dedup → boilerplate gate → MODEL gate → mixture sampling).
+# Everything else (exact dedup window, segment-fp boilerplate ratio,
+# deterministic md5-bucket sampling at the mixture planner's
+# fractions) is shared definitionally with v2; the classifier score is
+# computed in the same scan projection (map-only, plan-constant weight
+# vector), so the model gate adds ZERO exchanges to v2's shuffle
+# ledger.
+
+
+def _curation_clf_oracle() -> str:
+    w = ", ".join(str(x) for x in _qclf_weights())
+    values = ", ".join(
+        f"('{s}', {wt})" for s, wt in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(source, weight) AS (VALUES {values}),
+fp AS (
+  SELECT doc_id, text, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+canon AS (
+  SELECT doc_id, text, source
+  FROM (SELECT doc_id, text, source,
+               MIN(doc_id) OVER (PARTITION BY fp) AS keep_id
+        FROM fp)
+  WHERE doc_id = keep_id),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+  FROM canon),
+seg AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             list_slice(toks, i * {_SEG_TOKENS} + 1,
+                        i * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ')) AS sfp
+  FROM toks,
+       LATERAL UNNEST(range(CAST(ceil(len(toks) / {_SEG_TOKENS}.0) AS BIGINT))) AS u(i)
+  WHERE len(toks) > 0),
+segstat AS (
+  SELECT doc_id,
+         (CAST(SUM(CASE WHEN n_fp > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*))
+           AS dup_ratio
+  FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY sfp) AS n_fp FROM seg)
+  GROUP BY doc_id),
+clf AS (
+  SELECT doc_id,
+         {_QCLF_BIAS}
+         + COALESCE(list_sum(list_transform(
+             list_transform(hs, h -> h % {_QCLF_D}), b -> [{w}][b + 1])), 0)
+         + COALESCE(list_sum(list_transform(
+             list_transform(range(1, len(hs)), i ->
+               ((((CAST({RH_INIT} AS BIGINT) * {RH_MULT} + hs[i]) % {RH_MOD})
+                 * {RH_MULT} + hs[i + 1]) % {RH_MOD}) % {_QCLF_D}),
+             b -> [{w}][b + 1])), 0) AS score_milli
+  FROM (
+    SELECT doc_id,
+           list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'), t ->
+             list_reduce(
+               list_prepend(CAST({RH_INIT} AS BIGINT),
+                            list_transform(string_split(t, ''),
+                                           x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+    FROM canon)),
+mix AS (
+  SELECT source,
+         LEAST(1.0, (weight * {_MIX_BUDGET_TOKENS})
+                    / SUM(len(regexp_extract_all(text, '{TOKEN_RE}')))) AS frac
+  FROM canon JOIN w USING (source)
+  GROUP BY source, weight),
+gated AS (
+  SELECT c.doc_id, c.source,
+         CAST(len(regexp_extract_all(c.text, '{TOKEN_RE}')) AS BIGINT)
+           AS n_tokens,
+         CAST(f.score_milli AS BIGINT) AS score_milli,
+         m.frac,
+         ((strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(c.doc_id AS VARCHAR)), 4, 1)) - 1)) AS bucket16
+  FROM canon c
+  JOIN segstat s ON c.doc_id = s.doc_id
+  JOIN clf f ON c.doc_id = f.doc_id
+  JOIN mix m ON c.source = m.source
+  WHERE s.dup_ratio < {_CUR_MAX_DUP_RATIO}
+    AND f.score_milli >= {_QCLF_THRESHOLD})
+SELECT doc_id, source, n_tokens, score_milli, frac AS sample_frac
+FROM gated
+WHERE CAST(bucket16 AS DOUBLE) / 65536.0 < frac
+""".strip()
+
+
+@register("curation_pipeline_clf", oracle=_curation_clf_oracle())
+def curation_pipeline_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    keep = F.min("doc_id").over(
+        Window.partitionBy(fingerprint(F.col("text")))
+    )
+    canon = (
+        docs.withColumn("keep_id", keep)
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+
+    toked = canon.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") > 0)
+    seg = _doc_segment_fps(toked, "sfp")
+    n_fp = F.count(F.lit(1)).over(Window.partitionBy("sfp"))
+    dup = F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0))
+    segstat = (
+        seg.withColumn("n_fp", n_fp)
+        .groupBy("doc_id")
+        .agg(
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio")
+        )
+    )
+
+    weights = spark.createDataFrame(
+        sorted(_MIX_WEIGHTS.items()), "source STRING, weight DOUBLE"
+    )
+    mix = (
+        canon.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n_tok_src"))
+        .join(F.broadcast(weights), "source")
+        .select(
+            "source",
+            F.least(
+                F.lit(1.0),
+                (F.col("weight") * _MIX_BUDGET_TOKENS)
+                / F.col("n_tok_src"),
+            ).alias("frac"),
+        )
+    )
+
+    scored, _n_features, score = _qclf_score_cols(F.col("text"))
+    bucket16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    gated = (
+        canon.select("doc_id", "source", "text", scored.alias("_sc"))
+        .join(segstat, "doc_id")
+        .join(F.broadcast(mix), "source")
+        .where(F.col("dup_ratio") < _CUR_MAX_DUP_RATIO)
+        .where(score >= _QCLF_THRESHOLD)
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            score.alias("score_milli"),
+            F.col("frac").alias("sample_frac"),
+            bucket16.alias("bucket16"),
+        )
+    )
+    return gated.where(
+        F.col("bucket16").cast("double") / 65536.0 < F.col("sample_frac")
+    ).select("doc_id", "source", "n_tokens", "score_milli", "sample_frac")
+
+
+# --- incremental dedup with a Bloom-filter pre-pass ------------------------
+# dedup_incremental shuffles the WHOLE batch against the exact seen-set
+# anti-join; at 100 TB the first-line membership test should be an
+# approximate structure, with the exact join reserved for rows the
+# filter cannot clear. This variant builds an m-bit Bloom filter over
+# the corpus fingerprints (one distributed bit_or aggregation,
+# operators/bloom.py), tests the batch MAP-SIDE against the broadcast
+# word array, and routes: Bloom-"no" rows are PROVABLY new (no false
+# negatives) and skip the anti-join; only the "maybe" slice — true
+# duplicates plus an FPR-bounded sliver ((1-e^(-kn/m))^k, measured in
+# tests/test_bloom_dedup.py) — pays the shuffle. The output is
+# IDENTICAL to the exact path by construction, so the ORACLE is the
+# exact incremental-dedup SQL itself: a hash-green row proves the
+# Bloom routing loses nothing. Shuffle-volume at the design point:
+# the anti-join input shrinks from |batch| to |dups| + FPR·|new|
+# (SCALE.md records the measured reduction).
+
+_BLOOM_M = 1 << 16  # bits; size from the seen-set estimate at scale
+_BLOOM_K = 4
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         doc_id % 10 = 3 AS is_batch
+  FROM documents),
+corpus AS (
+  SELECT fp, MIN(doc_id) AS canonical_doc_id
+  FROM fp WHERE NOT is_batch GROUP BY fp),
+batch AS (
+  SELECT fp, MIN(doc_id) AS canonical_doc_id
+  FROM fp WHERE is_batch GROUP BY fp),
+merged AS (
+  SELECT fp, canonical_doc_id, 0 AS is_new FROM corpus
+  UNION ALL
+  SELECT b.fp, b.canonical_doc_id, 1
+  FROM batch b ANTI JOIN corpus c USING (fp))
+SELECT fp, canonical_doc_id, CAST(is_new AS INTEGER) AS is_new FROM merged
+""".strip(),
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_maybe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        (F.col("doc_id") % 10 == 3).alias("is_batch"),
+    )
+    # Persisted: three consumers (Bloom build, exact verify of the
+    # maybe-slice, output union) — without it the fingerprint scan
+    # re-runs per consumer.
+    corpus = (
+        docs.where(~F.col("is_batch"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+        .persist()
+    )
+    batch = (
+        docs.where(F.col("is_batch"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"))
+    )
+    words = bloom_build(corpus, "fp", _BLOOM_M, _BLOOM_K)
+    maybe = bloom_maybe(F.col("fp"), words, _BLOOM_M, _BLOOM_K)
+    batch = batch.withColumn("_maybe", maybe)
+    definite_new = batch.where(~F.col("_maybe")).drop("_maybe")
+    survivors = (
+        batch.where(F.col("_maybe"))
+        .drop("_maybe")
+        .join(corpus, on="fp", how="left_anti")
+    )
+    return corpus.withColumn("is_new", F.lit(0)).unionByName(
+        definite_new.unionByName(survivors).withColumn("is_new", F.lit(1))
+    )
