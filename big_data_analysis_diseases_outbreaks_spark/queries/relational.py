@@ -5243,3 +5243,142 @@ def copurchase_edges_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("w", z) + F.coalesce("w_d", z)).cast("long").alias("w"),
     )
     return merged.where(F.col("w") > 0)
+
+
+# --- robust per-group outliers: exact median + MAD -------------------------
+# The robust twin of the z-score rule (anomaly_zscore): median absolute
+# deviation flags outliers without the mean/σ's sensitivity to the very
+# outliers being hunted. EXACT medians, not percentile_approx: the
+# account balances ride as integer cents, so every median is either an
+# integer or a .5 (the two-middle average), every |x − med| a multiple
+# of 0.5, and the MAD a multiple of 0.25 — all exactly representable in
+# a double, so Spark's interpolating percentile() and DuckDB's median()
+# agree bit-for-bit (the integer-scaled exact-stats protocol,
+# functions/stable.py, extended to order statistics). Plan: two grouped
+# exact percentiles (each one shuffle of integer pairs per group) and a
+# fact-side re-join; the 3.0·MAD fence comparison is pure arithmetic on
+# exact values. At 100 TB exact grouped medians are a sort-based
+# aggregate per key — the documented cost of exactness; the approx
+# variant (percentile_approx / KLL) is the registry's separate sketch
+# family.
+
+_MAD_FENCE = 3.0
+
+
+@register(
+    "nation_balance_mad",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+med AS (
+  SELECT c_nationkey, median(cents) AS med_cents
+  FROM c GROUP BY c_nationkey),
+dev AS (
+  SELECT c.c_nationkey, c.cents, ABS(c.cents - m.med_cents) AS adev
+  FROM c JOIN med m ON c.c_nationkey = m.c_nationkey),
+mad AS (
+  SELECT c_nationkey, median(adev) AS mad_cents
+  FROM dev GROUP BY c_nationkey)
+SELECT d.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(m.med_cents) AS med_cents,
+       MIN(a.mad_cents) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * a.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN med m ON d.c_nationkey = m.c_nationkey
+JOIN mad a ON d.c_nationkey = a.c_nationkey
+GROUP BY d.c_nationkey
+""".strip(),
+)
+def nation_balance_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("c_nationkey").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents")
+    )
+    dev = c.join(med, "c_nationkey").select(
+        "c_nationkey",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    mad = dev.groupBy("c_nationkey").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad_cents")
+    )
+    return (
+        dev.join(mad, "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("med_cents").alias("med_cents"),
+            F.min("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(_MAD_FENCE) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+# --- degree distribution of the co-purchase graph (log2-binned) ------------
+# The first diagnostic every graph pipeline runs before choosing its
+# algorithms: the degree histogram on power-of-two bins (straight-line
+# on log-log ⇔ power law ⇔ the hub regimes node_similarity's cap and
+# the LSH fallback exist for). The bin index floor(log2(deg)) is
+# computed INTEGER-side as length(binary repr) − 1 — no float log at
+# bin boundaries, so both engines bin identically. One shuffle for the
+# degree aggregate, one for the tiny histogram; at 100 TB the second
+# groupBy is ~60 rows.
+
+@register(
+    "part_degree_histogram",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node)
+SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bin,
+       CAST(POWER(2, length(bin(deg)) - 1) AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1, 2
+""".strip(),
+)
+def part_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    log2_bin = (F.length(F.bin("deg")) - 1).cast("long")
+    return (
+        deg.groupBy(
+            log2_bin.alias("log2_bin"),
+            F.pow(F.lit(2.0), (F.length(F.bin("deg")) - 1).cast("double"))
+            .cast("long")
+            .alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+    )

@@ -2718,3 +2718,84 @@ def series_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (best["n"] * best["s"]).cast("double")
         ).alias("drift_ratio"),
     )
+
+
+# --- ordered funnel conversion (view → click → purchase) -------------------
+# The product-analytics funnel with ORDER semantics: a user converts a
+# stage only by an event STRICTLY AFTER their previous stage's
+# conversion instant — min-after-min, not mere presence (the presence
+# version overcounts users who purchased before ever viewing). Engine
+# shape: one scan splits into three per-stage MIN aggregations, each
+# stage joining the previous stage's per-user instant and aggregating
+# the conditional min — at 100 TB that is three user-keyed shuffles of
+# (user, us) pairs, no window over raw events, no self-join of the
+# event table against itself. Timestamps ride as unix micros (the
+# sessionize_events protocol). Output: one row per user who entered
+# the funnel, with per-stage instants and the stage count reached.
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.us > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+  GROUP BY e.user_id)
+SELECT s1.user_id, s1.t1 AS view_us, s2.t2 AS click_us,
+       s3.t3 AS purchase_us,
+       CAST(1 + (s2.user_id IS NOT NULL)::INTEGER
+              + (s3.user_id IS NOT NULL)::INTEGER AS BIGINT) AS stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s2.user_id = s3.user_id
+""".strip(),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v, c, p = _FUNNEL_STAGES
+    s1 = (
+        ev.where(F.col("event_type") == v)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == c)
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == p)
+        .join(s2, "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return out.select(
+        "user_id",
+        F.col("t1").alias("view_us"),
+        F.col("t2").alias("click_us"),
+        F.col("t3").alias("purchase_us"),
+        (
+            F.lit(1)
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        ).cast("long").alias("stage"),
+    )

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Measure per-family scaling exponents on the self-scaled fixtures.
+
+Runs each audited family's representative registry query at
+``scale1`` and ``scale10`` (tools/gen_scale_fixture.py output),
+best-of-N with the bench noop-sink protocol, and reports the fitted
+exponent  e = log(t10 / t1) / log(10)  — the empirical "t ∝ n^e".
+Sub-linear exponents at this size mean fixed overhead still
+dominates; anything clearly super-linear (e >> 1) is a scale bug
+unless the family's docstring bounds it.
+
+Usage:
+  PYTHONPATH=. python tools/scale_audit.py /tmp/spark_graft_scale
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+from big_data_analysis_diseases_outbreaks_spark.session import get_spark
+
+FAMILIES = [
+    ("graph-iterative (pagerank, 8 rounds)", "part_copurchase_pagerank"),
+    ("graph-peel (k-core)", "part_copurchase_kcore"),
+    ("edge rebuild + MV merge", "copurchase_edges_mv"),
+    ("dedup MinHash-LSH", "dedup_minhash_lsh"),
+    ("dedup simhash Hamming join", "simhash_hamming_pairs"),
+    ("dedup incremental + Bloom", "dedup_incremental_bloom"),
+    ("fuzzy join (FastSS blocking)", "fuzzy_name_pairs"),
+    ("ANN IVF", "ann_ivf_topk"),
+    ("ANN exact baseline", "cosine_topk"),
+    ("rank machinery (deciles)", "customer_spend_deciles"),
+    ("text map-heavy (winnowing)", "doc_winnowing_fingerprints"),
+    ("node similarity (AllPairs)", "part_node_similarity"),
+]
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    spark = get_spark(app_name="scale_audit")
+    registry = all_queries()
+    # warmup (bench.py protocol: JVM/codegen/Arrow off the clock)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    registry["dedup_exact"].fn(
+        spark, os.path.join(root, "scale1")
+    ).write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for label, name in FAMILIES:
+        times = {}
+        for m in (1, 10):
+            sf_dir = os.path.join(root, f"scale{m}")
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                try:
+                    registry[name].fn(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                except Exception as exc:  # noqa: BLE001
+                    print(f"{name}@{m}x FAILED: {exc!r}", file=sys.stderr)
+                    dt = -1.0
+                spark.catalog.clearCache()
+                if dt > 0:
+                    best = dt if best is None else min(best, dt)
+                else:
+                    best = best if best is not None else -1.0
+                    break
+            times[m] = round(best, 3)
+        exp = (
+            round(math.log(times[10] / times[1]) / math.log(10), 2)
+            if times[1] > 0 and times[10] > 0
+            else None
+        )
+        results[name] = {
+            "family": label,
+            "t1": times[1],
+            "t10": times[10],
+            "exponent": exp,
+        }
+        print(
+            f"{label:42s} {name:28s} t1={times[1]:8.2f}s "
+            f"t10={times[10]:8.2f}s e={exp}",
+            flush=True,
+        )
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
