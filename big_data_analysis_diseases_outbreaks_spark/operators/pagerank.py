@@ -214,3 +214,71 @@ def personalized_pagerank(
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    scale: int = 1_000_000_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weight-proportional PageRank: ``edges`` is (src, dst, w BIGINT)
+    and a walker at ``u`` follows edge (u, v) with probability
+    w / Σ_out w — the natural consumer of the maintained weighted edge
+    MV (queries: copurchase_edges_mv), where w counts co-purchase
+    multiplicity instead of flattening it to 0/1.
+
+    Same exact-integer protocol, per-round lineage truncation and
+    Pregel-style persisted-fact layout as :func:`pagerank`; the per-edge
+    contribution becomes ``(rank · w) div W(u)``. Overflow bound: the
+    per-edge product needs max_rank · w_max < 2^63; total mass stays
+    ~N·scale, so keep N·scale·w_max < 9.2e18 — the default scale of
+    1e9 leaves 4 orders of magnitude of weight headroom at million-node
+    graphs (raise/lower ``scale`` to trade precision).
+    """
+    from .checkpointing import truncator
+
+    edges = edges.persist()
+    truncate = truncator(edges, checkpoint_dir)
+    n_edges = edges.count()
+    n_parts = max(8, n_edges // 1_000_000 + 1)
+    deg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    spark = edges.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    base = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    damped = (
+        f"{DAMP_NUM} * (coalesce(contrib, 0L) div {DAMP_DEN})"
+        f" + ({DAMP_NUM} * (coalesce(contrib, 0L) % {DAMP_DEN}))"
+        f" div {DAMP_DEN}"
+    )
+    try:
+        e = edges.join(deg, "src").repartition(n_parts, "src").persist()
+        nodes = deg.select(F.col("src").alias("node")).persist()
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("long").alias("rank")
+        )
+        for _ in range(n_iter):
+            contrib = (
+                e.join(ranks, e.src == ranks.node)
+                .select("dst", F.expr("(rank * w) div outw").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.expr(damped))
+                    .cast("long")
+                    .alias("rank"),
+                )
+                .transform(truncate)
+            )
+        out = ranks.select("node", F.col("rank").alias("pagerank_scaled"))
+        e.unpersist()
+        nodes.unpersist()
+        edges.unpersist()
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)

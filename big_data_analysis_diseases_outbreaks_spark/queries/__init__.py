@@ -59,6 +59,18 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "lineitem_star_flatten",
+    "doc_quality_calibration",
+    "stream_funnel_transitions",
+    "part_copurchase_pagerank_weighted",
+    "embedding_srp_band_pairs",
+    "customer_l_diversity",
+    "part_clustering_coefficient",
+    "user_retention_cohorts",
+    "events_funnel",
+    "nation_balance_mad",
+    "part_degree_histogram",
+    "doc_ngram_novelty",
     "doc_quality_classifier",
     "curation_pipeline_clf",
     "copurchase_edges_mv",
@@ -99,18 +111,6 @@ _PRIORITY: list[str] = [
     "customer_spend_percentile",
     "customers_active_both_halves",
     "dedup_embedding_cosine",
-    "disjunctive_promo_revenue",
-    "distinct_users_per_type",
-    "embedding_activation_stats",
-    "embedding_quantize_int8",
-    "event_prop_key_stats",
-    "fuzzy_part_name_pairs",
-    "grouping_sets_order_stats",
-    "label_centroids",
-    "late_shipment_orders",
-    "merge_upsert_orders",
-    "monthly_rollup_from_daily",
-    "order_price_histogram",
 ]
 
 

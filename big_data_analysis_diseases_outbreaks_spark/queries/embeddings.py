@@ -1309,3 +1309,161 @@ def embedding_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketch.alias("srp_sketch"),
         npos.cast("long").alias("n_positive"),
     )
+
+
+# --- SRP-banded embedding near-dup pair join (candidates-then-verify) ------
+# The scale path dedup_embedding_cosine's docstring promises: instead
+# of the quadratic all-pairs cosine, candidate pairs come from
+# pigeonhole bands over the 16-bit SRP sketch — Hamming ≤ 2 on the
+# sketch is LOSSLESS under 3 bands (r+1 bands: at least one band is
+# untouched by ≤ r flipped bits — the simhash_hamming_pairs theorem
+# applied vector-side), and only candidates pay the exact O(dim)
+# cosine. Output contract: pairs with sketch-Hamming ≤ 2 AND exact
+# cosine ≥ 0.98 over the corpus + constructed perturbed twins (the
+# dedup_embedding_cosine fixture). The ORACLE is the quadratic join
+# evaluating BOTH predicates directly, so a hash-green row proves the
+# banding found exactly the pairs the definition names. At 100 TB:
+# sketches are a map-only re-encode (no shuffle), the band join keys
+# are (band, ≤6-bit value) ints, and the verify joins ride vec_id —
+# nothing quadratic anywhere.
+
+_SRP_PAIR_HAM = 2   # pigeonhole: 3 bands over 16 bits
+_SRP_PAIR_TAU = 0.98
+_SRP_PAIR_BANDS = ((0, 6), (6, 11), (11, 16))  # [lo, hi) bit ranges
+
+
+def _srp_pairs_oracle() -> str:
+    vals = ",".join(
+        f"({b},{d},{_srp_weight(d, b)})"
+        for b in range(_SRP_BITS)
+        for d in range(_SRP_DIM)
+    )
+    return f"""
+WITH all_vecs AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 1.05
+                       ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings),
+wgt(b, d, w) AS (SELECT * FROM (VALUES {vals})),
+q AS (
+  SELECT v.vec_id, t.d,
+         CAST(FLOOR(v.embedding[t.d + 1] * {_SRP_QSCALE}) AS BIGINT) AS qx
+  FROM all_vecs v, UNNEST(range(len(v.embedding))) AS t(d)),
+s AS MATERIALIZED (
+  SELECT q.vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << b)
+                  ELSE 0 END) AS BIGINT) AS sk
+  FROM (SELECT q.vec_id, wgt.b, SUM(q.qx * wgt.w) AS dot
+        FROM q JOIN wgt ON wgt.d = q.d GROUP BY q.vec_id, wgt.b) q
+  GROUP BY q.vec_id),
+pairs AS (
+  SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+         bit_count(xor(sa.sk, sb.sk)) AS hamming,
+         ROUND(
+           list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i] * b.embedding[i]))
+           / NULLIF(
+             sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.embedding, x -> x * x))), 0),
+           4) AS cos_sim
+  FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+  JOIN s sa ON sa.vec_id = a.vec_id
+  JOIN s sb ON sb.vec_id = b.vec_id)
+SELECT vec_id_1, vec_id_2, CAST(hamming AS BIGINT) AS hamming, cos_sim
+FROM pairs
+WHERE hamming <= {_SRP_PAIR_HAM} AND cos_sim >= {_SRP_PAIR_TAU}
+""".strip()
+
+
+@register("embedding_srp_band_pairs", oracle=_srp_pairs_oracle())
+def embedding_srp_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    perturbed = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
+        ).alias("embedding"),
+    )
+    all_vecs = emb.unionByName(perturbed).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x * F.lit(_SRP_QSCALE)).cast("long"),
+    )
+    qv = all_vecs.select("vec_id", qarr.alias("q"))
+    sketch = None
+    for b in range(_SRP_BITS):
+        w = F.array(*[F.lit(_srp_weight(d, b)) for d in range(_SRP_DIM)])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), w, lambda x, wv: x * wv),
+            F.lit(0).cast("long"),
+            lambda acc, el: acc + el,
+        )
+        term = (dot > 0).cast("long") * F.lit(1 << b).cast("long")
+        sketch = term if sketch is None else sketch + term
+    # Persisted: the sketch table feeds the band explode AND both
+    # verify-side joins.
+    sk = qv.select("vec_id", sketch.alias("sk")).persist()
+
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            (
+                F.shiftright("sk", lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+            ).alias("bv"),
+        )
+        for i, (lo, hi) in enumerate(_SRP_PAIR_BANDS)
+    ]
+    banded = sk.select(
+        "vec_id", "sk", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "sk", "bb.band", "bb.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk")))
+    cands = (
+        a.join(b, ["band", "bv"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(ham <= _SRP_PAIR_HAM)
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()  # a pair can collide in multiple bands
+    )
+    va = all_vecs.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = all_vecs.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)), 4
+    )
+    return (
+        cands.join(va, "vec_id_1")
+        .join(vb, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", "hamming", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= _SRP_PAIR_TAU)
+    )

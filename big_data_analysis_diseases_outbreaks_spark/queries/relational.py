@@ -5382,3 +5382,227 @@ def part_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("deg").cast("long").alias("max_deg"),
         )
     )
+
+
+# --- l-diversity audit (the k-anonymity family's second axis) --------------
+# k-anonymity bounds re-identification by class size; l-diversity
+# bounds ATTRIBUTE disclosure — a class of 50 identical-QI customers
+# is still leaky if all 50 share the same sensitive value. Same
+# quasi-identifier classes as customer_k_anonymity (nation, segment,
+# balance band); the sensitive attribute is the market-facing order
+# priority mix reached through the customer's orders (an attribute a
+# release would publish). distinct-l per class = COUNT(DISTINCT
+# sensitive) — one Expand-free grouped aggregate after the fact-side
+# join; at 100 TB the join is customer⋈orders on custkey (both
+# bucketed in a real deployment) and the distinct rides the same
+# shuffle as the class key.
+
+_LDIV_L = 3
+
+
+@register(
+    "customer_l_diversity",
+    oracle=f"""
+SELECT c.c_nationkey AS nationkey, c.c_mktsegment AS segment,
+       CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct,
+       (COUNT(DISTINCT o.o_orderpriority) < {_LDIV_L}) AS below_l
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+""".strip(),
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_band"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("nationkey", "segment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("l_distinct"),
+        (F.countDistinct("o_orderpriority") < F.lit(_LDIV_L)).alias(
+            "below_l"
+        ),
+    )
+
+
+# --- local clustering coefficient on the co-purchase graph -----------------
+# Per-node cohesion: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the
+# fraction of a node's neighbor pairs that are themselves connected.
+# tri(v) counts each triangle containing v once, computed from the
+# (u < v < w)-oriented triangle enumeration (the operators/triangles.py
+# orientation bounds the wedge join at O(Σ deg²) on the ORIENTED
+# degrees, i.e. O(m^1.5)); each oriented triangle credits all three
+# corners via one explode. Degrees and triangle credits merge on the
+# node key; the ratio is exact-integer-derived (2·tri and deg·(deg−1)
+# are BIGINTs, the double division is one correctly-rounded op in both
+# engines). Nodes with deg ≤ 1 are excluded (coefficient undefined).
+
+@register(
+    "part_clustering_coefficient",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cred AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+  FROM (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node)
+SELECT d.node AS part_key, d.deg,
+       COALESCE(c.n_tri, 0) AS n_triangles,
+       CAST(2.0 * COALESCE(c.n_tri, 0) AS DOUBLE)
+         / (d.deg * (d.deg - 1)) AS clustering_coeff
+FROM deg d LEFT JOIN cred c ON c.node = d.node
+WHERE d.deg > 1
+""".strip(),
+)
+def part_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges).persist()
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    cred = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+    return (
+        deg.join(cred, "node", "left")
+        .where(F.col("deg") > 1)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("deg").cast("long").alias("deg"),
+            n_tri.alias("n_triangles"),
+            (
+                (F.lit(2.0) * n_tri)
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# --- weighted PageRank over the maintained edge MV -------------------------
+# The composition the MV exists for: graph centrality that RESPECTS
+# co-purchase multiplicity (an edge bought together in 40 orders pulls
+# 40× the walk probability of a one-off), consuming the delta-
+# maintained weighted view (copurchase_edges_mv) through the
+# pass-your-own-edges API instead of re-flattening lineitem pairs to
+# 0/1. Exact-integer protocol: per-edge contribution (rank·w) div W(u)
+# with the split-multiply damping (operators/pagerank.py:
+# weighted_pagerank — overflow bound in its docstring; scale 1e9 here).
+# Oracle: the same recurrence unrolled as 8 chained CTEs.
+
+_WPR_SCALE = 1_000_000_000
+
+
+def _weighted_pagerank_oracle() -> str:
+    from ..operators.pagerank import DAMP_DEN, DAMP_NUM
+
+    base = (_WPR_SCALE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({base}
+              + {DAMP_NUM} * (COALESCE(c.contrib, 0) // {DAMP_DEN})
+              + ({DAMP_NUM} * (COALESCE(c.contrib, 0) % {DAMP_DEN}))
+                // {DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM (SELECT src AS node FROM deg) n
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((r.rank * e.w) // g.outw) AS BIGINT) AS contrib
+    FROM edges e JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg g ON e.src = g.src
+    GROUP BY e.dst) c USING (node))"""
+        )
+    joined = ",\n".join(iters)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+mv AS MATERIALIZED (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+         GREATEST(a.l_partkey, b.l_partkey) AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst, w FROM mv
+  UNION ALL SELECT v AS src, u AS dst, w FROM mv),
+deg AS MATERIALIZED (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST({_WPR_SCALE} AS BIGINT) AS rank
+       FROM deg),
+{joined}
+SELECT node AS part_key, rank AS pagerank_scaled
+FROM r{_PR_ITERS}
+""".strip()
+
+
+@register(
+    "part_copurchase_pagerank_weighted",
+    oracle=_weighted_pagerank_oracle(),
+)
+def part_copurchase_pagerank_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.pagerank import weighted_pagerank
+
+    mv = copurchase_edges_mv(spark, sf_dir)
+    edges = mv.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        mv.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    return weighted_pagerank(edges, scale=_WPR_SCALE).select(
+        F.col("node").alias("part_key"), "pagerank_scaled"
+    )

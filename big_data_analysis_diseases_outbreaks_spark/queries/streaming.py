@@ -1147,3 +1147,51 @@ def _bind_bitmap_stream_oracle() -> None:
 
 
 _bind_bitmap_stream_oracle()
+
+
+# Stateful ordered funnel: the batch events_funnel as a per-user
+# monotone state machine with transition-only emission (streaming/
+# stateful.py::funnel_stream). The replay source is event-time-ordered,
+# so the appended transition log equals the batch funnel's min-after-min
+# stages unpivoted — value-oracled despite arbitrary state.
+@register(
+    "stream_funnel_transitions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.us > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+  GROUP BY e.user_id)
+SELECT user_id, CAST(1 AS BIGINT) AS stage, t1 AS us FROM s1
+UNION ALL
+SELECT user_id, CAST(2 AS BIGINT), t2 FROM s2
+UNION ALL
+SELECT user_id, CAST(3 AS BIGINT), t3 FROM s3
+""".strip(),
+)
+def stream_funnel_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.stateful import funnel_stream
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    out = funnel_stream(ev)
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

@@ -4062,3 +4062,80 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# --- classifier-vs-heuristic calibration (global score deciles) ------------
+# The audit run before swapping a model gate into the pipeline: bucket
+# the corpus into 10 deciles of the LEARNED score (doc_quality_
+# classifier) with the distributed NTILE machinery (operators/rank.py —
+# range partition + P-row offsets, never a bare global window), and
+# within each decile report the HEURISTIC gate's statistics
+# (quality_score ≥ threshold pass-rate as exact integer counts, plus
+# min/max learned score). Monotone agreement across deciles ⇒ the two
+# gates rank documents consistently; a flat profile ⇒ the model adds
+# nothing. Oracle: NTILE(10) over the same (score, doc_id) total order.
+
+@register(
+    "doc_quality_calibration",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, score_milli,
+         CASE WHEN {quality_score_sql('text')} >= {_PIPE_QUALITY_MIN}
+              THEN 1 ELSE 0 END AS heur_pass
+  FROM (
+    SELECT d.doc_id, d.text,
+           {_QCLF_BIAS}
+           + COALESCE(list_sum(list_transform(
+               list_transform(hs, h -> h % {_QCLF_D}),
+               b -> [{", ".join(str(x) for x in _qclf_weights())}][b + 1])), 0)
+           + COALESCE(list_sum(list_transform(
+               list_transform(range(1, len(hs)), i ->
+                 ((((CAST({RH_INIT} AS BIGINT) * {RH_MULT} + hs[i])
+                    % {RH_MOD}) * {RH_MULT} + hs[i + 1]) % {RH_MOD})
+                 % {_QCLF_D}),
+               b -> [{", ".join(str(x) for x in _qclf_weights())}][b + 1])), 0)
+             AS score_milli
+    FROM (
+      SELECT doc_id, text,
+             list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+               t -> list_reduce(
+                 list_prepend(CAST({RH_INIT} AS BIGINT),
+                              list_transform(string_split(t, ''),
+                                             x -> CAST(ascii(x) AS BIGINT))),
+                 (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+      FROM documents) h
+    JOIN documents d USING (doc_id))),
+tiled AS (
+  SELECT score_milli, heur_pass,
+         NTILE(10) OVER (ORDER BY score_milli, doc_id) AS decile
+  FROM scored)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(heur_pass) AS BIGINT) AS n_heur_pass,
+       CAST(MIN(score_milli) AS BIGINT) AS min_score,
+       CAST(MAX(score_milli) AS BIGINT) AS max_score
+FROM tiled GROUP BY decile
+""".strip(),
+)
+def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.rank import with_global_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored, _nf, score = _qclf_score_cols(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        scored.alias("_sc"),
+        (quality_score(F.col("text")) >= _PIPE_QUALITY_MIN)
+        .cast("int")
+        .alias("heur_pass"),
+    ).select("doc_id", score.alias("score_milli"), "heur_pass")
+    tiled = with_global_ntile(
+        base, ["score_milli", "doc_id"], 10, tile_col="decile"
+    )
+    return tiled.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("heur_pass").cast("long").alias("n_heur_pass"),
+        F.min("score_milli").alias("min_score"),
+        F.max("score_milli").alias("max_score"),
+    )

@@ -696,3 +696,81 @@ def best_value_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- star-schema flatten for feature export --------------------------------
+# The denormalization pass a training-data export runs before writing
+# wide feature rows: fact (lineitem) ⋈ orders on the order key — the
+# one fact-fact shuffle, both sides bucketable on o_orderkey in a real
+# deployment — then customer → nation → region resolved through
+# BROADCAST joins (each dim orders of magnitude under the fact), plus
+# derived revenue and date features computed in the same projection.
+# Catalyst pushes the column pruning into all five scans: the wide
+# output never materializes columns the projection doesn't name.
+
+@register(
+    "lineitem_star_flatten",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+         AS revenue_cents,
+       CAST(l.l_quantity AS BIGINT) AS quantity,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS ship_lag_days,
+       o.o_orderpriority,
+       c.c_mktsegment,
+       n.n_name AS nation,
+       r.r_name AS region
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""".strip(),
+)
+def lineitem_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("revenue_cents"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.to_date("l_shipdate").alias("_ship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderpriority",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "revenue_cents",
+            "quantity",
+            "order_date",
+            F.datediff(F.col("_ship"), F.col("order_date"))
+            .cast("long")
+            .alias("ship_lag_days"),
+            "o_orderpriority",
+            "c_mktsegment",
+            "nation",
+            "region",
+        )
+    )

@@ -2799,3 +2799,80 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("t3").isNotNull().cast("int")
         ).cast("long").alias("stage"),
     )
+
+
+# --- weekly retention cohort matrix ----------------------------------------
+# The standard growth-analytics triangle: users cohorted by first-seen
+# week, each cohort's active-user count at week offsets 0..k. Two
+# grouped aggregations — first-seen per user (min over the scan), then
+# (cohort, offset) distinct-user counts — plus retention as an exact
+# pair of BIGINTs with one double division. Weeks are epoch-day / 7
+# integer arithmetic (no engine week-of-year semantics, which disagree
+# across engines and locales). At 100 TB: both shuffles key on
+# user_id then (cohort, offset); the distinct rides the second
+# aggregate's key (no Expand).
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events),
+first_seen AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+cohort_size AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM first_seen GROUP BY cohort_week),
+act AS (
+  SELECT DISTINCT f.cohort_week, e.week - f.cohort_week AS offset_weeks,
+         e.user_id
+  FROM e JOIN first_seen f ON e.user_id = f.user_id)
+SELECT a.cohort_week,
+       CAST(a.offset_weeks AS BIGINT) AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       MIN(s.n_users) AS cohort_users,
+       CAST(COUNT(*) AS DOUBLE) / MIN(s.n_users) AS retention
+FROM act a JOIN cohort_size s ON s.cohort_week = a.cohort_week
+GROUP BY a.cohort_week, a.offset_weeks
+""".strip(),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            )
+            / F.lit(7)
+        ).cast("long").alias("week"),
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    cohort_size = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    act = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("offset_weeks"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return (
+        act.join(cohort_size, "cohort_week")
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.min("n_users").alias("cohort_users"),
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.min("n_users").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -226,3 +226,58 @@ def recursive_ewma_stream(trends: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- stateful ordered funnel (view -> click -> purchase) -------------------
+# Third arbitrary-state exemplar: a MONOTONE per-user state machine.
+# State is the trio of conversion instants (micros; 0 = not reached);
+# a stage converts only on an event STRICTLY AFTER the previous
+# stage's instant, and each transition is emitted EXACTLY ONCE, in the
+# micro-batch where it happens — the transition-only emission pattern
+# (downstream consumers see an insert-only conversion log, never a
+# retraction). Because the replay source is event-time-ordered, the
+# greedy first-qualifying event IS the min-after-min of the batch
+# definition, so the appended transitions equal the batch
+# events_funnel unpivoted — a full SQL oracle for a stateful stream.
+
+FUNNEL_OUTPUT_SCHEMA = "user_id BIGINT, stage BIGINT, us BIGINT"
+FUNNEL_STATE_SCHEMA = "t1 BIGINT, t2 BIGINT, t3 BIGINT"
+
+
+def _funnel(key, pdf_iter, state):
+    (user_id,) = key
+    frames = [p for p in pdf_iter]
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    pdf = pdf.sort_values(["us", "event_id"])
+    t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+    rows = []
+    for etype, us in zip(pdf["event_type"], pdf["us"]):
+        us = int(us)
+        if t1 == 0:
+            if etype == "view":
+                t1 = us
+                rows.append((user_id, 1, us))
+        elif t2 == 0:
+            if etype == "click" and us > t1:
+                t2 = us
+                rows.append((user_id, 2, us))
+        elif t3 == 0:
+            if etype == "purchase" and us > t2:
+                t3 = us
+                rows.append((user_id, 3, us))
+    state.update((t1, t2, t3))
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "stage", "us"])
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """(user_id, event_type, us) stream → appended stage transitions."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
