@@ -201,6 +201,23 @@ HEADLINE = [
     "nation_trade_flows",
     "segment_repeat_purchase_rate",
     "orders_yoy_aov",
+    # round-9 additions
+    "doc_quality_classifier",
+    "curation_pipeline_clf",
+    "copurchase_edges_mv",
+    "dedup_incremental_bloom",
+    "events_funnel",
+    "nation_balance_mad",
+    "part_degree_histogram",
+    "doc_ngram_novelty",
+    "embedding_srp_band_pairs",
+    "customer_l_diversity",
+    "part_clustering_coefficient",
+    "user_retention_matrix",
+    "stream_funnel_transitions",
+    "part_copurchase_pagerank_weighted",
+    "lineitem_star_flatten",
+    "doc_quality_calibration",
 ]
 
 

@@ -26,6 +26,20 @@ _REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # Fail loud on a name collision: a second @register with an
+        # existing name SILENTLY replaced the first (round-9 caught a
+        # new query shadowing a green round-5 one only via a bench-list
+        # duplicate check). Module reloads re-register the same
+        # function — allow those by qualname.
+        prev = _REGISTRY.get(name)
+        if prev is not None and (
+            prev.fn.__module__ != fn.__module__
+            or prev.fn.__qualname__ != fn.__qualname__
+        ):
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.fn.__module__}.{prev.fn.__qualname__}"
+            )
         _REGISTRY[name] = Query(name, fn, oracle)
         return fn
 
@@ -66,7 +80,7 @@ _PRIORITY: list[str] = [
     "embedding_srp_band_pairs",
     "customer_l_diversity",
     "part_clustering_coefficient",
-    "user_retention_cohorts",
+    "user_retention_matrix",
     "events_funnel",
     "nation_balance_mad",
     "part_degree_histogram",

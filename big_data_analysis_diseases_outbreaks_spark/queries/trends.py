@@ -2813,7 +2813,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate's key (no Expand).
 
 @register(
-    "user_retention_cohorts",
+    "user_retention_matrix",
     oracle="""
 WITH e AS (
   SELECT user_id,
@@ -2839,7 +2839,7 @@ FROM act a JOIN cohort_size s ON s.cohort_week = a.cohort_week
 GROUP BY a.cohort_week, a.offset_weeks
 """.strip(),
 )
-def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         (
