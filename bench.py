@@ -218,6 +218,9 @@ HEADLINE = [
     "part_copurchase_pagerank_weighted",
     "lineitem_star_flatten",
     "doc_quality_calibration",
+    "doc_containment_pairs",
+    "corpus_dedup_report",
+    "orders_group_split",
 ]
 
 

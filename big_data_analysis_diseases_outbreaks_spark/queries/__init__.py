@@ -73,6 +73,9 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "doc_containment_pairs",
+    "corpus_dedup_report",
+    "orders_group_split",
     "lineitem_star_flatten",
     "doc_quality_calibration",
     "stream_funnel_transitions",
@@ -122,9 +125,6 @@ _PRIORITY: list[str] = [
     "customer_order_frame",
     "customer_order_sequence",
     "customer_spend_deciles",
-    "customer_spend_percentile",
-    "customers_active_both_halves",
-    "dedup_embedding_cosine",
 ]
 
 

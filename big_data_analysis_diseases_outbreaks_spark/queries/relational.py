@@ -5606,3 +5606,71 @@ def part_copurchase_pagerank_weighted(
     return weighted_pagerank(edges, scale=_WPR_SCALE).select(
         F.col("node").alias("part_key"), "pagerank_scaled"
     )
+
+
+# --- leakage-safe train/val/test split (group-aware) ------------------------
+# Splitting ORDERS uniformly leaks: two orders of the same customer land
+# in train and test, and any model keyed on customer behavior reads the
+# answer. The group-aware split assigns the GROUP (customer) to a fold
+# via the deterministic md5 bucket (the curation pipeline's
+# reproducible-sample protocol — no engine RNG), so every order of a
+# customer shares a fold BY CONSTRUCTION. 80/10/10 on bucket16
+# (52429 / 58982 of 65536). Output: per-fold exact order counts and
+# revenue cents — the audit row a training-data export logs. One
+# broadcast-free join (orders ⋈ customer-fold on custkey) and one tiny
+# aggregate.
+
+_SPLIT_TRAIN_HI = 52429   # floor(0.8 * 65536)
+_SPLIT_VAL_HI = 58982     # floor(0.9 * 65536)
+
+
+@register(
+    "orders_group_split",
+    oracle=f"""
+WITH folds AS (
+  SELECT c_custkey,
+         CASE WHEN b < {_SPLIT_TRAIN_HI} THEN 'train'
+              WHEN b < {_SPLIT_VAL_HI} THEN 'val'
+              ELSE 'test' END AS fold
+  FROM (
+    SELECT c_custkey,
+           (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 4, 1)) - 1) AS b
+    FROM customer))
+SELECT f.fold,
+       CAST(COUNT(DISTINCT f.c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM folds f JOIN orders o ON o.o_custkey = f.c_custkey
+GROUP BY f.fold
+""".strip(),
+)
+def orders_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    b = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    folds = cust.select(
+        "c_custkey",
+        F.when(b < _SPLIT_TRAIN_HI, "train")
+        .when(b < _SPLIT_VAL_HI, "val")
+        .otherwise("test")
+        .alias("fold"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        orders.join(folds, orders.o_custkey == folds.c_custkey)
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

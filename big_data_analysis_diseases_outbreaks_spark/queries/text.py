@@ -4139,3 +4139,127 @@ def doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_milli").alias("min_score"),
         F.max("score_milli").alias("max_score"),
     )
+
+
+# --- asymmetric containment pairs (sub-document duplication) ---------------
+# Jaccard misses the case a 50-token boilerplate block is wholly
+# contained in a 500-token doc (J ≈ 0.1 but containment = 1.0); the
+# dedup literature's answer is the asymmetric measure
+# C(A→B) = |A∩B| / |A|. Prefix filter, containment form: if
+# C(A→B) ≥ t then A shares an element with B among A's first
+# ⌊|A|·(1−t)⌋+1 shingles (fewer misses than that leave < t·|A| hits) —
+# so the PROBE side explodes only A's prefix while the INDEXED side
+# posts all shingles; no length-ratio prune exists (B is unbounded,
+# the asymmetry is the point). Candidates verify with one
+# array_intersect per DIRECTED pair. Shingle hashing is the dedup
+# family's 64-bit shingle fold (collision-free at any realistic
+# corpus); the oracle verifies the SAME definition on string shingles.
+
+_CONTAIN_T = 0.5
+
+
+@register(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS t
+  FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+            AS BIGINT) AS n_common,
+       CAST(len(a.s) AS BIGINT) AS n_a,
+       ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                  AS DOUBLE) / len(a.s), 4) AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      >= {_CONTAIN_T} * len(a.s)
+""".strip(),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = with_hashed_shingles(docs, "text", out="shh").select(
+        "doc_id", "shh"
+    ).persist()  # three consumers: probe prefix, postings, verify sides
+    prefix_len = (
+        F.size("shh")
+        - F.ceil(F.size("shh") * F.lit(_CONTAIN_T))
+        + 1
+    ).cast("int")
+    probe = sh.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.explode_outer(F.slice("shh", F.lit(1), prefix_len)).alias("tok"),
+    )
+    post = sh.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.explode_outer("shh").alias("tok"),
+    )
+    cands = (
+        probe.join(post, "tok")
+        .where(F.col("doc_id_a") != F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    va = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shh").alias("sa"))
+    vb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    n_a = F.size("sa").cast("long")
+    return (
+        cands.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .where(inter.cast("double") >= F.lit(_CONTAIN_T) * n_a.cast("double"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            inter.alias("n_common"),
+            n_a.alias("n_a"),
+            F.round(inter.cast("double") / n_a.cast("double"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
+# --- corpus dedup report (one-row telemetry for the curation dashboard) ----
+# The summary a dedup stage emits before anything downstream runs:
+# corpus size, distinct canonical fingerprints, duplicated-doc count,
+# largest exact cluster, and the duplication ratio — all from ONE
+# fingerprint aggregation (map-side partial), merged into a single row
+# with exact integers. The Spark side computes it as a two-level
+# aggregate (fp → cluster sizes → scalar rollup); no window, no sort.
+
+@register(
+    "corpus_dedup_report",
+    oracle="""
+WITH fp AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+cl AS (SELECT fp, COUNT(*) AS sz FROM fp GROUP BY fp)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST(MAX(sz) AS BIGINT) AS max_cluster,
+       CAST(SUM(sz) - COUNT(*) AS DOUBLE) / SUM(sz) AS dup_ratio
+FROM cl
+""".strip(),
+)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cl = docs.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    n_docs = F.sum("sz").cast("long")
+    n_distinct = F.count(F.lit(1)).cast("long")
+    return cl.agg(
+        n_docs.alias("n_docs"),
+        n_distinct.alias("n_distinct"),
+        (n_docs - n_distinct).alias("n_dup_docs"),
+        F.max("sz").cast("long").alias("max_cluster"),
+        (
+            (n_docs - n_distinct).cast("double") / n_docs.cast("double")
+        ).alias("dup_ratio"),
+    )
