@@ -221,6 +221,10 @@ HEADLINE = [
     "doc_containment_pairs",
     "corpus_dedup_report",
     "orders_group_split",
+    "sql_script_threshold_filter",
+    "events_late_arrival_audit",
+    "orders_open_backlog_daily",
+    "supplier_scorecard",
 ]
 
 

@@ -73,6 +73,10 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "supplier_scorecard",
+    "orders_open_backlog_daily",
+    "sql_script_threshold_filter",
+    "events_late_arrival_audit",
     "doc_containment_pairs",
     "corpus_dedup_report",
     "orders_group_split",
@@ -121,10 +125,6 @@ _PRIORITY: list[str] = [
     "doc_rolling_fingerprint",
     "token_frequencies",
     "cube_orders_status",
-    "customer_halves_outer",
-    "customer_order_frame",
-    "customer_order_sequence",
-    "customer_spend_deciles",
 ]
 
 

@@ -5674,3 +5674,127 @@ def orders_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# --- SQL scripting (Spark 4 BEGIN…END procedural surface) -------------------
+# The ad-hoc-analyst entry point one notch past pipe syntax
+# (sql_pipe_quarterly_revenue): a multi-statement script DECLAREs a
+# scalar threshold from one query and applies it in the next — the
+# "compute a stat, then filter by it" pattern that otherwise needs a
+# driver round-trip or a manual cross join. The script's scalar
+# assignment plans as an ordinary scalar subquery (partial-agg
+# exchange), and the final statement is a plain filtered aggregate —
+# scripting is control flow, not a new execution path, so the 100 TB
+# behavior is exactly the underlying plans'. Threshold kept in exact
+# integer cents (SUM div COUNT, floor) so both engines compare
+# identically.
+
+@register(
+    "sql_script_threshold_filter",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+thr AS (
+  SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents FROM o)
+SELECT o.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+       CAST(SUM(o.cents) AS BIGINT) AS big_cents,
+       MIN(thr.avg_cents) AS threshold_cents
+FROM o, thr
+WHERE o.cents > thr.avg_cents
+GROUP BY o.o_custkey
+""".strip(),
+)
+def sql_script_threshold_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_cents BIGINT;
+          SET avg_cents = (
+            SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                   DIV COUNT(*)
+            FROM orders);
+          SELECT o_custkey AS custkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+                 CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS big_cents,
+                 avg_cents AS threshold_cents
+          FROM orders
+          WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > avg_cents
+          GROUP BY o_custkey;
+        END
+        """
+    )
+
+
+# --- daily open-order backlog (sweep line + distributed prefix sum) ---------
+# "How many orders were in flight on each day" — the ops time series
+# behind capacity planning. The naive form joins every order's
+# [orderdate, last_shipdate] interval against a calendar (O(orders ×
+# days)); the engine shape is the SWEEP LINE: each order contributes
+# +1 at its open date and −1 the day after its last lineitem ships,
+# deltas aggregate per day (one small shuffle), and the backlog is the
+# EXCLUSIVE-of-nothing running sum of deltas over the date order —
+# computed with the distributed prefix-sum machinery
+# (operators/rank.py:with_global_running_sum; dates are a total order
+# after the per-day aggregate, and the sum is exact integers). Days
+# with no events inherit the previous balance and are not emitted
+# (the LOCF gap-fill operator composes downstream if a dense calendar
+# is needed).
+
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+WITH span AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS open_d,
+         MAX(CAST(l.l_shipdate AS DATE)) + INTERVAL 1 DAY AS close_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)),
+delta AS (
+  SELECT d, CAST(SUM(x) AS BIGINT) AS delta
+  FROM (SELECT open_d AS d, 1 AS x FROM span
+        UNION ALL SELECT CAST(close_d AS DATE), -1 FROM span)
+  GROUP BY d)
+SELECT d AS day, delta,
+       CAST(SUM(delta) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM delta
+""".strip(),
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "open_d")
+        .agg(F.date_add(F.max("ship_d"), 1).alias("close_d"))
+    )
+    delta = (
+        span.select(F.col("open_d").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            span.select(F.col("close_d").alias("d"), F.lit(-1).alias("x"))
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("delta"))
+    )
+    out = with_global_running_sum(
+        delta, ["d"], "delta", out_col="open_orders"
+    )
+    return out.select(
+        F.col("d").alias("day"),
+        "delta",
+        F.col("open_orders").cast("long").alias("open_orders"),
+    )

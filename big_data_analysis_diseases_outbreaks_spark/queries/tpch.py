@@ -774,3 +774,86 @@ def lineitem_star_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region",
         )
     )
+
+
+# --- supplier scorecard (multi-metric report + global rank) -----------------
+# The one-stop supplier health row a procurement dashboard reads:
+# revenue, return rate, and average ship lag from ONE lineitem⋈orders
+# pass (conditional aggregates, exact integer cents / day counts), plus
+# the supplier's GLOBAL revenue rank from the distributed rank
+# machinery (operators/rank.py — range partition + P-row offsets,
+# never a bare ORDER BY window). Ratios emit as exact integer
+# numerator/denominator pairs alongside the one double division, so
+# the oracle comparison is bitwise.
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+WITH f AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+agg AS (
+  SELECT suppkey,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(ret) AS BIGINT) AS n_returned,
+         CAST(SUM(lag_days) AS BIGINT) AS sum_lag_days
+  FROM f GROUP BY suppkey)
+SELECT suppkey, revenue_cents, n_items, n_returned,
+       CAST(n_returned AS DOUBLE) / n_items AS return_rate,
+       CAST(sum_lag_days AS DOUBLE) / n_items AS avg_lag_days,
+       CAST(RANK() OVER (ORDER BY revenue_cents DESC, suppkey)
+            AS BIGINT) AS revenue_rank
+FROM agg
+""".strip(),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("cents"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ret"),
+        F.to_date("l_shipdate").alias("ship_d"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_d")
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "suppkey",
+        "cents",
+        "ret",
+        F.datediff("ship_d", "order_d").cast("long").alias("lag_days"),
+    )
+    agg = f.groupBy("suppkey").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        F.sum("lag_days").cast("long").alias("sum_lag_days"),
+    )
+    ranked = with_global_rank(
+        agg,
+        [F.col("revenue_cents").desc(), F.col("suppkey").asc()],
+        rank_col="revenue_rank",
+    )
+    return ranked.select(
+        "suppkey",
+        "revenue_cents",
+        "n_items",
+        "n_returned",
+        (F.col("n_returned").cast("double") / F.col("n_items")).alias(
+            "return_rate"
+        ),
+        (F.col("sum_lag_days").cast("double") / F.col("n_items")).alias(
+            "avg_lag_days"
+        ),
+        F.col("revenue_rank").cast("long").alias("revenue_rank"),
+    )

@@ -2724,14 +2724,18 @@ def series_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The product-analytics funnel with ORDER semantics: a user converts a
 # stage only by an event STRICTLY AFTER their previous stage's
 # conversion instant — min-after-min, not mere presence (the presence
-# version overcounts users who purchased before ever viewing). Engine
-# shape: one scan splits into three per-stage MIN aggregations, each
-# stage joining the previous stage's per-user instant and aggregating
-# the conditional min — at 100 TB that is three user-keyed shuffles of
-# (user, us) pairs, no window over raw events, no self-join of the
-# event table against itself. Timestamps ride as unix micros (the
-# sessionize_events protocol). Output: one row per user who entered
-# the funnel, with per-stage instants and the stage count reached.
+# version overcounts users who purchased before ever viewing). The
+# UNBOUNDED sibling of funnel_view_click_purchase (which windows each
+# stage to a step timeout and plans as one per-user collect): with no
+# time bound, per-user arrays buy nothing, so the engine shape is
+# three per-stage MIN aggregations, each stage joining the previous
+# stage's per-user instant and aggregating the conditional min — at
+# 100 TB that is three user-keyed shuffles of (user, us) pairs, no
+# window over raw events, no self-join of the event table against
+# itself. Timestamps ride as unix micros (the sessionize_events
+# protocol). Output: one row per user who entered the funnel, with
+# per-stage instants and the stage count reached; the stateful
+# streaming twin is stream_funnel_transitions.
 
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -2875,4 +2879,60 @@ def user_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.min("n_users").cast("double")
             ).alias("retention"),
         )
+    )
+
+
+# --- late-arrival audit (watermark sizing from data) ------------------------
+# Before picking a streaming watermark delay, measure how late the
+# data actually arrives: an event is "late by d" if an event with
+# event-time more than d NEWER was already ingested before it
+# (arrival order = event_id). The prefix "newest event-time seen so
+# far" is the global EXCLUSIVE running max over arrival order —
+# computed with the distributed two-shuffle machinery
+# (operators/rank.py:with_global_exclusive_running_max), never a bare
+# ORDER BY window. One pass scores three candidate delays (1 m / 5 m /
+# 30 m) per event type; the output row is what you read to choose
+# withWatermark(). Oracle: the same exclusive-frame window MAX.
+
+@register(
+    "events_late_arrival_audit",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+m AS (
+  SELECT event_type, us,
+         MAX(us) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_prior_us
+  FROM e)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN max_prior_us - us > 60000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_1m,
+       CAST(SUM(CASE WHEN max_prior_us - us > 300000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_5m,
+       CAST(SUM(CASE WHEN max_prior_us - us > 1800000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_30m
+FROM m GROUP BY event_type
+""".strip(),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_exclusive_running_max
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    m = with_global_exclusive_running_max(
+        ev, ["event_id"], "us", out_col="max_prior_us"
+    )
+    def late(th_us):
+        return F.sum(
+            F.when(F.col("max_prior_us") - F.col("us") > th_us, 1).otherwise(0)
+        ).cast("long")
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        late(60_000_000).alias("late_1m"),
+        late(300_000_000).alias("late_5m"),
+        late(1_800_000_000).alias("late_30m"),
     )

@@ -606,3 +606,38 @@ def test_runtime_bloom_filter_semi_join_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quality_classifier_map_only(spark):
+    """The linear gate must score in the scan projection: zero
+    exchanges, zero joins — the weight vector is a plan constant."""
+    plan = _plan(spark, "doc_quality_classifier")
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_star_flatten_broadcasts_dims(spark):
+    """customer/nation/region resolve through broadcast joins; only the
+    lineitem ⋈ orders fact join may shuffle."""
+    plan = _plan(spark, "lineitem_star_flatten")
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_events_funnel_no_event_self_join_blowup(spark):
+    """Stage joins ride user-keyed aggregates; the raw event table must
+    never cross itself (SortMergeJoin of two event scans)."""
+    plan = _plan(spark, "events_funnel")
+    assert "CartesianProduct" not in plan
+    # three per-stage aggregates (partial+final pairs)
+    assert plan.count("HashAggregate") >= 6, plan[:2000]
+
+
+def test_containment_prefix_filter_probes_prefix(spark):
+    """The probe side must slice a prefix (not explode every shingle on
+    both sides): the plan carries one slice() generator and equality
+    joins only."""
+    plan = _plan(spark, "doc_containment_pairs")
+    assert "slice(" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
