@@ -225,6 +225,7 @@ HEADLINE = [
     "events_late_arrival_audit",
     "orders_open_backlog_daily",
     "supplier_scorecard",
+    "dedup_minhash_verified",
 ]
 
 

@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "dedup_minhash_verified",
     "supplier_scorecard",
     "orders_open_backlog_daily",
     "sql_script_threshold_filter",
@@ -124,7 +125,6 @@ _PRIORITY: list[str] = [
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
-    "cube_orders_status",
 ]
 
 

@@ -4263,3 +4263,183 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_docs - n_distinct).cast("double") / n_docs.cast("double")
         ).alias("dup_ratio"),
     )
+
+
+# --- MinHash-LSH with a full value oracle (cross-engine hash family) --------
+# dedup_minhash_lsh (the throughput flagship) signs with JVM xxhash64,
+# which no oracle engine reproduces — so it has always been rows-only.
+# This twin swaps the hash family for the repo's cross-engine RH
+# protocol and nothing else, putting the ENTIRE MinHash-LSH pipeline —
+# k=16 permutation min-signatures, 4×4 banding, candidate join, exact
+# Jaccard verification — under a DuckDB value oracle: shingle hash =
+# the winnowing 3-gram polynomial (token hashes folded once),
+# permutation i = (a_i·g + b_i) mod P with split-multiply-mixed
+# constants (a_i odd, < 2^29 — products stay < 2^59), band value =
+# the same polynomial over each 4-signature row. Output = candidate
+# pairs verified at J ≥ 0.5 with their exact intersection sizes —
+# deterministic end to end. The xxhash64 flagship stays the fast path;
+# this one proves the ALGORITHM (banding math, candidate generation,
+# verification) value-exactly.
+
+_MHV_K = 16
+_MHV_BANDS = 4
+_MHV_ROWS = 4
+_MHV_T = 0.5
+
+
+def _mhv_consts() -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for i in range(_MHV_K):
+        hv = (i * 48271 + 137) % 2147483647
+        mv = (hv % 100003) * (hv // 100003 + 19)
+        a.append((mv % ((1 << 29) - 1)) | 1)  # odd, < 2^29
+        b.append((mv // 7) % RH_MOD)
+    return a, b
+
+
+def _mhv_oracle() -> str:
+    a, b = _mhv_consts()
+    al = ", ".join(map(str, a))
+    bl = ", ".join(map(str, b))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST({RH_INIT} AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+  FROM tok WHERE len(ts) >= 3),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - 1), i ->
+           (((((CAST({RH_INIT} AS BIGINT) * {RH_MULT} + hs[i])
+                 % {RH_MOD}) * {RH_MULT} + hs[i + 1])
+                 % {RH_MOD}) * {RH_MULT} + hs[i + 2]) % {RH_MOD})) AS gh
+  FROM th),
+sig AS MATERIALIZED (
+  SELECT doc_id, gh,
+         list_transform(range(1, {_MHV_K} + 1), i ->
+           list_min(list_transform(gh, x ->
+             ([{al}][i] * x + [{bl}][i]) % {RH_MOD}))) AS sigs
+  FROM g),
+banded AS MATERIALIZED (
+  SELECT doc_id, b,
+         list_reduce(
+           list_prepend(CAST({RH_INIT} AS BIGINT),
+             list_slice(sigs, b * {_MHV_ROWS} + 1,
+                        b * {_MHV_ROWS} + {_MHV_ROWS})),
+           (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD}) AS bv
+  FROM sig, UNNEST(range({_MHV_BANDS})) AS u(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+ver AS (
+  SELECT c.doc_id_1, c.doc_id_2,
+         CAST(len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_common,
+         CAST(len(ga.gh) + len(gb.gh)
+              - len(list_intersect(ga.gh, gb.gh)) AS BIGINT) AS n_union
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_id_1
+  JOIN g gb ON gb.doc_id = c.doc_id_2)
+SELECT doc_id_1, doc_id_2, n_common, n_union,
+       CAST(n_common AS DOUBLE) / n_union AS jaccard
+FROM ver
+WHERE CAST(n_common AS DOUBLE) >= {_MHV_T} * n_union
+""".strip()
+
+
+@register("dedup_minhash_verified", oracle=_mhv_oracle())
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a_c, b_c = _mhv_consts()
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("_ts", tokens(F.lower(F.col("text")))).where(
+        F.size("_ts") >= 3
+    )
+    tok_hash = F.transform(
+        F.col("_ts"),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        ),
+    )
+
+    def _gram_hash(th, i):
+        c1 = (
+            F.lit(RH_INIT).cast("long") * RH_MULT + F.element_at(th, i)
+        ) % RH_MOD
+        c2 = (c1 * RH_MULT + F.element_at(th, (i + 1).cast("int"))) % RH_MOD
+        return (
+            c2 * RH_MULT + F.element_at(th, (i + 2).cast("int"))
+        ) % RH_MOD
+
+    gh = F.array_distinct(
+        F.element_at(
+            F.transform(
+                F.array(tok_hash),
+                lambda th: F.transform(
+                    F.sequence(F.lit(1), F.size(th) - 2),
+                    lambda i: _gram_hash(th, i),
+                ),
+            ),
+            1,
+        )
+    )
+    # Persisted: signature explode + both verify sides read it.
+    g = toked.select("doc_id", gh.alias("gh")).persist()
+    def _perm(i):
+        # closure factory: a two-parameter lambda would make transform()
+        # pass the element INDEX as the second argument
+        return lambda x: (F.lit(a_c[i]) * x + F.lit(b_c[i])) % RH_MOD
+
+    sigs = [
+        F.array_min(F.transform(F.col("gh"), _perm(i))).alias(f"_s{i}")
+        for i in range(_MHV_K)
+    ]
+    sig = g.select("doc_id", *sigs)
+
+    def _band_val(b):
+        acc = F.lit(RH_INIT).cast("long")
+        for r in range(_MHV_ROWS):
+            acc = (acc * RH_MULT + F.col(f"_s{b * _MHV_ROWS + r}")) % RH_MOD
+        return acc
+
+    band_structs = [
+        F.struct(F.lit(b).alias("b"), _band_val(b).alias("bv"))
+        for b in range(_MHV_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.b", "bb.bv")
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, ["b", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_id_1"), F.col("gh").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("doc_id_2"), F.col("gh").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    uni = (F.size("ga") + F.size("gb")).cast("long") - inter
+    return (
+        cand.join(ga, "doc_id_1")
+        .join(gb, "doc_id_2")
+        .where(inter.cast("double") >= F.lit(_MHV_T) * uni.cast("double"))
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            inter.alias("n_common"),
+            uni.alias("n_union"),
+            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+    )

@@ -2,9 +2,9 @@
 """Generate self-scaled stress fixtures for the SCALE.md scaling audit.
 
 The driver testdata stops at sf0.1, so "the plans hold at 100×" would
-otherwise rest on plan reads alone. This tool synthesizes the five
+otherwise rest on plan reads alone. This tool synthesizes the six
 tables the audited query families consume — lineitem / documents /
-customer / embeddings / orders — at an arbitrary multiplier of the
+customer / embeddings / orders / events — at an arbitrary multiplier of the
 sf0.1 row counts, with the engine itself (seeded JVM expressions, no
 Python row loop), writing `<out>/scale<N>/<table>.parquet`. Shapes
 mimic the driver fixtures (FIXTURES.md / TESTDATA.md conventions):
@@ -19,7 +19,9 @@ mimic the driver fixtures (FIXTURES.md / TESTDATA.md conventions):
 * embeddings: 64-dim float vectors, hash-derived;
 * customer: `Customer#%09d` names (the fuzzy family's edit-distance-1
   pairs arise from single-digit differences, as in the driver data);
-* orders: custkeys over a customer universe scaling with the data.
+* orders: custkeys over a customer universe scaling with the data;
+* events: ~30 days of near-sorted event time with bounded jitter (the
+  late-arrival shape the watermark audit measures).
 
 Usage:
   PYTHONPATH=. python tools/gen_scale_fixture.py OUT_DIR MULT [MULT...]
@@ -41,6 +43,7 @@ BASE = {
     "customer": 15_000,
     "documents": 5_000,
     "embeddings": 2_000,
+    "events": 100_000,
 }
 N_PARTS_BASE = 20_000
 
@@ -181,6 +184,34 @@ def gen_orders(spark, n, n_cust):
     )
 
 
+def gen_events(spark, n, n_users):
+    # ~30 days of event time, ids in ingestion order but timestamps
+    # nearly-sorted with bounded jitter (the late-arrival shape)
+    ids = spark.range(n)
+    span_us = 30 * 86_400_000_000
+    types = F.array(
+        *[F.lit(t) for t in ["view", "click", "purchase", "signup", "error"]]
+    )
+    base_us = (F.col("id") * (span_us // n)).cast("long")
+    jitter = (_h(F.col("id"), F.lit(30)) % 3_600_000_000).cast("long")
+    return ids.select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_704_067_200_000_000) + base_us + jitter
+        ).alias("ts"),
+        (_h(F.col("id"), F.lit(31)) % n_users).alias("user_id"),
+        F.element_at(
+            types, (_h(F.col("id"), F.lit(32)) % 5).cast("int") + 1
+        ).alias("event_type"),
+        ((_h(F.col("id"), F.lit(33)) % 10000) / 100.0).alias("value"),
+        F.concat(
+            F.lit('{"k": '),
+            (_h(F.col("id"), F.lit(34)) % 100).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
+    )
+
+
 def main() -> None:
     out_root = sys.argv[1]
     mults = [int(m) for m in sys.argv[2:]] or [1, 10]
@@ -202,6 +233,9 @@ def main() -> None:
             "customer": gen_customer(spark, BASE["customer"] * m),
             "orders": gen_orders(
                 spark, BASE["orders"] * m, BASE["customer"] * m
+            ),
+            "events": gen_events(
+                spark, BASE["events"] * m, 1_500 * m
             ),
         }
         for name, df in tables.items():

@@ -37,6 +37,16 @@ FAMILIES = [
     ("rank machinery (deciles)", "customer_spend_deciles"),
     ("text map-heavy (winnowing)", "doc_winnowing_fingerprints"),
     ("node similarity (AllPairs)", "part_node_similarity"),
+    # round-9 operators
+    ("model quality gate (map-only)", "doc_quality_classifier"),
+    ("containment prefix join", "doc_containment_pairs"),
+    ("gram novelty (gram-keyed shuffle)", "doc_ngram_novelty"),
+    ("funnel (stage-keyed aggs)", "events_funnel"),
+    ("late-arrival audit (global run-max)", "events_late_arrival_audit"),
+    ("backlog sweep line (prefix sum)", "orders_open_backlog_daily"),
+    ("SRP band pairs (vector near-dup)", "embedding_srp_band_pairs"),
+    ("clustering coefficient (wedge join)", "part_clustering_coefficient"),
+    ("weighted pagerank over MV", "part_copurchase_pagerank_weighted"),
 ]
 
 
