@@ -4181,6 +4181,8 @@ WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
 """.strip(),
 )
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = with_hashed_shingles(docs, "text", out="shh").select(
         "doc_id", "shh"
@@ -4190,9 +4192,28 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.ceil(F.size("shh") * F.lit(_CONTAIN_T))
         + 1
     ).cast("int")
-    probe = sh.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.explode_outer(F.slice("shh", F.lit(1), prefix_len)).alias("tok"),
+    # Candidate count is Σ_{tok ∈ prefix(A)} df(tok), and the prefix
+    # theorem holds for ANY fixed ordering of A (pigeonhole: at most
+    # (1−t)·|A| of A's shingles miss B, so any (1−t)·|A|+1 of them hit
+    # it) — so order each doc's shingles by global document frequency
+    # ASCENDING and put the RAREST in the prefix [Bayardo et al.
+    # WWW'07 §3.1]. On skewed corpora (boilerplate shingles are the
+    # hot ones) this collapses the candidate set; the df pass is one
+    # extra aggregate + per-doc window (doc-keyed, hash-spread). The
+    # 10× audit's degenerate 30-word-vocab fixture saturates the
+    # shingle space (df grows with the corpus for EVERY shingle), where
+    # no exact algorithm is sub-quadratic — the qualifying OUTPUT
+    # itself is dense there (SCALE.md round-9 note).
+    ex = sh.select(
+        "doc_id", F.explode_outer("shh").alias("tok"), prefix_len.alias("pl")
+    )
+    df_tok = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    probe = (
+        ex.join(df_tok, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("pl"))
+        .select(F.col("doc_id").alias("doc_id_a"), "tok")
     )
     post = sh.select(
         F.col("doc_id").alias("doc_id_b"),
