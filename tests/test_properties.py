@@ -392,3 +392,54 @@ def test_edge_and_node_similarity_lossless_on_random_graphs(spark):
             ).collect()
         }
         assert got_edges == expected_edges, f"trial {trial}"
+
+
+def test_containment_prefix_filter_lossless_on_random_corpus(spark):
+    """The containment prefix theorem under the df-ASCENDING reordering:
+    for any ordering of A's shingles, if C(A→B) ≥ t then A's first
+    ⌊(1−t)|A|⌋+1 shingles intersect B (pigeonhole) — so the df-ordered
+    operator must emit exactly the quadratic reference's pairs."""
+    import itertools
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(4, 20)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant containments: doc 100+i = doc i's text + noise suffix
+    for i in range(8):
+        docs.append((100 + i, docs[i][1] + " w0 w1"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("_contain_prop_docs")
+
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _CONTAIN_T,
+    )
+
+    def shingles(text):
+        t = text.split()
+        return {
+            " ".join(t[j : j + 3]) for j in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+
+    sh = {d: shingles(t) for d, t in docs}
+    want = set()
+    for (a, sa), (b, sb) in itertools.permutations(sh.items(), 2):
+        if sa and sb and len(sa & sb) >= _CONTAIN_T * len(sa):
+            want.add((a, b))
+
+    # run the operator's plan on this corpus via a monkeypatched loader
+    import big_data_analysis_diseases_outbreaks_spark.queries.text as qt
+
+    real_load = qt.load_table
+    try:
+        qt.load_table = lambda s, sf, name: df
+        got_df = qt.doc_containment_pairs(spark, "_ignored")
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]) for r in got_df.collect()
+        }
+    finally:
+        qt.load_table = real_load
+    assert got == want
+    assert len(want) >= 8  # the planted containments are in there
