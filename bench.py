@@ -226,6 +226,8 @@ HEADLINE = [
     "orders_open_backlog_daily",
     "supplier_scorecard",
     "dedup_minhash_verified",
+    "events_type_overlap",
+    "customer_tier_migration",
 ]
 
 

@@ -73,6 +73,8 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "events_type_overlap",
+    "customer_tier_migration",
     "dedup_minhash_verified",
     "supplier_scorecard",
     "orders_open_backlog_daily",
@@ -123,8 +125,6 @@ _PRIORITY: list[str] = [
     "doc_lang_id",
     # --- Re-confirmation: oldest green evidence (r1, then r3) ---
     "doc_bpe_token_count",
-    "doc_rolling_fingerprint",
-    "token_frequencies",
 ]
 
 

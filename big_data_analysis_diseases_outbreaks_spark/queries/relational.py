@@ -5798,3 +5798,64 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         F.col("open_orders").cast("long").alias("open_orders"),
     )
+
+
+# --- customer value-tier migration (period-over-period transition) ----------
+# The churn dashboard's transition matrix: tier customers by order
+# count in each half of the history (H1: < 1995-07-01 ≤ H2) and count
+# the (tier_H1 → tier_H2) flows, including entries ('new') and exits
+# ('gone'). Two conditional aggregates from ONE scan (no self-join of
+# orders), a full-outer merge on custkey, and a tiny matrix aggregate.
+# Tiers are integer thresholds (1 / 2-3 / 4+ orders), so the matrix is
+# exact.
+
+_MIGRATE_SPLIT = "1995-07-01"
+
+
+def _tier_sql(col: str) -> str:
+    return (f"CASE WHEN {col} IS NULL OR {col} = 0 THEN 'none' "
+            f"WHEN {col} = 1 THEN 'one' "
+            f"WHEN {col} <= 3 THEN 'few' ELSE 'many' END")
+
+
+@register(
+    "customer_tier_migration",
+    oracle=f"""
+WITH counts AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_MIGRATE_SPLIT}'
+                  THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_MIGRATE_SPLIT}'
+                  THEN 1 ELSE 0 END) AS n2
+  FROM orders GROUP BY o_custkey)
+SELECT {_tier_sql('n1')} AS tier_h1,
+       {_tier_sql('n2')} AS tier_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM counts
+GROUP BY 1, 2
+""".strip(),
+)
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.to_date("o_orderdate") < F.lit(_MIGRATE_SPLIT).cast("date"))
+        .cast("int")
+        .alias("_h1"),
+    )
+    counts = o.groupBy("o_custkey").agg(
+        F.sum("_h1").alias("n1"),
+        F.sum(1 - F.col("_h1")).alias("n2"),
+    )
+
+    def tier(c):
+        col = F.col(c)
+        return (
+            F.when(col.isNull() | (col == 0), "none")
+            .when(col == 1, "one")
+            .when(col <= 3, "few")
+            .otherwise("many")
+        )
+
+    return counts.groupBy(
+        tier("n1").alias("tier_h1"), tier("n2").alias("tier_h2")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

@@ -2936,3 +2936,69 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         late(300_000_000).alias("late_5m"),
         late(1_800_000_000).alias("late_30m"),
     )
+
+
+# --- audience overlap between event types (exact Jaccard matrix) -----------
+# "Do clickers also purchase?" — the audience-overlap matrix: for each
+# ordered pair of event types, |users(A) ∩ users(B)| / |users(A) ∪
+# users(B)|. Engine shape: ONE distinct (type, user) pass, a self-join
+# on user_id (both sides the same deduplicated frame — ReuseExchange
+# covers the scan), per-pair intersection counts, and per-type totals
+# broadcast back in. |types| is small so the output is tiny; the only
+# data-sized shuffles are the distinct and the user-keyed join. Exact
+# integers + one double division.
+
+@register(
+    "events_type_overlap",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM du
+  GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT i.type_a, i.type_b, i.n_common,
+       ta.n + tb.n - i.n_common AS n_union,
+       CAST(i.n_common AS DOUBLE) / (ta.n + tb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN tot ta ON ta.event_type = i.type_a
+JOIN tot tb ON tb.event_type = i.type_b
+""".strip(),
+)
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()  # three consumers: both join sides + totals
+    )
+    tot = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = F.broadcast(tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("na")))
+    tb = F.broadcast(tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb")))
+    uni = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        inter.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            uni.cast("long").alias("n_union"),
+            (F.col("n_common").cast("double") / uni.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
