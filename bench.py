@@ -228,6 +228,7 @@ HEADLINE = [
     "dedup_minhash_verified",
     "events_type_overlap",
     "customer_tier_migration",
+    "topk_mv_refresh",
 ]
 
 

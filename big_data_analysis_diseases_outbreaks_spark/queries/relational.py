@@ -5859,3 +5859,63 @@ def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy(
         tier("n1").alias("tier_h1"), tier("n2").alias("tier_h2")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- top-k refresh over a delta-maintained aggregate ------------------------
+# Top-k is NOT self-maintainable from the k rows alone (an outside
+# customer can enter on new revenue the view never kept), so the
+# correct incremental design keeps the FULL grouped aggregate as the
+# maintained state — SUM/COUNT merge under inserts with the
+# coalesce-add algebra (mv_agg_delta_maintenance) — and refreshes the
+# top-k as a cheap DOWNSTREAM of the merged state: TakeOrderedAndProject
+# over |groups| rows, never a base rescan. Deterministic tiebreak
+# (revenue DESC, custkey ASC); the oracle is the definition recomputed
+# over the full table, so a green row proves merge + refresh ≡
+# recompute.
+
+_TOPK_MV_K = 20
+_TOPK_MV_INS = "o_orderkey % 9 = 4"  # the arriving insert batch
+
+
+@register(
+    "topk_mv_refresh",
+    oracle=f"""
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT custkey, revenue_cents, n_orders
+FROM agg
+ORDER BY revenue_cents DESC, custkey
+LIMIT {_TOPK_MV_K}
+""".strip(),
+)
+def topk_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(_TOPK_MV_INS).alias("_ins"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def agg(df, r, n):
+        return df.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.sum("cents").alias(r), F.count(F.lit(1)).alias(n)
+        )
+
+    old_view = agg(o.where(~F.col("_ins")), "r", "n")  # the MV state
+    ins = agg(o.where(F.col("_ins")), "r_i", "n_i")
+    z = F.lit(0).cast("long")
+    merged = old_view.join(ins, "custkey", "full").select(
+        "custkey",
+        (F.coalesce("r", z) + F.coalesce("r_i", z))
+        .cast("long")
+        .alias("revenue_cents"),
+        (F.coalesce("n", z) + F.coalesce("n_i", z))
+        .cast("long")
+        .alias("n_orders"),
+    )
+    return merged.orderBy(
+        F.col("revenue_cents").desc(), F.col("custkey").asc()
+    ).limit(_TOPK_MV_K)
