@@ -229,6 +229,7 @@ HEADLINE = [
     "events_type_overlap",
     "customer_tier_migration",
     "topk_mv_refresh",
+    "sql_udf_revenue_bands",
 ]
 
 

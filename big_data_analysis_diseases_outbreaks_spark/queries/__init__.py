@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "sql_udf_revenue_bands",
     "topk_mv_refresh",
     "events_type_overlap",
     "customer_tier_migration",
@@ -123,7 +124,6 @@ _PRIORITY: list[str] = [
     "producer_generate",
     "curation_pipeline_v2",
     "doc_quality_score",
-    "doc_lang_id",
 ]
 
 

@@ -5919,3 +5919,48 @@ def topk_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy(
         F.col("revenue_cents").desc(), F.col("custkey").asc()
     ).limit(_TOPK_MV_K)
+
+
+# --- SQL UDF (CREATE FUNCTION … RETURN) surface ------------------------------
+# Spark 4's declarative SQL UDFs: the function body is INLINED into the
+# plan at resolution (a Catalyst expression, whole-stage-codegen'd) —
+# the analyst-facing reuse surface that costs nothing at runtime,
+# unlike Python UDFs. The UDF packages the repo's exact-cents revenue
+# protocol once; the query uses it twice (projection + aggregate).
+# Re-registration with CREATE OR REPLACE keeps the query re-runnable
+# in one session. The oracle inlines the same expression — which is
+# also exactly what Catalyst does, so this doubles as the parity proof
+# that the UDF adds no arithmetic of its own.
+
+@register(
+    "sql_udf_revenue_bands",
+    oracle="""
+WITH r AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_c
+  FROM lineitem)
+SELECT CAST(rev_c // 500000 AS BIGINT) AS band_5k,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+FROM r GROUP BY 1
+""".strip(),
+)
+def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION rev_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(rev_cents(l_extendedprice, l_discount) DIV 500000
+                    AS BIGINT) AS band_5k,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(rev_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem GROUP BY 1
+        """
+    )
