@@ -230,6 +230,7 @@ HEADLINE = [
     "customer_tier_migration",
     "topk_mv_refresh",
     "sql_udf_revenue_bands",
+    "join_cardinality_estimate",
 ]
 
 

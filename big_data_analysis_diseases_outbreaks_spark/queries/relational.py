@@ -5964,3 +5964,116 @@ def sql_udf_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
         """
     )
+
+
+# --- join-cardinality estimation via CMS inner product -----------------------
+# The optimizer-adjacent sketch trick [Cormode & Muthukrishnan '05 §4.2]:
+# |A ⋈_k B| = Σ_v f_A(v)·f_B(v), and the inner product of two
+# Count-Min rows OVERESTIMATES it (min over rows tightens) — so two
+# tiny sketches built with one pass per side answer "how big would
+# this join be" without running it. Sketches use the cross-engine
+# (a_i·k + b_i) mod P mod W hash family, so build, inner product, and
+# the min are exactly reproducible in the oracle; the exact Σ f_A·f_B
+# rides along from a key-level aggregate join, and the output is the
+# one-row (estimate, exact, ratio) audit. d=4 rows × W=1024 counters:
+# the sketch side is O(d·W) however large the inputs — at 100 TB both
+# sides build in one map-side-combined pass and the estimate is a
+# driver-sized reduce.
+
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _cms_consts() -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for i in range(_CMS_D):
+        hv = (i * 16807 + 271) % 2147483647
+        mv = (hv % 100003) * (hv // 100003 + 23)
+        a.append((mv % ((1 << 29) - 1)) | 1)
+        b.append((mv // 11) % 1_000_000_007)
+    return a, b
+
+
+def _cms_join_oracle() -> str:
+    a, b = _cms_consts()
+    al = ", ".join(map(str, a))
+    bl = ", ".join(map(str, b))
+    return f"""
+WITH rows_ AS (SELECT UNNEST(range({_CMS_D})) AS r),
+ca AS (
+  SELECT r.r,
+         (([{al}][r.r + 1] * o_custkey + [{bl}][r.r + 1])
+          % 1000000007) % {_CMS_W} AS pos,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders, rows_ r GROUP BY 1, 2),
+cb AS (
+  SELECT r.r,
+         (([{al}][r.r + 1] * c_custkey + [{bl}][r.r + 1])
+          % 1000000007) % {_CMS_W} AS pos,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer, rows_ r GROUP BY 1, 2),
+est AS (
+  SELECT MIN(ip) AS estimate FROM (
+    SELECT ca.r, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS ip
+    FROM ca JOIN cb ON ca.r = cb.r AND ca.pos = cb.pos
+    GROUP BY ca.r)),
+exact AS (
+  SELECT CAST(SUM(fa.n * fb.n) AS BIGINT) AS exact_rows
+  FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) fa
+  JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) fb
+    ON fa.k = fb.k)
+SELECT e.estimate, x.exact_rows,
+       CAST(e.estimate AS DOUBLE) / x.exact_rows AS overestimate_ratio
+FROM est e, exact x
+""".strip()
+
+
+@register("join_cardinality_estimate", oracle=_cms_join_oracle())
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a_c, b_c = _cms_consts()
+    P = 1_000_000_007
+
+    def cms(df, key):
+        rows = [
+            F.struct(
+                F.lit(i).alias("r"),
+                (
+                    (F.lit(a_c[i]) * F.col(key) + F.lit(b_c[i])) % P
+                    % _CMS_W
+                ).alias("pos"),
+            )
+            for i in range(_CMS_D)
+        ]
+        return (
+            df.select(F.explode(F.array(*rows)).alias("rp"))
+            .groupBy("rp.r", "rp.pos")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ca = cms(orders, "o_custkey")
+    cb = cms(cust, "c_custkey")
+    est = (
+        ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["r", "pos"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("estimate"))
+    )
+    fa = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    fb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    exact = fa.join(fb, "k").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("exact_rows")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "estimate",
+        "exact_rows",
+        (
+            F.col("estimate").cast("double")
+            / F.col("exact_rows").cast("double")
+        ).alias("overestimate_ratio"),
+    )
