@@ -634,10 +634,12 @@ def test_events_funnel_no_event_self_join_blowup(spark):
 
 
 def test_containment_prefix_filter_probes_prefix(spark):
-    """The probe side must slice a prefix (not explode every shingle on
-    both sides): the plan carries one slice() generator and equality
-    joins only."""
+    """The probe side must keep only the df-ascending prefix (a
+    row_number window capped at the prefix length per doc), never
+    explode every shingle on both probe AND posting sides; joins stay
+    equality-keyed."""
     plan = _plan(spark, "doc_containment_pairs")
-    assert "slice(" in plan, plan[:2000]
+    assert "row_number" in plan, plan[:2000]
+    assert re.search(r"_rn#\d+ <= pl#\d+", plan), plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
