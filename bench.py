@@ -231,6 +231,7 @@ HEADLINE = [
     "topk_mv_refresh",
     "sql_udf_revenue_bands",
     "join_cardinality_estimate",
+    "part_copurchase_modularity",
 ]
 
 

@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "part_copurchase_modularity",
     "join_cardinality_estimate",
     "sql_udf_revenue_bands",
     "topk_mv_refresh",
@@ -123,7 +124,6 @@ _PRIORITY: list[str] = [
     "kw_correlation_matrix",
     "producer_daily_mean",
     "producer_generate",
-    "curation_pipeline_v2",
 ]
 
 

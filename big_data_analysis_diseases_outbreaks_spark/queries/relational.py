@@ -6077,3 +6077,98 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_rows").cast("double")
         ).alias("overestimate_ratio"),
     )
+
+
+# --- modularity of the LPA communities (partition-quality audit) ------------
+# Newman modularity Q = Σ_c [ e_c/m − (d_c / 2m)² ] for the
+# deterministic 4-round LPA partition — the one-row audit that says
+# whether the communities are real structure or noise (Q ≈ 0). All
+# inputs are exact integers (m undirected edges, intra-community edge
+# count, per-community degree sums squared); Q itself is two
+# correctly-rounded divisions and a subtract, identical in both
+# engines. The oracle nests the LPA unroll as a subquery and replays
+# the same arithmetic. Engine shape: edges join the label map on both
+# endpoints (two node-keyed joins), then two tiny aggregates.
+
+@register(
+    "part_copurchase_modularity",
+    oracle=f"""
+WITH lab AS MATERIALIZED (
+  SELECT part_key AS node, community FROM ({_lpa_oracle()}) t),
+li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+intra AS (
+  SELECT CAST(SUM(CASE WHEN lu.community = lv.community
+                  THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+  FROM e JOIN lab lu ON lu.node = e.u JOIN lab lv ON lv.node = e.v),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+dsq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         CAST(SUM(dc * dc) AS BIGINT) AS sum_deg_sq
+  FROM (SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS dc
+        FROM deg d JOIN lab l ON l.node = d.node
+        GROUP BY l.community))
+SELECT d.n_communities, m.m AS m_edges, i.intra_edges, d.sum_deg_sq,
+       CAST(i.intra_edges AS DOUBLE) / m.m
+         - CAST(d.sum_deg_sq AS DOUBLE) / (4.0 * m.m * m.m) AS modularity
+FROM dsq d, m, intra i
+""".strip(),
+)
+def part_copurchase_modularity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.lpa import label_propagation
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges).persist()
+    lab = label_propagation(edges, n_rounds=_LPA_ROUNDS).select(
+        "node", "community"
+    ).persist()
+    lu = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    e_lab = und.join(lu, "u").join(lv, "v")
+    stats = e_lab.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum((F.col("cu") == F.col("cv")).cast("int"))
+        .cast("long")
+        .alias("intra_edges"),
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dsq = (
+        deg.join(lab, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_deg_sq"),
+        )
+    )
+    out = dsq.crossJoin(F.broadcast(stats))
+    q = (
+        F.col("intra_edges").cast("double") / F.col("m_edges")
+        - F.col("sum_deg_sq").cast("double")
+        / (F.lit(4.0) * F.col("m_edges") * F.col("m_edges"))
+    )
+    return out.select(
+        "n_communities",
+        F.col("m_edges").cast("long").alias("m_edges"),
+        "intra_edges",
+        "sum_deg_sq",
+        q.alias("modularity"),
+    )
