@@ -232,6 +232,7 @@ HEADLINE = [
     "sql_udf_revenue_bands",
     "join_cardinality_estimate",
     "part_copurchase_modularity",
+    "part_degree_assortativity",
 ]
 
 

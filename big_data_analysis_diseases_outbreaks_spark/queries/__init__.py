@@ -73,6 +73,7 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "part_degree_assortativity",
     "part_copurchase_modularity",
     "join_cardinality_estimate",
     "sql_udf_revenue_bands",
@@ -123,7 +124,6 @@ _PRIORITY: list[str] = [
     "stream_sliding_agg",
     "kw_correlation_matrix",
     "producer_daily_mean",
-    "producer_generate",
 ]
 
 

@@ -6172,3 +6172,90 @@ def part_copurchase_modularity(
         "sum_deg_sq",
         q.alias("modularity"),
     )
+
+
+# --- degree assortativity of the co-purchase graph --------------------------
+# Newman's r: the Pearson correlation of endpoint degrees over edges —
+# do hubs buy with hubs (r > 0) or with the long tail (r < 0)? The
+# third one-row structure audit beside the degree histogram and
+# modularity; together they are the "what graph is this" triptych run
+# before choosing algorithms. Sums are exact BIGINTs over the
+# symmetrized endpoint pairs (2m rows, each edge contributing both
+# orientations, the standard undirected convention); r itself is one
+# double expression over six integers — identical in both engines.
+
+@register(
+    "part_degree_assortativity",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+ends AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.deg, du.deg
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ends)
+SELECT n AS n_edge_ends, sxy, sx AS sum_deg,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         AS assortativity
+FROM s
+""".strip(),
+)
+def part_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges).persist()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("y"))
+    ej = und.join(du, "u").join(dv, "v").persist()
+    ends = ej.select("x", "y").unionAll(
+        ej.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    s = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        "sxy",
+        F.col("sx").alias("sum_deg"),
+        (num / den).alias("assortativity"),
+    )
