@@ -27,18 +27,23 @@ _REGISTRY: dict[str, Query] = {}
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         # Fail loud on a name collision: a second @register with an
-        # existing name SILENTLY replaced the first (round-9 caught a
-        # new query shadowing a green round-5 one only via a bench-list
-        # duplicate check). Module reloads re-register the same
-        # function — allow those by qualname.
+        # existing name SILENTLY replaced the first (round-9 caught TWO
+        # new queries shadowing green round-5 ones). Module reloads
+        # re-register the same function — allow those by (module,
+        # qualname, defining line); a same-module re-DEFINITION lands
+        # on a different line and trips (the blind spot that let the
+        # second collision through a qualname-only check).
         prev = _REGISTRY.get(name)
         if prev is not None and (
             prev.fn.__module__ != fn.__module__
             or prev.fn.__qualname__ != fn.__qualname__
+            or prev.fn.__code__.co_firstlineno
+            != fn.__code__.co_firstlineno
         ):
             raise ValueError(
                 f"query name {name!r} already registered by "
-                f"{prev.fn.__module__}.{prev.fn.__qualname__}"
+                f"{prev.fn.__module__}.{prev.fn.__qualname__} "
+                f"(line {prev.fn.__code__.co_firstlineno})"
             )
         _REGISTRY[name] = Query(name, fn, oracle)
         return fn

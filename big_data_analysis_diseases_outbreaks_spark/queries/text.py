@@ -3961,109 +3961,6 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- n-gram novelty vs the earlier corpus (first-seen attribution) ---------
-# The curation signal behind "is this document adding anything":
-# for each doc, the fraction of its DISTINCT word-3-gram hashes whose
-# corpus-wide FIRST appearance (min doc_id — ingestion order) is this
-# doc. Boilerplate and near-copies of earlier docs score ~0; fresh
-# content scores ~1. Differs from contamination_8gram_overlap (overlap
-# against a fixed reference set) — novelty attributes every gram to
-# its earliest owner in ONE pass: explode per-doc distinct gram hashes
-# (the winnowing hash-once RH protocol), min-aggregate the owner per
-# gram, join back, re-aggregate per doc. At 100 TB: one gram-keyed
-# shuffle whose rows are (hash, doc_id) longs — never text — and the
-# min-owner aggregate is map-side partial; the join back is on the
-# same gram key (same partitioning, ReuseExchange-eligible).
-
-@register(
-    "doc_ngram_novelty",
-    oracle=f"""
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
-  FROM documents),
-th AS (
-  SELECT doc_id,
-         list_transform(ts, t ->
-           list_reduce(
-             list_prepend(CAST({RH_INIT} AS BIGINT),
-                          list_transform(string_split(t, ''),
-                                         x -> CAST(ascii(x) AS BIGINT))),
-             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
-  FROM tok WHERE len(ts) >= 3),
-g AS (
-  SELECT DISTINCT doc_id, gh
-  FROM (SELECT doc_id,
-               UNNEST(list_transform(range(1, len(hs) - 1), i ->
-                 (((((CAST({RH_INIT} AS BIGINT) * {RH_MULT} + hs[i])
-                       % {RH_MOD}) * {RH_MULT} + hs[i + 1])
-                       % {RH_MOD}) * {RH_MULT} + hs[i + 2]) % {RH_MOD}))
-                 AS gh
-        FROM th)),
-own AS (
-  SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
-SELECT g.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_grams,
-       CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_novel,
-       CAST(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)
-            AS DOUBLE) / COUNT(*) AS novelty
-FROM g JOIN own o ON g.gh = o.gh
-GROUP BY g.doc_id
-""".strip(),
-)
-def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toked = docs.withColumn("_ts", tokens(F.lower(F.col("text")))).where(
-        F.size("_ts") >= 3
-    )
-    tok_hash = F.transform(
-        F.col("_ts"),
-        lambda t: F.aggregate(
-            F.split(t, ""),
-            F.lit(RH_INIT).cast("long"),
-            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
-        ),
-    )
-
-    def _gram_hash(th, i):
-        c1 = (
-            F.lit(RH_INIT).cast("long") * RH_MULT + F.element_at(th, i)
-        ) % RH_MOD
-        c2 = (c1 * RH_MULT + F.element_at(th, (i + 1).cast("int"))) % RH_MOD
-        return (
-            c2 * RH_MULT + F.element_at(th, (i + 2).cast("int"))
-        ) % RH_MOD
-
-    # hash-once + let-bound token-hash array (the winnowing protocol)
-    gh = F.element_at(
-        F.transform(
-            F.array(tok_hash),
-            lambda th: F.transform(
-                F.sequence(F.lit(1), F.size(th) - 2),
-                lambda i: _gram_hash(th, i),
-            ),
-        ),
-        1,
-    )
-    g = (
-        toked.select("doc_id", F.explode(F.array_distinct(gh)).alias("gh"))
-        .distinct()
-    )
-    own = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    )
-    return (
-        g.join(own, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.cast("long").alias("n_novel"),
-            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
-        )
-    )
-
-
 # --- classifier-vs-heuristic calibration (global score deciles) ------------
 # The audit run before swapping a model gate into the pipeline: bucket
 # the corpus into 10 deciles of the LEARNED score (doc_quality_
