@@ -233,6 +233,8 @@ HEADLINE = [
     "join_cardinality_estimate",
     "part_copurchase_modularity",
     "part_degree_assortativity",
+    "customer_cohort_ltv",
+    "orders_seasonality_index",
 ]
 
 

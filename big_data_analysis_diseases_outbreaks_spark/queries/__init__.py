@@ -78,6 +78,8 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "customer_cohort_ltv",
+    "orders_seasonality_index",
     "part_degree_assortativity",
     "part_copurchase_modularity",
     "join_cardinality_estimate",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "customers_only_first_half",
     "trends_daily_agg",
     "stream_sliding_agg",
-    "kw_correlation_matrix",
-    "producer_daily_mean",
 ]
 
 

@@ -6259,3 +6259,126 @@ def part_degree_assortativity(
         F.col("sx").alias("sum_deg"),
         (num / den).alias("assortativity"),
     )
+
+
+# --- cohort LTV curve (cumulative revenue per cohort month-age) --------------
+# The revenue twin of the retention triangle: customers cohorted by
+# first-order month, revenue accumulated by month offset, normalized
+# per cohort customer — the curve LTV models are fit to. Month math is
+# integer (year·12 + month); the cumulative is a per-cohort window
+# (PARTITIONED — hash-spread, never global); revenue rides as exact
+# cents and the per-customer normalization is the one double division.
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_part('year', CAST(o_orderdate AS DATE)) * 12
+              + date_part('month', CAST(o_orderdate AS DATE)) - 1
+              AS BIGINT) AS m,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+firsts AS (
+  SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey),
+sizes AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM firsts GROUP BY cohort_m),
+rev AS (
+  SELECT f.cohort_m, o.m - f.cohort_m AS offset_m,
+         CAST(SUM(o.cents) AS BIGINT) AS rev_c
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_m, o.m - f.cohort_m)
+SELECT r.cohort_m, CAST(r.offset_m AS BIGINT) AS offset_m,
+       CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_m ORDER BY r.offset_m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_c,
+       s.n_customers,
+       CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort_m ORDER BY r.offset_m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / s.n_customers AS ltv_cents_per_customer
+FROM rev r JOIN sizes s ON s.cohort_m = r.cohort_m
+""".strip(),
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        ).cast("long").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("offset_m"))
+        .agg(F.sum("cents").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("rev_c").over(w).cast("long")
+    return (
+        rev.join(sizes, "cohort_m")
+        .select(
+            "cohort_m",
+            F.col("offset_m").cast("long").alias("offset_m"),
+            cum.alias("cum_rev_c"),
+            "n_customers",
+            (cum.cast("double") / F.col("n_customers")).alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+    )
+
+
+# --- monthly seasonality index ----------------------------------------------
+# Revenue per calendar month ÷ all-month average — the seasonal index
+# a demand planner multiplies forecasts by. Exact protocol: the index
+# is (12 · month_rev) / total_rev computed as one double division of
+# exact BIGINTs (no mean materialized — total and count fold into the
+# constant 12), so both engines agree bitwise.
+
+@register(
+    "orders_seasonality_index",
+    oracle="""
+WITH m AS (
+  SELECT CAST(date_part('month', CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM m)
+SELECT m.month, m.rev_c,
+       CAST(12 * m.rev_c AS DOUBLE) / t.total_c AS seasonality_index
+FROM m, t
+""".strip(),
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.month(F.to_date("o_orderdate")).cast("long").alias("month")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    t = m.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    return m.crossJoin(F.broadcast(t)).select(
+        "month",
+        "rev_c",
+        (
+            (F.lit(12) * F.col("rev_c")).cast("double")
+            / F.col("total_c").cast("double")
+        ).alias("seasonality_index"),
+    )
