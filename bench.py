@@ -235,6 +235,7 @@ HEADLINE = [
     "part_degree_assortativity",
     "customer_cohort_ltv",
     "orders_seasonality_index",
+    "part_substitute_pairs",
 ]
 
 

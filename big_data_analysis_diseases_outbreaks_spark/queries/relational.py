@@ -6382,3 +6382,76 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total_c").cast("double")
         ).alias("seasonality_index"),
     )
+
+
+# --- substitute-part detection (shared buyers, never co-ordered) -------------
+# The complement of the co-purchase graph: two parts are SUBSTITUTE
+# candidates when the same customers buy both (demand overlap) but the
+# parts never appear in one order together (you buy one OR the other).
+# Engine shape: the bipartite customer→part incidence (distinct, one
+# orders⋈lineitem join), customer-blocked pair generation (self-join
+# on custkey — per-customer part lists bound the block, the same
+# blocking argument as the co-purchase recipe's order blocks), a pair
+# count filtered to ≥ K shared customers, and an ANTI JOIN against the
+# co-order pair set. Exact integers throughout; the anti join is the
+# definition, not an approximation.
+
+_SUBST_MIN_SHARED = 3
+
+
+@register(
+    "part_substitute_pairs",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+shared AS (
+  SELECT a.p AS part_1, b.p AS part_2,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_customers
+  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING COUNT(*) >= {_SUBST_MIN_SHARED}),
+coorder AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS part_1,
+                  GREATEST(a.l_partkey, b.l_partkey) AS part_2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+SELECT s.part_1, s.part_2, s.n_shared_customers
+FROM shared s
+ANTI JOIN coorder c
+  ON c.part_1 = s.part_1 AND c.part_2 = s.part_2
+""".strip(),
+)
+def part_substitute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    shared = (
+        a.join(b, "c")
+        .where(F.col("a.p") < F.col("b.p"))
+        .groupBy(
+            F.col("a.p").alias("part_1"), F.col("b.p").alias("part_2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_customers"))
+        .where(F.col("n_shared_customers") >= _SUBST_MIN_SHARED)
+    )
+    x, y = li.alias("x"), li.alias("y")
+    coorder = (
+        x.join(y, "l_orderkey")
+        .where(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .select(
+            F.least("x.l_partkey", "y.l_partkey").alias("part_1"),
+            F.greatest("x.l_partkey", "y.l_partkey").alias("part_2"),
+        )
+        .distinct()
+    )
+    return shared.join(coorder, ["part_1", "part_2"], "left_anti")
