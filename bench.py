@@ -236,6 +236,7 @@ HEADLINE = [
     "customer_cohort_ltv",
     "orders_seasonality_index",
     "part_substitute_pairs",
+    "orders_priority_drift",
 ]
 
 

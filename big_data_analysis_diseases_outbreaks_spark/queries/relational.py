@@ -6524,3 +6524,77 @@ def part_copurchase_khop_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bfs GROUP BY node
         """
     )
+
+
+# --- categorical drift test (order-priority mix, H1 vs H2) -------------------
+# The DQ drift monitor for categorical columns: is the order-priority
+# MIX in the second half of the history the same distribution as the
+# first? Pearson chi-square on the 2×5 contingency table (the
+# events_chi2_independence protocol applied to a temporal split):
+# observed counts are exact integers from ONE scan (conditional
+# aggregates); expected counts and the statistic are the standard
+# row·col/total arithmetic — every division deferred to the final
+# double expression so both engines agree bitwise. A pipeline alerts
+# when chi2 exceeds the df=4 critical value; the query emits the
+# per-cell contributions so the alert is attributable.
+
+@register(
+    "orders_priority_drift",
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                            < DATE '{_MIGRATE_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                            >= DATE '{_MIGRATE_SPLIT}'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+  FROM c)
+SELECT c.priority, c.n1, c.n2,
+       (CAST(c.n1 AS DOUBLE) - CAST((c.n1 + c.n2) AS DOUBLE) * t.t1
+          / (t.t1 + t.t2))
+       * (CAST(c.n1 AS DOUBLE) - CAST((c.n1 + c.n2) AS DOUBLE) * t.t1
+          / (t.t1 + t.t2))
+       / (CAST((c.n1 + c.n2) AS DOUBLE) * t.t1 / (t.t1 + t.t2))
+       + (CAST(c.n2 AS DOUBLE) - CAST((c.n1 + c.n2) AS DOUBLE) * t.t2
+          / (t.t1 + t.t2))
+       * (CAST(c.n2 AS DOUBLE) - CAST((c.n1 + c.n2) AS DOUBLE) * t.t2
+          / (t.t1 + t.t2))
+       / (CAST((c.n1 + c.n2) AS DOUBLE) * t.t2 / (t.t1 + t.t2))
+         AS chi2_contribution
+FROM c, t
+""".strip(),
+)
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.to_date("o_orderdate") < F.lit(_MIGRATE_SPLIT).cast("date"))
+        .cast("int")
+        .alias("_h1"),
+    )
+    c = o.groupBy("priority").agg(
+        F.sum("_h1").cast("long").alias("n1"),
+        F.sum(1 - F.col("_h1")).cast("long").alias("n2"),
+    )
+    t = c.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    tt = (F.col("t1") + F.col("t2")).cast("double")
+    rowtot = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = rowtot * F.col("t1") / tt
+    e2 = rowtot * F.col("t2") / tt
+    contrib = (
+        (F.col("n1").cast("double") - e1) * (F.col("n1").cast("double") - e1)
+        / e1
+        + (F.col("n2").cast("double") - e2)
+        * (F.col("n2").cast("double") - e2)
+        / e2
+    )
+    return j.select(
+        "priority", "n1", "n2", contrib.alias("chi2_contribution")
+    )
