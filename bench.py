@@ -237,6 +237,7 @@ HEADLINE = [
     "orders_seasonality_index",
     "part_substitute_pairs",
     "orders_priority_drift",
+    "customer_balance_ks",
 ]
 
 

@@ -6598,3 +6598,83 @@ def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "priority", "n1", "n2", contrib.alias("chi2_contribution")
     )
+
+
+# --- exact two-sample Kolmogorov–Smirnov (distribution drift) ---------------
+# Does the AUTOMOBILE segment's balance distribution differ from
+# BUILDING's? KS D = max_v |F1(v) − F2(v)| — computed EXACTLY, no
+# binning: per distinct balance value, per-group counts (one
+# aggregate); both ECDFs as integer prefix sums over the value order
+# (the distributed running-sum machinery — after the per-value
+# aggregate the order key is unique, so the total order is legal); and
+# the max of the integer cross-multiplication |n2·cum1 − n1·cum2| (no
+# float ECDFs — the division happens once, at the end). The classic
+# drift test for numeric columns, exact at any scale; the chi-square
+# twin (orders_priority_drift) covers categoricals.
+
+_KS_SEG_A = "AUTOMOBILE"
+_KS_SEG_B = "BUILDING"
+
+
+@register(
+    "customer_balance_ks",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(c_mktsegment = '{_KS_SEG_A}' AS INTEGER) AS g1,
+         CAST(c_mktsegment = '{_KS_SEG_B}' AS INTEGER) AS g2
+  FROM customer
+  WHERE c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')),
+v AS (
+  SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+  FROM c GROUP BY cents),
+t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM v),
+e AS (
+  SELECT CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER w AS BIGINT) AS cum2
+  FROM v
+  WINDOW w AS (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT t.n1, t.n2,
+       CAST(MAX(ABS(t.n2 * e.cum1 - t.n1 * e.cum2)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(t.n2 * e.cum1 - t.n1 * e.cum2)) AS DOUBLE)
+         / (t.n1 * t.n2) AS ks_d
+FROM e, t
+GROUP BY t.n1, t.n2
+""".strip(),
+)
+def customer_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            (F.col("c_mktsegment") == _KS_SEG_A).cast("int").alias("g1"),
+            (F.col("c_mktsegment") == _KS_SEG_B).cast("int").alias("g2"),
+        )
+    )
+    v = c.groupBy("cents").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    e = with_global_running_sum(v, ["cents"], "c1", out_col="cum1")
+    e = with_global_running_sum(e, ["cents"], "c2", out_col="cum2")
+    t = v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    j = e.crossJoin(F.broadcast(t))
+    dev = F.abs(
+        F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")
+    )
+    return j.groupBy("n1", "n2").agg(
+        F.max(dev).cast("long").alias("d_num"),
+        (
+            F.max(dev).cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+        ).alias("ks_d"),
+    )
