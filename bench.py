@@ -238,6 +238,7 @@ HEADLINE = [
     "part_substitute_pairs",
     "orders_priority_drift",
     "customer_balance_ks",
+    "customer_balance_mwu",
 ]
 
 

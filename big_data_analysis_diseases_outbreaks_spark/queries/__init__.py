@@ -78,6 +78,7 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
     # --- Round-9 additions (never-green; newest first) ---
+    "customer_balance_mwu",
     "customer_balance_ks",
     "orders_priority_drift",
     "part_copurchase_khop_sql",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "json_roundtrip",
     "month_onehot",
     "global_minmax_date",
-    "value_stats_by_region",
 ]
 
 

@@ -6678,3 +6678,89 @@ def customer_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1") * F.col("n2")).cast("double")
         ).alias("ks_d"),
     )
+
+
+# --- exact Mann–Whitney U (rank-sum drift, ties handled) ---------------------
+# The KS test flags ANY distributional difference; Mann–Whitney asks
+# the directional question ("does segment A stochastically dominate
+# B?"). U1 = Σ_v c1(v)·cum2(<v) + ½·c1(v)·c2(v) — computed from the
+# SAME per-value aggregate + exclusive prefix sums as the KS query,
+# doubled (U×2) so the tie term stays integer. The effect size
+# (rank-biserial r = 2U/(n1·n2) − 1) is the one double division.
+# Exact at any scale; no ranking of raw rows, no ties corrections
+# bolted on afterward.
+
+@register(
+    "customer_balance_mwu",
+    oracle=f"""
+WITH c AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+         CAST(c_mktsegment = '{_KS_SEG_A}' AS INTEGER) AS g1,
+         CAST(c_mktsegment = '{_KS_SEG_B}' AS INTEGER) AS g2
+  FROM customer
+  WHERE c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')),
+v AS (
+  SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+  FROM c GROUP BY cents),
+e AS (
+  SELECT c1, c2,
+         CAST(COALESCE(SUM(c2) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum2_excl
+  FROM v),
+t AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM v)
+SELECT t.n1, t.n2,
+       CAST(SUM(2 * e.c1 * e.cum2_excl + e.c1 * e.c2) AS BIGINT) AS u1_x2,
+       CAST(SUM(2 * e.c1 * e.cum2_excl + e.c1 * e.c2) AS DOUBLE)
+         / (t.n1 * t.n2) - 1.0 AS rank_biserial
+FROM e, t
+GROUP BY t.n1, t.n2
+""".strip(),
+)
+def customer_balance_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+            (F.col("c_mktsegment") == _KS_SEG_A).cast("int").alias("g1"),
+            (F.col("c_mktsegment") == _KS_SEG_B).cast("int").alias("g2"),
+        )
+    )
+    v = c.groupBy("cents").agg(
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum("g2").cast("long").alias("c2"),
+    )
+    e = with_global_running_sum(v, ["cents"], "c2", out_col="cum2_incl")
+    e = e.withColumn(
+        "cum2_excl", (F.col("cum2_incl") - F.col("c2")).cast("long")
+    )
+    t = v.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    u = e.agg(
+        F.sum(
+            F.lit(2) * F.col("c1") * F.col("cum2_excl")
+            + F.col("c1") * F.col("c2")
+        )
+        .cast("long")
+        .alias("u1_x2")
+    )
+    return (
+        u.crossJoin(F.broadcast(t))
+        .select(
+            "n1",
+            "n2",
+            "u1_x2",
+            (
+                F.col("u1_x2").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+                - 1.0
+            ).alias("rank_biserial"),
+        )
+    )
