@@ -49,6 +49,20 @@ def _exact_prefix_pairs(adj: DataFrame, threshold: float) -> DataFrame:
 
     ``adj``: (node, nbrs sorted array, sz).  Returns (u, v) candidate
     pairs, u < v, both endpoints present in ``adj``.
+
+    ``adj.nbrs`` is ordered by ascending neighbor document frequency
+    (rarest neighbors first — see ``node_similarity_pairs``), so the
+    sliced prefix is the df-ascending prefix: the prefix theorem holds
+    for ANY fixed global ordering [Bayardo et al. WWW'07 §3.1] — at
+    most ``(1-t)·|s|`` of a set's elements can miss a qualifying
+    partner, so any ``(1-t)·|s|+1`` of them must hit it — and the
+    candidate count is ``Σ_{tok ∈ prefix} df(tok)``, minimized by
+    putting the rare tokens in the prefix.  With id-ordered prefixes a
+    popular neighbor token lands in many prefixes and the tok-keyed
+    join materializes a large skewed candidate set (the r9 driver
+    bench measured it spilling under memory pressure); df-ascending
+    collapses it (the ``doc_containment_pairs`` precedent,
+    queries/text.py).
     """
     prefix_len = (
         F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)) + 1
@@ -230,12 +244,37 @@ def node_similarity_pairs(
     hubs = deg.where(F.col("deg") > F.lit(deg_cap)).select("node")
     has_hubs = bool(hubs.limit(1).count())
     sym_low = sym.join(hubs, "node", "left_anti") if has_hubs else sym
+    # Adjacency arrays df-ASCENDING (rarest neighbor first), baked in
+    # at collect time: the already-persisted degree table doubles as
+    # the document-frequency table (df(nbr) over the full collection
+    # == deg(nbr); after hub removal it is an upper bound, and the
+    # prefix theorem is ordering-agnostic — any fixed global total
+    # order is lossless, df-ascending merely minimizes the candidate
+    # count Σ_{tok ∈ prefix} df(tok)).  One broadcast-sized join
+    # (deg is node-keyed and tiny relative to the edge list; AQE
+    # broadcasts it) followed by array_sort(struct(df, nbr)) orders
+    # each row without any window — same shuffle count as the
+    # id-ordered original, but hub neighbors fall out of prefixes
+    # (the r9-prescribed fix for the skewed candidate set; Bayardo
+    # et al. WWW'07 §3.1).  The (df, nbr) struct sort is a
+    # deterministic global total order, and verification uses
+    # array_intersect, which is order-insensitive.
     # persist, not localCheckpoint: three consumers (prefix explode +
     # both verify sides), and an eager localCheckpoint would run its
     # keyed shuffle without AQE partition coalescing.
+    dfreq = deg.select(F.col("node").alias("nbr"), F.col("deg").alias("df"))
     adj = (
-        sym_low.groupBy("node")
-        .agg(F.array_sort(F.collect_list("nbr")).alias("nbrs"))
+        sym_low.join(dfreq, "nbr")
+        .groupBy("node")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("nbr")))
+            ).alias("_dn")
+        )
+        .select(
+            "node",
+            F.transform(F.col("_dn"), lambda p: p["nbr"]).alias("nbrs"),
+        )
         .withColumn("sz", F.size("nbrs"))
         .persist()
     )
