@@ -381,6 +381,11 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        # bench_schema 2: "queries" holds only the slowest-N subset
+        # (full map in the side file); rounds <= 8 carried the FULL map
+        # under the same key — diff tooling must not read truncation as
+        # queries disappearing (ADVICE r9).
+        "bench_schema": 2,
         "queries": {n: round(slowest[n], 3) for n in sorted(slowest)},
         "queries_note": f"slowest {len(slowest)} of {len(timings)}; "
         "full map in BENCH_LOCAL.json",

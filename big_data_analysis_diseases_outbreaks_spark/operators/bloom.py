@@ -38,9 +38,14 @@ _P2 = 1_073_741_789  # largest prime < 2^30
 
 def _base_hashes(fp_col: Column) -> tuple[Column, Column]:
     """(h1, h2) from a 32-hex-char fingerprint column — first 48 bits,
-    reduced mod two primes (h2 forced odd-ish nonzero)."""
+    reduced mod two primes.  h2 = 1 + 2·(h mod P2) is strictly ODD, so
+    it is coprime with any power-of-two ``m`` and the k
+    Kirsch-Mitzenmacher probes can never collapse onto a single bit
+    (an even h2 sharing all factors with m would locally inflate FPR;
+    never a correctness issue — no false negatives either way).
+    Max h2 ≈ 2^31, times i < k keeps all arithmetic in signed-64."""
     h = F.conv(F.substring(fp_col, 1, 12), 16, 10).cast("long")
-    return h % _P1, F.lit(1).cast("long") + (h % _P2)
+    return h % _P1, F.lit(1).cast("long") + F.lit(2).cast("long") * (h % _P2)
 
 
 def _position(h1: Column, h2: Column, i: int, m: int) -> Column:
@@ -51,6 +56,8 @@ def bloom_build(df: DataFrame, fp_col: str, m: int, k: int) -> list[int]:
     """Aggregate ``df[fp_col]`` into an m-bit Bloom filter; returns the
     m/64 little-endian words. One shuffle (k·n rows of two ints wide →
     m/64 groups); the collect is bounded by the filter size."""
+    if m % 64:
+        raise ValueError(f"bloom m must be a multiple of 64, got {m}")
     h1, h2 = _base_hashes(F.col(fp_col))
     pos = F.explode(
         F.array(*[_position(h1, h2, i, m) for i in range(k)])
@@ -81,6 +88,10 @@ def bloom_build(df: DataFrame, fp_col: str, m: int, k: int) -> list[int]:
 
 def bloom_maybe(fp_col: Column, words: list[int], m: int, k: int) -> Column:
     """Boolean column: all k probe bits set (membership "maybe")."""
+    if m % 64:
+        raise ValueError(f"bloom m must be a multiple of 64, got {m}")
+    if len(words) != m // 64:
+        raise ValueError(f"words has {len(words)} entries, want {m // 64}")
     wvec = F.lit(words)  # ONE ArrayType literal — shipped with the task
     h1, h2 = _base_hashes(fp_col)
     cond = F.lit(True)

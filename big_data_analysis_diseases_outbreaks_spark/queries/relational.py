@@ -6002,13 +6002,13 @@ def _cms_join_oracle() -> str:
 WITH rows_ AS (SELECT UNNEST(range({_CMS_D})) AS r),
 ca AS (
   SELECT r.r,
-         (([{al}][r.r + 1] * o_custkey + [{bl}][r.r + 1])
+         (([{al}][r.r + 1] * (o_custkey % 1000000007) + [{bl}][r.r + 1])
           % 1000000007) % {_CMS_W} AS pos,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM orders, rows_ r GROUP BY 1, 2),
 cb AS (
   SELECT r.r,
-         (([{al}][r.r + 1] * c_custkey + [{bl}][r.r + 1])
+         (([{al}][r.r + 1] * (c_custkey % 1000000007) + [{bl}][r.r + 1])
           % 1000000007) % {_CMS_W} AS pos,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM customer, rows_ r GROUP BY 1, 2),
@@ -6038,7 +6038,12 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(i).alias("r"),
                 (
-                    (F.lit(a_c[i]) * F.col(key) + F.lit(b_c[i])) % P
+                    # key reduced mod P BEFORE the multiply: a_i < 2^29
+                    # and (key % P) < 2^30 keep the product < 2^59, so
+                    # the protocol never overflows int64 however large
+                    # the key universe (Spark would wrap silently where
+                    # DuckDB errors — the engines must agree bit-for-bit).
+                    (F.lit(a_c[i]) * (F.col(key) % P) + F.lit(b_c[i])) % P
                     % _CMS_W
                 ).alias("pos"),
             )

@@ -1184,8 +1184,12 @@ SELECT user_id, CAST(3 AS BIGINT), t3 FROM s3
 def stream_funnel_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..streaming.pipeline import assert_single_batch_replay
     from ..streaming.stateful import funnel_stream
 
+    # funnel_stream's greedy state machine equals the min-after-min
+    # oracle only under ordered single-batch replay — guard it.
+    assert_single_batch_replay(sf_dir)
     ev = events_stream(spark, sf_dir).select(
         "user_id",
         "event_type",

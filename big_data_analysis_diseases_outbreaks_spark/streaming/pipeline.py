@@ -63,6 +63,24 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+def assert_single_batch_replay(sf_dir: str) -> None:
+    """Fail loud when the replay source would deliver >1 micro-batch.
+
+    Greedy per-group state machines (funnel_stream) equal their batch
+    min-after-min oracles only when each group's events arrive
+    event-time-sorted within ONE micro-batch — true for the one-file
+    replay dir, silently broken by a multi-file fixture (a stage event
+    in a later batch with a smaller event-time diverges).  Call sites
+    that rely on ordered single-batch replay must invoke this guard."""
+    d = _stream_source_dir(sf_dir)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if len(files) != 1:
+        raise RuntimeError(
+            "ordered single-batch replay requires exactly one source "
+            f"file; {d} has {len(files)}: {sorted(files)[:5]}"
+        )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as an unbounded stream."""
     configure_runtime(spark)
