@@ -66,13 +66,157 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
 
 
-# --- LSH-bucketed ANN (approximate scale path → rows-only check) ----------
+# --- LSH-bucketed ANN (multi-table OR-amplified hyperplane LSH) -----------
+# Value-oracled since round 10: the hyperplanes are pinned, integer,
+# and cross-engine — Rademacher ±1 weights from the split-multiply-mix
+# const family (the SRP-sketch precedent), dotted against the
+# power-of-two-quantized embedding (floor(x·2^20) is exact in DOUBLE,
+# so both engines compute identical sign bits). 4 tables × 8 planes:
+# candidates meet a query iff they share an 8-bit bucket in ≥1 table
+# (OR-amplification), pairs dedup across tables, and each survivor is
+# verified with the exact rounded cosine + row_number top-k — the same
+# ranking protocol as cosine_topk. The numpy-Gaussian fast path
+# (operators/similarity.lsh_topk) remains the 100 TB throughput
+# exemplar, exercised by ml_recall_report and the recall tests; THIS
+# query proves the bucket/candidate/verify algorithm value-exactly.
+
+_ALSH_TABLES = 4
+_ALSH_PLANES = 8
+_ALSH_QSCALE = 1 << 20
+_ALSH_DIM = 64
 
 
-@register("ann_lsh_topk", oracle=None)
+def _alsh_weight(d: int, bit: int) -> int:
+    hv = ((d * _ALSH_TABLES * _ALSH_PLANES + bit) * 16807 + 17) % 2147483647
+    mv = (hv % 100003) * (hv // 100003 + 13)
+    return ((mv >> 5) & 1) * 2 - 1
+
+
+def _alsh_oracle() -> str:
+    vals = ",".join(
+        f"({bit},{d},{_alsh_weight(d, bit)})"
+        for bit in range(_ALSH_TABLES * _ALSH_PLANES)
+        for d in range(_ALSH_DIM)
+    )
+    return f"""
+WITH wgt(bit, d, w) AS (SELECT * FROM (VALUES {vals})),
+q AS (
+  SELECT e.vec_id, t.d,
+         CAST(FLOOR(CAST(e.embedding[t.d + 1] AS DOUBLE) * {_ALSH_QSCALE})
+              AS BIGINT) AS qx
+  FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(d)),
+dots AS (
+  SELECT q.vec_id, wgt.bit // {_ALSH_PLANES} AS tbl,
+         wgt.bit % {_ALSH_PLANES} AS p,
+         CAST(SUM(q.qx * wgt.w) AS BIGINT) AS dot
+  FROM q JOIN wgt ON wgt.d = q.d
+  GROUP BY 1, 2, 3),
+buckets AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket
+   AND a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.query_id, c.cand_id,
+         ROUND(
+           list_sum(list_transform(range(1, len(qe.embedding) + 1),
+               i -> CAST(qe.embedding[i] AS DOUBLE)
+                    * CAST(ce.embedding[i] AS DOUBLE)))
+           / NULLIF(
+             sqrt(list_sum(list_transform(qe.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(ce.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0), 4)
+           AS cos_sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ce ON ce.vec_id = c.cand_id),
+ranked AS (
+  SELECT query_id, cand_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= 3
+""".strip()
+
+
+@register("ann_lsh_topk", oracle=_alsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.where(F.col("vec_id") < _N_QUERIES), emb, k=3)
+    from ..operators.similarity import cosine
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    qarr = F.transform(
+        "emb", lambda x: F.floor(x * F.lit(_ALSH_QSCALE)).cast("long")
+    )
+    base = emb.select("vec_id", "emb", qarr.alias("q"))
+
+    def _bucket(t: int):
+        acc = F.lit(0).cast("long")
+        for p in range(_ALSH_PLANES):
+            bit = t * _ALSH_PLANES + p
+            w = F.array(
+                *[F.lit(_alsh_weight(d, bit)) for d in range(_ALSH_DIM)]
+            )
+            dot = F.aggregate(
+                F.zip_with(F.col("q"), w, lambda x, wv: x * wv),
+                F.lit(0).cast("long"),
+                lambda a, el: a + el,
+            )
+            acc = acc + (dot > 0).cast("long") * F.lit(1 << p).cast("long")
+        return acc
+
+    tbl_structs = [
+        F.struct(F.lit(t).alias("table"), _bucket(t).alias("bucket"))
+        for t in range(_ALSH_TABLES)
+    ]
+    # Persisted: the bucketed frame feeds both sides of the candidate
+    # join with different filters (ReuseExchange never covers that).
+    b = (
+        base.select(
+            "vec_id", "emb", F.explode(F.array(*tbl_structs)).alias("tb")
+        )
+        .select("vec_id", "emb", "tb.table", "tb.bucket")
+        .persist()
+    )
+    qs = b.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "table",
+        "bucket",
+    )
+    pairs = (
+        F.broadcast(qs)
+        .join(b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("c_emb"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= 3)
 
 
 # --- IVF-bucketed ANN (KMeans coarse quantizer → rows-only check) ---------

@@ -266,48 +266,133 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash (Arrow-vectorized pandas UDF — the sanctioned slow path) -----
+# Value-oracled since round 10 via the repo's cross-engine hash
+# protocol (the dedup_minhash_verified precedent): token hash = the
+# RH polynomial fold both engines share; per-bit hash j =
+# (a_j·th + b_j) mod P with a_j odd < 2^29 (products < 2^59, no
+# int64 overflow in either engine); bit j of the signature = sign of
+# Σ_tokens (2·(h_j mod 2) − 1) with the >=0 → 1 tie rule (the
+# doc_simhash16 convention). Bit 63 is applied as −2^63 so the
+# signed-64 signature is bit-identical in both engines; the 16-bit
+# routing bucket is bits 48..63 (shiftrightunsigned Spark-side,
+# (x >> 48) & 0xffff in DuckDB — arithmetic shift + mask equals the
+# logical shift on the kept bits).
+
+# The cross-engine rolling-hash protocol constants (shared by the
+# fingerprint, MinHash, and SimHash families below; defined here
+# because this is their first textual use).
+RH_INIT = 7
+RH_MULT = 31
+RH_MOD = 1_000_000_007
+
+_SH64_BITS = 64
 
 
-@register("simhash_buckets", oracle=None)
+def _sh64_consts() -> tuple[list[int], list[int]]:
+    a, b = [], []
+    for i in range(_SH64_BITS):
+        hv = (i * 69621 + 113) % 2147483647
+        mv = (hv % 100003) * (hv // 100003 + 29)
+        a.append((mv % ((1 << 29) - 1)) | 1)  # odd, < 2^29
+        b.append((mv // 13) % RH_MOD)
+    return a, b
+
+
+def _sh64_oracle() -> str:
+    a, b = _sh64_consts()
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ({a[j]} * hv + {b[j]}) % {RH_MOD} % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SH64_BITS)
+    )
+    sig_lo = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(63)
+    )
+    sig = (
+        "(CASE WHEN s63 >= 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+        f" + {sig_lo}"
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN s{j + 48} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST({RH_INIT} AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+  FROM tok WHERE len(ts) >= 1),
+h AS (SELECT doc_id, unnest(hs) AS hv FROM th),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id)
+SELECT doc_id,
+       CAST({sig} AS BIGINT) AS simhash,
+       CAST({bucket} AS INTEGER) AS bucket
+FROM bits
+""".strip()
+
+
+@register("simhash_buckets", oracle=_sh64_oracle())
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc + 16-bit prefix bucket for candidate pruning.
 
-    Token hashing is numpy-vectorized inside a pandas UDF (Arrow batches);
-    at scale this is one narrow map — no shuffle until the bucket groupBy.
+    Token hashing is numpy-vectorized inside a pandas UDF (Arrow
+    batches); at scale this is one narrow map — no shuffle at all (the
+    bucket is a bit-slice projection).  Docs with no tokens are
+    excluded (both engines agree on the predicate; an empty doc has no
+    signature).
     """
     docs = load_table(spark, sf_dir, "documents")
+    a_c, b_c = _sh64_consts()
 
     @F.pandas_udf(LongType())
     def simhash64(texts: pd.Series) -> pd.Series:
         import numpy as np
 
+        av = np.array(a_c, dtype=np.int64)
+        bv = np.array(b_c, dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = t.split()
+            toks = t.lower().split()
             if not toks:
                 continue
             hs = np.array(
-                [hash_token(tok) for tok in toks], dtype=np.uint64
+                [hash_token(tok) for tok in toks], dtype=np.int64
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            acc = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
+            # n_tokens × 64 parity matrix in one vectorized shot;
+            # a_j < 2^29 times th < 2^30 keeps products < 2^59.
+            par = (hs[:, None] * av[None, :] + bv[None, :]) % RH_MOD % 2
+            acc = (2 * par - 1).sum(axis=0)
+            sig = 0
+            for j in range(63):
+                if acc[j] >= 0:
+                    sig |= 1 << j
+            if acc[63] >= 0:
+                sig -= 1 << 63
+            out[i] = sig
         return pd.Series(out)
 
     def hash_token(tok: str) -> int:
-        # FNV-1a 64-bit — deterministic across processes (unlike hash()).
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        # The cross-engine RH polynomial fold (same family as
+        # dedup_minhash_verified); ord == DuckDB ascii() == Spark
+        # ascii() on the corpus alphabet.
+        h = RH_INIT
+        for ch in tok:
+            h = (h * RH_MULT + ord(ch)) % RH_MOD
         return h
 
-    sig = docs.select("doc_id", simhash64("text").alias("simhash"))
+    sig = docs.where(
+        F.size(tokens(F.lower(F.col("text")))) >= 1
+    ).select("doc_id", simhash64("text").alias("simhash"))
     return sig.withColumn(
         "bucket", F.shiftrightunsigned("simhash", 48).cast("int")
     )
@@ -316,11 +401,6 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rolling-hash fingerprint (polynomial Rabin-Karp fold over the
 # normalized character stream; north-star "document fingerprinting
 # (rolling hash)" alongside the md5 content fingerprint) -------------------
-
-RH_INIT = 7
-RH_MULT = 31
-RH_MOD = 1_000_000_007
-
 
 @register(
     "doc_rolling_fingerprint",
