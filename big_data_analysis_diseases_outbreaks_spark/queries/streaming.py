@@ -819,6 +819,9 @@ WHERE rnk <= {_SLIDING_TOPK}
 """.strip(),
 )
 def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode replay twin: oracle-friendly, but complete-mode
+    sliding state is unbounded — the production path is
+    stream_sliding_topk_wm below (append + watermark, bounded state)."""
     from pyspark.sql import Window
 
     agg = sliding_agg_stream(
@@ -828,6 +831,65 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None,
     )
     name, _ = run_to_memory(agg, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("value").desc(), F.col("region").asc()
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _SLIDING_TOPK)
+    )
+
+
+# --- sliding top-k, production posture: append mode + watermark -----------
+# The complete-mode twin above retains EVERY window in the state store
+# forever — fine for a bounded replay, unbounded at 100×. This variant
+# is the leaderboard a production stream would run: a 3-day watermark
+# bounds state (windows are evicted once closed), append mode emits
+# each window exactly once on closure, and the per-window top-k runs
+# as the same window-start-partitioned batch ranking over the emitted
+# (insert-only) log. Single-batch replay means no late drops — the
+# watermark's only observable effect is the closure predicate
+# window_end <= max(event_time) − delay, which the oracle applies
+# verbatim (the stream_watermark_late_drop wm_final recipe).
+
+_SLTK_WM_DAYS = 3
+
+
+@register(
+    "stream_sliding_topk_wm",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+ev AS (SELECT CAST(datetime AS DATE) AS d, region, value FROM trends),
+wm AS (SELECT MAX(CAST(datetime AS TIMESTAMP))
+              - INTERVAL {_SLTK_WM_DAYS} DAY AS wmf FROM trends),
+agg AS (
+  SELECT (d - CAST(i AS INTEGER)) AS window_start, region,
+         ROUND(SUM(value), 4) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev, range(0, 7) t(i)
+  GROUP BY 1, 2),
+closed AS (
+  SELECT a.* FROM agg a, wm
+  WHERE CAST(a.window_start AS TIMESTAMP) + INTERVAL 7 DAY <= wm.wmf)
+SELECT window_start, region, value, n, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY value DESC, region ASC) AS rnk
+  FROM closed)
+WHERE rnk <= {_SLIDING_TOPK}
+""".strip(),
+)
+def stream_sliding_topk_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = sliding_agg_stream(
+        trends_stream(spark, sf_dir),
+        window="7 days",
+        slide="1 day",
+        watermark=f"{_SLTK_WM_DAYS} days",
+    )
+    name, _ = run_to_memory(agg, output_mode="append")
     w = Window.partitionBy("window_start").orderBy(
         F.col("value").desc(), F.col("region").asc()
     )
