@@ -239,6 +239,18 @@ HEADLINE = [
     "orders_priority_drift",
     "customer_balance_ks",
     "customer_balance_mwu",
+    # round-10 additions. The *_mv lines are the graph family's
+    # steady-state consume protocol (edge view + label table read from
+    # the materialized store; build paid once per source version) —
+    # the self-contained lines above stay as the cold-start record.
+    "stream_sliding_topk_wm",
+    "part_copurchase_pagerank_mv",
+    "part_copurchase_pagerank_weighted_mv",
+    "part_copurchase_lpa_mv",
+    "part_copurchase_kcore_mv",
+    "part_copurchase_ktruss_mv",
+    "part_node_similarity_mv",
+    "part_copurchase_modularity_mv",
 ]
 
 

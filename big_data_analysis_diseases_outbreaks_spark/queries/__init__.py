@@ -77,58 +77,60 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-9 additions (never-green; newest first) ---
-    "customer_balance_mwu",
-    "customer_balance_ks",
-    "orders_priority_drift",
-    "part_copurchase_khop_sql",
-    "part_substitute_pairs",
-    "customer_cohort_ltv",
-    "orders_seasonality_index",
-    "part_degree_assortativity",
-    "part_copurchase_modularity",
-    "join_cardinality_estimate",
-    "sql_udf_revenue_bands",
-    "topk_mv_refresh",
-    "events_type_overlap",
-    "customer_tier_migration",
-    "dedup_minhash_verified",
-    "supplier_scorecard",
-    "orders_open_backlog_daily",
-    "sql_script_threshold_filter",
-    "events_late_arrival_audit",
-    "doc_containment_pairs",
-    "corpus_dedup_report",
-    "orders_group_split",
-    "lineitem_star_flatten",
-    "doc_quality_calibration",
-    "stream_funnel_transitions",
-    "part_copurchase_pagerank_weighted",
-    "embedding_srp_band_pairs",
-    "customer_l_diversity",
-    "part_clustering_coefficient",
-    "user_retention_matrix",
-    "events_funnel",
-    "nation_balance_mad",
-    "part_degree_histogram",
-    "doc_ngram_novelty",
-    "doc_quality_classifier",
-    "curation_pipeline_clf",
-    "copurchase_edges_mv",
-    "dedup_incremental_bloom",
-    "part_copurchase_kcore",
-    "part_copurchase_ktruss",
-    # --- Re-confirmation: §2 flagship spine (last green r4–r6) ---
-    "trends_detrend",
-    "pivot_wide",
-    "stream_daily_agg",
-    "anomaly_zscore",
-    "dedup_exact",
-    "revenue_by_nation",
-    "top10_customers",
-    "json_roundtrip",
-    "month_onehot",
-    "global_minmax_date",
+    # --- Round-10 rotation: never-green first (2 reshaped-oracle
+    # upgrades, 7 graph MV-consume twins, the sliding-topk watermark
+    # twin), then re-confirmation backfill with the OLDEST-evidence
+    # green queries (r1/r3/r4 rows; tools/rotate_window.py). ---
+    "ann_lsh_topk",
+    "simhash_buckets",
+    "part_copurchase_pagerank_mv",
+    "part_copurchase_pagerank_weighted_mv",
+    "part_copurchase_lpa_mv",
+    "part_copurchase_kcore_mv",
+    "part_copurchase_ktruss_mv",
+    "part_node_similarity_mv",
+    "part_copurchase_modularity_mv",
+    "stream_sliding_topk_wm",
+    "doc_bpe_token_count",
+    "doc_rolling_fingerprint",
+    "token_frequencies",
+    "cube_orders_status",
+    "customer_halves_outer",
+    "customer_order_frame",
+    "customer_order_sequence",
+    "customer_spend_deciles",
+    "customer_spend_percentile",
+    "customers_active_both_halves",
+    "dedup_embedding_cosine",
+    "disjunctive_promo_revenue",
+    "distinct_users_per_type",
+    "embedding_activation_stats",
+    "embedding_quantize_int8",
+    "event_prop_key_stats",
+    "fuzzy_part_name_pairs",
+    "grouping_sets_order_stats",
+    "label_centroids",
+    "late_shipment_orders",
+    "merge_upsert_orders",
+    "monthly_rollup_from_daily",
+    "order_price_histogram",
+    "orders_above_customer_avg",
+    "orders_calendar_rollup",
+    "orders_price_band",
+    "parts_not_recently_shipped",
+    "promo_revenue_share",
+    "region_shipment_flags",
+    "returned_parts_multiset",
+    "rollup_lineitem_status",
+    "salted_type_join",
+    "scd2_priority_epochs",
+    "small_quantity_revenue",
+    "sql_api_priority_revenue",
+    "top3_customers_per_nation",
+    "anomaly_region_map",
+    "contamination_8gram_overlap",
+    "cosine_topk",
+    "daily_zero_filled",
 ]
 
 
