@@ -1246,12 +1246,9 @@ SELECT user_id, CAST(3 AS BIGINT), t3 FROM s3
 def stream_funnel_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..streaming.pipeline import assert_single_batch_replay
+    from ..streaming.pipeline import assert_single_data_batch
     from ..streaming.stateful import funnel_stream
 
-    # funnel_stream's greedy state machine equals the min-after-min
-    # oracle only under ordered single-batch replay — guard it.
-    assert_single_batch_replay(sf_dir)
     ev = events_stream(spark, sf_dir).select(
         "user_id",
         "event_type",
@@ -1259,5 +1256,9 @@ def stream_funnel_transitions(
         F.unix_micros("ts").alias("us"),
     )
     out = funnel_stream(ev)
-    name, _ = run_to_memory(out, output_mode="append")
+    name, q = run_to_memory(out, output_mode="append")
+    # funnel_stream's greedy state machine equals the min-after-min
+    # oracle only under single-data-batch replay — fail loud if the
+    # source delivered more (streaming/pipeline.py).
+    assert_single_data_batch(q)
     return spark.table(name)

@@ -46,38 +46,68 @@ def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 def _stream_source_dir(sf_dir: str) -> str:
     """The parquet file-stream source requires a *directory*; the testdata
     is one file per table (read-only), so expose events.parquet through a
-    per-sf_dir symlink directory under /tmp."""
+    per-sf_dir symlink directory under /tmp.
+
+    When the source is itself a DIRECTORY (a Spark-written table, e.g.
+    the self-scaled audit fixtures), the file stream source would NOT
+    recurse into a symlinked subdirectory — it silently lists zero
+    files (found round 10: every streaming query read 0 rows from the
+    scale fixtures). Fan the part files out as individual symlinks
+    instead."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"spark_stream_src_{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
     target = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(target):
+        pairs = [
+            (os.path.join(d, f"events-{f}"), os.path.join(target, f))
+            for f in sorted(os.listdir(target))
+            if f.endswith(".parquet")
+        ]
+        if not pairs:
+            raise RuntimeError(f"no parquet part files under {target}")
+    else:
+        pairs = [(os.path.join(d, "events.parquet"), target)]
     # lexists, not exists: a dangling symlink (testdata moved since the
     # cached /tmp dir was created) returns False from exists() and the
-    # re-create would raise FileExistsError. Re-point if stale.
-    if os.path.lexists(link):
-        if os.path.islink(link) and os.readlink(link) == target:
-            return d
-        os.remove(link)
-    os.symlink(target, link)
+    # re-create would raise FileExistsError. Re-point if stale; drop
+    # symlinks for part files that no longer exist (regenerated fixture).
+    want = {link: tgt for link, tgt in pairs}
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if os.path.islink(p) and p not in want:
+            os.remove(p)
+    for link, tgt in pairs:
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) == tgt:
+                continue
+            os.remove(link)
+        os.symlink(tgt, link)
     return d
 
 
-def assert_single_batch_replay(sf_dir: str) -> None:
-    """Fail loud when the replay source would deliver >1 micro-batch.
+def assert_single_data_batch(query) -> None:
+    """Fail loud when a finished replay delivered >1 data micro-batch.
 
     Greedy per-group state machines (funnel_stream) equal their batch
-    min-after-min oracles only when each group's events arrive
-    event-time-sorted within ONE micro-batch — true for the one-file
-    replay dir, silently broken by a multi-file fixture (a stage event
-    in a later batch with a smaller event-time diverges).  Call sites
-    that rely on ordered single-batch replay must invoke this guard."""
-    d = _stream_source_dir(sf_dir)
-    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-    if len(files) != 1:
+    min-after-min oracles only when each group's events arrive within
+    ONE micro-batch (the handler sorts by event time inside the
+    batch) — true for the un-throttled file replay, silently broken by
+    a maxFilesPerTrigger option or a rate-limited source (a stage
+    event in a later batch with a smaller event-time diverges).  File
+    count alone can't decide this (one batch may span many files), so
+    the guard is post-hoc: after termination, count the committed
+    micro-batches that actually carried rows."""
+    data_batches = [
+        p for p in query.recentProgress if p.numInputRows > 0
+    ]
+    if len(data_batches) > 1:
         raise RuntimeError(
-            "ordered single-batch replay requires exactly one source "
-            f"file; {d} has {len(files)}: {sorted(files)[:5]}"
+            "ordered single-batch replay violated: "
+            f"{len(data_batches)} data micro-batches "
+            f"(batchIds {[p.batchId for p in data_batches]}); the "
+            "greedy per-group state machine diverges from its batch "
+            "oracle under multi-batch delivery"
         )
 
 

@@ -47,6 +47,16 @@ FAMILIES = [
     ("SRP band pairs (vector near-dup)", "embedding_srp_band_pairs"),
     ("clustering coefficient (wedge join)", "part_clustering_coefficient"),
     ("weighted pagerank over MV", "part_copurchase_pagerank_weighted"),
+    # round-10: the streaming/stateful family (VERDICT r9 #7) — state-
+    # store growth measured, not asserted. Each line runs a full
+    # bounded-replay streaming query (engine startup is a fixed cost
+    # shared by both scales; the exponent isolates the state/emission
+    # growth).
+    ("stateful recursive EWMA (stream, per-series state)",
+     "stream_ewma_recursive"),
+    ("stateful funnel (stream, per-user state machine)",
+     "stream_funnel_transitions"),
+    ("sliding window append+watermark (stream)", "stream_sliding_topk_wm"),
 ]
 
 
@@ -61,8 +71,14 @@ def main() -> None:
         spark, os.path.join(root, "scale1")
     ).write.format("noop").mode("overwrite").save()
 
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_AUDIT_ONLY", "").split(",")
+        if s
+    }
     results = {}
     for label, name in FAMILIES:
+        if only and name not in only:
+            continue
         times = {}
         for m in (1, 10):
             sf_dir = os.path.join(root, f"scale{m}")
