@@ -7021,3 +7021,253 @@ def part_copurchase_modularity_mv(
         "sum_deg_sq",
         q.alias("modularity"),
     )
+
+
+# --- common-neighbor link prediction (round 10) ---------------------------
+# "Parts that SHOULD be co-purchased but aren't yet": rank NON-adjacent
+# part pairs by their common-neighbor count in the co-purchase graph —
+# the classic link-prediction baseline [Liben-Nowell & Kleinberg '03],
+# integer-exact by construction (no log-weighted Adamic-Adar: ln() is
+# off the cross-engine protocol). Engine shape: the wedge join on the
+# shared neighbor (candidate pairs with their counts in ONE aggregate),
+# an ANTI join against the edge set (drops existing edges), then
+# TakeOrderedAndProject for the bounded top-50 (count desc, key-pair
+# tie-break — fully deterministic). At 100 TB the wedge join is the
+# AllPairs caveat again: hub neighbors explode the candidate set, and
+# the documented mitigation is the node_similarity degree split
+# (hub wedges route through the capped machinery); the fixture graph's
+# max degree is far below any cap, so the plain wedge join is the
+# right plan here.
+
+_LP_TOPK = 50
+
+
+@register(
+    "part_link_prediction_cn",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+cn AS (
+  SELECT n1.a AS u, n2.a AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+  GROUP BY n1.a, n2.a),
+nonedge AS (
+  SELECT cn.u, cn.v, cn.n_common FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)),
+ranked AS (
+  SELECT u, v, n_common,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_common DESC, u ASC, v ASC)
+              AS BIGINT) AS rank
+  FROM nonedge)
+SELECT u AS part_key_1, v AS part_key_2, n_common, rank
+FROM ranked WHERE rank <= {_LP_TOPK}
+""".strip(),
+)
+def part_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.triangles import undirected_edges
+
+    edges = copurchase_edges(spark, sf_dir)
+    und = undirected_edges(edges).persist()  # wedge sides + anti join
+    sym = und.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    n1, n2 = sym.alias("n1"), sym.alias("n2")
+    cn = (
+        n1.join(n2, (F.col("n1.b") == F.col("n2.b")) & (F.col("n1.a") < F.col("n2.a")))
+        .groupBy(F.col("n1.a").alias("u"), F.col("n2.a").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    nonedge = cn.join(und, ["u", "v"], "left_anti")
+    w = Window.orderBy(
+        F.col("n_common").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    # global top-k: orderBy().limit() plans TakeOrderedAndProject (no
+    # single-partition window funnel); the rank column is re-derived on
+    # the bounded 50-row result.
+    top = nonedge.orderBy(
+        F.col("n_common").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_LP_TOPK)
+    return top.select(
+        F.col("u").alias("part_key_1"),
+        F.col("v").alias("part_key_2"),
+        "n_common",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# --- TPC-H Q3 shape: top unshipped-order revenue (round 10) ---------------
+# The shipping-priority classic: orders placed before the cutoff whose
+# lineitems ship after it, ranked by outstanding revenue — the one
+# TPC-H spine query the relational family was still missing. Exact
+# integer cents (the repo's rev_cents protocol); top-10 via
+# TakeOrderedAndProject with full tie-breaks (revenue desc, orderdate
+# asc, orderkey asc — deterministic). Both date predicates push to the
+# parquet scans.
+
+_Q3_CUTOFF = "1997-07-01"
+
+
+@register(
+    "orders_unshipped_revenue_top10",
+    oracle=f"""
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rc
+  FROM lineitem WHERE CAST(l_shipdate AS DATE) > DATE '{_Q3_CUTOFF}'),
+o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_orderpriority
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '{_Q3_CUTOFF}'),
+agg AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(SUM(l.rc) AS BIGINT) AS revenue_cents
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2, 3)
+SELECT * FROM agg
+ORDER BY revenue_cents DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 10
+""".strip(),
+)
+def orders_unshipped_revenue_top10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cutoff = F.lit(_Q3_CUTOFF).cast("date")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.to_date("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("rc"),
+        )
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.to_date("o_orderdate") < cutoff)
+        .select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+    agg = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rc").cast("long").alias("revenue_cents"))
+    )
+    return agg.orderBy(
+        F.col("revenue_cents").desc(),
+        F.col("o_orderdate").asc(),
+        F.col("o_orderkey").asc(),
+    ).limit(10)
+
+
+# --- entity resolution: blocked fuzzy match → clusters → canonical --------
+# The full ER pipeline as one query, composing three machines the repo
+# already proves separately: (1) deletion-neighborhood blocking finds
+# all customer-name pairs within edit distance 1 WITHOUT the n² scan
+# (the fuzzy_name_pairs plan, keyed by custkey here); (2) the pair
+# edges run through iterative min-label propagation to connected
+# components (operators/components.py — converged, so the recursive
+# oracle matches exactly); (3) every customer resolves to a canonical
+# entity id (the cluster's min custkey; singletons self-canonical) with
+# its cluster size. This is the master-data dedup a warehouse runs at
+# scale: blocking bounds candidates, components glue transitive
+# matches (A~B, B~C ⇒ one entity even when A,C are at distance 2),
+# the canonical pick is a deterministic argmin.
+
+@register(
+    "customer_entity_resolution",
+    oracle="""
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+edges AS (SELECT u AS src, v AS dst FROM p
+          UNION ALL SELECT v, u FROM p),
+reach(node, label) AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON r.node = e.src),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+m AS (
+  SELECT c.c_custkey,
+         CAST(COALESCE(cc.component, c.c_custkey) AS BIGINT) AS entity_id
+  FROM customer c LEFT JOIN cc ON cc.node = c.c_custkey),
+sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM m GROUP BY entity_id)
+SELECT m.c_custkey, m.entity_id, sz.cluster_size,
+       CAST(m.c_custkey = m.entity_id AS INTEGER) AS is_canonical
+FROM m JOIN sz USING (entity_id)
+""".strip(),
+)
+def customer_entity_resolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.components import connected_components
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    keyed = cust.select(
+        "c_custkey",
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i ->"
+                    " concat(substring(c_name, 1, i - 1),"
+                    " substring(c_name, i + 1, length(c_name))))"
+                ),
+            )
+        ).alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("u"),
+            F.col("b.c_custkey").alias("v"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+        .where(F.levenshtein("na", "nb") <= 1)
+        .select("u", "v")
+    )
+    labels = connected_components(pairs, src="u", dst="v")
+    m = cust.join(
+        labels, cust["c_custkey"] == labels["node"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("label"), F.col("c_custkey"))
+        .cast("long")
+        .alias("entity_id"),
+    )
+    sz = m.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return m.join(sz, "entity_id").select(
+        "c_custkey",
+        "entity_id",
+        "cluster_size",
+        (F.col("c_custkey") == F.col("entity_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )

@@ -3002,3 +3002,314 @@ def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- funnel time-to-convert order statistics (round 10) -------------------
+# The analytics a funnel table exists to answer: how LONG do the
+# view→click and click→purchase transitions take? Latencies are exact
+# integer micros from the min-after-min funnel stages, and both
+# quantiles use the DISCRETE order-statistic protocol — the value at
+# rank ceil(q·n) — computed distributively: per-(stage, latency)
+# counts (the latency-value table is far smaller than the user table),
+# one stage-keyed running sum over it, then a filtered MIN. No
+# interpolating percentile crosses the engine boundary (interpolation
+# weights like 0.9·(b−a) are not exactly representable, unlike the
+# exact-median .5 protocol), and every emitted cell is an integer.
+
+@register(
+    "events_funnel_latency",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM e
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.us) AS t2
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.us > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.us) AS t3
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+  GROUP BY e.user_id),
+lat AS (
+  SELECT CAST(2 AS BIGINT) AS stage, s2.t2 - s1.t1 AS lat
+  FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), s3.t3 - s2.t2
+  FROM s3 JOIN s2 ON s2.user_id = s3.user_id),
+counts AS (
+  SELECT stage, lat, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT stage, lat, c,
+         SUM(c) OVER (PARTITION BY stage ORDER BY lat) AS cs,
+         SUM(c) OVER (PARTITION BY stage) AS n
+  FROM counts)
+SELECT stage,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(MIN(CASE WHEN cs * 2 >= n THEN lat END) AS BIGINT) AS p50_us,
+       CAST(MIN(CASE WHEN cs * 10 >= 9 * n THEN lat END) AS BIGINT)
+         AS p90_us,
+       CAST(MAX(lat) AS BIGINT) AS max_us
+FROM cum GROUP BY stage, n
+""".strip(),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v, c, p = _FUNNEL_STAGES
+    s1 = (
+        ev.where(F.col("event_type") == v)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == c)
+        .join(s1, "user_id")
+        .where(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.first("t1").alias("t1k"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == p)
+        .join(s2.select("user_id", "t2"), "user_id")
+        .where(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"), F.first("t2").alias("t2k"))
+    )
+    lat = (
+        s2.select(
+            F.lit(2).cast("long").alias("stage"),
+            (F.col("t2") - F.col("t1k")).alias("lat"),
+        )
+    ).unionAll(
+        s3.select(
+            F.lit(3).cast("long").alias("stage"),
+            (F.col("t3") - F.col("t2k")).alias("lat"),
+        )
+    )
+    counts = lat.groupBy("stage", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("stage")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("stage")
+    cum = counts.select(
+        "stage",
+        "lat",
+        F.sum("c").over(w_cum).alias("cs"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("stage", "n").agg(
+        F.min(F.when(F.col("cs") * 2 >= F.col("n"), F.col("lat")))
+        .cast("long")
+        .alias("p50_us"),
+        F.min(F.when(F.col("cs") * 10 >= 9 * F.col("n"), F.col("lat")))
+        .cast("long")
+        .alias("p90_us"),
+        F.max("lat").cast("long").alias("max_us"),
+    ).select(
+        "stage",
+        F.col("n").cast("long").alias("n_users"),
+        "p50_us",
+        "p90_us",
+        "max_us",
+    )
+
+
+# --- two-proportion A/B z-test (round 10) ---------------------------------
+# The experimentation primitive: users split into two deterministic
+# arms (user_id parity — a stand-in for the assignment hash), outcome =
+# "reached a purchase event". Counts are exact integers; the pooled
+# two-proportion z-statistic is the one emitted double (a single
+# sqrt + division chain on exact integer inputs — the cosine-protocol
+# shape, rounded to 4 dp). At 100 TB: one per-user aggregate (map-side
+# combined) then a two-row reduce.
+
+@register(
+    "events_ab_test",
+    oracle="""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM u GROUP BY arm),
+w AS (
+  SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+         MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+         MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+         MAX(CASE WHEN arm = 1 THEN x END) AS x1
+  FROM a)
+SELECT n0, x0, n1, x1,
+       ROUND(CAST(x0 AS DOUBLE) / n0, 4) AS rate0,
+       ROUND(CAST(x1 AS DOUBLE) / n1, 4) AS rate1,
+       ROUND(
+         (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+         / sqrt(
+             (CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+             * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+             * (1.0 / n0 + 1.0 / n1)),
+         4) AS z
+FROM w
+""".strip(),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).alias("arm"), "conv")
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("x"),
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return w.select(
+        "n0",
+        "x0",
+        "n1",
+        "x1",
+        F.round(p0, 4).alias("rate0"),
+        F.round(p1, 4).alias("rate1"),
+        F.round((p1 - p0) / se, 4).alias("z"),
+    )
+
+
+# --- Cramér's V effect size (round 10) ------------------------------------
+# The one-row companion to events_chi2_independence: the chi² total
+# normalized to [0, 1] — V = sqrt(chi² / (n · (min(r, c) − 1))) — so
+# drift dashboards can compare association strength across tables of
+# different shape. Margins and cells are the same exact integers as
+# the cell query; chi² totals a handful of per-cell doubles (each cell
+# deterministic from integer inputs, the chi2_cell expression
+# verbatim) and the emitted V is one sqrt + division, rounded — the
+# cosine-protocol shape. The contingency table is |event types| × 7,
+# so everything after the first aggregate is driver-trivial however
+# big the events table is.
+
+@register(
+    "events_cramers_v",
+    oracle="""
+WITH e AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+              AS BIGINT) AS dow
+  FROM events),
+o AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM e GROUP BY event_type, dow),
+rt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_type
+       FROM o GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS n_dow
+       FROM o GROUP BY dow),
+n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o),
+cells AS (
+  SELECT (CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE)
+          * CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE))
+         / CAST(rt.n_type * ct.n_dow * n.n_total AS DOUBLE) AS chi2_cell
+  FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n),
+dims AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM e)
+SELECT d.r AS n_rows, d.c AS n_cols, d.n_total,
+       ROUND(s.chi2, 4) AS chi2,
+       ROUND(sqrt(s.chi2 / (d.n_total * (LEAST(d.r, d.c) - 1))), 4)
+         AS cramers_v
+FROM (SELECT SUM(chi2_cell) AS chi2 FROM cells) s CROSS JOIN dims d
+""".strip(),
+)
+def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    o = e.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    ).persist()  # three margin consumers + the dims pass
+    rt = o.groupBy("event_type").agg(
+        F.sum("n_obs").cast("long").alias("n_type")
+    )
+    ct = o.groupBy("dow").agg(F.sum("n_obs").cast("long").alias("n_dow"))
+    n = o.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    dev = (
+        F.col("n_obs") * F.col("n_total")
+        - F.col("n_type") * F.col("n_dow")
+    ).cast("double")
+    cells = (
+        o.join(rt, "event_type")
+        .join(ct, "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                dev
+                * dev
+                / (
+                    F.col("n_type") * F.col("n_dow") * F.col("n_total")
+                ).cast("double")
+            ).alias("chi2_cell")
+        )
+    )
+    s = cells.agg(F.sum("chi2_cell").alias("chi2"))
+    dims = o.agg(
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("dow").cast("long").alias("n_cols"),
+        F.sum("n_obs").cast("long").alias("n_total"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n_total")
+            * (F.least(F.col("n_rows"), F.col("n_cols")) - 1)
+        ).cast("double")
+    )
+    return s.crossJoin(F.broadcast(dims)).select(
+        "n_rows",
+        "n_cols",
+        "n_total",
+        F.round("chi2", 4).alias("chi2"),
+        F.round(v, 4).alias("cramers_v"),
+    )
