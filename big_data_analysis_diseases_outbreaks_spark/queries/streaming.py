@@ -1262,3 +1262,36 @@ def stream_funnel_transitions(
     # source delivered more (streaming/pipeline.py).
     assert_single_data_batch(q)
     return spark.table(name)
+
+
+# --- streaming exact deduplication state op (round 10) ---------------------
+# dropDuplicates on a stream is a stateful operator in its own right
+# (the engine keeps one state row per distinct key and suppresses
+# re-arrivals) — the missing §I-adjacent exemplar beside aggregation /
+# join / arbitrary state. The replayed event stream dedups on
+# (user_id, event_type) and the downstream complete-mode aggregate
+# counts distinct users per type — a result independent of arrival
+# order and batch boundaries (suppression is idempotent), hence
+# SQL-oracle-able with a plain COUNT(DISTINCT). State is keyed by the
+# distinct-key universe, the same bound the exact-distinct bitmap
+# family documents; the watermarked twin
+# (dropDuplicatesWithinWatermark) trades that for time-bounded state
+# when keys can't recur outside the lateness window.
+
+@register(
+    "stream_dedup_distinct_users",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""".strip(),
+)
+def stream_dedup_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    name, _ = run_to_memory(agg, output_mode="complete")
+    return spark.table(name)

@@ -4441,3 +4441,53 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / uni.cast("double")).alias("jaccard"),
         )
     )
+
+
+# --- conjunctive boolean retrieval over the postings shape (round 10) ------
+# The AND query an inverted index exists to answer: documents containing
+# ALL query terms. Engine shape: tokenize → filter to the (broadcast-
+# literal) query terms BEFORE any shuffle — the posting lists for the
+# query terms are the only rows that move — then one doc-keyed
+# aggregate checks distinct-term coverage == |Q| and carries the total
+# hit count. At 100 TB this is the index-probe plan: per-term postings
+# are a scan-side filter (or an index lookup when the postings table
+# is materialized, token_postings_index), and the intersection is a
+# count-distinct-equality, never a multi-way self-join.
+
+_ANDQ_TERMS = ("merge", "window", "sort")
+
+
+@register(
+    "doc_postings_and_query",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{{TOKEN_RE}}')) AS tok
+  FROM documents),
+hits AS (
+  SELECT doc_id, tok FROM tok
+  WHERE tok IN ({{TERMS}})),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM hits GROUP BY doc_id)
+SELECT doc_id, n_hits FROM agg WHERE n_terms = {{K}}
+""".strip().format(
+        TOKEN_RE=TOKEN_RE,
+        TERMS=", ".join(f"'{t}'" for t in _ANDQ_TERMS),
+        K=len(_ANDQ_TERMS),
+    ),
+)
+def doc_postings_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    ).where(F.col("tok").isin(*_ANDQ_TERMS))
+    agg = tok.groupBy("doc_id").agg(
+        F.countDistinct("tok").cast("long").alias("n_terms"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    return agg.where(F.col("n_terms") == len(_ANDQ_TERMS)).select(
+        "doc_id", "n_hits"
+    )
