@@ -3214,12 +3214,17 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # normalized to [0, 1] — V = sqrt(chi² / (n · (min(r, c) − 1))) — so
 # drift dashboards can compare association strength across tables of
 # different shape. Margins and cells are the same exact integers as
-# the cell query; chi² totals a handful of per-cell doubles (each cell
-# deterministic from integer inputs, the chi2_cell expression
-# verbatim) and the emitted V is one sqrt + division, rounded — the
-# cosine-protocol shape. The contingency table is |event types| × 7,
-# so everything after the first aggregate is driver-trivial however
-# big the events table is.
+# the cell query; the chi² TOTAL crosses the engines as an EXACT
+# integer — each per-cell double is bit-identical cross-engine (exact
+# int inputs, two correctly-rounded IEEE ops — the chi2_cell
+# guarantee), so rounding every cell to a fixed-point long BEFORE the
+# sum makes the total order-independent (the stable.py rationale: a
+# raw double sum is reduction-order-dependent, which is exactly why
+# events_chi2_independence refuses to emit one). The emitted V is one
+# sqrt + division on the exact total, rounded — the cosine-protocol
+# shape. The contingency table is |event types| × 7, so everything
+# after the first aggregate is driver-trivial however big the events
+# table is.
 
 @register(
     "events_cramers_v",
@@ -3238,9 +3243,11 @@ ct AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS n_dow
        FROM o GROUP BY dow),
 n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM o),
 cells AS (
-  SELECT (CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE)
-          * CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE))
-         / CAST(rt.n_type * ct.n_dow * n.n_total AS DOUBLE) AS chi2_cell
+  SELECT CAST(ROUND(
+           (CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE)
+            * CAST(o.n_obs * n.n_total - rt.n_type * ct.n_dow AS DOUBLE))
+           / CAST(rt.n_type * ct.n_dow * n.n_total AS DOUBLE)
+           * 1000000) AS BIGINT) AS cell_u
   FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n),
 dims AS (
   SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
@@ -3248,10 +3255,12 @@ dims AS (
          CAST(COUNT(*) AS BIGINT) AS n_total
   FROM e)
 SELECT d.r AS n_rows, d.c AS n_cols, d.n_total,
-       ROUND(s.chi2, 4) AS chi2,
-       ROUND(sqrt(s.chi2 / (d.n_total * (LEAST(d.r, d.c) - 1))), 4)
+       s.chi2_u,
+       ROUND(sqrt(CAST(s.chi2_u AS DOUBLE) / 1000000
+                  / (d.n_total * (LEAST(d.r, d.c) - 1))), 4)
          AS cramers_v
-FROM (SELECT SUM(chi2_cell) AS chi2 FROM cells) s CROSS JOIN dims d
+FROM (SELECT CAST(SUM(cell_u) AS BIGINT) AS chi2_u FROM cells) s
+CROSS JOIN dims d
 """.strip(),
 )
 def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3284,23 +3293,27 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ct, "dow")
         .crossJoin(F.broadcast(n))
         .select(
-            (
+            F.round(
                 dev
                 * dev
                 / (
                     F.col("n_type") * F.col("n_dow") * F.col("n_total")
                 ).cast("double")
-            ).alias("chi2_cell")
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("cell_u")
         )
     )
-    s = cells.agg(F.sum("chi2_cell").alias("chi2"))
+    s = cells.agg(F.sum("cell_u").cast("long").alias("chi2_u"))
     dims = o.agg(
         F.countDistinct("event_type").cast("long").alias("n_rows"),
         F.countDistinct("dow").cast("long").alias("n_cols"),
         F.sum("n_obs").cast("long").alias("n_total"),
     )
     v = F.sqrt(
-        F.col("chi2")
+        F.col("chi2_u").cast("double")
+        / F.lit(1_000_000.0)
         / (
             F.col("n_total")
             * (F.least(F.col("n_rows"), F.col("n_cols")) - 1)
@@ -3310,6 +3323,6 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_cols",
         "n_total",
-        F.round("chi2", 4).alias("chi2"),
+        "chi2_u",
         F.round(v, 4).alias("cramers_v"),
     )
