@@ -3326,3 +3326,71 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_u",
         F.round(v, 4).alias("cramers_v"),
     )
+
+
+# --- exact rolling 7-day distinct users via bitmap OR (round 10) ----------
+# Sliding-window COUNT(DISTINCT) is the query approximate sketches
+# exist to dodge — exact here because OR-mergeable bitmap partials
+# make distinct-ness pre-aggregatable (the daily_user_bitmap_distinct
+# protocol, extended with the sliding-window expansion the streaming
+# family uses): per-(day, word) masks from ONE aggregate, each mask
+# contributes to the 7 window-ending days via a bounded explode, OR
+# per (window_day, word), popcount-sum per window_day. No (day, user)
+# distinct shuffle at any point, and the per-day masks are the same
+# stored partial a week/month rollup would OR — compute once, slide
+# anywhere. Window days are anchored to days that actually have
+# events (the dense-spine variant is one sequence() join away).
+# TWIN of rolling_7d_distinct_users (the explode+distinct plan): same
+# window semantics rolled up globally, but distinct-ness rides in
+# mergeable masks, so no (day, user) distinct shuffle exists at all —
+# the plan that wins when users-per-day is huge and words are few.
+
+@register(
+    "rolling_7d_distinct_bitmap",
+    oracle="""
+WITH m AS (
+  SELECT CAST(ts AS DATE) AS d, user_id // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS mask
+  FROM events GROUP BY 1, 2),
+spine AS (SELECT DISTINCT CAST(ts AS DATE) AS wd FROM events),
+contrib AS (
+  SELECT (m.d + CAST(t.i AS INTEGER)) AS wd, m.word, m.mask
+  FROM m, range(0, 7) t(i)),
+wmask AS (
+  SELECT c.wd, c.word, bit_or(c.mask) AS mask
+  FROM contrib c JOIN spine s ON s.wd = c.wd
+  GROUP BY 1, 2)
+SELECT wd AS date,
+       CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct_7d
+FROM wmask GROUP BY wd
+""".strip(),
+)
+def rolling_7d_distinct_bitmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.expr("user_id div 63").alias("word"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(1L, CAST(user_id % 63 AS INT)))"
+        ).alias("mask")
+    )
+    contrib = m.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("i"),
+        "d",
+        "word",
+        "mask",
+    ).select(F.date_add("d", F.col("i")).alias("wd"), "word", "mask")
+    spine = ev.select(F.to_date("ts").alias("wd")).distinct()
+    wmask = (
+        contrib.join(F.broadcast(spine), "wd")
+        .groupBy("wd", "word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    return wmask.groupBy(F.col("wd").alias("date")).agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_7d")
+    )
