@@ -1611,3 +1611,83 @@ def embedding_srp_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_1", "vec_id_2", "hamming", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= _SRP_PAIR_TAU)
     )
+
+
+# --- int8 quantized dot-product top-k (round 10) --------------------------
+# The compressed-domain ANN score the IVF-PQ family approximates,
+# taken EXACT: embeddings quantize to int8 with one global
+# power-of-two-adjacent scale (q = clamp(round(x·64), ±127) — exact in
+# both engines), and the candidate score is the pure INTEGER dot
+# product Σ q_a·q_b — no float accumulates anywhere, so ranking is
+# bit-deterministic and the whole pipeline takes a full value oracle
+# (its float cousins ann_ivf_pq/ann_ivf are rows-only by nature).
+# Engine shape: one narrow quantize map, broadcast query side,
+# zip_with/aggregate integer dot in whole-stage codegen, row_number
+# top-3 keyed per query. At 100 TB this is the int8 rerank pass that
+# runs over an IVF shortlist; here it scans all candidates so the
+# oracle is total.
+
+_I8_SCALE = 64
+_I8_TOPK = 3
+
+
+@register(
+    "embedding_int8_dot_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           GREATEST(-127, LEAST(127,
+             CAST(ROUND(CAST(x AS DOUBLE) * {_I8_SCALE}) AS BIGINT))))
+           AS qv
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, cand_id, dot_i8,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_i8 DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM pairs)
+SELECT query_id, cand_id, dot_i8, rank FROM ranked
+WHERE rank <= {_I8_TOPK}
+""".strip(),
+)
+def embedding_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.round(x.cast("double") * F.lit(_I8_SCALE)).cast("long"),
+            ),
+        ),
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    a = q.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    b = q.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dot.alias("dot_i8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_i8").desc(), F.col("cand_id").asc()
+    )
+    return pairs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= _I8_TOPK)

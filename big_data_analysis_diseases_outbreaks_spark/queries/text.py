@@ -4491,3 +4491,75 @@ def doc_postings_and_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n_terms") == len(_ANDQ_TERMS)).select(
         "doc_id", "n_hits"
     )
+
+
+# --- rendezvous (highest-random-weight) shard assignment (round 10) -------
+# Stable sharding for pipeline outputs: each doc goes to the shard
+# whose (doc, shard) hash is highest — when a shard is added or
+# removed, ONLY the docs whose argmax changes move (1/n of them in
+# expectation), unlike mod-N sharding where nearly everything does.
+# The hash is the repo's md5 protocol (first 4 hex chars → int, the
+# doc_train_split family), so assignment is engine-independent,
+# RNG-free, and value-oracled. Engine shape: one narrow map — the
+# argmax over N shards is an in-row array_max over N structs, no
+# shuffle at all; the per-shard histogram rides on one tiny aggregate.
+
+_RDV_SHARDS = 8
+
+
+@register(
+    "doc_shard_rendezvous",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, s.s,
+         ((strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(s.s AS VARCHAR)), 1, 1)) - 1) * 4096
+        + (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(s.s AS VARCHAR)), 2, 1)) - 1) * 256
+        + (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(s.s AS VARCHAR)), 3, 1)) - 1) * 16
+        + (strpos('0123456789abcdef',
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(s.s AS VARCHAR)), 4, 1)) - 1)) AS hv
+  FROM documents, (SELECT UNNEST(range({_RDV_SHARDS})) AS s) s),
+r AS (
+  SELECT doc_id, s AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hv DESC, s ASC) AS rn
+  FROM h)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM r WHERE rn = 1
+""".strip(),
+)
+def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cands = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(f":{s}"),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+            F.lit(-s).alias("neg_s"),
+            F.lit(s).cast("long").alias("s"),
+        )
+        for s in range(_RDV_SHARDS)
+    ]
+    # in-row argmax: struct max is lexicographic (hv, then -s, so hash
+    # ties — absent with md5, but pinned anyway — prefer the LOWER
+    # shard id, matching the oracle's ORDER BY hv DESC, s ASC)
+    best = F.array_max(F.array(*cands))
+    return docs.select("doc_id", best["s"].alias("shard"))

@@ -3394,3 +3394,140 @@ def rolling_7d_distinct_bitmap(
     return wmask.groupBy(F.col("wd").alias("date")).agg(
         F.sum(F.bit_count("mask")).cast("long").alias("n_distinct_7d")
     )
+
+
+# --- linear-interpolation gap fill (round 10; LOCF's exact twin) ----------
+# Between two observed days, fill each missing day on the straight
+# line — the imputation a forecasting pipeline usually wants where
+# LOCF introduces steps. Exactness protocol: observed values become
+# scaled longs (4 dp → ×10⁴), the interpolant at day d between
+# (pd, pv) and (nd, nv) is the exact integer rational
+#   num = pvs·(nd−d) + nvs·(d−pd),  den = nd−pd
+# (emitted as columns — the stable.py rule: never ship an unrounded
+# float statistic), and value_filled is the one correctly-rounded
+# division. Bracketing observations come from two series windows
+# (last/first ignorenulls over the calendar spine); edge gaps fall
+# back to the single available side (LOCF/NOCB). Same one-shuffle
+# shape as events_gap_fill_locf.
+
+@register(
+    "events_gap_fill_linear",
+    oracle=f"""{_PREFIX},
+cal AS (
+  SELECT b.region, b.kw, CAST(gs.g AS DATE) AS date
+  FROM (SELECT region, kw, MIN(date) AS lo, MAX(date) AS hi
+        FROM daily GROUP BY 1, 2) b,
+       LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi,
+                                              INTERVAL 1 DAY)) AS g) gs),
+j AS (
+  SELECT c.region, c.kw, c.date,
+         CASE WHEN d.value IS NULL THEN NULL
+              ELSE CAST(ROUND(d.value * 10000) AS BIGINT) END AS vs
+  FROM cal c LEFT JOIN daily d
+    ON c.region = d.region AND c.kw = d.kw AND c.date = d.date),
+b AS (
+  SELECT region, kw, date, vs,
+         LAST_VALUE(vs IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN vs IS NOT NULL THEN date END IGNORE NULLS)
+           OVER wp AS pd,
+         FIRST_VALUE(vs IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN vs IS NOT NULL THEN date END IGNORE NULLS)
+           OVER wn AS nd
+  FROM j
+  WINDOW wp AS (PARTITION BY region, kw ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY region, kw ORDER BY date
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+f AS (
+  SELECT region, kw, date,
+         CAST(vs IS NULL AS BIGINT) AS is_imputed,
+         CASE
+           WHEN vs IS NOT NULL THEN vs
+           WHEN pv IS NOT NULL AND nv IS NOT NULL
+             THEN NULL
+           WHEN pv IS NOT NULL THEN pv
+           ELSE nv END AS flat_s,
+         CASE WHEN vs IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv * (nd - date) + nv * (date - pd) END AS value_num,
+         CASE WHEN vs IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+              THEN nd - pd END AS value_den
+  FROM b)
+SELECT region, kw, date, is_imputed,
+       CAST(value_num AS BIGINT) AS value_num,
+       CAST(value_den AS BIGINT) AS value_den,
+       ROUND(CASE WHEN value_num IS NOT NULL
+                  THEN CAST(value_num AS DOUBLE) / value_den / 10000.0
+                  ELSE CAST(flat_s AS DOUBLE) / 10000.0 END, 4)
+         AS value_filled
+FROM f
+""".strip(),
+)
+def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    bounds = daily.groupBy("region", "kw").agg(
+        F.min("date").alias("lo"), F.max("date").alias("hi")
+    )
+    cal = bounds.select(
+        "region",
+        "kw",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("date"),
+    )
+    j = cal.join(daily, ["region", "kw", "date"], "left").select(
+        "region",
+        "kw",
+        "date",
+        F.round(F.col("value") * 10000).cast("long").alias("vs"),
+    )
+    wp = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("region", "kw")
+        .orderBy("date")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_date = F.when(F.col("vs").isNotNull(), F.col("date"))
+    b = j.select(
+        "region",
+        "kw",
+        "date",
+        "vs",
+        F.last("vs", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_date, ignorenulls=True).over(wp).alias("pd"),
+        F.first("vs", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_date, ignorenulls=True).over(wn).alias("nd"),
+    )
+    both = (
+        F.col("vs").isNull()
+        & F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+    )
+    num = F.when(
+        both,
+        F.col("pv") * F.datediff(F.col("nd"), F.col("date"))
+        + F.col("nv") * F.datediff(F.col("date"), F.col("pd")),
+    )
+    den = F.when(both, F.datediff(F.col("nd"), F.col("pd")))
+    flat = (
+        F.when(F.col("vs").isNotNull(), F.col("vs"))
+        .when(both, F.lit(None))
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return b.select(
+        "region",
+        "kw",
+        "date",
+        F.col("vs").isNull().cast("long").alias("is_imputed"),
+        num.cast("long").alias("value_num"),
+        den.cast("long").alias("value_den"),
+        F.round(
+            F.when(
+                num.isNotNull(),
+                num.cast("double") / den / F.lit(10000.0),
+            ).otherwise(flat.cast("double") / F.lit(10000.0)),
+            4,
+        ).alias("value_filled"),
+    )
