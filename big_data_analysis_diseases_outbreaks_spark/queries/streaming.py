@@ -1295,3 +1295,68 @@ def stream_dedup_distinct_users(
     )
     name, _ = run_to_memory(agg, output_mode="complete")
     return spark.table(name)
+
+
+# --- chained stateful operators: daily → weekly window rollup (round 10) ---
+# Two time-window aggregations in ONE streaming query — the
+# multi-stateful-operator surface Spark gained in 3.4 (window-over-
+# window via F.window on the upstream window column, unified
+# watermark): the first operator closes daily windows, the second
+# rolls closed dailies into epoch-aligned 7-day tumbling windows and
+# appends each weekly exactly once on closure. The hierarchical rollup
+# every metrics pipeline wants (minute→hour→day) without landing the
+# intermediate in a sink. Weekly sums telescope to plain event sums
+# over the weekly window, so the oracle groups events by the
+# epoch-aligned 7-day bucket with the closure predicate
+# week_end <= max(event_time) − delay.
+
+_CHAIN_WM_DAYS = 1
+
+
+@register(
+    "stream_chained_daily_weekly",
+    oracle=f"""
+WITH {TRENDS_ORACLE_CTE},
+ev AS (
+  SELECT CAST(datetime AS DATE) AS d, CAST(datetime AS TIMESTAMP) AS ts,
+         region, value
+  FROM trends),
+wm AS (SELECT MAX(ts) - INTERVAL {_CHAIN_WM_DAYS} DAY AS wmf FROM ev),
+b AS (
+  SELECT (DATE '1970-01-01'
+          + CAST(7 * (date_diff('day', DATE '1970-01-01', d) // 7)
+                 AS INTEGER)) AS week_start,
+         region, value
+  FROM ev),
+agg AS (
+  SELECT week_start, region, ROUND(SUM(value), 4) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY 1, 2)
+SELECT a.week_start, a.region, a.value, a.n
+FROM agg a, wm
+WHERE CAST(a.week_start AS TIMESTAMP) + INTERVAL 7 DAY <= wm.wmf
+""".strip(),
+)
+def stream_chained_daily_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = trends_stream(spark, sf_dir).withWatermark(
+        "datetime", f"{_CHAIN_WM_DAYS} day"
+    )
+    daily = src.groupBy(
+        F.window("datetime", "1 day").alias("dw"), F.col("region")
+    ).agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("c"))
+    weekly = daily.groupBy(
+        F.window(F.col("dw"), "7 days").alias("ww"), F.col("region")
+    ).agg(
+        F.round(F.sum("v"), 4).alias("value"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    out = weekly.select(
+        F.to_date(F.col("ww.start")).alias("week_start"),
+        "region",
+        "value",
+        "n",
+    )
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)
