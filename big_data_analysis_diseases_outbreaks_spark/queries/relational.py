@@ -7271,3 +7271,55 @@ def customer_entity_resolution(
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+# --- parameterized SQL surface (round 10) ---------------------------------
+# spark.sql named-parameter binding (Spark 3.4+/4.x): the query text
+# carries :named placeholders and the engine binds literals at parse
+# time — the safe templating surface an analyst-facing tool needs
+# (no string interpolation, no injection, constant-folded exactly
+# like inline literals, so predicate pushdown is unaffected). The
+# oracle inlines the same constants; identical plans, identical
+# values — the parity proof that binding adds no semantics.
+
+_PARAM_LO = "1996-01-01"
+_PARAM_SEG = "BUILDING"
+
+
+@register(
+    "sql_parameterized_revenue",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '{_PARAM_LO}'
+  AND c.c_mktsegment = '{_PARAM_SEG}'
+GROUP BY 1
+""".strip(),
+)
+def sql_parameterized_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE to_date(o.o_orderdate) >= :lo
+          AND c.c_mktsegment = :seg
+        GROUP BY 1
+        """,
+        args={"lo": _PARAM_LO, "seg": _PARAM_SEG},
+    )

@@ -4563,3 +4563,99 @@ def doc_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shard id, matching the oracle's ORDER BY hv DESC, s ASC)
     best = F.array_max(F.array(*cands))
     return docs.select("doc_id", best["s"].alias("shard"))
+
+
+# --- largest-remainder budget apportionment (round 10) --------------------
+# Allocating an exact doc budget across domains by temperature-scaled
+# weight is an APPORTIONMENT problem: naive rounding of B·w_i/W
+# over- or under-shoots the budget. Hamilton's largest-remainder
+# method lands exactly on B, and every step here is integer-exact:
+# weight w_i = floor(sqrt(n_docs)) (α = 0.5 temperature flattening —
+# floor of a correctly-rounded sqrt is engine-identical), base share
+# floor(B·w_i / W), and the B − Σbase leftover seats go to the
+# largest integer remainders B·w_i − base·W (rank ties broken by
+# source name). The rank over domains is a |domains|-sized window —
+# dimension-sized, not corpus-sized; the only corpus-scale work is
+# the per-domain count aggregate.
+
+_APPORTION_BUDGET = 200
+
+
+@register(
+    "corpus_apportion_budget",
+    oracle=f"""
+WITH d AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
+  FROM d),
+t AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot FROM w),
+base AS (
+  SELECT w.source, w.n_docs, w.wt,
+         CAST({_APPORTION_BUDGET} * w.wt // t.wtot AS BIGINT) AS base_n,
+         CAST({_APPORTION_BUDGET} * w.wt
+              - ({_APPORTION_BUDGET} * w.wt // t.wtot) * t.wtot
+              AS BIGINT) AS rem
+  FROM w, t),
+leftover AS (
+  SELECT CAST({_APPORTION_BUDGET} - SUM(base_n) AS BIGINT) AS k FROM base),
+ranked AS (
+  SELECT b.*, ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source ASC) AS rnk
+  FROM base b)
+SELECT r.source, r.n_docs, r.wt, r.base_n,
+       r.rem,
+       CAST(r.base_n + CASE WHEN r.rnk <= l.k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_docs
+FROM ranked r, leftover l
+""".strip(),
+)
+def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = d.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")))
+        .cast("long")
+        .alias("wt"),
+    )
+    t = w.agg(F.sum("wt").cast("long").alias("wtot"))
+    B = F.lit(_APPORTION_BUDGET).cast("long")
+    # DIV, not /: Spark's / on longs is float division; the protocol
+    # needs the exact integral quotient.
+    base = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "wt",
+        F.expr(f"CAST({_APPORTION_BUDGET} * wt DIV wtot AS BIGINT)").alias(
+            "base_n"
+        ),
+        F.expr(
+            f"CAST({_APPORTION_BUDGET} * wt "
+            f"- ({_APPORTION_BUDGET} * wt DIV wtot) * wtot AS BIGINT)"
+        ).alias("rem"),
+    )
+    leftover = base.agg(
+        (B - F.sum("base_n")).cast("long").alias("k")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = base.withColumn("rnk", F.row_number().over(wr))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        "wt",
+        "base_n",
+        "rem",
+        (
+            F.col("base_n")
+            + F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_docs"),
+    )
