@@ -251,6 +251,23 @@ HEADLINE = [
     "part_copurchase_ktruss_mv",
     "part_node_similarity_mv",
     "part_copurchase_modularity_mv",
+    "events_funnel_latency",
+    "events_ab_test",
+    "events_cramers_v",
+    "part_link_prediction_cn",
+    "orders_unshipped_revenue_top10",
+    "customer_entity_resolution",
+    "doc_postings_and_query",
+    "stream_dedup_distinct_users",
+    "rolling_7d_distinct_bitmap",
+    "events_gap_fill_linear",
+    "embedding_int8_dot_topk",
+    "doc_shard_rendezvous",
+    "stream_chained_daily_weekly",
+    "corpus_apportion_budget",
+    "sql_parameterized_revenue",
+    "simhash_buckets",
+    "ann_lsh_topk",
 ]
 
 

@@ -77,10 +77,9 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation: never-green first (2 reshaped-oracle
-    # upgrades, 7 graph MV-consume twins, the sliding-topk watermark
-    # twin), then re-confirmation backfill with the OLDEST-evidence
-    # green queries (r1/r3/r4 rows; tools/rotate_window.py). ---
+    # --- Round-10 rotation v2: never-green first (reshaped-oracle
+    # upgrades, graph MV twins, the 15 new round-10 operators), then
+    # oldest-evidence re-confirmation backfill (tools/rotate_window.py).
     "ann_lsh_topk",
     "simhash_buckets",
     "part_copurchase_pagerank_mv",
@@ -91,6 +90,21 @@ _PRIORITY: list[str] = [
     "part_node_similarity_mv",
     "part_copurchase_modularity_mv",
     "stream_sliding_topk_wm",
+    "events_funnel_latency",
+    "events_ab_test",
+    "events_cramers_v",
+    "part_link_prediction_cn",
+    "orders_unshipped_revenue_top10",
+    "customer_entity_resolution",
+    "doc_postings_and_query",
+    "stream_dedup_distinct_users",
+    "rolling_7d_distinct_bitmap",
+    "events_gap_fill_linear",
+    "embedding_int8_dot_topk",
+    "doc_shard_rendezvous",
+    "stream_chained_daily_weekly",
+    "corpus_apportion_budget",
+    "sql_parameterized_revenue",
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
@@ -116,21 +130,6 @@ _PRIORITY: list[str] = [
     "order_price_histogram",
     "orders_above_customer_avg",
     "orders_calendar_rollup",
-    "orders_price_band",
-    "parts_not_recently_shipped",
-    "promo_revenue_share",
-    "region_shipment_flags",
-    "returned_parts_multiset",
-    "rollup_lineitem_status",
-    "salted_type_join",
-    "scd2_priority_epochs",
-    "small_quantity_revenue",
-    "sql_api_priority_revenue",
-    "top3_customers_per_nation",
-    "anomaly_region_map",
-    "contamination_8gram_overlap",
-    "cosine_topk",
-    "daily_zero_filled",
 ]
 
 
