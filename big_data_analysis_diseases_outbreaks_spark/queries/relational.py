@@ -7323,3 +7323,71 @@ def sql_parameterized_revenue(
         """,
         args={"lo": _PARAM_LO, "seg": _PARAM_SEG},
     )
+
+
+# --- exact grouped mode with pinned tie-break (round 10) ------------------
+# MODE() per group, window-free: count per (group, value), then ONE
+# max_by argmax whose ordering struct pins ties (count desc, value
+# asc) — deterministic where a bare mode() is engine-defined. Two
+# hash aggregates with map-side combine; the second's input is
+# |groups| × |distinct values| rows, never fact-sized. The dimension
+# join broadcasts.
+
+@register(
+    "nation_mode_priority",
+    oracle="""
+WITH c AS (
+  SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2),
+r AS (
+  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY nation
+              ORDER BY n DESC, priority ASC) AS rn
+  FROM c)
+SELECT nation, priority AS mode_priority, n AS mode_n FROM r WHERE rn = 1
+""".strip(),
+)
+def nation_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    c = (
+        o.join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(n), cu["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # argmax struct: count desc ≡ max(n), tie → min(priority): compare
+    # (n, neg-ordered priority) lexicographically via max_by
+    best = c.groupBy("nation").agg(
+        F.max_by(
+            F.struct(F.col("priority").alias("p"), F.col("n").alias("cnt")),
+            F.struct(
+                F.col("n").alias("n"),
+                # invert the string order for the tie-break: max_by
+                # must prefer the SMALLER priority at equal count —
+                # negate by ranking priorities descending via a
+                # row-independent trick: use the struct (n, -rank)?
+                # priorities are '1-URGENT'..'5-LOW': the leading
+                # digit gives a total order, so -digit works.
+                (-F.substring("priority", 1, 1).cast("int")).alias("tb"),
+            ),
+        ).alias("b")
+    )
+    return best.select(
+        "nation",
+        F.col("b.p").alias("mode_priority"),
+        F.col("b.cnt").alias("mode_n"),
+    )

@@ -4659,3 +4659,52 @@ def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_docs"),
     )
+
+
+# --- positional phrase query (round 10) -----------------------------------
+# Exact phrase retrieval ("fast scan" as ADJACENT tokens, not a
+# substring accident) — the query a positional postings index exists
+# for. Engine shape: posexplode to (doc, pos, tok), keep only the two
+# phrase terms (scan-side filter — only their postings move), and the
+# phrase is an equi-join on (doc, pos+1) between the term-1 and term-2
+# posting streams; one doc-keyed count finishes it. That is the
+# positional-index probe plan: at 100 TB each term's postings are a
+# filter/lookup, and adjacency is a co-partitioned join — never a
+# regex scan over the corpus. The oracle checks the SAME adjacency
+# over the token list directly.
+
+_PHRASE = ("fast", "scan")
+
+
+@register(
+    "doc_phrase_query",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+hits AS (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(t)),
+              i -> t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'))
+              AS BIGINT) AS n_occurrences
+  FROM toks)
+SELECT doc_id, n_occurrences FROM hits WHERE n_occurrences >= 1
+""".strip(),
+)
+def doc_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    t1 = pos.where(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    t2 = pos.where(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("p1")
+    )
+    return (
+        t1.join(t2, ["doc_id", "p1"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )

@@ -3531,3 +3531,68 @@ def events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("value_filled"),
     )
+
+
+# --- event-sequence pattern match (round 10) ------------------------------
+# MATCH_RECOGNIZE-style sequence analytics without the clause: each
+# user's event history becomes an ordered initial string (v/c/p/s/e by
+# event time, event_id tie-break) and the business pattern — "a signup
+# followed only by views/clicks until a purchase" — is one regex over
+# it. Engine shape: a single groupBy collecting (ts, event_id,
+# initial) structs, array_sort (in-group order pinned — no window, no
+# secondary-sort machinery), concat, rlike; per-user state is the
+# user's own history (the same bound every sessionizer carries).
+# Deterministic cross-engine: both engines see the identical string.
+
+_SEQ_PATTERN = "s[vc]*p"
+
+
+@register(
+    "events_sequence_match",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS ini
+  FROM events),
+s AS (
+  SELECT user_id,
+         string_agg(ini, '' ORDER BY ts, event_id) AS seq
+  FROM e GROUP BY user_id)
+SELECT user_id, CAST(LENGTH(seq) AS BIGINT) AS seq_len,
+       CAST(regexp_matches(seq, '{_SEQ_PATTERN}') AS INTEGER) AS matched
+FROM s
+""".strip(),
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ini = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    s = (
+        ev.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), ini.alias("ini")).alias(
+                "r"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("r")), lambda r: r["ini"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.col("seq").rlike(_SEQ_PATTERN).cast("int").alias("matched"),
+    )
