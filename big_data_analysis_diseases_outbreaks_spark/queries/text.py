@@ -4612,8 +4612,6 @@ FROM ranked r, leftover l
 """.strip(),
 )
 def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     d = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -4644,8 +4642,23 @@ def corpus_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftover = base.agg(
         (B - F.sum("base_n")).cast("long").alias("k")
     )
-    wr = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
-    ranked = base.withColumn("rnk", F.row_number().over(wr))
+    # Rank over DOMAINS without a global window (an un-partitioned
+    # row_number plans Exchange SinglePartition — the plan-gate
+    # forbids it even on dimension-sized inputs): rnk = 1 + #rows
+    # strictly ahead in (rem desc, source asc) order, via a broadcast
+    # self-join count — the rank.py tiny-dimension pattern.
+    base = base.persist()  # two self-join sides + the leftover agg
+    o = base.select(
+        F.col("rem").alias("o_rem"), F.col("source").alias("o_source")
+    )
+    ahead = (
+        F.col("o_rem") > F.col("rem")
+    ) | ((F.col("o_rem") == F.col("rem")) & (F.col("o_source") < F.col("source")))
+    ranked = (
+        base.join(F.broadcast(o), ahead, "left")
+        .groupBy("source", "n_docs", "wt", "base_n", "rem")
+        .agg((F.count("o_source") + 1).cast("long").alias("rnk"))
+    )
     return ranked.crossJoin(F.broadcast(leftover)).select(
         "source",
         "n_docs",
