@@ -1360,3 +1360,40 @@ def stream_chained_daily_weekly(
     )
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# --- RocksDB state-store provider twin (round 10) -------------------------
+# The default HDFSBackedStateStoreProvider keeps every state row on
+# the executor HEAP — at 100 TB of keyed state that is the streaming
+# scale wall. Spark ships an embedded RocksDB provider (off-heap,
+# spill-to-disk, incremental-checkpoint) exactly for that; this twin
+# runs the daily aggregation with it and shares the batch oracle —
+# the proof the provider changes WHERE state lives, never what it
+# holds. The conf is read once at query start, so set/run/restore
+# scopes it to this query (the run_to_memory shuffle-partitions
+# pattern).
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "stream_daily_agg_rocksdb",
+    oracle=f"WITH {TRENDS_ORACLE_CTE},\n{DAILY_CTE}\n"
+    "SELECT date, region, kw, value FROM daily",
+)
+def stream_daily_agg_rocksdb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        return stream_daily_agg_complete(spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
