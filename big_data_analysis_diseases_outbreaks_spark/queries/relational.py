@@ -7391,3 +7391,135 @@ def nation_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.p").alias("mode_priority"),
         F.col("b.cnt").alias("mode_n"),
     )
+
+
+# --- right-to-erasure cascade audit (round 10) ----------------------------
+# The GDPR delete a warehouse actually runs: a deletion cohort of
+# customers (deterministic key-mod stand-in for the request list)
+# cascades through orders → lineitem and events, and compliance wants
+# the AUDIT before the mutation — per-table cascade counts plus an
+# order-independent checksum of every RETAINED row (xor of the
+# cross-engine affine key hash — the multiset-checksum idea of the
+# table_reconcile_checksums family, on integer keys) so the
+# post-delete state is verifiable without re-scanning history. Engine
+# shape: the cohort broadcast-semi-joins each fact table once
+# (scan-side pushdown of the key-mod predicate on the customer side);
+# counts and checksums come out of the same single pass per table.
+
+_ERASE_MOD = 13  # c_custkey % 13 == 0 → the deletion cohort
+
+
+@register(
+    "gdpr_erasure_audit",
+    oracle=f"""
+WITH cohort AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+o AS (
+  SELECT o.o_orderkey,
+         (o.o_custkey IN (SELECT c_custkey FROM cohort)) AS del
+  FROM orders o),
+l AS (
+  SELECT l.l_orderkey, l.l_linenumber,
+         (l.l_orderkey IN (SELECT o_orderkey FROM o WHERE del)) AS del
+  FROM lineitem l),
+e AS (
+  SELECT e.event_id,
+         (e.user_id IN (SELECT c_custkey FROM cohort)) AS del
+  FROM events e)
+SELECT 'customer' AS tbl,
+       CAST((SELECT COUNT(*) FROM cohort) AS BIGINT) AS n_delete,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_total,
+       CAST((SELECT COALESCE(bit_xor((48271 * (c_custkey % 2147483647) + 11) % 2147483647), 0) FROM customer
+             WHERE c_custkey % {_ERASE_MOD} <> 0) AS BIGINT)
+         AS retained_checksum
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM o WHERE del) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM o) AS BIGINT),
+       CAST((SELECT COALESCE(bit_xor((48271 * (o_orderkey % 2147483647) + 11) % 2147483647), 0)
+             FROM o WHERE NOT del) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM l WHERE del) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM l) AS BIGINT),
+       CAST((SELECT COALESCE(bit_xor((48271 * ((l_orderkey * 8 + l_linenumber) % 2147483647)
+                              + 11) % 2147483647), 0)
+             FROM l WHERE NOT del) AS BIGINT)
+UNION ALL
+SELECT 'events',
+       CAST((SELECT COUNT(*) FROM e WHERE del) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT),
+       CAST((SELECT COALESCE(bit_xor((48271 * (event_id % 2147483647) + 11) % 2147483647), 0)
+             FROM e WHERE NOT del) AS BIGINT)
+""".strip(),
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    cohort = cust.where(F.col("c_custkey") % _ERASE_MOD == 0)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+
+    o_del = orders.join(
+        F.broadcast(cohort), orders["o_custkey"] == cohort["c_custkey"],
+        "left_semi",
+    ).select("o_orderkey").persist()  # two consumers: count + li cascade
+
+    def audit(tbl, df, del_df, key, checksum_col):
+        kept = df.join(del_df, key, "left_anti")
+        n_del = df.join(del_df, key, "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("n_delete")
+        )
+        n_tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        h = (
+            F.lit(48271) * (checksum_col.cast("long") % F.lit(2147483647))
+            + F.lit(11)
+        ) % F.lit(2147483647)
+        chk = kept.agg(
+            F.coalesce(F.bit_xor(h), F.lit(0))
+            .cast("long")
+            .alias("retained_checksum")
+        )
+        return (
+            n_del.crossJoin(F.broadcast(n_tot))
+            .crossJoin(F.broadcast(chk))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_delete",
+                "n_total",
+                "retained_checksum",
+            )
+        )
+
+    c_audit = audit(
+        "customer",
+        cust,
+        cohort.select("c_custkey"),
+        "c_custkey",
+        F.col("c_custkey"),
+    )
+    o_audit = audit(
+        "orders", orders.select("o_orderkey"), o_del, "o_orderkey",
+        F.col("o_orderkey"),
+    )
+    l_audit = audit(
+        "lineitem",
+        li.withColumn(
+            "_k", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+        ),
+        o_del.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        F.col("_k"),
+    )
+    e_audit = audit(
+        "events",
+        ev,
+        cohort.select(F.col("c_custkey").alias("user_id")),
+        "user_id",
+        F.col("event_id"),
+    )
+    return c_audit.unionAll(o_audit).unionAll(l_audit).unionAll(e_audit)
