@@ -268,6 +268,11 @@ HEADLINE = [
     "sql_parameterized_revenue",
     "simhash_buckets",
     "ann_lsh_topk",
+    "doc_phrase_query",
+    "events_sequence_match",
+    "nation_mode_priority",
+    "stream_daily_agg_rocksdb",
+    "gdpr_erasure_audit",
 ]
 
 

@@ -77,8 +77,7 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation v2: never-green first (reshaped-oracle
-    # upgrades, graph MV twins, the 15 new round-10 operators), then
+    # --- Round-10 rotation v3: all never-green first (30), then
     # oldest-evidence re-confirmation backfill (tools/rotate_window.py).
     "ann_lsh_topk",
     "simhash_buckets",
@@ -105,6 +104,11 @@ _PRIORITY: list[str] = [
     "stream_chained_daily_weekly",
     "corpus_apportion_budget",
     "sql_parameterized_revenue",
+    "doc_phrase_query",
+    "events_sequence_match",
+    "nation_mode_priority",
+    "stream_daily_agg_rocksdb",
+    "gdpr_erasure_audit",
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
@@ -125,11 +129,6 @@ _PRIORITY: list[str] = [
     "grouping_sets_order_stats",
     "label_centroids",
     "late_shipment_orders",
-    "merge_upsert_orders",
-    "monthly_rollup_from_daily",
-    "order_price_histogram",
-    "orders_above_customer_avg",
-    "orders_calendar_rollup",
 ]
 
 
