@@ -7523,3 +7523,137 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
     )
     return c_audit.unionAll(o_audit).unionAll(l_audit).unionAll(e_audit)
+
+
+# --- reconcile phase 2: per-key drill-down into divergent buckets ---------
+# table_reconcile_checksums LOCALIZES divergence to buckets; the
+# repair planner then needs the exact keys — but only inside the
+# divergent 1/B of the key space. Phase 2 recomputes per-KEY row
+# hashes ONLY for rows whose bucket is divergent (the bucket
+# membership predicate is a semi-join against the tiny divergent-
+# bucket set — at 100 TB the bucket id is a partition column and this
+# prunes partitions), full-outer-joins the two sides on the key, and
+# emits each differing key with its reason: 'missing_b' (deleted) or
+# 'modified' (checksum drift). Same deterministic drift/delete
+# constants and RH row-hash protocol as phase 1 — a green row proves
+# the two phases agree on WHAT diverged.
+
+def _recon_drill_oracle() -> str:
+    def rh(canon: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+            f"list_transform(string_split({canon}, ''), "
+            "x -> CAST(ascii(x) AS BIGINT))), "
+            "(acc, x) -> (acc * 31 + x) % 1000000007)"
+        )
+
+    canon_a = _recon_canon_sql("o_totalprice")
+    canon_b = _recon_canon_sql(
+        "o_totalprice + (CASE WHEN"
+        f" o_orderkey % {_RECON_BUCKETS} = {_RECON_DRIFT_BUCKET}"
+        " THEN 0.01 ELSE 0.0 END)"
+    )
+    return f"""
+WITH a AS (
+  SELECT o_orderkey, o_orderkey % {_RECON_BUCKETS} AS bucket,
+         {rh(canon_a)} AS h
+  FROM orders),
+b AS (
+  SELECT o_orderkey, o_orderkey % {_RECON_BUCKETS} AS bucket,
+         {rh(canon_b)} AS h
+  FROM orders
+  WHERE NOT (o_orderkey % {_RECON_BUCKETS} = {_RECON_DELETE_BUCKET}
+             AND o_orderkey % 5 = 0)),
+div AS (
+  SELECT a.bucket FROM (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(h) AS BIGINT) c
+    FROM a GROUP BY 1) a
+  JOIN (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) n, CAST(SUM(h) AS BIGINT) c
+    FROM b GROUP BY 1) b ON a.bucket = b.bucket
+  WHERE a.n <> b.n OR a.c <> b.c),
+aa AS (SELECT a.* FROM a JOIN div ON a.bucket = div.bucket),
+bb AS (SELECT b.* FROM b JOIN div ON b.bucket = div.bucket)
+SELECT aa.o_orderkey, aa.bucket,
+       CASE WHEN bb.o_orderkey IS NULL THEN 'missing_b'
+            ELSE 'modified' END AS reason
+FROM aa LEFT JOIN bb ON aa.o_orderkey = bb.o_orderkey
+WHERE bb.o_orderkey IS NULL OR aa.h <> bb.h
+""".strip()
+
+
+@register("table_reconcile_drilldown", oracle=_recon_drill_oracle())
+def table_reconcile_drilldown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .text import RH_INIT, RH_MOD, RH_MULT
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def canon(price) -> F.Column:
+        return F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_orderstatus"),
+            F.lit("|"),
+            scaled_long(price, 100).cast("string"),
+            F.lit("|"),
+            F.to_date("o_orderdate").cast("string"),
+        )
+
+    def keyed(df: DataFrame, price) -> DataFrame:
+        rowhash = F.aggregate(
+            F.split(canon(price), ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        )
+        return df.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % _RECON_BUCKETS).alias("bucket"),
+            rowhash.alias("h"),
+        )
+
+    drift = F.when(
+        F.col("o_orderkey") % _RECON_BUCKETS == _RECON_DRIFT_BUCKET,
+        F.lit(0.01),
+    ).otherwise(F.lit(0.0))
+    # persisted: each side feeds its bucket summary AND the drill-down
+    a = keyed(orders, F.col("o_totalprice")).persist()
+    b = keyed(
+        orders.where(
+            ~(
+                (F.col("o_orderkey") % _RECON_BUCKETS == _RECON_DELETE_BUCKET)
+                & (F.col("o_orderkey") % 5 == 0)
+            )
+        ),
+        F.col("o_totalprice") + drift,
+    ).persist()
+
+    def summary(df):
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("h").alias("c")
+        )
+
+    sa, sb = summary(a).alias("sa"), summary(b).alias("sb")
+    div = (
+        sa.join(sb, "bucket")
+        .where(
+            (F.col("sa.n") != F.col("sb.n"))
+            | (F.col("sa.c") != F.col("sb.c"))
+        )
+        .select("bucket")
+    )
+    aa = a.join(F.broadcast(div), "bucket")
+    bb = b.join(F.broadcast(div), "bucket").select(
+        F.col("o_orderkey").alias("bk"), F.col("h").alias("hb")
+    )
+    j = aa.join(bb, aa["o_orderkey"] == bb["bk"], "left")
+    return j.where(
+        F.col("bk").isNull() | (F.col("h") != F.col("hb"))
+    ).select(
+        "o_orderkey",
+        "bucket",
+        F.when(F.col("bk").isNull(), "missing_b")
+        .otherwise("modified")
+        .alias("reason"),
+    )
