@@ -7657,3 +7657,102 @@ def table_reconcile_drilldown(
         .otherwise("modified")
         .alias("reason"),
     )
+
+
+# --- supply-chain resilience: single-sourcing exposure (round 10) ---------
+# Which parts depend on ONE supply nation? Per part: distinct
+# suppliers, distinct supply nations (from shipped lineitems), the
+# dominant nation's lineitem share in exact integers, and the
+# single-sourced flag. Engine shape: one lineitem aggregate per
+# (part, supplier) — map-side combined — then supplier→nation
+# broadcast enrichment and a part-keyed rollup; the dominant-nation
+# share is a max_by over the per-(part, nation) counts (the
+# nation_mode_priority argmax pattern), never a window.
+
+@register(
+    "part_supply_resilience",
+    oracle="""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey, n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2, 3),
+pn AS (
+  SELECT l_partkey, nation, CAST(SUM(n_items) AS BIGINT) AS n_items
+  FROM ps GROUP BY 1, 2),
+agg AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_nations,
+         CAST(SUM(n_items) AS BIGINT) AS n_total
+  FROM pn GROUP BY 1),
+dom AS (
+  SELECT l_partkey, nation AS top_nation, n_items AS top_n
+  FROM (SELECT pn.*, ROW_NUMBER() OVER (PARTITION BY l_partkey
+               ORDER BY n_items DESC, nation ASC) AS rn FROM pn)
+  WHERE rn = 1),
+sup AS (
+  SELECT l_partkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM ps GROUP BY 1)
+SELECT a.l_partkey AS part_key, s.n_suppliers, a.n_nations,
+       d.top_nation, d.top_n, a.n_total,
+       CAST(a.n_nations = 1 AS INTEGER) AS single_sourced
+FROM agg a JOIN dom d USING (l_partkey) JOIN sup s USING (l_partkey)
+""".strip(),
+)
+def part_supply_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    ps = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("l_partkey", "l_suppkey", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .persist()  # three consumers: pn rollup, supplier count
+    )
+    pn = ps.groupBy("l_partkey", "nation").agg(
+        F.sum("n_items").cast("long").alias("n_items")
+    ).persist()  # agg + dominant argmax
+    agg = pn.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum("n_items").cast("long").alias("n_total"),
+    )
+    # dominant nation via max_by argmax (count desc, nation asc on tie:
+    # nations order lexicographically — invert via a paired struct of
+    # (n_items, reversed-name) is unsound for strings, so use min_by
+    # over (-n_items, nation) instead: the lexicographically smallest
+    # (-count, name) IS the (count desc, name asc) winner).
+    dom = pn.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct(
+                F.col("nation").alias("top_nation"),
+                F.col("n_items").alias("top_n"),
+            ),
+            F.struct((-F.col("n_items")).alias("neg"), F.col("nation")),
+        ).alias("d")
+    )
+    supn = ps.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    return (
+        agg.join(dom, "l_partkey")
+        .join(supn, "l_partkey")
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "n_suppliers",
+            "n_nations",
+            F.col("d.top_nation").alias("top_nation"),
+            F.col("d.top_n").alias("top_n"),
+            "n_total",
+            (F.col("n_nations") == 1).cast("int").alias("single_sourced"),
+        )
+    )

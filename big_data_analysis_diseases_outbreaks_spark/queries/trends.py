@@ -3596,3 +3596,53 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("seq").cast("long").alias("seq_len"),
         F.col("seq").rlike(_SEQ_PATTERN).cast("int").alias("matched"),
     )
+
+
+# --- batch session_window aggregation (round 10) ---------------------------
+# F.session_window in a BATCH groupBy: Spark's native gap-merging
+# aggregate (a dedicated SessionWindow operator with in-partition
+# merge, not a window-function scan) — the third sessionization plan
+# beside the gaps-and-islands window (sessionize_events) and the
+# streaming state op (stream_session_agg), all under one oracle
+# definition. At 100 TB the session merge runs inside the user-keyed
+# exchange the aggregate needs anyway; no LAG scan, no state store.
+
+@register(
+    "events_session_window_batch",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, sid
+""".strip(),
+)
+def events_session_window_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+    return agg.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+        "duration_us",
+    )
