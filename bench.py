@@ -273,6 +273,9 @@ HEADLINE = [
     "nation_mode_priority",
     "stream_daily_agg_rocksdb",
     "gdpr_erasure_audit",
+    "table_reconcile_drilldown",
+    "events_session_window_batch",
+    "part_supply_resilience",
 ]
 
 

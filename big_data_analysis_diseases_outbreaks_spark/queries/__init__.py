@@ -77,7 +77,7 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation v3: all never-green first (30), then
+    # --- Round-10 rotation v4: all never-green first (33), then
     # oldest-evidence re-confirmation backfill (tools/rotate_window.py).
     "ann_lsh_topk",
     "simhash_buckets",
@@ -109,6 +109,9 @@ _PRIORITY: list[str] = [
     "nation_mode_priority",
     "stream_daily_agg_rocksdb",
     "gdpr_erasure_audit",
+    "table_reconcile_drilldown",
+    "events_session_window_batch",
+    "part_supply_resilience",
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
@@ -126,9 +129,6 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "event_prop_key_stats",
     "fuzzy_part_name_pairs",
-    "grouping_sets_order_stats",
-    "label_centroids",
-    "late_shipment_orders",
 ]
 
 
