@@ -7756,3 +7756,111 @@ def part_supply_resilience(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_nations") == 1).cast("int").alias("single_sourced"),
         )
     )
+
+
+# --- deterministic negative sampling for recommender training -------------
+# (round 10) Training a co-purchase recommender needs (user, positive,
+# negatives) triples; negatives must be items the user did NOT
+# interact with, sampled reproducibly (no engine RNG — the md5-bucket
+# sampling rationale). Per user, m=10 pseudo-random candidate items
+# come from the affine hash (a·(custkey mod P) + b·j + c) mod P mod
+# |part|, invalid candidates fall out via the validity join + the
+# interactions ANTI join (deliberately un-hinted: the interaction set
+# is fact-sized), and the first k=3 survivors by draw index j win —
+# a user-keyed window over ≤ m rows/user. Oversampling depth m bounds
+# the (tiny) failure probability that a heavy user exhausts all 10
+# draws; the emitted n_drawn lets a consumer see exactly when that
+# happened.
+
+_NEG_K = 3
+_NEG_M = 10
+_NEG_P = 2_147_483_647
+
+
+@register(
+    "copurchase_negative_samples",
+    oracle=f"""
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM part),
+cand AS (
+  SELECT u.custkey, t.j,
+         (48271 * (u.custkey % {_NEG_P}) + 12345 * t.j + 7)
+           % {_NEG_P} % np.n_parts AS partkey
+  FROM (SELECT DISTINCT custkey FROM inter) u,
+       UNNEST(range({_NEG_M})) AS t(j), np),
+valid AS (
+  SELECT c.custkey, c.j, c.partkey
+  FROM cand c
+  JOIN part p ON p.p_partkey = c.partkey
+  WHERE NOT EXISTS (SELECT 1 FROM inter i
+                    WHERE i.custkey = c.custkey
+                      AND i.partkey = c.partkey)),
+ranked AS (
+  SELECT custkey, partkey, j,
+         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY j) AS rn
+  FROM valid)
+SELECT custkey AS c_custkey, CAST(partkey AS BIGINT) AS part_key,
+       CAST(rn AS BIGINT) AS neg_rank, CAST(j AS BIGINT) AS n_drawn
+FROM ranked WHERE rn <= {_NEG_K}
+""".strip(),
+)
+def copurchase_negative_samples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    inter = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .persist()  # users + anti-join consumers
+    )
+    np_ = part.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    users = inter.select("custkey").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(np_))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_M - 1))).alias("j"),
+            "n_parts",
+        )
+        .select(
+            "custkey",
+            "j",
+            (
+                (
+                    F.lit(48271) * (F.col("custkey") % F.lit(_NEG_P))
+                    + F.lit(12345) * F.col("j")
+                    + F.lit(7)
+                )
+                % F.lit(_NEG_P)
+                % F.col("n_parts")
+            ).alias("partkey"),
+        )
+    )
+    valid = cand.join(
+        part, cand["partkey"] == part["p_partkey"], "left_semi"
+    ).join(inter, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("j")
+    return (
+        valid.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _NEG_K)
+        .select(
+            F.col("custkey").alias("c_custkey"),
+            F.col("partkey").cast("long").alias("part_key"),
+            F.col("rn").cast("long").alias("neg_rank"),
+            F.col("j").cast("long").alias("n_drawn"),
+        )
+    )
