@@ -1691,3 +1691,93 @@ def embedding_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= _I8_TOPK)
+
+
+# --- hard-negative mining (round 10) --------------------------------------
+# Contrastive training wants negatives that are CLOSE in embedding
+# space but semantically wrong — the highest-scoring candidates with a
+# DIFFERENT label than the query. Same exact int8 integer-dot protocol
+# as embedding_int8_dot_topk (bit-deterministic ranking, full value
+# oracle); the label predicate rides in the candidate join, so the
+# per-query state is still a broadcast row and the ranking window is
+# query-keyed. At 100 TB this runs over an ANN shortlist instead of
+# the full candidate scan; the scoring and selection logic is
+# identical.
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           GREATEST(-127, LEAST(127,
+             CAST(ROUND(CAST(x AS DOUBLE) * {_I8_SCALE}) AS BIGINT))))
+           AS qv
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+         b.vec_id AS neg_id, b.label AS neg_label,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8
+  FROM q a JOIN q b
+    ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id
+   AND a.label <> b.label),
+ranked AS (
+  SELECT query_id, query_label, neg_id, neg_label, dot_i8,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_i8 DESC, neg_id ASC) AS BIGINT) AS rank
+  FROM pairs)
+SELECT query_id, query_label, neg_id, neg_label, dot_i8, rank
+FROM ranked WHERE rank <= {_I8_TOPK}
+""".strip(),
+)
+def embedding_hard_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.round(x.cast("double") * F.lit(_I8_SCALE)).cast("long"),
+            ),
+        ),
+    )
+    q = emb.select("vec_id", "label", qv.alias("qv"))
+    a = q.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("qv").alias("qa"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("qv").alias("qb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(
+            (F.col("query_id") != F.col("neg_id"))
+            & (F.col("query_label") != F.col("neg_label"))
+        )
+        .select(
+            "query_id", "query_label", "neg_id", "neg_label",
+            dot.alias("dot_i8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_i8").desc(), F.col("neg_id").asc()
+    )
+    return pairs.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= _I8_TOPK)
