@@ -276,6 +276,8 @@ HEADLINE = [
     "table_reconcile_drilldown",
     "events_session_window_batch",
     "part_supply_resilience",
+    "copurchase_negative_samples",
+    "embedding_hard_negatives",
 ]
 
 

@@ -77,7 +77,7 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation v4: all never-green first (33), then
+    # --- Round-10 rotation v5: all never-green first (35), then
     # oldest-evidence re-confirmation backfill (tools/rotate_window.py).
     "ann_lsh_topk",
     "simhash_buckets",
@@ -112,6 +112,8 @@ _PRIORITY: list[str] = [
     "table_reconcile_drilldown",
     "events_session_window_batch",
     "part_supply_resilience",
+    "copurchase_negative_samples",
+    "embedding_hard_negatives",
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "distinct_users_per_type",
     "embedding_activation_stats",
     "embedding_quantize_int8",
-    "event_prop_key_stats",
-    "fuzzy_part_name_pairs",
 ]
 
 
