@@ -278,6 +278,8 @@ HEADLINE = [
     "part_supply_resilience",
     "copurchase_negative_samples",
     "embedding_hard_negatives",
+    "orders_ship_latency_sla",
+    "events_error_slo_burn",
 ]
 
 

@@ -77,8 +77,8 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation v5: all never-green first (35), then
-    # oldest-evidence re-confirmation backfill (tools/rotate_window.py).
+    # --- Round-10 rotation v6 (final): all never-green first (37),
+    # then oldest-evidence re-confirmation backfill.
     "ann_lsh_topk",
     "simhash_buckets",
     "part_copurchase_pagerank_mv",
@@ -114,6 +114,8 @@ _PRIORITY: list[str] = [
     "part_supply_resilience",
     "copurchase_negative_samples",
     "embedding_hard_negatives",
+    "orders_ship_latency_sla",
+    "events_error_slo_burn",
     "doc_bpe_token_count",
     "doc_rolling_fingerprint",
     "token_frequencies",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "disjunctive_promo_revenue",
     "distinct_users_per_type",
-    "embedding_activation_stats",
-    "embedding_quantize_int8",
 ]
 
 

@@ -7864,3 +7864,89 @@ def copurchase_negative_samples(
             F.col("j").cast("long").alias("n_drawn"),
         )
     )
+
+
+# --- fulfillment latency SLA report (round 10) ----------------------------
+# Order-to-first-ship latency per order priority — the discrete
+# rank-ceil quantile protocol (events_funnel_latency) on relational
+# data: exact integer day latencies, per-(priority, latency) counts,
+# one priority-keyed running sum over the (tiny) latency-value table,
+# filtered MINs for p50/p90. No interpolating percentile, every cell
+# an integer.
+
+@register(
+    "orders_ship_latency_sla",
+    oracle="""
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                        MIN(CAST(l.l_shipdate AS DATE))) AS BIGINT) AS lat
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority),
+counts AS (
+  SELECT priority, lat, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT priority, lat, c,
+         SUM(c) OVER (PARTITION BY priority ORDER BY lat) AS cs,
+         SUM(c) OVER (PARTITION BY priority) AS n
+  FROM counts)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(MIN(CASE WHEN cs * 2 >= n THEN lat END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cs * 10 >= 9 * n THEN lat END) AS BIGINT)
+         AS p90_days,
+       CAST(MAX(lat) AS BIGINT) AS max_days
+FROM cum GROUP BY priority, n
+""".strip(),
+)
+def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("first_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("lat"),
+        )
+    )
+    counts = lat.groupBy("priority", "lat").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("priority")
+    cum = counts.select(
+        "priority",
+        "lat",
+        F.sum("c").over(w_cum).alias("cs"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("priority", "n").agg(
+        F.min(F.when(F.col("cs") * 2 >= F.col("n"), F.col("lat")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cs") * 10 >= 9 * F.col("n"), F.col("lat")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("lat").cast("long").alias("max_days"),
+    ).select(
+        "priority",
+        F.col("n").cast("long").alias("n_orders"),
+        "p50_days",
+        "p90_days",
+        "max_days",
+    )

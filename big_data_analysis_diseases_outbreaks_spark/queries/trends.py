@@ -3646,3 +3646,66 @@ def events_session_window_batch(
         "n_events",
         "duration_us",
     )
+
+
+# --- error-rate SLO burn report (round 10) --------------------------------
+# The ops dashboard over the event stream: per day, exact error share
+# as an integer rational (n_err / n_total emitted, never a rounded
+# ratio alone) plus the SLO breach flag via integer cross-
+# multiplication (n_err · 100 > budget_pct · n_total — no float
+# compare) and the running breach count (one day-ordered prefix sum
+# over the day-grain table). One corpus-scale aggregate; everything
+# after is day-sized.
+
+_SLO_ERR_PCT = 25  # error budget: 25% of events
+
+
+@register(
+    "events_error_slo_burn",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS date,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1)
+SELECT date, n_total, n_err,
+       ROUND(CAST(n_err AS DOUBLE) / n_total, 4) AS err_rate,
+       CAST(n_err * 100 > {_SLO_ERR_PCT} * n_total AS INTEGER) AS breached,
+       CAST(SUM(CASE WHEN n_err * 100 > {_SLO_ERR_PCT} * n_total
+                THEN 1 ELSE 0 END)
+            OVER (ORDER BY date) AS BIGINT) AS breaches_to_date
+FROM d
+""".strip(),
+)
+def events_error_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("long")
+        .alias("n_err"),
+    )
+    breached = (
+        F.col("n_err") * 100 > F.lit(_SLO_ERR_PCT) * F.col("n_total")
+    ).cast("int")
+    d = d.withColumn("breached", breached).withColumn(
+        "_b", F.col("breached").cast("long")
+    )
+    # day-ordered prefix sum WITHOUT a single-partition window: the
+    # distributed rank machinery (range-partitioned running sum).
+    d = with_global_running_sum(d, ["date"], "_b", out_col="breaches_to_date")
+    return d.select(
+        "date",
+        "n_total",
+        "n_err",
+        F.round(
+            F.col("n_err").cast("double") / F.col("n_total").cast("double"),
+            4,
+        ).alias("err_rate"),
+        "breached",
+        F.col("breaches_to_date").cast("long").alias("breaches_to_date"),
+    )
