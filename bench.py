@@ -280,6 +280,8 @@ HEADLINE = [
     "embedding_hard_negatives",
     "orders_ship_latency_sla",
     "events_error_slo_burn",
+    "part_community_profile",
+    "doc_stratified_sample",
 ]
 
 
@@ -372,8 +374,14 @@ def main() -> None:
                 for k, v in (json.load(fh).get("queries") or {}).items()
                 if isinstance(v, (int, float)) and v > 0
             }
-    except (OSError, ValueError):
-        pass
+    except (OSError, ValueError) as exc:
+        # A silently-disabled guard is invisible in the transcript
+        # (ADVICE r10) — say so, loudly, where the bench log lands.
+        print(
+            f"bench: contention guard DISABLED — BENCH_LOCAL.json "
+            f"unreadable: {exc!r}",
+            file=sys.stderr,
+        )
     extra_cap = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2")))
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}

@@ -84,8 +84,25 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .transform(truncate)
     )
-    for _ in range(max_iters):
-        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+    # TWO propagation steps per checkpoint+convergence-check: each
+    # round's fixed cost is dominated by action/scheduling overhead
+    # (the label set is tiny relative to the corpus), so halving the
+    # number of checkpoints nearly halves wall-clock. Correctness is
+    # unchanged: min-label is monotone non-increasing, so "no change
+    # across the second step" certifies the fixed point regardless of
+    # what the first step did; at worst one extra propagation runs.
+    # The un-truncated intermediate adds one bounded plan level.
+    for _ in range((max_iters + 1) // 2):
+        mid = (
+            labels.unionByName(
+                sym.join(labels, sym["b"] == labels["node"]).select(
+                    F.col("a").alias("node"), "label"
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        nbr = sym.join(mid, sym["b"] == mid["node"]).select(
             F.col("a").alias("node"), "label", F.lit(0).alias("own")
         )
         # The node's current label rides along (own=1), so one aggregate
@@ -93,7 +110,7 @@ def connected_components(
         # old one (the own row) — the convergence check needs no second
         # join against the previous iteration.
         new_labels = (
-            labels.withColumn("own", F.lit(1))
+            mid.withColumn("own", F.lit(1))
             .unionByName(nbr)
             .groupBy("node")
             .agg(
