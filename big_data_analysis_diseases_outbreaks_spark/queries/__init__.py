@@ -77,58 +77,58 @@ def register(name: str, oracle: str | None = None):
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
 _PRIORITY: list[str] = [
-    # --- Round-10 rotation v6 (final): all never-green first (37),
-    # then oldest-evidence re-confirmation backfill.
-    "ann_lsh_topk",
-    "simhash_buckets",
-    "part_copurchase_pagerank_mv",
-    "part_copurchase_pagerank_weighted_mv",
-    "part_copurchase_lpa_mv",
-    "part_copurchase_kcore_mv",
-    "part_copurchase_ktruss_mv",
-    "part_node_similarity_mv",
-    "part_copurchase_modularity_mv",
-    "stream_sliding_topk_wm",
-    "events_funnel_latency",
-    "events_ab_test",
-    "events_cramers_v",
-    "part_link_prediction_cn",
-    "orders_unshipped_revenue_top10",
-    "customer_entity_resolution",
-    "doc_postings_and_query",
-    "stream_dedup_distinct_users",
-    "rolling_7d_distinct_bitmap",
-    "events_gap_fill_linear",
-    "embedding_int8_dot_topk",
-    "doc_shard_rendezvous",
-    "stream_chained_daily_weekly",
-    "corpus_apportion_budget",
-    "sql_parameterized_revenue",
-    "doc_phrase_query",
-    "events_sequence_match",
-    "nation_mode_priority",
-    "stream_daily_agg_rocksdb",
-    "gdpr_erasure_audit",
-    "table_reconcile_drilldown",
-    "events_session_window_batch",
-    "part_supply_resilience",
-    "copurchase_negative_samples",
-    "embedding_hard_negatives",
-    "orders_ship_latency_sla",
-    "events_error_slo_burn",
-    "doc_bpe_token_count",
-    "doc_rolling_fingerprint",
-    "token_frequencies",
-    "cube_orders_status",
-    "customer_halves_outer",
-    "customer_order_frame",
-    "customer_order_sequence",
-    "customer_spend_deciles",
-    "customer_spend_percentile",
-    "customers_active_both_halves",
-    "dedup_embedding_cosine",
-    "disjunctive_promo_revenue",
-    "distinct_users_per_type",
+    # --- Round-11 rotation: never-green first (the r11 upgrades/new),
+    # then oldest-evidence re-confirmation backfill (last green r3/r4).
+    "dedup_minhash_lsh",
+    "doc_stratified_sample",
+    "part_community_profile",
+    "embedding_activation_stats",
+    "embedding_quantize_int8",
+    "event_prop_key_stats",
+    "fuzzy_part_name_pairs",
+    "grouping_sets_order_stats",
+    "label_centroids",
+    "late_shipment_orders",
+    "merge_upsert_orders",
+    "monthly_rollup_from_daily",
+    "order_price_histogram",
+    "orders_above_customer_avg",
+    "orders_calendar_rollup",
+    "orders_price_band",
+    "parts_not_recently_shipped",
+    "promo_revenue_share",
+    "region_shipment_flags",
+    "returned_parts_multiset",
+    "rollup_lineitem_status",
+    "salted_type_join",
+    "scd2_priority_epochs",
+    "small_quantity_revenue",
+    "sql_api_priority_revenue",
+    "top3_customers_per_nation",
+    "anomaly_region_map",
+    "contamination_8gram_overlap",
+    "cosine_topk",
+    "daily_zero_filled",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash16",
+    "doc_token_count",
+    "embedding_norms",
+    "features_join",
+    "json_extract_props",
+    "local_supplier_revenue",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "national_market_share",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_strict",
+    "returned_item_reporting",
+    "sessionize_events",
+    "shipping_priority_top10",
+    "stream_cusum_changepoints",
+    "stream_dedup_events",
 ]
 
 
