@@ -82,9 +82,26 @@ def test_approx_distinct_within_bounds(spark):
         )
 
 
+def test_samplby_api_seeded(spark):
+    """The engine-RNG sampleBy API (retired from doc_stratified_sample
+    in r11 in favor of the md5 protocol) stays covered: a fixed seed is
+    deterministic across runs and respects per-stratum fractions."""
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+    from .conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    fr = {"en": 0.5, "de": 0.25}
+    a = sorted(r["doc_id"] for r in docs.sampleBy("lang", fr, seed=7).collect())
+    b = sorted(r["doc_id"] for r in docs.sampleBy("lang", fr, seed=7).collect())
+    assert a == b and len(a) > 0
+    langs = {r["lang"] for r in docs.sampleBy("lang", fr, seed=7)
+             .select("lang").distinct().collect()}
+    assert langs <= set(fr)
+
+
 def test_stratified_sample_properties(spark):
-    """Seeded sampleBy: deterministic across runs, fractions within
-    tolerance per stratum, unlisted strata absent."""
+    """md5-bucket stratified sample: deterministic across runs, fractions
+    within tolerance per stratum, unlisted strata absent."""
     from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
     from big_data_analysis_diseases_outbreaks_spark.queries.text import (
         SAMPLE_FRACTIONS,

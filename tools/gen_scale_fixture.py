@@ -212,6 +212,22 @@ def gen_events(spark, n, n_users):
     )
 
 
+def gen_part(spark, n_parts):
+    """Minimal part dimension (universe scales with the data —
+    consumed by the negative-sampling validity semi-join and any
+    part-attribute join)."""
+    ids = spark.range(n_parts)
+    return ids.select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("Brand#"), (_h(F.col("id"), F.lit(21)) % 25 + 11))
+        .alias("p_brand"),
+        F.concat(F.lit("part "), F.col("id")).alias("p_name"),
+        ((900 + _h(F.col("id"), F.lit(22)) % 1_200_00) / 100.0).alias(
+            "p_retailprice"
+        ),
+    )
+
+
 def main() -> None:
     out_root = sys.argv[1]
     mults = [int(m) for m in sys.argv[2:]] or [1, 10]
@@ -227,6 +243,7 @@ def main() -> None:
         d = os.path.join(out_root, f"scale{m}")
         n_parts = N_PARTS_BASE * m
         tables = {
+            "part": gen_part(spark, n_parts),
             "lineitem": gen_lineitem(spark, BASE["lineitem"] * m, n_parts),
             "documents": gen_documents(spark, BASE["documents"] * m),
             "embeddings": gen_embeddings(spark, BASE["embeddings"] * m),

@@ -57,6 +57,16 @@ FAMILIES = [
     ("stateful funnel (stream, per-user state machine)",
      "stream_funnel_transitions"),
     ("sliding window append+watermark (stream)", "stream_sliding_topk_wm"),
+    # round-11 additions (VERDICT r10 #6 + the #2 done-proof)
+    ("postings AND retrieval (term-filtered shuffle)",
+     "doc_postings_and_query"),
+    ("phrase retrieval (positional explode)", "doc_phrase_query"),
+    ("entity resolution (deletion blocking + components)",
+     "customer_entity_resolution"),
+    ("negative sampling (per-user bounded draws)",
+     "copurchase_negative_samples"),
+    ("hard negatives (int8 dot, label-aware)", "embedding_hard_negatives"),
+    ("link prediction (oriented wedges)", "part_link_prediction_cn"),
 ]
 
 
