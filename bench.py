@@ -282,6 +282,17 @@ HEADLINE = [
     "events_error_slo_burn",
     "part_community_profile",
     "doc_stratified_sample",
+    "part_link_prediction_scores",
+    "copurchase_degree_assortativity",
+    "doc_dup_ngram_coverage",
+    "source_cap_sample",
+    "customer_revenue_gini",
+    "customer_reorder_latency",
+    "embedding_label_separation",
+    "stream_gap_alerts",
+    "copurchase_recommender_eval",
+    "orders_equidepth_bins",
+    "brand_discount_elasticity",
 ]
 
 

@@ -82,6 +82,17 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
+    "part_link_prediction_scores",
+    "copurchase_degree_assortativity",
+    "doc_dup_ngram_coverage",
+    "source_cap_sample",
+    "customer_revenue_gini",
+    "customer_reorder_latency",
+    "embedding_label_separation",
+    "stream_gap_alerts",
+    "copurchase_recommender_eval",
+    "orders_equidepth_bins",
+    "brand_discount_elasticity",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -118,17 +129,6 @@ _PRIORITY: list[str] = [
     "embedding_norms",
     "features_join",
     "json_extract_props",
-    "local_supplier_revenue",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "national_market_share",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_strict",
-    "returned_item_reporting",
-    "sessionize_events",
-    "shipping_priority_top10",
-    "stream_cusum_changepoints",
-    "stream_dedup_events",
 ]
 
 

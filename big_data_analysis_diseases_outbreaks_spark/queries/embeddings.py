@@ -1781,3 +1781,132 @@ def embedding_hard_negatives(
     return pairs.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= _I8_TOPK)
+
+
+# --- per-label embedding separation (int8 exact-integer protocol) ----------
+# (round 11) The classifier-dataset health check: do same-label vectors
+# sit closer than cross-label ones? Everything reduces to EXACT BIGINT
+# dot-statistics of the int8-quantized vectors (embedding_quantize_int8
+# protocol):  per (label, dim) sums  s_d  give  Σ_{i,j∈c} q_i·q_j =
+# Σ_d s_d²  (minus the Σ|q_i|² diagonal for i≠j pairs), and the global
+# per-dim sums t_d give the cross-label mass  Σ_d s_d·(t_d − s_d).
+# Mean within/cross dots are single double divisions of exact integers.
+# Engine shape: one narrow quantize map, a posexplode to (label, dim)
+# keyed sums (64·N rows — the dim fan-out is a constant factor), one
+# broadcast of the 64-row global dim sums, two tiny aggregates. No
+# pairwise joins anywhere: the n² pair space is collapsed by algebra.
+
+@register(
+    "embedding_label_separation",
+    oracle="""
+WITH q AS (
+  SELECT vec_id, label,
+         CASE WHEN list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) = 0
+              THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE)
+                        / (list_max(list_transform(embedding,
+                             y -> abs(CAST(y AS DOUBLE)))) / 127.0))
+                        AS BIGINT))
+         END AS qv
+  FROM embeddings),
+qd AS (
+  SELECT label, d.i AS dim, d.q
+  FROM q, UNNEST(list_transform(range(1, len(qv) + 1), i ->
+         struct_pack(i := i, q := qv[i]))) AS u(d)),
+sums AS (
+  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd,
+         CAST(SUM(q * q) AS BIGINT) AS sq
+  FROM qd GROUP BY label, dim),
+tot AS (
+  SELECT dim, CAST(SUM(sd) AS BIGINT) AS td FROM sums GROUP BY dim),
+pl AS (
+  SELECT s.label,
+         CAST(SUM(s.sd * s.sd) AS BIGINT) AS self_dot,
+         CAST(SUM(s.sq) AS BIGINT) AS diag_dot,
+         CAST(SUM(s.sd * (t.td - s.sd)) AS BIGINT) AS cross_dot
+  FROM sums s JOIN tot t ON t.dim = s.dim
+  GROUP BY s.label),
+n AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q GROUP BY label),
+nt AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM n)
+SELECT n.label, n.n_vecs,
+       pl.self_dot - pl.diag_dot AS within_pair_dot,
+       pl.cross_dot,
+       CAST(pl.self_dot - pl.diag_dot AS DOUBLE)
+         / (CAST(n.n_vecs AS DOUBLE) * (n.n_vecs - 1)) AS within_mean,
+       CAST(pl.cross_dot AS DOUBLE)
+         / (CAST(n.n_vecs AS DOUBLE) * (nt.n_total - n.n_vecs))
+         AS cross_mean
+FROM n JOIN pl ON pl.label = n.label, nt
+""".strip(),
+)
+def embedding_label_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))) / (
+        127.0
+    )
+    qv = F.when(
+        scale == 0,
+        F.transform("embedding", lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "embedding", lambda x: F.round(xd(x) / scale).cast("long")
+        )
+    )
+    q = emb.select("vec_id", "label", qv.alias("qv")).persist()
+    qd = q.select(
+        "label", F.posexplode("qv").alias("dim", "qq")
+    )
+    sums = qd.groupBy("label", "dim").agg(
+        F.sum("qq").cast("long").alias("sd"),
+        F.sum(F.col("qq") * F.col("qq")).cast("long").alias("sq"),
+    )
+    tot = F.broadcast(
+        sums.groupBy("dim").agg(F.sum("sd").cast("long").alias("td"))
+    )
+    pl = (
+        sums.join(tot, "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sd") * F.col("sd")).cast("long").alias("self_dot"),
+            F.sum("sq").cast("long").alias("diag_dot"),
+            F.sum(F.col("sd") * (F.col("td") - F.col("sd")))
+            .cast("long")
+            .alias("cross_dot"),
+        )
+    )
+    n = q.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    nt = F.broadcast(
+        n.agg(F.sum("n_vecs").cast("long").alias("n_total"))
+    )
+    return (
+        n.join(pl, "label")
+        .crossJoin(nt)
+        .select(
+            "label",
+            "n_vecs",
+            (F.col("self_dot") - F.col("diag_dot")).alias(
+                "within_pair_dot"
+            ),
+            "cross_dot",
+            (
+                (F.col("self_dot") - F.col("diag_dot")).cast("double")
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - 1)
+                )
+            ).alias("within_mean"),
+            (
+                F.col("cross_dot").cast("double")
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_total") - F.col("n_vecs"))
+                )
+            ).alias("cross_mean"),
+        )
+    )

@@ -7306,6 +7306,321 @@ def part_link_prediction_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link-prediction SCORE TABLE: CN + Jaccard + resource allocation ------
+# (round 11) The production link-prediction surface is never one
+# heuristic — it's a score table the ranker consumes. This query emits
+# THREE classic scores per candidate pair in ONE wedge pass [Liben-
+# Nowell & Kleinberg '03; Zhou, Lü & Zhang '09 for RA]:
+#   n_common    — common-neighbor count (the CN baseline);
+#   ra_scaled   — resource allocation Σ_b floor(SCALE / deg(b)):
+#                 RA down-weights hub intermediaries like Adamic-Adar
+#                 but with INTEGER floor-division contributions, so the
+#                 sum is order-independent and cross-engine exact
+#                 (ln() stays off the protocol, the AA caveat);
+#   jaccard     — cn / (deg u + deg v − cn), one double division of
+#                 exact integers (identical in both engines).
+# Engine shape: the SAME degree-oriented wedge enumeration as
+# part_link_prediction_cn, with the center's degree riding on the
+# oriented edge (da, db columns) so each branch knows its wedge
+# center's degree with NO extra join; one packed-key aggregate computes
+# cn and ra together; degrees for the Jaccard denominator arrive via
+# two broadcast joins of the node-sized degree table. Top-50 by
+# jaccard (desc, then key pair) over non-edges.
+
+_RA_SCALE = 1_000_000
+
+
+@register(
+    "part_link_prediction_scores",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY a),
+cn AS (
+  SELECT n1.a AS u, n2.a AS v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM({_RA_SCALE} // d.deg) AS BIGINT) AS ra_scaled
+  FROM sym n1
+  JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+  JOIN deg d ON d.node = n1.b
+  GROUP BY n1.a, n2.a),
+nonedge AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)),
+scored AS (
+  SELECT n.u, n.v, n.n_common, n.ra_scaled,
+         CAST(n.n_common AS DOUBLE)
+           / (du.deg + dv.deg - n.n_common) AS jaccard
+  FROM nonedge n
+  JOIN deg du ON du.node = n.u
+  JOIN deg dv ON dv.node = n.v),
+ranked AS (
+  SELECT u, v, n_common, ra_scaled, jaccard,
+         CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, u ASC, v ASC)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT u AS part_key_1, v AS part_key_2, n_common, ra_scaled, jaccard,
+       rank
+FROM ranked WHERE rank <= {_LP_TOPK}
+""".strip(),
+)
+def part_link_prediction_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")))
+    dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # Oriented edge with BOTH endpoint degrees riding along (a = low).
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .persist()
+    )
+    o.count()
+
+    def pack(x: str, y: str):
+        return (
+            F.shiftleft(F.col(x).cast("long"), 32) + F.col(y).cast("long")
+        ).alias("pk")
+
+    # Exact integer floor division (matches the oracle's `//`).
+    ra = lambda d: F.expr(f"cast({_RA_SCALE} as bigint) div {d}")
+    # C1 center = e1.a (deg da); C2 center = e1.b == e2.a (deg e1.db);
+    # C3 center = shared b (deg e1.db).
+    c1 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(pack("e1.b", "e2.b"), ra("e1.da").alias("ra"))
+    )
+    c2 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            (
+                F.shiftleft(F.least("e1.a", "e2.b").cast("long"), 32)
+                + F.greatest("e1.a", "e2.b").cast("long")
+            ).alias("pk"),
+            ra("e1.db").alias("ra"),
+        )
+    )
+    c3 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.b"))
+        .where(F.col("e1.a") < F.col("e2.a"))
+        .select(pack("e1.a", "e2.a"), ra("e1.db").alias("ra"))
+    )
+    cn = (
+        c1.unionAll(c2)
+        .unionAll(c3)
+        .groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("ra").cast("long").alias("ra_scaled"),
+        )
+        .select(
+            F.shiftrightunsigned("pk", 32).cast("long").alias("u"),
+            F.col("pk")
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            .cast("long")
+            .alias("v"),
+            "n_common",
+            "ra_scaled",
+        )
+    )
+    nonedge = cn.join(und, ["u", "v"], "left_anti")
+    scored = (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "ra_scaled",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    )
+    top = scored.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_LP_TOPK)
+    return top.select(
+        F.col("u").alias("part_key_1"),
+        F.col("v").alias("part_key_2"),
+        "n_common",
+        "ra_scaled",
+        "jaccard",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# --- degree assortativity of the co-purchase graph (round 11) --------------
+# Newman's degree-assortativity coefficient: the Pearson correlation of
+# endpoint degrees over all DIRECTED edge slots (each undirected edge
+# contributes both (deg u, deg v) and (deg v, deg u), making x and y
+# exchangeable — the standard undirected convention). Everything up to
+# the final formula is exact BIGINT sums (Σx, Σxy, Σx² over 2m slots;
+# deg ≤ max-degree keeps products < 2^63 far beyond fixture scale, and
+# the final double formula consumes sums < 2^53 — document-bounded),
+# so the one-row answer is deterministic cross-engine. Engine shape:
+# the node-degree aggregate, one broadcast join of degrees onto edges,
+# one global aggregate — no window, no driver loop.
+
+@register(
+    "copurchase_degree_assortativity",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node),
+ed AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+s AS (
+  SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(x + y) AS BIGINT) AS sum_deg,
+         CAST(SUM(2 * x * y) AS BIGINT) AS sum_prod,
+         CAST(SUM(x * x + y * y) AS BIGINT) AS sum_sq
+  FROM ed)
+SELECT m2, sum_deg, sum_prod, sum_sq,
+       (CAST(m2 AS DOUBLE) * sum_prod
+          - CAST(sum_deg AS DOUBLE) * sum_deg)
+       / (CAST(m2 AS DOUBLE) * sum_sq
+          - CAST(sum_deg AS DOUBLE) * sum_deg) AS assortativity
+FROM s
+""".strip(),
+)
+def copurchase_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("x"))
+    )
+    dv = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("y"))
+    )
+    s = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+            F.sum(F.col("x") + F.col("y")).cast("long").alias("sum_deg"),
+            F.sum(2 * F.col("x") * F.col("y"))
+            .cast("long")
+            .alias("sum_prod"),
+            F.sum(F.col("x") * F.col("x") + F.col("y") * F.col("y"))
+            .cast("long")
+            .alias("sum_sq"),
+        )
+    )
+    num = F.col("m2").cast("double") * F.col("sum_prod") - F.col(
+        "sum_deg"
+    ).cast("double") * F.col("sum_deg")
+    den = F.col("m2").cast("double") * F.col("sum_sq") - F.col(
+        "sum_deg"
+    ).cast("double") * F.col("sum_deg")
+    return s.select(
+        "m2", "sum_deg", "sum_prod", "sum_sq", (num / den).alias(
+            "assortativity"
+        )
+    )
+
+
 # --- TPC-H Q3 shape: top unshipped-order revenue (round 10) ---------------
 # The shipping-priority classic: orders placed before the cutoff whose
 # lineitems ship after it, ranked by outstanding revenue — the one
@@ -8155,4 +8470,509 @@ def orders_ship_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_days",
         "p90_days",
         "max_days",
+    )
+
+
+# --- revenue concentration: exact Gini coefficient (round 11) ---------------
+# The inequality audit a marketplace runs over customer revenue: Gini
+# G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ASCENDING revenue
+# order — exact BIGINT numerators (revenue rides as integer cents, the
+# rank comes from the distributed range-rank machinery, no global
+# window anywhere), one double division at the end. Ties in revenue are
+# broken by custkey; Σ i·x_i is tie-order invariant (equal x swap
+# freely), so the statistic is fully deterministic. Overflow bound:
+# n·Σx < 2^63 (n·max_rank·cents terms) — holds far beyond fixture
+# scale; at 100 TB shard the sum by key range and combine, or ride
+# DECIMAL(38).
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC)
+              AS BIGINT) AS r
+  FROM rev),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(SUM(r * cents) AS BIGINT) AS rank_weighted_cents
+  FROM ranked)
+SELECT n_customers, revenue_cents, rank_weighted_cents,
+       (2.0 * rank_weighted_cents
+          - (CAST(n_customers AS DOUBLE) + 1) * revenue_cents)
+       / (CAST(n_customers AS DOUBLE) * revenue_cents) AS gini
+FROM s
+""".strip(),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank(
+        rev, [F.col("cents").asc(), F.col("o_custkey").asc()], "r"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum(F.col("r") * F.col("cents"))
+        .cast("long")
+        .alias("rank_weighted_cents"),
+    )
+    gini = (
+        2.0 * F.col("rank_weighted_cents")
+        - (F.col("n_customers").cast("double") + 1) * F.col("revenue_cents")
+    ) / (
+        F.col("n_customers").cast("double") * F.col("revenue_cents")
+    )
+    return s.select(
+        "n_customers", "revenue_cents", "rank_weighted_cents",
+        gini.alias("gini"),
+    )
+
+
+# --- reorder latency quantiles per market segment (round 11) ---------------
+# "How long until a customer comes back?" — consecutive-order gaps in
+# days per customer (customer-partitioned lag window, never global),
+# then the repo's discrete rank-ceil quantile protocol per market
+# segment: value-keyed counts, a cumulative window partitioned by
+# segment, and integer cross-multiplied rank thresholds (cs·2 ≥ n for
+# p50, cs·10 ≥ 9n for p90) — the funnel-latency machinery on
+# relational data. Gap days are exact integers; no approx percentile.
+
+@register(
+    "customer_reorder_latency",
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+gaps AS (
+  SELECT segment,
+         CAST(d - LAG(d) OVER (PARTITION BY o_custkey
+                               ORDER BY d, o_orderkey) AS BIGINT) AS gap
+  FROM o),
+g AS (SELECT segment, gap FROM gaps WHERE gap IS NOT NULL),
+counts AS (
+  SELECT segment, gap, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g GROUP BY segment, gap),
+cum AS (
+  SELECT segment, gap,
+         SUM(c) OVER (PARTITION BY segment ORDER BY gap
+                      ROWS UNBOUNDED PRECEDING) AS cs,
+         SUM(c) OVER (PARTITION BY segment) AS n
+  FROM counts)
+SELECT segment, CAST(MIN(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cs * 2 >= n THEN gap END) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN cs * 10 >= 9 * n THEN gap END) AS BIGINT)
+         AS p90_days,
+       CAST(MAX(gap) AS BIGINT) AS max_days
+FROM cum GROUP BY segment
+""".strip(),
+)
+def customer_reorder_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w_cust = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.join(c, "o_custkey")
+        .withColumn(
+            "gap", F.datediff(F.col("d"), F.lag("d").over(w_cust)).cast("long")
+        )
+        .where(F.col("gap").isNotNull())
+        .select("segment", "gap")
+    )
+    counts = gaps.groupBy("segment", "gap").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("segment")
+    cum = counts.select(
+        "segment",
+        "gap",
+        F.sum("c").over(w_cum).alias("cs"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("segment").agg(
+        F.min("n").cast("long").alias("n_gaps"),
+        F.min(F.when(F.col("cs") * 2 >= F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(F.col("cs") * 10 >= 9 * F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("gap").cast("long").alias("max_days"),
+    )
+
+
+# --- co-purchase recommender evaluation (round 11) --------------------------
+# The pipeline-composition query a recommender team actually runs: the
+# leakage-safe md5 fold protocol (orders_group_split) picks the TEST
+# customers; each test customer's LAST order (max (orderdate,
+# orderkey) — deterministic) is held out as the target basket, every
+# earlier purchase is context; candidates are scored by summed
+# co-purchase edge weight from the context parts (the weighted edge
+# view recipe), already-seen parts excluded, top-10 per customer by
+# (score DESC, part ASC). Metrics: hit-rate@10 (exact integers) and an
+# integer-scaled MRR (Σ floor(SCALE / first-hit-rank) — reciprocal
+# ranks as floor divisions, so the sum is order-independent and
+# cross-engine exact; ln/float-sum stay off the protocol). Engine
+# shape: fold filter (narrow), per-customer argmax via struct max,
+# score aggregate keyed by (customer, candidate), a customer-
+# partitioned rank window, and two tiny reduces. Candidate volume is
+# |context| · avg-degree per customer — bounded, never corpus².
+
+_REC_K = 10
+_REC_MRR_SCALE = 1_000_000
+
+
+@register(
+    "copurchase_recommender_eval",
+    oracle=f"""
+WITH folds AS (
+  SELECT c_custkey FROM (
+    SELECT c_custkey,
+           (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 4, 1)) - 1) AS b
+    FROM customer)
+  WHERE b >= {_SPLIT_VAL_HI}),
+co AS (
+  SELECT o.o_custkey AS cust, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d,
+         l.l_partkey AS part
+  FROM orders o
+  JOIN folds f ON f.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+lastkey AS (
+  SELECT cust, o_orderkey AS last_ok FROM (
+    SELECT cust, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY cust
+                              ORDER BY d DESC, o_orderkey DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY cust) AS n
+    FROM (SELECT DISTINCT cust, o_orderkey, d FROM co))
+  WHERE rn = 1 AND n >= 2),
+target AS (
+  SELECT DISTINCT c.cust, c.part
+  FROM co c JOIN lastkey lk ON lk.cust = c.cust
+  WHERE c.o_orderkey = lk.last_ok),
+context AS (
+  SELECT DISTINCT c.cust, c.part
+  FROM co c JOIN lastkey lk ON lk.cust = c.cust
+  WHERE c.o_orderkey <> lk.last_ok),
+target_new AS (
+  SELECT t.cust, t.part FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM context x
+                    WHERE x.cust = t.cust AND x.part = t.part)),
+evalset AS (SELECT DISTINCT cust FROM target_new),
+li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+mv AS (
+  SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+         GREATEST(a.l_partkey, b.l_partkey) AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (SELECT u AS src, v AS dst, w FROM mv
+        UNION ALL SELECT v, u, w FROM mv),
+scores AS (
+  SELECT x.cust, e.dst AS cand, CAST(SUM(e.w) AS BIGINT) AS score
+  FROM context x
+  JOIN evalset ev ON ev.cust = x.cust
+  JOIN sym e ON e.src = x.part
+  GROUP BY x.cust, e.dst),
+fresh AS (
+  SELECT s.* FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM context x
+                    WHERE x.cust = s.cust AND x.part = s.cand)),
+ranked AS (
+  SELECT cust, cand,
+         ROW_NUMBER() OVER (PARTITION BY cust
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM fresh),
+hits AS (
+  SELECT r.cust, MIN(r.rn) AS first_rank
+  FROM ranked r JOIN target_new t ON t.cust = r.cust AND t.part = r.cand
+  WHERE r.rn <= {_REC_K}
+  GROUP BY r.cust)
+SELECT CAST((SELECT COUNT(*) FROM evalset) AS BIGINT) AS n_eval_customers,
+       CAST(COUNT(h.cust) AS BIGINT) AS n_hit_customers,
+       CAST(COUNT(h.cust) AS DOUBLE)
+         / (SELECT COUNT(*) FROM evalset) AS hit_rate,
+       CAST(COALESCE(SUM({_REC_MRR_SCALE} // h.first_rank), 0) AS BIGINT)
+         AS mrr_scaled
+FROM hits h
+""".strip(),
+)
+def copurchase_recommender_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    b = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    folds = cust.where(b >= _SPLIT_VAL_HI).select(
+        F.col("c_custkey").alias("cust")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+    )
+    li_all = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("part")
+    )
+    co = (
+        orders.join(folds, "cust")
+        .join(li_all, orders["o_orderkey"] == li_all["l_orderkey"])
+        .select("cust", "o_orderkey", "d", "part")
+        .persist()
+    )
+    last_o = (
+        co.select("cust", "o_orderkey", "d")
+        .distinct()
+        .groupBy("cust")
+        .agg(
+            F.max(F.struct("d", "o_orderkey")).alias("mx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 2)
+        .select("cust", F.col("mx.o_orderkey").alias("last_ok"))
+    )
+    lastkey = F.broadcast(last_o)
+    target = (
+        co.join(lastkey, "cust")
+        .where(F.col("o_orderkey") == F.col("last_ok"))
+        .select("cust", "part")
+        .distinct()
+    )
+    context = (
+        co.join(lastkey, "cust")
+        .where(F.col("o_orderkey") != F.col("last_ok"))
+        .select("cust", "part")
+        .distinct()
+        .persist()
+    )
+    target_new = target.join(context, ["cust", "part"], "left_anti").persist()
+    evalset = target_new.select("cust").distinct()
+    mv = copurchase_weighted_edges(spark, sf_dir).persist()
+    sym = mv.select(
+        F.col("u").alias("src"), F.col("v").alias("cand"), "w"
+    ).unionAll(mv.select(F.col("v").alias("src"), F.col("u").alias("cand"), "w"))
+    scores = (
+        context.join(evalset, "cust", "left_semi")
+        .join(sym, F.col("part") == F.col("src"))
+        .groupBy("cust", "cand")
+        .agg(F.sum("w").cast("long").alias("score"))
+    )
+    fresh = scores.join(
+        context.select("cust", F.col("part").alias("cand")),
+        ["cust", "cand"],
+        "left_anti",
+    )
+    w_rank = Window.partitionBy("cust").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    ranked = fresh.withColumn("rn", F.row_number().over(w_rank)).where(
+        F.col("rn") <= _REC_K
+    )
+    hits = (
+        ranked.join(
+            target_new.select("cust", F.col("part").alias("cand")),
+            ["cust", "cand"],
+        )
+        .groupBy("cust")
+        .agg(F.min("rn").alias("first_rank"))
+    )
+    n_eval = evalset.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_customers")
+    )
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_customers"),
+        F.sum(F.expr(f"cast({_REC_MRR_SCALE} as bigint) div first_rank"))
+        .cast("long")
+        .alias("mrr_scaled"),
+    )
+    return (
+        n_eval.crossJoin(F.broadcast(agg))
+        .select(
+            "n_eval_customers",
+            F.coalesce("n_hit_customers", F.lit(0).cast("long")).alias(
+                "n_hit_customers"
+            ),
+            (
+                F.coalesce("n_hit_customers", F.lit(0)).cast("double")
+                / F.col("n_eval_customers").cast("double")
+            ).alias("hit_rate"),
+            F.coalesce("mrr_scaled", F.lit(0).cast("long")).alias(
+                "mrr_scaled"
+            ),
+        )
+    )
+
+
+# --- equi-depth order-price histogram via the distributed rank (round 11) --
+# The optimizer-statistics primitive: B buckets of (near-)equal ROW
+# COUNT over the global price order, each with its exact [lo, hi]
+# bounds and count — the histogram a cost-based planner keeps, and the
+# complement of the registry's equi-WIDTH order_price_histogram.
+# Bucket id = floor((rank−1)·B / n) over the global (cents, orderkey)
+# order — the explicit integer formula, NOT NTILE (NTILE hands the
+# remainder to the FIRST buckets; the floor formula spreads it — the
+# two disagree whenever n % B ≠ 0, so the oracle replays the same
+# arithmetic). Rank comes from the range-partition rank machinery —
+# no single-partition window at any scale.
+
+_EQD_BINS = 16
+
+
+@register(
+    "orders_equidepth_bins",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders),
+rk AS (
+  SELECT cents,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents ASC, o_orderkey ASC)
+              AS BIGINT) AS r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n
+  FROM o)
+SELECT CAST((r - 1) * {_EQD_BINS} // n AS BIGINT) AS bucket,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM rk GROUP BY 1
+""".strip(),
+)
+def orders_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank_and_total
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    ranked = with_global_rank_and_total(
+        o, [F.col("cents").asc(), F.col("o_orderkey").asc()], "r", "n"
+    )
+    return (
+        ranked.select(
+            F.expr(f"(r - 1) * {_EQD_BINS} div n").cast("long").alias(
+                "bucket"
+            ),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# --- per-brand discount elasticity: OLS as one exact aggregate (round 11) --
+# "Does a deeper discount move quantity?" — the ordinary-least-squares
+# slope of quantity on discount percent, per brand, computed from the
+# five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²) — each an
+# exact BIGINT (discount rides as integer percent ×100, quantity as
+# integer units), so the per-brand shuffle is ONE grouped aggregate
+# with map-side combine and the slope/intercept are two double
+# divisions at the end: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²).
+# Regression as an aggregate — no ML library, no iteration, the
+# exact-stats protocol (functions/stable.py) applied to model fitting.
+
+@register(
+    "brand_discount_elasticity",
+    oracle="""
+WITH d AS (
+  SELECT p.p_brand AS brand,
+         CAST(ROUND(l.l_discount * 10000) AS BIGINT) AS x,
+         CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+s AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY brand)
+SELECT brand, n, sx, sy, sxy, sxx,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         AS slope,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+         / n AS intercept
+FROM s
+""".strip(),
+)
+def brand_discount_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x"),
+        F.round(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("l_partkey"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+    s = (
+        li.join(p, "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / F.col("n")
+    return s.select(
+        "brand", "n", "sx", "sy", "sxy", "sxx",
+        slope.alias("slope"), intercept.alias("intercept"),
     )

@@ -1397,3 +1397,104 @@ def stream_daily_agg_rocksdb(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- stateful inactivity gap alerts (round 11) ------------------------------
+# Per-user "went quiet" detection over a 3-chunk TIME-ORDERED replay:
+# an alert fires exactly once for each consecutive-event gap > 2 days
+# (streaming/stateful.py::gap_alert_stream — state carries the last-
+# seen instant across micro-batches, so unlike the funnel this holds
+# under ANY ordered chunking, no single-batch precondition). Oracle:
+# the batch LAG window — the stateful stream must reproduce it
+# bit-for-bit, alerts being pure functions of consecutive (us,
+# event_id)-ordered pairs.
+
+_GAP_CHUNKS = 3
+_GAP_THRESHOLD_US = 2 * 86_400 * 1_000_000  # 2 days
+
+
+def _events_time_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events.parquet as 3 contiguous (ts, event_id)-ordered chunks —
+    the in-order replay source for cross-batch stateful operators;
+    cached per source version (sources/cachedir.py)."""
+    import os
+
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
+
+    src = os.path.join(sf_dir, "events.parquet")
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        per = (n + _GAP_CHUNKS - 1) // _GAP_CHUNKS
+        for i in range(_GAP_CHUNKS):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM read_parquet('{src}')
+                      ORDER BY ts, event_id LIMIT {per} OFFSET {i * per})
+                TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
+                  (FORMAT PARQUET)
+                """
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_events_tchunks_{key}_{_GAP_CHUNKS}",
+        source_fingerprint(src),
+        _build,
+    )
+
+
+@register(
+    "stream_gap_alerts",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events),
+g AS (
+  SELECT user_id,
+         LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS prev_us,
+         us AS at_us
+  FROM e)
+SELECT user_id, prev_us, at_us, at_us - prev_us AS gap_us
+FROM g
+WHERE prev_us IS NOT NULL AND at_us - prev_us > {_GAP_THRESHOLD_US}
+""".strip(),
+)
+def stream_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import configure_runtime
+    from ..streaming.stateful import gap_alert_stream
+
+    configure_runtime(spark)
+    src = _events_time_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    ts_type = dict(st.dtypes)["ts"]
+    if ts_type == "bigint":
+        st = st.withColumn("us", F.expr("ts div 1000"))
+    elif ts_type == "timestamp_ntz":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"NTZ conversion requires session tz UTC, got {tz!r}"
+            )
+        st = st.withColumn(
+            "us", F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+        )
+    else:
+        st = st.withColumn("us", F.unix_micros("ts"))
+    ev = st.select("user_id", "event_id", "us")
+    out = gap_alert_stream(ev, _GAP_THRESHOLD_US)
+    name, _ = run_to_memory(out, output_mode="append")
+    return spark.table(name)

@@ -4961,3 +4961,184 @@ def doc_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
+
+
+# --- duplicate-ngram coverage per doc (round 11) ---------------------------
+# The RefinedWeb/Gopher curation metric the registry still lacked:
+# what FRACTION of a document's tokens sits inside an n-gram that
+# occurs more than once corpus-wide? (Near-1 coverage = boilerplate /
+# template text even when no whole-doc duplicate exists.) Exact
+# set-semantics: a token position is covered iff ANY duplicated 5-gram
+# overlaps it; coverage = |covered positions| / n_tokens. Engine
+# shape: positional 5-gram hashes (the cross-engine RH fold over token
+# hashes — one narrow map), a gram-keyed count (the corpus-frequency
+# shuffle, same class as doc_ngram_novelty's measured-sub-linear
+# gram-keyed family), a semi-join of occurrences against duplicated
+# grams, a bounded position explode (exactly 5 rows per occurrence),
+# and a per-doc distinct count. All-integer until the final ratio.
+
+_DNC_N = 5
+
+
+@register(
+    "doc_dup_ngram_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  FROM documents),
+th AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST({RH_INIT} AS BIGINT),
+                          list_transform(string_split(t, ''),
+                                         x -> CAST(ascii(x) AS BIGINT))),
+             (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})) AS hs
+  FROM tok WHERE len(ts) >= {_DNC_N}),
+occ AS MATERIALIZED (
+  SELECT doc_id, n_tokens, g.pos, g.gh
+  FROM th, UNNEST(list_transform(range(1, len(hs) - {_DNC_N} + 2), i ->
+    struct_pack(pos := i,
+                gh := list_reduce(
+                  list_prepend(CAST({RH_INIT} AS BIGINT),
+                               list_slice(hs, i, i + {_DNC_N} - 1)),
+                  (acc, x) -> (acc * {RH_MULT} + x) % {RH_MOD})))) AS u(g)),
+dup AS (
+  SELECT gh FROM occ GROUP BY gh HAVING COUNT(*) >= 2),
+covered AS (
+  SELECT DISTINCT o.doc_id, p.p
+  FROM occ o JOIN dup d ON d.gh = o.gh,
+       UNNEST(range(o.pos, o.pos + {_DNC_N})) AS p(p)),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+  FROM covered GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+       CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / t.n_tokens
+         AS dup_coverage
+FROM (SELECT DISTINCT doc_id, n_tokens FROM occ) t
+LEFT JOIN cov c ON c.doc_id = t.doc_id
+""".strip(),
+)
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("_ts", tokens(F.lower(F.col("text")))).where(
+        F.size("_ts") >= _DNC_N
+    )
+    tok_hash = F.transform(
+        F.col("_ts"),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(RH_INIT).cast("long"),
+            lambda acc, x: (acc * RH_MULT + F.ascii(x)) % RH_MOD,
+        ),
+    )
+
+    def _gram(th, i):
+        acc = F.lit(RH_INIT).cast("long")
+        for k in range(_DNC_N):
+            acc = (acc * RH_MULT + F.element_at(th, (i + k).cast("int"))) % (
+                RH_MOD
+            )
+        return acc
+
+    # HOF let-binding (transform over a singleton array) so the token
+    # hashes evaluate once per row, then positional 5-gram structs.
+    grams = F.element_at(
+        F.transform(
+            F.array(tok_hash),
+            lambda th: F.transform(
+                F.sequence(F.lit(1), F.size(th) - _DNC_N + 1),
+                lambda i: F.struct(
+                    i.alias("pos"), _gram(th, i).alias("gh")
+                ),
+            ),
+        ),
+        1,
+    )
+    occ = toked.select(
+        "doc_id",
+        F.size("_ts").cast("long").alias("n_tokens"),
+        F.explode(grams).alias("g"),
+    ).select("doc_id", "n_tokens", "g.pos", "g.gh").persist()
+    dup = occ.groupBy("gh").agg(F.count(F.lit(1)).alias("n")).where(
+        F.col("n") >= 2
+    )
+    covered = (
+        occ.join(dup.select("gh"), "gh", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _DNC_N - 1)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    base = occ.select("doc_id", "n_tokens").distinct()
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+            "covered_tokens"
+        ),
+        (
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_coverage"),
+    )
+
+
+# --- per-source document cap (curation quota sampling, round 11) -----------
+# The domain-cap step every web-scale curation pipeline runs: no single
+# source may contribute more than CAP documents, and the kept subset
+# must be REPRODUCIBLE (a pure function of the doc id, not an engine
+# RNG or arrival order) — the md5-rank protocol again: within each
+# source, docs are ranked by (md5(doc_id), doc_id) and the first CAP
+# survive. The audit output is per-source: total docs, kept docs, and
+# kept characters (what actually ships to tokenization). Engine shape:
+# one source-partitioned window (never a global window — source count
+# scales, each partition is modest by construction of the cap's
+# purpose) and one tiny aggregate.
+
+_SRC_CAP = 16
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {_SRC_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rn <= {_SRC_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked
+GROUP BY source
+""".strip(),
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= _SRC_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_chars"),
+    )

@@ -281,3 +281,56 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-key gap alerting (round 11) ----------------------------------------
+# Fourth arbitrary-state exemplar: INACTIVITY detection, the monitoring
+# primitive behind "user went quiet" / "sensor stopped reporting"
+# alerts. State is the key's last-seen event instant; each arriving
+# event emits an alert row iff the gap from the previous event exceeds
+# the threshold, exactly once, in the micro-batch where the gap closes.
+# Unlike the funnel this operator is BATCH-BOUNDARY ROBUST under any
+# event-time-ordered replay: the state carries (last_us) across
+# batches, so an N-chunk time-ordered source yields bit-identical
+# alerts to the single-batch run (and to the batch LAG window) — the
+# oracle needs no single-batch precondition, only ordered replay.
+
+GAP_OUTPUT_SCHEMA = (
+    "user_id BIGINT, prev_us BIGINT, at_us BIGINT, gap_us BIGINT"
+)
+GAP_STATE_SCHEMA = "last_us BIGINT"
+
+
+def _gap_alerts(threshold_us: int):
+    def handler(key, pdf_iter, state):
+        (user_id,) = key
+        frames = [p for p in pdf_iter]
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["us", "event_id"])
+        (last,) = state.get if state.exists else (-1,)
+        rows = []
+        for us in pdf["us"]:
+            us = int(us)
+            if last >= 0 and us - last > threshold_us:
+                rows.append((user_id, last, us, us - last))
+            last = us
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "prev_us", "at_us", "gap_us"]
+            )
+
+    return handler
+
+
+def gap_alert_stream(events: DataFrame, threshold_us: int) -> DataFrame:
+    """(user_id, event_id, us) stream → appended inactivity alerts."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _gap_alerts(threshold_us),
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
