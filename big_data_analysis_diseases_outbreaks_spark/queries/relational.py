@@ -5599,7 +5599,17 @@ def copurchase_weighted_edges(
     re-pays a three-join + full-outer merge that the plain rebuild
     never needs (VERDICT r10: 11.6 s vs the 6.4 s this recipe costs
     inside weighted pagerank).  At 100 TB neither runs per query — the
-    stored view (copurchase_edges_stored) is the serve path."""
+    stored view (copurchase_edges_stored) is the serve path.
+
+    Built by PER-ORDER array pair generation instead of the lineitem
+    self-join: one groupBy(order) + a map-side nested-transform explode
+    of the sorted per-order part LIST (list, not set — position pairs
+    i<j with x_i ≠ x_j reproduce the self-join's multiplicity exactly:
+    an unordered value pair occurring cnt_x·cnt_y times contributes
+    cnt_x·cnt_y, same as a.partkey < b.partkey over lineitem rows),
+    then one (u, v)-keyed count. Baskets are small and bounded, so the
+    explode is cheap and the self-join's orderkey shuffle disappears
+    (~2× faster at sf0.1, measured on the link-prediction rewrite)."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(
@@ -5608,14 +5618,21 @@ def copurchase_weighted_edges(
         )
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
+        .where(F.col("p.u") != F.col("p.v"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
 
@@ -8770,20 +8787,27 @@ def copurchase_recommender_eval(
         .select("cust", F.col("mx.o_orderkey").alias("last_ok"))
     )
     lastkey = F.broadcast(last_o)
-    target = (
+    # ONE (cust, part)-keyed aggregate derives context AND held-out
+    # target in a single shuffle: a part is context if it has any
+    # pre-last occurrence, a fresh target iff it occurs ONLY in the
+    # last order (that subsumes the distinct + anti-join formulation).
+    flags = (
         co.join(lastkey, "cust")
-        .where(F.col("o_orderkey") == F.col("last_ok"))
-        .select("cust", "part")
-        .distinct()
-    )
-    context = (
-        co.join(lastkey, "cust")
-        .where(F.col("o_orderkey") != F.col("last_ok"))
-        .select("cust", "part")
-        .distinct()
+        .groupBy("cust", "part")
+        .agg(
+            F.max(
+                (F.col("o_orderkey") != F.col("last_ok")).cast("int")
+            ).alias("has_ctx"),
+            F.max(
+                (F.col("o_orderkey") == F.col("last_ok")).cast("int")
+            ).alias("has_last"),
+        )
         .persist()
     )
-    target_new = target.join(context, ["cust", "part"], "left_anti").persist()
+    context = flags.where(F.col("has_ctx") == 1).select("cust", "part")
+    target_new = flags.where(
+        (F.col("has_last") == 1) & (F.col("has_ctx") == 0)
+    ).select("cust", "part")
     evalset = target_new.select("cust").distinct()
     mv = copurchase_weighted_edges(spark, sf_dir).persist()
     sym = mv.select(
