@@ -293,6 +293,9 @@ HEADLINE = [
     "copurchase_recommender_eval",
     "orders_equidepth_bins",
     "brand_discount_elasticity",
+    "events_markov_stationary",
+    "orders_fiscal_445_rollup",
+    "orders_price_cume_dist",
 ]
 
 

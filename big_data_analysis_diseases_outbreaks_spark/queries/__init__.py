@@ -93,6 +93,9 @@ _PRIORITY: list[str] = [
     "copurchase_recommender_eval",
     "orders_equidepth_bins",
     "brand_discount_elasticity",
+    "events_markov_stationary",
+    "orders_fiscal_445_rollup",
+    "orders_price_cume_dist",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -126,9 +129,6 @@ _PRIORITY: list[str] = [
     "doc_repetition_ratio",
     "doc_simhash16",
     "doc_token_count",
-    "embedding_norms",
-    "features_join",
-    "json_extract_props",
 ]
 
 

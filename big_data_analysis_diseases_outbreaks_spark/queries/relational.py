@@ -9000,3 +9000,118 @@ def brand_discount_elasticity(
         "brand", "n", "sx", "sy", "sxy", "sxx",
         slope.alias("slope"), intercept.alias("intercept"),
     )
+
+
+# --- 4-4-5 fiscal calendar rollup (round 11) --------------------------------
+# Retail finance does not close books on calendar months: the 4-4-5
+# calendar divides each quarter into 4+4+5 WEEKS so every period has a
+# whole number of weeks (comparable week-over-week). Deterministic
+# spec: fiscal weeks count from the fixed anchor Monday 1992-01-06;
+# fiscal year = week div 52 (the leap-week variant would add a 53rd
+# week — out of scope, documented); week-in-year w ∈ [0, 52) maps to
+# period (w div 13)·3 + step(w mod 13) with step = 0 for weeks 0-3,
+# 1 for 4-7, 2 for 8-12. Pure integer date arithmetic — both engines
+# compute identical period ids — then one grouped revenue aggregate.
+
+_FISCAL_ANCHOR = "1992-01-06"  # Monday, fiscal week 0 day 0
+
+
+@register(
+    "orders_fiscal_445_rollup",
+    oracle=f"""
+WITH o AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '{_FISCAL_ANCHOR}' AS dd,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+w AS (
+  SELECT dd // 7 AS wk, cents FROM o WHERE dd >= 0),
+p AS (
+  SELECT wk // 52 AS fiscal_year, wk % 52 AS wy, cents FROM w)
+SELECT CAST(fiscal_year AS BIGINT) AS fiscal_year,
+       CAST((wy // 13) * 3
+            + CASE WHEN wy % 13 < 4 THEN 0
+                   WHEN wy % 13 < 8 THEN 1 ELSE 2 END + 1
+            AS BIGINT) AS fiscal_period,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM p GROUP BY 1, 2
+""".strip(),
+)
+def orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit(_FISCAL_ANCHOR).cast("date")
+        ).alias("dd"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).where(F.col("dd") >= 0)
+    wk = F.expr("dd div 7")
+    wy = wk % 52
+    step = (
+        F.when(wy % 13 < 4, 0).when(wy % 13 < 8, 1).otherwise(2)
+    )
+    return (
+        o.select(
+            F.expr("(dd div 7) div 52").cast("long").alias("fiscal_year"),
+            (F.expr("((dd div 7) % 52) div 13") * 3 + step + 1)
+            .cast("long")
+            .alias("fiscal_period"),
+            "cents",
+        )
+        .groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# --- tie-correct distributed CUME_DIST over order prices (round 11) --------
+# cume_dist(v) = #{rows ≤ v} / n — the window function whose TIE
+# semantics (all rows of a value share the count-through-the-last-tie)
+# the row_number machinery cannot fake. Distributed shape: collapse to
+# per-VALUE counts first (one keyed aggregate — the value domain is
+# what scales, not the row count), then the range-partitioned global
+# running sum over values; cume_dist falls out as one exact division
+# per distinct value. No single-partition window anywhere; the oracle
+# is the engine-native CUME_DIST window, so this is a semantics-parity
+# proof against the SQL standard itself.
+
+@register(
+    "orders_price_cume_dist",
+    oracle="""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+base AS (
+  SELECT cents,
+         CUME_DIST() OVER (ORDER BY cents) AS cd,
+         CAST(COUNT(*) OVER (PARTITION BY cents) AS BIGINT) AS n_orders,
+         ROW_NUMBER() OVER (PARTITION BY cents ORDER BY cents) AS rn
+  FROM o)
+SELECT cents, n_orders, cd AS cume_dist FROM base WHERE rn = 1
+""".strip(),
+)
+def orders_price_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    cum = with_global_running_sum(
+        counts,
+        [F.col("cents").asc()],
+        "n_orders",
+        out_col="cs",
+        total_col="n_total",
+    )
+    return cum.select(
+        "cents",
+        "n_orders",
+        (F.col("cs").cast("double") / F.col("n_total").cast("double")).alias(
+            "cume_dist"
+        ),
+    )

@@ -3709,3 +3709,97 @@ def events_error_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "breached",
         F.col("breaches_to_date").cast("long").alias("breaches_to_date"),
     )
+
+
+# --- stationary distribution of the event Markov chain (round 11) ----------
+# The follow-on the transition-matrix query (markov_event_transitions)
+# exists for: where does user behavior SETTLE? Power iteration on the
+# |types|×|types| chain with the exact-integer pagerank protocol —
+# mass starts at SCALE per state and each round moves
+# floor(p·n_trans / n_from) along every observed transition, 8
+# synchronous rounds, so the result is bit-identical cross-engine (the
+# oracle unrolls the same recurrence as chained CTEs). Engine shape:
+# the ONE heavy stage is the transition-count aggregate (lag window
+# partitioned by user, map-side-combined count); the iteration itself
+# runs on a |types|²-row frame — 8 broadcast-tiny joins, no lineage
+# concern at this bounded depth. Overflow: p ≤ |S|·SCALE and
+# p·n_trans must stay < 2^63 — SCALE=1e9 leaves n_trans headroom to
+# ~1.8e12 rows per transition pair.
+
+_MKV_SCALE = 1_000_000_000
+_MKV_ROUNDS = 8
+
+
+def _markov_stationary_oracle() -> str:
+    rounds = []
+    for i in range(1, _MKV_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT t.event_type AS s,
+         CAST(SUM((r.p * t.n_trans) // t.n_from) AS BIGINT) AS p
+  FROM t JOIN r{i - 1} r ON t.prev_type = r.s
+  GROUP BY 1)"""
+        )
+    joined = ",\n".join(rounds)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (
+  SELECT prev_type, event_type, n_trans,
+         CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS n_from
+  FROM c),
+r0 AS (SELECT DISTINCT prev_type AS s,
+              CAST({_MKV_SCALE} AS BIGINT) AS p FROM t),
+{joined},
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS total FROM r{_MKV_ROUNDS})
+SELECT r.s AS event_type, r.p AS stationary_scaled,
+       CAST(r.p AS DOUBLE) / t.total AS stationary
+FROM r{_MKV_ROUNDS} r, tot t
+""".strip()
+
+
+@register("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    wf = Window.partitionBy("prev_type")
+    t = c.select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        F.sum("n_trans").over(wf).cast("long").alias("n_from"),
+    ).persist()  # the |types|²-row matrix: consumed 8 times below
+    pi = t.select(F.col("prev_type").alias("s")).distinct().select(
+        "s", F.lit(_MKV_SCALE).cast("long").alias("p")
+    )
+    for _ in range(_MKV_ROUNDS):
+        pi = (
+            t.join(F.broadcast(pi), t["prev_type"] == pi["s"])
+            .select(
+                F.col("event_type").alias("s2"),
+                F.expr("(p * n_trans) div n_from").alias("m"),
+            )
+            .groupBy(F.col("s2").alias("s"))
+            .agg(F.sum("m").cast("long").alias("p"))
+        )
+    tot = pi.agg(F.sum("p").cast("long").alias("total"))
+    return pi.crossJoin(F.broadcast(tot)).select(
+        F.col("s").alias("event_type"),
+        F.col("p").alias("stationary_scaled"),
+        (F.col("p").cast("double") / F.col("total")).alias("stationary"),
+    )

@@ -221,3 +221,37 @@ def test_discount_elasticity_stats_consistent(spark):
         # Cauchy-Schwarz: n*sxx >= sx^2 (strict unless x constant)
         assert r["n"] * r["sxx"] >= r["sx"] * r["sx"]
         assert r["slope"] == r["slope"]  # not NaN
+
+
+def test_markov_stationary_sums_and_probs(spark):
+    rows = _Q["events_markov_stationary"].fn(spark, SF_SMALL).collect()
+    assert len(rows) >= 2
+    total = sum(r["stationary_scaled"] for r in rows)
+    probs = sum(r["stationary"] for r in rows)
+    assert abs(probs - 1.0) < 1e-9
+    # floor losses only: total mass <= n_states * SCALE
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        _MKV_SCALE,
+    )
+
+    assert 0 < total <= len(rows) * _MKV_SCALE * 2
+
+
+def test_fiscal_445_period_lengths(spark):
+    """Every fiscal period id is 1..12 and quarters are 4+4+5 weeks by
+    construction of the step map."""
+    rows = _Q["orders_fiscal_445_rollup"].fn(spark, SF_SMALL).collect()
+    assert rows
+    assert all(1 <= r["fiscal_period"] <= 12 for r in rows)
+
+
+def test_cume_dist_monotone_and_bounded(spark):
+    rows = sorted(
+        _Q["orders_price_cume_dist"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["cents"],
+    )
+    last = 0.0
+    for r in rows:
+        assert last < r["cume_dist"] <= 1.0
+        last = r["cume_dist"]
+    assert abs(rows[-1]["cume_dist"] - 1.0) < 1e-12
