@@ -296,6 +296,8 @@ HEADLINE = [
     "events_markov_stationary",
     "orders_fiscal_445_rollup",
     "orders_price_cume_dist",
+    "curriculum_order_manifest",
+    "lang_tokenizer_fertility",
 ]
 
 

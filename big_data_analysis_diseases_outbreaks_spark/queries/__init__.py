@@ -96,6 +96,8 @@ _PRIORITY: list[str] = [
     "events_markov_stationary",
     "orders_fiscal_445_rollup",
     "orders_price_cume_dist",
+    "curriculum_order_manifest",
+    "lang_tokenizer_fertility",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -127,8 +129,6 @@ _PRIORITY: list[str] = [
     "doc_lang_id",
     "doc_quality_score",
     "doc_repetition_ratio",
-    "doc_simhash16",
-    "doc_token_count",
 ]
 
 

@@ -5142,3 +5142,91 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+# --- curriculum ordering manifest (round 11) --------------------------------
+# Curriculum learning's data-side artifact: a TOTAL training order that
+# presents higher-quality documents first, with a reproducible shuffle
+# inside each quality band (md5 of the doc id — the repo's
+# reproducible-sample protocol, so the order is a pure function of the
+# data, not of engine RNG or partitioning). Band = quality decile
+# (floor(q·10) capped at 9, from the proven-equal quality heuristic);
+# position = the distributed range-rank over (band DESC, md5, doc_id)
+# — no global window. The manifest is what a dataloader consumes.
+
+@register(
+    "curriculum_order_manifest",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id,
+         LEAST(CAST(FLOOR({quality_score_sql('text')} * 10) AS BIGINT), 9)
+           AS band
+  FROM documents)
+SELECT doc_id, band,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY band DESC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+         AS BIGINT) AS position
+FROM q
+""".strip(),
+)
+def curriculum_order_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.least(
+        F.floor(quality_score(F.col("text")) * 10).cast("long"), F.lit(9)
+    )
+    q = docs.select(
+        "doc_id",
+        band.alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    return with_global_rank(
+        q,
+        [F.col("band").desc(), F.col("_h").asc(), F.col("doc_id").asc()],
+        "position",
+    ).select("doc_id", "band", F.col("position").cast("long").alias("position"))
+
+
+# --- per-language tokenizer fertility (round 11) ----------------------------
+# The multilingual budget planner's first table: subword units per
+# whitespace word by language ("fertility") — high-fertility languages
+# burn token budget faster and get under-trained at a fixed doc quota.
+# Exact integer sums of the BPE-ish subword and whitespace counts per
+# language (one map-side-combined aggregate over the corpus scan), one
+# double division per language.
+
+@register(
+    "lang_tokenizer_fertility",
+    oracle=f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{{BPE}}'))) AS BIGINT)
+         AS n_subwords,
+       CAST(SUM(len(regexp_extract_all(text, '{{TOK}}'))) AS BIGINT)
+         AS n_words,
+       CAST(SUM(len(regexp_extract_all(text, '{{BPE}}'))) AS DOUBLE)
+         / SUM(len(regexp_extract_all(text, '{{TOK}}'))) AS fertility
+FROM documents
+GROUP BY lang
+""".strip().replace("{BPE}", BPE_RE).replace("{TOK}", TOKEN_RE),
+)
+def lang_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))
+    ).cast("long")
+    n_ws = token_count(F.col("text"))
+    per = docs.select("lang", n_bpe.alias("b"), n_ws.alias("w"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("n_subwords"),
+        F.sum("w").cast("long").alias("n_words"),
+        (
+            F.sum("b").cast("double") / F.sum("w").cast("double")
+        ).alias("fertility"),
+    )

@@ -255,3 +255,22 @@ def test_cume_dist_monotone_and_bounded(spark):
         assert last < r["cume_dist"] <= 1.0
         last = r["cume_dist"]
     assert abs(rows[-1]["cume_dist"] - 1.0) < 1e-12
+
+
+def test_curriculum_manifest_total_order(spark):
+    rows = _Q["curriculum_order_manifest"].fn(spark, SF_SMALL).collect()
+    pos = sorted(r["position"] for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    # bands non-increasing along the curriculum
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    for a, b in zip(by_pos, by_pos[1:]):
+        assert a["band"] >= b["band"]
+
+
+def test_fertility_at_least_one(spark):
+    rows = _Q["lang_tokenizer_fertility"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # a whitespace word decomposes into >= 1 subword unit
+        assert r["fertility"] >= 1.0
+        assert r["n_subwords"] >= r["n_words"]
