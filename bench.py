@@ -298,6 +298,7 @@ HEADLINE = [
     "orders_price_cume_dist",
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
+    "ann_grid_topk",
 ]
 
 

@@ -98,6 +98,7 @@ _PRIORITY: list[str] = [
     "orders_price_cume_dist",
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
+    "ann_grid_topk",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "doc_lang_id",
     "doc_quality_score",
-    "doc_repetition_ratio",
 ]
 
 

@@ -1910,3 +1910,170 @@ def embedding_label_separation(
             ).alias("cross_mean"),
         )
     )
+
+
+# --- deterministic grid-IVF top-k (round 11) --------------------------------
+# The index-probe PLAN SHAPE of IVF, in the SQL tier: ann_ivf_topk's
+# Lloyd codebook is inherently seeded (rows-only by design), so this
+# twin replaces the learned coarse quantizer with a DETERMINISTIC
+# grid-file cell map [Nievergelt et al. '84] that both engines replay
+# exactly: two ±1-signed integer projections of the int8-quantized
+# vectors (sign of (a·d + b) mod P — the affine-hash protocol), each
+# equi-width-binned into 8 cells between the global min/max with pure
+# integer arithmetic ((p − lo)·B div (hi − lo + 1) ∈ [0, B−1]).
+# Queries probe their 3×3 cell neighborhood through a HASH JOIN on the
+# cell key — the honest inverted-list probe: candidates arrive by key
+# equality, never a corpus scan — then exact int8 dots rank the
+# shortlist (top-3, id tie-break). At 100 TB the cell table is
+# partitioned by cell key and probes touch only matching partitions.
+
+_GRID_B = 8
+_GRID_P1 = (48271, 11)
+_GRID_P2 = (69621, 97)
+_GRID_MOD = 1_000_000_007
+
+
+def _grid_sign_sql(a: int, b: int) -> str:
+    return (
+        f"CASE WHEN (({a} * (i - 1) + {b}) % {_GRID_MOD}) % 2 = 0 "
+        "THEN qv[i] ELSE -qv[i] END"
+    )
+
+
+@register(
+    "ann_grid_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           GREATEST(-127, LEAST(127,
+             CAST(ROUND(CAST(x AS DOUBLE) * {_I8_SCALE}) AS BIGINT))))
+           AS qv
+  FROM embeddings),
+p AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P1)})) AS BIGINT) AS p1,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P2)})) AS BIGINT) AS p2
+  FROM q),
+mm AS (
+  SELECT MIN(p1) AS l1, MAX(p1) AS h1, MIN(p2) AS l2, MAX(p2) AS h2
+  FROM p),
+binned AS (
+  SELECT vec_id, qv,
+         (p1 - l1) * {_GRID_B} // (h1 - l1 + 1) AS c1,
+         (p2 - l2) * {_GRID_B} // (h2 - l2 + 1) AS c2
+  FROM p, mm),
+probe AS (
+  SELECT b.vec_id AS query_id, b.qv AS qa,
+         b.c1 + d1.x AS c1, b.c2 + d2.x AS c2
+  FROM binned b, UNNEST([-1, 0, 1]) AS d1(x), UNNEST([-1, 0, 1]) AS d2(x)
+  WHERE b.vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT pr.query_id, b.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(1, len(pr.qa) + 1),
+             i -> pr.qa[i] * b.qv[i])) AS BIGINT) AS dot_i8
+  FROM probe pr JOIN binned b
+    ON b.c1 = pr.c1 AND b.c2 = pr.c2 AND b.vec_id <> pr.query_id),
+ranked AS (
+  SELECT query_id, cand_id, dot_i8,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY dot_i8 DESC, cand_id ASC) AS BIGINT) AS rank
+  FROM cand)
+SELECT query_id, cand_id, dot_i8, rank FROM ranked
+WHERE rank <= {_I8_TOPK}
+""".strip(),
+)
+def ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.round(x.cast("double") * F.lit(_I8_SCALE)).cast("long"),
+            ),
+        ),
+    )
+
+    def proj(a: int, b: int):
+        # element index is 0-based Spark-side == (i-1) oracle-side
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.sequence(F.lit(0), F.size("qv") - 1),
+                lambda x, d: F.when(
+                    ((F.lit(a) * d + F.lit(b)) % _GRID_MOD) % 2 == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, el: acc + el,
+        )
+
+    p = emb.select(
+        "vec_id",
+        qv.alias("qv"),
+    ).select(
+        "vec_id",
+        "qv",
+        proj(*_GRID_P1).alias("p1"),
+        proj(*_GRID_P2).alias("p2"),
+    ).persist()  # scalar min/max + the binned map both consume it
+    mm = F.broadcast(
+        p.agg(
+            F.min("p1").alias("l1"),
+            F.max("p1").alias("h1"),
+            F.min("p2").alias("l2"),
+            F.max("p2").alias("h2"),
+        )
+    )
+    binned = p.crossJoin(mm).select(
+        "vec_id",
+        "qv",
+        F.expr(f"(p1 - l1) * {_GRID_B} div (h1 - l1 + 1)").alias("c1"),
+        F.expr(f"(p2 - l2) * {_GRID_B} div (h2 - l2 + 1)").alias("c2"),
+    )
+    offs = F.array([F.lit(-1), F.lit(0), F.lit(1)])
+    probe = (
+        binned.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qa"),
+            F.explode(offs).alias("d1"),
+            "c1",
+            "c2",
+        )
+        .select(
+            "query_id",
+            "qa",
+            (F.col("c1") + F.col("d1")).alias("c1"),
+            F.explode(offs).alias("d2"),
+            "c2",
+        )
+        .select(
+            "query_id", "qa", "c1", (F.col("c2") + F.col("d2")).alias("c2")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(binned, ["c1", "c2"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), dot.alias("dot_i8")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_i8").desc(), F.col("cand_id").asc()
+    )
+    return cand.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= _I8_TOPK)

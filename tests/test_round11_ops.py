@@ -274,3 +274,23 @@ def test_fertility_at_least_one(spark):
         # a whitespace word decomposes into >= 1 subword unit
         assert r["fertility"] >= 1.0
         assert r["n_subwords"] >= r["n_words"]
+
+
+def test_ann_grid_topk_shape(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.embeddings import (
+        _I8_TOPK,
+        _N_QUERIES,
+    )
+
+    rows = _Q["ann_grid_topk"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] < _N_QUERIES
+        assert r["cand_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= _I8_TOPK
+        rs = sorted(rs, key=lambda r: r["rank"])
+        for a, b in zip(rs, rs[1:]):
+            assert (a["dot_i8"], -a["cand_id"]) >= (b["dot_i8"], -b["cand_id"])
