@@ -299,6 +299,7 @@ HEADLINE = [
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
     "ann_grid_topk",
+    "lang_id_confusion",
 ]
 
 

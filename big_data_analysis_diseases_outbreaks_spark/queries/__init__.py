@@ -99,6 +99,7 @@ _PRIORITY: list[str] = [
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
     "ann_grid_topk",
+    "lang_id_confusion",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "daily_zero_filled",
     "doc_fingerprint",
     "doc_lang_id",
-    "doc_quality_score",
 ]
 
 

@@ -5230,3 +5230,54 @@ def lang_tokenizer_fertility(
             F.sum("b").cast("double") / F.sum("w").cast("double")
         ).alias("fertility"),
     )
+
+
+# --- language-ID confusion matrix (round 11) --------------------------------
+# Classifier evaluation as relational algebra: the n-gram lang_id
+# heuristic's predictions against the stored language label, as the
+# full confusion matrix (true lang × predicted lang, exact counts)
+# plus per-true-language accuracy as an exact rational pair — the
+# model-eval table every quality-classifier deployment keeps. One
+# corpus scan (prediction is a pure column expression) + one grouped
+# count; the per-language totals ride on a partitioned window.
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH p AS (
+  SELECT lang AS true_lang, {lang_id_sql('text')} AS pred_lang
+  FROM documents),
+m AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2)
+SELECT true_lang, pred_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+       CAST(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY true_lang) AS diag_share
+FROM m
+""".strip(),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("true_lang"),
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+    m = p.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return m.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_true"),
+        (
+            F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(F.lit(0))
+            .cast("double")
+            / F.sum("n").over(w).cast("double")
+        ).alias("diag_share"),
+    )
