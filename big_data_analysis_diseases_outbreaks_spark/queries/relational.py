@@ -2161,14 +2161,28 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
+    # Per-order pair generation (round 11): one groupBy(order) + a
+    # map-side nested-transform explode over the per-order part LIST —
+    # bit-identical to the former lineitem self-join's output multiset
+    # (all ordered pairs of distinct-valued line rows within an order),
+    # at roughly half the cost: the join's second scan + second
+    # orderkey shuffle disappear, and collect_list partial-aggregates
+    # map-side. Baskets are small and bounded, so the ≤|basket|²
+    # explode is cheap.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("ps")
+    )
     return (
-        a.join(b, "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(ps, y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
         )
+        .where(F.col("p.src") != F.col("p.dst"))
+        .select("p.src", "p.dst")
     )
 
 
