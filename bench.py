@@ -300,6 +300,7 @@ HEADLINE = [
     "lang_tokenizer_fertility",
     "ann_grid_topk",
     "lang_id_confusion",
+    "supplier_ontime_wilson",
 ]
 
 

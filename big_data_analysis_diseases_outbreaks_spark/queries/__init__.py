@@ -100,6 +100,7 @@ _PRIORITY: list[str] = [
     "lang_tokenizer_fertility",
     "ann_grid_topk",
     "lang_id_confusion",
+    "supplier_ontime_wilson",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "cosine_topk",
     "daily_zero_filled",
     "doc_fingerprint",
-    "doc_lang_id",
 ]
 
 

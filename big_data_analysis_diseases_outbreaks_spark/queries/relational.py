@@ -9129,3 +9129,103 @@ def orders_price_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cume_dist"
         ),
     )
+
+
+# --- supplier on-time ranking by Wilson lower bound (round 11) --------------
+# "How not to sort by average rating": a supplier with 3/3 on-time
+# beats one with 950/1000 under the naive rate — the Wilson score
+# interval's lower bound [Wilson 1927] penalizes small samples and is
+# the standard production fix for ranking proportions. On-time =
+# shipped within 30 days of the order date; counts are exact integers,
+# and the bound is ONE fixed expression tree over (s, n) — written
+# with identical parenthesization in both engines so the IEEE op
+# sequence (and therefore the double) is bit-identical. Top-25 via
+# TakeOrderedAndProject (bound desc, suppkey asc).
+
+_WILSON_Z = 1.96
+_WILSON_TOPK = 25
+_ONTIME_DAYS = 30
+
+
+@register(
+    "supplier_ontime_wilson",
+    oracle=f"""
+WITH j AS (
+  SELECT l.l_suppkey AS suppkey,
+         CASE WHEN CAST(l.l_shipdate AS DATE)
+                   <= CAST(o.o_orderdate AS DATE) + {_ONTIME_DAYS}
+              THEN 1 ELSE 0 END AS ontime
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+s AS (
+  SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(ontime) AS BIGINT) AS n_ontime
+  FROM j GROUP BY suppkey),
+w AS (
+  SELECT suppkey, n_lines, n_ontime,
+         ((CAST(n_ontime AS DOUBLE) / n_lines)
+            + {_WILSON_Z} * {_WILSON_Z} / (2.0 * n_lines)
+            - {_WILSON_Z} * SQRT(
+                ((CAST(n_ontime AS DOUBLE) / n_lines)
+                   * (1.0 - (CAST(n_ontime AS DOUBLE) / n_lines))
+                 + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n_lines))
+                / n_lines))
+         / (1.0 + {_WILSON_Z} * {_WILSON_Z} / n_lines) AS wilson_lb
+  FROM s),
+ranked AS (
+  SELECT suppkey, n_lines, n_ontime, wilson_lb,
+         CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, suppkey ASC)
+              AS BIGINT) AS rank
+  FROM w)
+SELECT suppkey, n_lines, n_ontime, wilson_lb, rank
+FROM ranked WHERE rank <= {_WILSON_TOPK}
+""".strip(),
+)
+def supplier_ontime_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_suppkey").alias("suppkey"),
+        F.to_date("l_shipdate").alias("ship"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    s = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            "suppkey",
+            (F.col("ship") <= F.date_add("od", _ONTIME_DAYS))
+            .cast("int")
+            .alias("ontime"),
+        )
+        .groupBy("suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("ontime").cast("long").alias("n_ontime"),
+        )
+    )
+    z = F.lit(_WILSON_Z)
+    n = F.col("n_lines")
+    phat = F.col("n_ontime").cast("double") / n
+    wilson = (
+        phat
+        + z * z / (2.0 * n)
+        - z
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat) + z * z / (4.0 * n)) / n
+        )
+    ) / (F.lit(1.0) + z * z / n)
+    w = Window.orderBy(F.col("wilson_lb").desc(), F.col("suppkey").asc())
+    top = (
+        s.withColumn("wilson_lb", wilson)
+        .orderBy(F.col("wilson_lb").desc(), F.col("suppkey").asc())
+        .limit(_WILSON_TOPK)
+    )
+    return top.select(
+        "suppkey",
+        "n_lines",
+        "n_ontime",
+        "wilson_lb",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

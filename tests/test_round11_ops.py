@@ -294,3 +294,14 @@ def test_ann_grid_topk_shape(spark):
         rs = sorted(rs, key=lambda r: r["rank"])
         for a, b in zip(rs, rs[1:]):
             assert (a["dot_i8"], -a["cand_id"]) >= (b["dot_i8"], -b["cand_id"])
+
+
+def test_wilson_bound_properties(spark):
+    rows = _Q["supplier_ontime_wilson"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] < r["n_ontime"] / r["n_lines"] + 1e-9
+        assert r["n_ontime"] <= r["n_lines"]
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a["wilson_lb"] >= b["wilson_lb"]
