@@ -301,6 +301,7 @@ HEADLINE = [
     "ann_grid_topk",
     "lang_id_confusion",
     "supplier_ontime_wilson",
+    "ann_grid_recall_report",
 ]
 
 

@@ -101,6 +101,7 @@ _PRIORITY: list[str] = [
     "ann_grid_topk",
     "lang_id_confusion",
     "supplier_ontime_wilson",
+    "ann_grid_recall_report",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "contamination_8gram_overlap",
     "cosine_topk",
     "daily_zero_filled",
-    "doc_fingerprint",
 ]
 
 

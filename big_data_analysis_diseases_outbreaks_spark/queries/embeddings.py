@@ -2077,3 +2077,113 @@ def ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).where(F.col("rank") <= _I8_TOPK)
+
+
+# --- grid-IVF recall report, fully value-oracled (round 11) -----------------
+# ann_recall_report (LSH/IVF vs exact) stays rows-only because the IVF
+# codebook is seeded; this twin measures the DETERMINISTIC grid index
+# (ann_grid_topk) against the exact int8 brute force, so the whole
+# quality report — per-query hit counts and recall@k — is a pure
+# function of the data and hash-matches in DuckDB. The evaluation
+# pattern ("recall as a query") at full value-oracle strength.
+
+@register(
+    "ann_grid_recall_report",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           GREATEST(-127, LEAST(127,
+             CAST(ROUND(CAST(x AS DOUBLE) * {_I8_SCALE}) AS BIGINT))))
+           AS qv
+  FROM embeddings),
+exact_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id),
+exact_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_i8 DESC, cand_id ASC) AS rank
+    FROM exact_pairs) WHERE rank <= {_I8_TOPK}),
+p AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P1)})) AS BIGINT) AS p1,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P2)})) AS BIGINT) AS p2
+  FROM q),
+mm AS (
+  SELECT MIN(p1) AS l1, MAX(p1) AS h1, MIN(p2) AS l2, MAX(p2) AS h2
+  FROM p),
+binned AS (
+  SELECT vec_id, qv,
+         (p1 - l1) * {_GRID_B} // (h1 - l1 + 1) AS c1,
+         (p2 - l2) * {_GRID_B} // (h2 - l2 + 1) AS c2
+  FROM p, mm),
+probe AS (
+  SELECT b.vec_id AS query_id, b.qv AS qa,
+         b.c1 + d1.x AS c1, b.c2 + d2.x AS c2
+  FROM binned b, UNNEST([-1, 0, 1]) AS d1(x), UNNEST([-1, 0, 1]) AS d2(x)
+  WHERE b.vec_id < {_N_QUERIES}),
+grid_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT pr.query_id, b.vec_id AS cand_id,
+           ROW_NUMBER() OVER (PARTITION BY pr.query_id
+             ORDER BY CAST(list_sum(list_transform(
+                        range(1, len(pr.qa) + 1),
+                        i -> pr.qa[i] * b.qv[i])) AS BIGINT) DESC,
+                      b.vec_id ASC) AS rank
+    FROM probe pr JOIN binned b
+      ON b.c1 = pr.c1 AND b.c2 = pr.c2 AND b.vec_id <> pr.query_id)
+  WHERE rank <= {_I8_TOPK})
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       CAST(SUM(CASE WHEN g.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall
+FROM exact_top e
+LEFT JOIN grid_top g
+  ON g.query_id = e.query_id AND g.cand_id = e.cand_id
+GROUP BY e.query_id
+""".strip(),
+)
+def ann_grid_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    exact = (
+        embedding_int8_dot_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+    )
+    grid = ann_grid_topk(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("g_cand")
+    )
+    j = exact.join(
+        grid,
+        (exact["query_id"] == grid["query_id"])
+        & (exact["cand_id"] == grid["g_cand"]),
+        "left",
+    ).select(exact["query_id"].alias("qid"), "cand_id", "g_cand")
+    return (
+        j.groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.col("g_cand").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
