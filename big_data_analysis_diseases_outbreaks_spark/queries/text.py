@@ -26,7 +26,6 @@ from ..operators.rank import with_global_running_sum
 from ..operators.dedup import (
     exact_dedup,
     exact_jaccard_pairs,
-    verified_near_duplicates,
 )
 from ..sources.tables import load_table
 from . import register
