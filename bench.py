@@ -302,6 +302,7 @@ HEADLINE = [
     "lang_id_confusion",
     "supplier_ontime_wilson",
     "ann_grid_recall_report",
+    "part_copurchase_local_bridges",
 ]
 
 

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "lang_id_confusion",
     "supplier_ontime_wilson",
     "ann_grid_recall_report",
+    "part_copurchase_local_bridges",
     "embedding_activation_stats",
     "embedding_quantize_int8",
     "event_prop_key_stats",
@@ -128,7 +129,6 @@ _PRIORITY: list[str] = [
     "anomaly_region_map",
     "contamination_8gram_overlap",
     "cosine_topk",
-    "daily_zero_filled",
 ]
 
 

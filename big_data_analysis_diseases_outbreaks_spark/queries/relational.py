@@ -9229,3 +9229,165 @@ def supplier_ontime_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wilson_lb",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# --- local bridges in the co-purchase graph (round 11) ----------------------
+# Granovetter's "weak ties": an edge is a LOCAL BRIDGE when its
+# endpoints share NO other neighbor (edge embeddedness / triangle
+# support = 0) — removing it lengthens every path between its sides,
+# so these are the fragile links a supply/recommendation network
+# watches. Support per EDGE is the same wedge count the link-
+# prediction family computes for NON-edges — here the canonical pair
+# aggregate is SEMI-joined back to the edge set instead (left join;
+# support 0 = no wedge row). Output: the top-25 bridges by combined
+# endpoint degree (the highest-traffic fragile links), deterministic
+# tie-breaks. Engine shape: per-order pair generation, degree-oriented
+# 3-way wedge join with packed keys, one left join onto edges, two
+# broadcast degree joins, TakeOrderedAndProject.
+
+_BRIDGE_TOPK = 25
+
+
+@register(
+    "part_copurchase_local_bridges",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym GROUP BY a),
+cn AS (
+  SELECT n1.a AS u, n2.a AS v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+  GROUP BY n1.a, n2.a),
+bridges AS (
+  SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
+  FROM e
+  LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+  WHERE cn.u IS NULL),
+ranked AS (
+  SELECT u, v, deg_u, deg_v,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY deg_u + deg_v DESC, u ASC, v ASC) AS BIGINT) AS rank
+  FROM bridges)
+SELECT u AS part_key_1, v AS part_key_2, deg_u, deg_v, rank
+FROM ranked WHERE rank <= {_BRIDGE_TOPK}
+""".strip(),
+)
+def part_copurchase_local_bridges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.triangles import _orient
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .persist()
+    )
+    o = _orient(und).persist()
+    o.count()
+
+    def pack(x: str, y: str):
+        return (
+            F.shiftleft(F.col(x).cast("long"), 32) + F.col(y).cast("long")
+        ).alias("pk")
+
+    c1 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(pack("e1.b", "e2.b"))
+    )
+    c2 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            (
+                F.shiftleft(F.least("e1.a", "e2.b").cast("long"), 32)
+                + F.greatest("e1.a", "e2.b").cast("long")
+            ).alias("pk")
+        )
+    )
+    c3 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.b"))
+        .where(F.col("e1.a") < F.col("e2.a"))
+        .select(pack("e1.a", "e2.a"))
+    )
+    cn = (
+        c1.unionAll(c2)
+        .unionAll(c3)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.shiftrightunsigned("pk", 32).cast("long").alias("u"),
+            F.col("pk")
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    )
+    dv = F.broadcast(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    )
+    bridges = (
+        und.join(cn, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+    )
+    w = Window.orderBy(
+        (F.col("deg_u") + F.col("deg_v")).desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    )
+    top = bridges.orderBy(
+        (F.col("deg_u") + F.col("deg_v")).desc(),
+        F.col("u").asc(),
+        F.col("v").asc(),
+    ).limit(_BRIDGE_TOPK)
+    return top.select(
+        F.col("u").alias("part_key_1"),
+        F.col("v").alias("part_key_2"),
+        "deg_u",
+        "deg_v",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -305,3 +305,32 @@ def test_wilson_bound_properties(spark):
     by_rank = sorted(rows, key=lambda r: r["rank"])
     for a, b in zip(by_rank, by_rank[1:]):
         assert a["wilson_lb"] >= b["wilson_lb"]
+
+
+def test_local_bridges_have_zero_support(spark):
+    """A reported bridge's endpoints must share no neighbor (planted
+    check: triangle edges can never appear)."""
+    rows = _Q["part_copurchase_local_bridges"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 25
+    # verify support-0 directly against the edge set
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        copurchase_edges,
+    )
+
+    und = (
+        copurchase_edges(spark, SF_SMALL)
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = {}
+    for r in und.collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    for r in rows:
+        common = adj[r["part_key_1"]] & adj[r["part_key_2"]]
+        assert not common, (r["part_key_1"], r["part_key_2"], common)
+        assert r["deg_u"] == len(adj[r["part_key_1"]])
+        assert r["deg_v"] == len(adj[r["part_key_2"]])
