@@ -303,6 +303,15 @@ HEADLINE = [
     "supplier_ontime_wilson",
     "ann_grid_recall_report",
     "part_copurchase_local_bridges",
+    # round-11b additions
+    "segment_balance_anova",
+    "customer_atkinson_inequality",
+    "customer_t_closeness",
+    "customer_geo_nn_grid",
+    "lineitem_compaction_plan",
+    "orders_mann_kendall",
+    "orders_runs_test",
+    "doc_cdc_chunks",
 ]
 
 

@@ -79,6 +79,15 @@ def register(name: str, oracle: str | None = None):
 _PRIORITY: list[str] = [
     # --- Round-11 rotation: never-green first (the r11 upgrades/new),
     # then oldest-evidence re-confirmation backfill (last green r3/r4).
+    # Round-11b additions (this session) lead — never driver-green yet.
+    "segment_balance_anova",
+    "customer_atkinson_inequality",
+    "customer_t_closeness",
+    "customer_geo_nn_grid",
+    "lineitem_compaction_plan",
+    "orders_mann_kendall",
+    "orders_runs_test",
+    "doc_cdc_chunks",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -121,14 +130,6 @@ _PRIORITY: list[str] = [
     "region_shipment_flags",
     "returned_parts_multiset",
     "rollup_lineitem_status",
-    "salted_type_join",
-    "scd2_priority_epochs",
-    "small_quantity_revenue",
-    "sql_api_priority_revenue",
-    "top3_customers_per_nation",
-    "anomaly_region_map",
-    "contamination_8gram_overlap",
-    "cosine_topk",
 ]
 
 

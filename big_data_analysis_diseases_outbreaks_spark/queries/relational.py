@@ -9391,3 +9391,500 @@ def part_copurchase_local_bridges(
         "deg_v",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# --- one-way ANOVA across market segments (round 11b) ----------------------
+# Does mean account balance differ by market segment? The classic
+# F = (SSB/(k-1)) / (SSW/(n-k)) from exact integer sufficient
+# statistics: per-segment n_g, sum of balance cents s_g, sum of squared
+# cents q_g (the brand_discount_elasticity protocol — regression/ANOVA
+# as an aggregate). The only non-integer step is the per-group term
+# s_g^2/n_g: two correctly-rounded IEEE ops on exactly-representable
+# longs, ROUNDED TO A FIXED-POINT LONG BEFORE THE CROSS-GROUP SUM so
+# the total is reduction-order-independent (the events_cramers_v
+# protocol; a raw double sum over groups is order-dependent). One hash
+# aggregate over the table, then a k-row (=5) reduction — nothing
+# data-sized past the first agg. 2^63 envelope: q_g <= 1e12 cents^2
+# per row; at 100 TB the cents would move to DECIMAL(38) exactly like
+# the other integer-sum protocols (documented, not silent).
+
+_ANOVA_SCALE = 10_000  # fixed-point for the per-group s_g^2/n_g terms
+
+
+@register(
+    "segment_balance_anova",
+    oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                  * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS q_g
+  FROM customer GROUP BY 1),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(
+           CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+             / CAST(n_g AS DOUBLE) * {_ANOVA_SCALE}) AS BIGINT)) AS BIGINT)
+           AS tg_scaled
+  FROM g)
+SELECT k, n,
+       ROUND(CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+             4) AS ssb,
+       ROUND(CAST(q AS DOUBLE)
+             - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}, 4) AS ssw,
+       ROUND(((CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(q AS DOUBLE)
+                 - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE})
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM t
+""".strip(),
+)
+def segment_balance_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    g = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(cents).cast("long").alias("s_g"),
+        F.sum(cents * cents).cast("long").alias("q_g"),
+    )
+    tg = F.round(
+        F.col("s_g").cast("double")
+        * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+        * _ANOVA_SCALE
+    ).cast("long")
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(tg).cast("long").alias("tg_scaled"),
+    )
+    tgd = F.col("tg_scaled").cast("double") / F.lit(float(_ANOVA_SCALE))
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    qd = F.col("q").cast("double")
+    ssb = tgd - sd * sd / nd
+    ssw = qd - tgd
+    f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return t.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ssb"),
+        F.round(ssw, 4).alias("ssw"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+# --- Atkinson inequality index per nation (round 11b) -----------------------
+# The welfare-theoretic companion to customer_revenue_gini: Atkinson
+# A(eps=1/2) = 1 - (mean sqrt(y))^2 / mean(y) over per-customer revenue
+# y >= 0 (customers without orders count as y = 0 — same population as
+# the Gini). Protocol: sqrt is the ONE correctly-rounded transcendental
+# both engines share, and FLOOR(SQRT(cents * 1e4)) pins each row to an
+# exact integer (the corpus_apportion_budget wt protocol), so both
+# partial sums cross the engines as exact BIGINTs; the emitted index is
+# a fixed final expression on two exact sums. Shape: one fact-sized
+# aggregate (orders), a broadcast-sized customer left join, one
+# nation-level reduce.
+
+_ATKINSON_SQRT_SCALE = 10_000  # cents * 1e4 under the sqrt => 2 extra digits
+
+
+@register(
+    "customer_atkinson_inequality",
+    oracle=f"""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey),
+y AS (
+  SELECT c.c_nationkey AS nationkey,
+         COALESCE(r.cents, 0) AS cents,
+         CAST(FLOOR(SQRT(CAST(COALESCE(r.cents, 0) AS DOUBLE)
+                         * {_ATKINSON_SQRT_SCALE})) AS BIGINT) AS s_i
+  FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey),
+n AS (
+  SELECT nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+         CAST(SUM(s_i) AS BIGINT) AS sqrt_sum
+  FROM y GROUP BY nationkey)
+SELECT nationkey, n_customers, revenue_cents, sqrt_sum,
+       ROUND(1.0 - (CAST(sqrt_sum AS DOUBLE) * CAST(sqrt_sum AS DOUBLE))
+                   / (CAST(n_customers AS DOUBLE)
+                      * CAST(revenue_cents AS DOUBLE)
+                      * {_ATKINSON_SQRT_SCALE}), 6) AS atkinson
+FROM n
+""".strip(),
+)
+def customer_atkinson_inequality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").alias("nationkey")
+    )
+    cents = F.coalesce(F.col("cents"), F.lit(0).cast("long"))
+    y = cust.join(rev, cust.c_custkey == rev.o_custkey, "left").select(
+        "nationkey",
+        cents.alias("cents"),
+        F.floor(
+            F.sqrt(cents.cast("double") * _ATKINSON_SQRT_SCALE)
+        )
+        .cast("long")
+        .alias("s_i"),
+    )
+    n = y.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum("s_i").cast("long").alias("sqrt_sum"),
+    )
+    atk = F.lit(1.0) - (
+        F.col("sqrt_sum").cast("double") * F.col("sqrt_sum").cast("double")
+    ) / (
+        F.col("n_customers").cast("double")
+        * F.col("revenue_cents").cast("double")
+        * F.lit(float(_ATKINSON_SQRT_SCALE))
+    )
+    return n.select(
+        "nationkey",
+        "n_customers",
+        "revenue_cents",
+        "sqrt_sum",
+        F.round(atk, 6).alias("atkinson"),
+    )
+
+
+# --- t-closeness audit over the k-anonymity classes (round 11b) -------------
+# Completes the privacy triad (customer_k_anonymity,
+# customer_l_diversity): a quasi-identifier class leaks when the
+# DISTRIBUTION of its sensitive attribute strays from the global one.
+# For an ORDERED sensitive attribute (the acctbal band), t-closeness
+# measures that with the Earth Mover's Distance, which collapses to a
+# cumulative-sum identity: EMD = (1/(m-1)) * sum_b |P_cum(b) - Q_cum(b)|.
+# Cross-engine protocol: the numerator sum_b |cum_c*n_total -
+# cum_g*n_class| is EXACT BIGINT (both cumulatives are integer counts;
+# the final band's term is identically 0 so summing all m bands equals
+# the textbook m-1 form); t is ONE division on exact integers. Shape:
+# one customer-sized aggregate, then everything is (classes x bands) =
+# dimension-sized — the band domain broadcasts, the per-class
+# cumulative window partitions on the class key. 2^63 envelope:
+# cum_c*n_total <= n_class*n_total ~ 1.8e18 at sf1000 (documented).
+
+_TCLOSE_T = 0.15  # flag threshold
+
+
+@register(
+    "customer_t_closeness",
+    oracle=f"""
+WITH c AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+  FROM customer),
+cb AS (
+  SELECT nationkey, segment, bal_band, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM c GROUP BY 1, 2, 3),
+gb AS (
+  SELECT bal_band, CAST(COUNT(*) AS BIGINT) AS gcnt
+  FROM c GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS m_bands
+  FROM gb),
+cls AS (
+  SELECT nationkey, segment, CAST(SUM(cnt) AS BIGINT) AS n_class
+  FROM cb GROUP BY 1, 2),
+dense AS (
+  SELECT cls.nationkey, cls.segment, cls.n_class,
+         gb.bal_band, gb.gcnt, COALESCE(cb.cnt, 0) AS cnt
+  FROM cls CROSS JOIN gb
+  LEFT JOIN cb ON cb.nationkey = cls.nationkey
+             AND cb.segment = cls.segment
+             AND cb.bal_band = gb.bal_band),
+cum AS (
+  SELECT nationkey, segment, n_class, bal_band,
+         CAST(SUM(cnt) OVER (PARTITION BY nationkey, segment
+                             ORDER BY bal_band) AS BIGINT) AS cum_c,
+         CAST(SUM(gcnt) OVER (PARTITION BY nationkey, segment
+                              ORDER BY bal_band) AS BIGINT) AS cum_g
+  FROM dense),
+emd AS (
+  SELECT nationkey, segment, n_class,
+         CAST(SUM(ABS(cum_c * (SELECT n_total FROM tot)
+                      - cum_g * n_class)) AS BIGINT) AS emd_num
+  FROM cum GROUP BY 1, 2, 3)
+SELECT e.nationkey, e.segment, e.n_class, e.emd_num,
+       ROUND(CAST(e.emd_num AS DOUBLE)
+             / (CAST(e.n_class AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                * (CAST(t.m_bands AS DOUBLE) - 1.0)), 6) AS t_dist,
+       CAST(e.emd_num AS DOUBLE)
+         / (CAST(e.n_class AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+            * (CAST(t.m_bands AS DOUBLE) - 1.0)) > {_TCLOSE_T}
+         AS above_t
+FROM emd e CROSS JOIN tot t
+""".strip(),
+)
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    cb = c.groupBy("nationkey", "segment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    gb = c.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("gcnt")
+    )
+    tot = gb.agg(
+        F.sum("gcnt").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m_bands"),
+    )
+    cls = cb.groupBy("nationkey", "segment").agg(
+        F.sum("cnt").cast("long").alias("n_class")
+    )
+    dense = (
+        cls.crossJoin(F.broadcast(gb))
+        .join(cb, ["nationkey", "segment", "bal_band"], "left")
+        .select(
+            "nationkey",
+            "segment",
+            "n_class",
+            "bal_band",
+            "gcnt",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+    )
+    w = Window.partitionBy("nationkey", "segment").orderBy("bal_band")
+    cum = dense.select(
+        "nationkey",
+        "segment",
+        "n_class",
+        F.sum("cnt").over(w).cast("long").alias("cum_c"),
+        F.sum("gcnt").over(w).cast("long").alias("cum_g"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("nationkey", "segment", "n_class", "n_total", "m_bands")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_c") * F.col("n_total")
+                    - F.col("cum_g") * F.col("n_class")
+                )
+            )
+            .cast("long")
+            .alias("emd_num")
+        )
+    )
+    t_dist = F.col("emd_num").cast("double") / (
+        F.col("n_class").cast("double")
+        * F.col("n_total").cast("double")
+        * (F.col("m_bands").cast("double") - F.lit(1.0))
+    )
+    return emd.select(
+        "nationkey",
+        "segment",
+        "n_class",
+        "emd_num",
+        F.round(t_dist, 6).alias("t_dist"),
+        (t_dist > F.lit(_TCLOSE_T)).alias("above_t"),
+    )
+
+
+# --- grid-probed nearest neighbor (round 11b) --------------------------------
+# The 1-NN companion to customer_geo_grid_pairs: for every point, the
+# nearest OTHER point within its 3x3 cell neighborhood (points whose
+# neighborhood is empty emit no row — the documented semantics that
+# keeps the query deterministic without a global fallback scan). Same
+# candidates-then-verify shape as the radius query: the probe side
+# explodes 9 cell offsets, candidates meet through the (cell) hash
+# join, the per-point argmin is an in-group min over a struct ordered
+# by (dist2, neighbor key) — exact integers end to end, ties broken to
+# the smaller key. Candidate volume is O(n * density); never O(n^2).
+
+@register(
+    "customer_geo_nn_grid",
+    oracle=f"""
+WITH h AS (
+  SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
+m AS (
+  SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+pts AS (
+  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
+         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
+  FROM m),
+cells AS (
+  SELECT c_custkey, lat, lon,
+         lat - lat % {_GEO_R} AS cl, lon - lon % {_GEO_R} AS co
+  FROM pts),
+cand AS (
+  SELECT a.c_custkey AS custkey, b.c_custkey AS nn_custkey,
+         CAST((a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
+  FROM cells a JOIN cells b
+    ON b.cl IN (a.cl - {_GEO_R}, a.cl, a.cl + {_GEO_R})
+   AND b.co IN (a.co - {_GEO_R}, a.co, a.co + {_GEO_R})
+   AND a.c_custkey <> b.c_custkey),
+ranked AS (
+  SELECT custkey, nn_custkey, dist2,
+         ROW_NUMBER() OVER (PARTITION BY custkey
+                            ORDER BY dist2 ASC, nn_custkey ASC) AS rn
+  FROM cand)
+SELECT custkey, nn_custkey, dist2 FROM ranked WHERE rn = 1
+""".strip(),
+)
+def customer_geo_nn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
+    mv = (hv % F.lit(100003)) * (
+        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
+    ).cast("long")
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (mv % _GEO_SPAN).alias("lat"),
+        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
+        .cast("long")
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "*",
+        (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
+        (F.col("lon") - F.col("lon") % _GEO_R).alias("co"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        (F.col("id") - F.col("id") % 3).cast("long").alias("_t"),
+    ).select("dx", (F.col("_t") / 3 - 1).cast("long").alias("dy"))
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cl") + F.col("dx") * _GEO_R).alias("cl"),
+        (F.col("co") + F.col("dy") * _GEO_R).alias("co"),
+    )
+    base = cells.select(
+        F.col("c_custkey").alias("nn_custkey"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cl",
+        "co",
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    dist2 = (dlat * dlat + dlon * dlon).cast("long")
+    cand = (
+        probes.join(base, ["cl", "co"])
+        .where(F.col("custkey") != F.col("nn_custkey"))
+        .select("custkey", "nn_custkey", dist2.alias("dist2"))
+    )
+    best = cand.groupBy("custkey").agg(
+        F.min(F.struct("dist2", "nn_custkey")).alias("b")
+    )
+    return best.select(
+        "custkey",
+        F.col("b.nn_custkey").alias("nn_custkey"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+# --- small-files compaction planner (round 11b) ------------------------------
+# The 100 TB housekeeping query: lineitem's natural ship-date
+# partitions are tiny at the tail, and a table with millions of small
+# files starves the scheduler. The planner estimates per-partition
+# bytes (rows x est. row width), walks partitions in date order, and
+# assigns each to a compaction bin by FIXED CUMULATIVE BOUNDARIES:
+# bin = floor(exclusive-prefix-bytes / target). Deterministic,
+# engine-identical (pure integer arithmetic on an exact running sum),
+# and single-pass — the same greedy a Delta/Iceberg OPTIMIZE planner
+# runs. A partition larger than the target gets its own bin(s) by the
+# same rule (documented: bins can overflow by at most one partition —
+# boundaries, not best-fit, is what makes the plan reproducible and
+# shardable). The running sum is a calendar-sized window (one row per
+# ship date), not fact-sized.
+
+_COMPACT_TARGET_BYTES = 1_000_000  # compaction bin target
+_COMPACT_ROW_BYTES = 128  # estimated on-disk bytes per lineitem row
+
+
+@register(
+    "lineitem_compaction_plan",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+         CAST(COUNT(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS est_bytes
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT ship_date, est_bytes,
+         CAST(COALESCE(SUM(est_bytes) OVER (
+           ORDER BY ship_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prefix_bytes
+  FROM p)
+SELECT CAST(prefix_bytes // {_COMPACT_TARGET_BYTES} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(ship_date) AS DATE) AS from_date,
+       CAST(MAX(ship_date) AS DATE) AS to_date
+FROM c GROUP BY 1
+""".strip(),
+)
+def lineitem_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    p = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(
+            (F.count(F.lit(1)) * _COMPACT_ROW_BYTES)
+            .cast("long")
+            .alias("est_bytes")
+        )
+    )
+    # exclusive prefix = inclusive running sum - own bytes, through the
+    # range-partitioned running-sum operator (a bare global window
+    # would plan Exchange SinglePartition — the plan-gate's one
+    # forbidden shape, even on a calendar-sized input).
+    c = with_global_running_sum(
+        p, [F.col("ship_date").asc()], "est_bytes", "incl_bytes"
+    ).select(
+        "ship_date",
+        "est_bytes",
+        (F.col("incl_bytes") - F.col("est_bytes"))
+        .cast("long")
+        .alias("prefix_bytes"),
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("prefix_bytes") / _COMPACT_TARGET_BYTES)
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("est_bytes").cast("long").alias("total_bytes"),
+            F.min("ship_date").alias("from_date"),
+            F.max("ship_date").alias("to_date"),
+        )
+    )

@@ -5280,3 +5280,83 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(w).cast("double")
         ).alias("diag_share"),
     )
+
+
+# --- content-defined chunking (round 11b) ----------------------------------
+# The FastCDC idea at token granularity: a chunk boundary falls AFTER
+# any token whose content hash lands in 1/16 of the hash space, so
+# chunk boundaries move with the CONTENT, not with byte offsets — an
+# insertion early in a document shifts every fixed-window chunk but
+# leaves all content-defined chunks after the next boundary intact
+# (the property that makes CDC the dedup-friendly chunker). Boundary
+# rule: first md5 hex digit of the lowercased token == 0 (the
+# established cross-engine strpos-hex protocol); a token's chunk id is
+# the count of boundary tokens STRICTLY BEFORE it (per-doc window,
+# exclusive frame), so a trailing boundary never opens an empty chunk.
+# Emitted per doc: token count, chunk count, largest chunk. Shape:
+# posexplode is narrow; both windows and the two aggregates partition
+# on doc_id — embarrassingly parallel across documents.
+
+@register(
+    "doc_cdc_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS t
+  FROM documents),
+f AS (
+  SELECT doc_id, t,
+         list_transform(t, x -> CASE
+           WHEN strpos('0123456789abcdef', substr(md5(x), 1, 1)) - 1 = 0
+           THEN 1 ELSE 0 END) AS fl
+  FROM toks WHERE len(t) >= 1),
+b AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         list_filter(range(1, len(t) + 1), i -> fl[i] = 1) AS bp
+  FROM f),
+s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(bp) = 0 OR bp[len(bp)] <> n_tokens
+              THEN list_append(bp, n_tokens) ELSE bp END AS bp2
+  FROM b)
+SELECT doc_id, n_tokens,
+       CAST(len(bp2) AS BIGINT) AS n_chunks,
+       CAST(list_max(list_transform(range(1, len(bp2) + 1),
+            i -> bp2[i] - CASE WHEN i = 1 THEN 0 ELSE bp2[i - 1] END))
+            AS BIGINT) AS max_chunk_tokens
+FROM s
+""".strip().replace("{TOKEN_RE}", TOKEN_RE),
+)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    flag = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 1),
+            16,
+            10,
+        ).cast("long")
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = pos.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.sum(flag).over(w), F.lit(0)).alias("chunk_id"),
+    )
+    per_chunk = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return per_chunk.groupBy("doc_id").agg(
+        F.sum("sz").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.max("sz").cast("long").alias("max_chunk_tokens"),
+    )

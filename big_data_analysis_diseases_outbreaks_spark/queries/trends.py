@@ -3803,3 +3803,233 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p").alias("stationary_scaled"),
         (F.col("p").cast("double") / F.col("total")).alias("stationary"),
     )
+
+
+# --- Mann-Kendall trend test on daily revenue (round 11b) -------------------
+# The non-parametric "is this series trending?" test the monitoring
+# family was missing: S = sum_{i<j} sign(v_j - v_i) over the daily
+# revenue series, tie-corrected variance 18*Var = n(n-1)(2n+5) -
+# sum_t t(t-1)(2t+5), and the continuity-corrected z. Everything up to
+# z is EXACT BIGINT; z is a fixed expression (one division by a
+# correctly-rounded sqrt) so both engines agree bit-for-bit. The i<j
+# pair join is CALENDAR-BOUNDED — one row per order date (~2.4k days
+# whatever the SF), so the quadratic lives on a dimension-sized input
+# forever; the only fact-scale work is the first aggregate. Tie groups
+# come from a second dimension-sized aggregate over the daily values.
+
+@register(
+    "orders_mann_kendall",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON a.day < b.day),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY cents)
+  WHERE t > 1)
+SELECT n.n_days, s.s_stat,
+       CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+            - ties.tie_term AS BIGINT) AS var18,
+       ROUND(CASE
+         WHEN s.s_stat > 0 THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+           / SQRT(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie_term AS DOUBLE) / 18.0)
+         WHEN s.s_stat < 0 THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+           / SQRT(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie_term AS DOUBLE) / 18.0)
+         ELSE 0.0 END, 6) AS z
+FROM s CROSS JOIN n CROSS JOIN ties
+""".strip(),
+)
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    ).persist()  # dimension-sized; consumed by 3 branches below
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("va"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("vb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(ties))
+    nd = F.col("n_days")
+    var18 = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")).cast("long")
+    denom = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / denom,
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0)) / denom,
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+# --- Wald-Wolfowitz runs test on daily revenue (round 11b) ------------------
+# Randomness check that complements Mann-Kendall: binarize each day as
+# above/below the global lower-median of daily revenue cents, count
+# RUNS of equal signs (R = sign changes + 1 via LAG over the day
+# order), and standardize against E[R] = 2*n1*n0/n + 1 with the exact
+# variance. n1/n0/R are EXACT BIGINTs; z is one fixed expression on
+# them. The LAG window partitions on a constant-free calendar-sized
+# input — acceptable? No: even calendar-sized, a bare global window is
+# the forbidden plan shape, so the sign-change count comes from the
+# same calendar self-join trick the funnel family uses: pair each day
+# with the NEXT day via a date-key equi-join on a per-day dense rank
+# from the distributed rank operator. Median = the rank-n//2+1 value
+# (lower median) from the same rank pass.
+
+@register(
+    "orders_runs_test",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1),
+medr AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents ASC, day ASC) AS r
+  FROM d),
+med AS (
+  SELECT cents AS median_cents FROM medr
+  WHERE r = (SELECT (COUNT(*) - 1) // 2 + 1 FROM d)),
+b AS (
+  SELECT day,
+         CASE WHEN cents > (SELECT median_cents FROM med)
+              THEN 1 ELSE 0 END AS hi,
+         ROW_NUMBER() OVER (ORDER BY day ASC) AS rn
+  FROM d),
+runs AS (
+  SELECT CAST(1 + SUM(CASE WHEN nxt.hi <> cur.hi THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_runs
+  FROM b cur JOIN b nxt ON nxt.rn = cur.rn + 1),
+c AS (
+  SELECT CAST(SUM(hi) AS BIGINT) AS n1,
+         CAST(SUM(1 - hi) AS BIGINT) AS n0,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b)
+SELECT c.n, c.n1, c.n0, r.n_runs,
+       ROUND((CAST(r.n_runs AS DOUBLE)
+              - (2.0 * c.n1 * c.n0 / CAST(c.n AS DOUBLE) + 1.0))
+             / SQRT(2.0 * c.n1 * c.n0
+                    * (2.0 * c.n1 * c.n0 - CAST(c.n AS DOUBLE))
+                    / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)
+                       * (CAST(c.n AS DOUBLE) - 1.0))), 6) AS z
+FROM runs r CROSS JOIN c
+""".strip(),
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank(
+        d, [F.col("cents").asc(), F.col("day").asc()], "vr"
+    ).persist()
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(n))
+        .where(
+            F.col("vr")
+            == (F.floor((F.col("n") - 1) / 2) + 1).cast("long")
+        )
+        .select(F.col("cents").alias("median_cents"))
+    )
+    b = (
+        with_global_rank(
+            ranked.select("day", "cents"), [F.col("day").asc()], "rn"
+        )
+        .crossJoin(F.broadcast(med))
+        .select(
+            "rn",
+            F.when(F.col("cents") > F.col("median_cents"), 1)
+            .otherwise(0)
+            .alias("hi"),
+        )
+    ).persist()
+    cur = b.select(F.col("rn").alias("r0"), F.col("hi").alias("h0"))
+    nxt = b.select((F.col("rn") - 1).alias("r0"), F.col("hi").alias("h1"))
+    runs = cur.join(nxt, "r0").agg(
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("h1") != F.col("h0"), 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("n_runs")
+    )
+    c = b.agg(
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("hi")).cast("long").alias("n0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = runs.crossJoin(F.broadcast(c))
+    nd = F.col("n").cast("double")
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    mu = 2.0 * n1 * n0 / nd + F.lit(1.0)
+    var = (
+        2.0
+        * n1
+        * n0
+        * (2.0 * n1 * n0 - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return j.select(
+        "n", "n1", "n0", "n_runs", F.round(z, 6).alias("z")
+    )

@@ -1,0 +1,135 @@
+"""Targeted unit tests for the round-11b operators (beyond oracle
+parity): ANOVA sum-of-squares decomposition, Atkinson bounds,
+t-closeness range/flag consistency, grid-NN agreement with the radius
+pairs, compaction-plan byte conservation and ordering, Mann-Kendall
+S-statistic bounds and z-sign, runs-test counting identities, and
+CDC chunk accounting against the independent token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+from .conftest import SF_SMALL
+
+_Q = all_queries()
+
+
+def test_anova_sum_of_squares_decomposition(spark):
+    row = _Q["segment_balance_anova"].fn(spark, SF_SMALL).collect()[0]
+    assert row["k"] == 5
+    assert row["ssb"] >= 0.0 and row["ssw"] > 0.0
+    assert row["f_stat"] >= 0.0
+    # SSB + SSW must equal the total sum of squares (computed
+    # independently from the raw table) up to the fixed-point rounding.
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    t = (
+        load_table(spark, SF_SMALL, "customer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+            F.sum(cents * cents).cast("long").alias("q"),
+        )
+        .collect()[0]
+    )
+    total_ss = float(t["q"]) - float(t["s"]) ** 2 / float(t["n"])
+    assert abs((row["ssb"] + row["ssw"]) - total_ss) < 1.0
+
+
+def test_atkinson_bounds_and_population(spark):
+    rows = _Q["customer_atkinson_inequality"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 25
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        # Atkinson is in [0, 1); the floor(sqrt) protocol can only
+        # UNDERSHOOT the mean sqrt, so the index stays >= ~0.
+        assert -1e-6 <= r["atkinson"] < 1.0
+
+
+def test_t_closeness_range_and_flag(spark):
+    rows = _Q["customer_t_closeness"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["t_dist"] <= 1.0
+        assert r["above_t"] == (r["t_dist"] > 0.15) or (
+            # rounding of t_dist happens after the flag; allow the
+            # knife-edge case where round(t,6) == threshold
+            abs(r["t_dist"] - 0.15) < 1e-6
+        )
+
+
+def test_geo_nn_consistent_with_radius_pairs(spark):
+    nn = {
+        r["custkey"]: r["dist2"]
+        for r in _Q["customer_geo_nn_grid"].fn(spark, SF_SMALL).collect()
+    }
+    # every custkey at most once (it's an argmin per point)
+    pairs = _Q["customer_geo_grid_pairs"].fn(spark, SF_SMALL).collect()
+    for p in pairs:
+        # any radius pair bounds both endpoints' NN distance: the pair
+        # partner is inside the 3x3 neighborhood whenever dist <= R.
+        assert nn[p["custkey_a"]] <= p["dist2"]
+        assert nn[p["custkey_b"]] <= p["dist2"]
+    for d in nn.values():
+        assert d >= 0
+
+
+def test_compaction_plan_conserves_bytes(spark):
+    rows = sorted(
+        _Q["lineitem_compaction_plan"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    n_lines = load_table(spark, SF_SMALL, "lineitem").count()
+    assert sum(r["total_bytes"] for r in rows) == n_lines * 128
+    # date ranges are disjoint and ordered with the bin id
+    for a, b in zip(rows, rows[1:]):
+        assert a["bin"] < b["bin"]
+        assert a["to_date"] < b["from_date"]
+    for r in rows:
+        assert r["n_partitions"] >= 1
+        assert r["from_date"] <= r["to_date"]
+
+
+def test_mann_kendall_bounds_and_sign(spark):
+    row = _Q["orders_mann_kendall"].fn(spark, SF_SMALL).collect()[0]
+    n = row["n_days"]
+    assert abs(row["s_stat"]) <= n * (n - 1) // 2
+    assert row["var18"] >= 0
+    if row["s_stat"] > 0:
+        assert row["z"] >= 0.0
+    elif row["s_stat"] < 0:
+        assert row["z"] <= 0.0
+    else:
+        assert row["z"] == 0.0
+
+
+def test_runs_test_counting_identities(spark):
+    row = _Q["orders_runs_test"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n1"] + row["n0"] == row["n"]
+    assert 1 <= row["n_runs"] <= row["n"]
+    # lower-median split: the strictly-above count can never exceed n/2
+    assert row["n1"] <= row["n"] // 2 + 1
+
+
+def test_cdc_chunks_account_for_every_token(spark):
+    rows = _Q["doc_cdc_chunks"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chunks"] >= 1
+        assert 1 <= r["max_chunk_tokens"] <= r["n_tokens"]
+        # a chunk count can never exceed the token count
+        assert r["n_chunks"] <= r["n_tokens"]
+    # token accounting matches the independent whitespace token count
+    from big_data_analysis_diseases_outbreaks_spark.functions.text import tokens
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(tokens(F.lower(F.col("text")))).alias("nt")
+    )
+    nt = {r["doc_id"]: r["nt"] for r in docs.collect()}
+    for r in rows:
+        assert r["n_tokens"] == nt[r["doc_id"]]
