@@ -312,6 +312,8 @@ HEADLINE = [
     "orders_mann_kendall",
     "orders_runs_test",
     "doc_cdc_chunks",
+    "events_kmv_distinct",
+    "embedding_top_pc_power",
 ]
 
 

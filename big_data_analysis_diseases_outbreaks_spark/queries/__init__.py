@@ -88,6 +88,8 @@ _PRIORITY: list[str] = [
     "orders_mann_kendall",
     "orders_runs_test",
     "doc_cdc_chunks",
+    "events_kmv_distinct",
+    "embedding_top_pc_power",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -128,8 +130,6 @@ _PRIORITY: list[str] = [
     "parts_not_recently_shipped",
     "promo_revenue_share",
     "region_shipment_flags",
-    "returned_parts_multiset",
-    "rollup_lineitem_status",
 ]
 
 

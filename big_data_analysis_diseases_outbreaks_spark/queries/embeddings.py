@@ -2187,3 +2187,169 @@ def ann_grid_recall_report(
             ).alias("recall"),
         )
     )
+
+
+# --- top principal direction by integer power iteration (round 11b) --------
+# Distributed PCA's first step as an EXACT cross-engine protocol: the
+# top eigendirection of the embedding covariance, computed the way a
+# 100 TB job actually does it — one pass builds the dim x dim Gram
+# from per-row outer products (a NARROW map: each row emits its 64x64
+# products into the partial aggregate, no self-join, no shuffle of the
+# fact table beyond the 4096-key agg exchange), then power iteration
+# runs on the DIMENSION-SIZED matrix. Determinism protocol: vectors
+# are int8-quantized (the embedding_quantize_int8 expressions), so
+# Gram G, per-dim sums S, and the centered C_ij = G_ij - (S_i*S_j)
+# div n are exact BIGINTs (the div truncation — toward zero in BOTH
+# engines, verified — costs at most 1 per entry); each of the 8
+# rounds rescales u to +/-1000 by integer division, the
+# events_markov_stationary protocol. The all-ones start vector pins
+# the eigenvector's sign. 2^63 envelope: |C| <= 2n*127^2, so
+# u <= 64*|C|*1000 stays exact through n ~ 4e9 vectors.
+
+_PC_DIM = 64  # embeddings fixture dimension
+_PC_ROUNDS = 8
+_PC_SCALE = 1_000
+
+
+def _pc_oracle_sql() -> str:
+    rounds = [
+        f"v0 AS (SELECT i, CAST({_PC_SCALE} AS BIGINT) AS v "
+        f"FROM range(1, {_PC_DIM + 1}) t(i))"
+    ]
+    # every u/v is MATERIALIZED: default CTE inlining re-evaluates u in
+    # both the v and m branches, doubling the plan per round (the same
+    # 2^rounds blow-up the Spark side truncates with localCheckpoint).
+    for r in range(1, _PC_ROUNDS + 1):
+        rounds.append(
+            f"u{r} AS MATERIALIZED (SELECT c.i AS i, "
+            f"CAST(SUM(c.c * v{r - 1}.v) AS BIGINT)"
+            f" AS u FROM c JOIN v{r - 1} ON v{r - 1}.i = c.j GROUP BY c.i)"
+        )
+        rounds.append(
+            f"m{r} AS (SELECT CAST(GREATEST(MAX(ABS(u)), 1) AS BIGINT) AS m "
+            f"FROM u{r})"
+        )
+        rounds.append(
+            f"v{r} AS MATERIALIZED (SELECT i, "
+            f"CAST((u * {_PC_SCALE}) // m AS BIGINT) AS v "
+            f"FROM u{r} CROSS JOIN m{r})"
+        )
+    return (
+        f"""
+WITH sc AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings),
+q AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) / scale) AS INTEGER))
+         END AS qv
+  FROM sc),
+x AS MATERIALIZED (
+  SELECT vec_id, t.i AS i, qv[t.i] AS q
+  FROM q, range(1, {_PC_DIM + 1}) t(i)),
+s AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM x GROUP BY i),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+g AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+c AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(g.g - (si.s * sj.s) // n.n AS BIGINT) AS c
+  FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n),
+"""
+        + ",\n".join(rounds)
+        + f"\nSELECT i AS dim, v AS comp_scaled FROM v{_PC_ROUNDS}"
+    ).strip()
+
+
+@register("embedding_top_pc_power", oracle=_pc_oracle_sql())
+def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    quant = F.when(
+        amax == 0, F.transform("embedding", lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(xd(x) / (amax / 127.0)).cast("int"),
+        )
+    )
+    q = emb.select(quant.alias("qv")).persist()
+    # per-dim sums (one narrow explode + 64-key agg)
+    s = (
+        q.select(F.posexplode("qv").alias("pos", "qe"))
+        .groupBy((F.col("pos") + 1).cast("long").alias("i"))
+        .agg(F.sum("qe").cast("long").alias("s"))
+    )
+    # Gram via per-row outer products: each row emits its dim^2
+    # products straight into the partial aggregate — a narrow map, the
+    # plan a 100 TB X^T X actually wants (no fact-table self-join).
+    pairs = F.flatten(
+        F.transform(
+            "qv",
+            lambda x, i: F.transform(
+                F.col("qv"),
+                lambda y, j: F.struct(
+                    (i + 1).cast("long").alias("i"),
+                    (j + 1).cast("long").alias("j"),
+                    (x.cast("long") * y).alias("p"),
+                ),
+            ),
+        )
+    )
+    g = (
+        q.select(F.explode(pairs).alias("e"))
+        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
+        .agg(F.sum("e.p").cast("long").alias("g"))
+    )
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    si = F.broadcast(s.select(F.col("i").alias("_si"), F.col("s").alias("s_i")))
+    sj = F.broadcast(s.select(F.col("i").alias("_sj"), F.col("s").alias("s_j")))
+    c = (
+        g.join(si, g["i"] == si["_si"])
+        .join(sj, g["j"] == sj["_sj"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.col("g") - F.expr("(s_i * s_j) div n"))
+            .cast("long")
+            .alias("c"),
+        )
+        .persist()  # the dim^2 matrix: consumed by all 8 rounds
+    )
+    from ..operators.checkpointing import truncator
+
+    v = spark.range(1, _PC_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(_PC_SCALE).cast("long").alias("vj")
+    )
+    trunc = truncator(v, None)
+    for _ in range(_PC_ROUNDS):
+        # truncate u's lineage each round: the m branch re-reads u, so
+        # without materialization the plan tree DOUBLES per round
+        # (2^rounds analysis blow-up — the LPA lineage lesson applied
+        # to a dimension-sized iterate; 64 rows, so eager is free).
+        u = trunc(
+            c.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vj")).cast("long").alias("u"))
+        )
+        m = u.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1))
+            .cast("long")
+            .alias("m")
+        )
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"(u * {_PC_SCALE}) div m").cast("long").alias("vj"),
+            )
+        )
+    return v.select(F.col("j").alias("dim"), F.col("vj").alias("comp_scaled"))

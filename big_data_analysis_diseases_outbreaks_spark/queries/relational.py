@@ -9888,3 +9888,108 @@ def lineitem_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ship_date").alias("to_date"),
         )
     )
+
+
+# --- deterministic KMV distinct sketch (round 11b) ---------------------------
+# The k-minimum-values cardinality sketch in the FULL VALUE ORACLE
+# tier: unlike HLL (approx_distinct_users stays rows-only — Spark's
+# HLL++ register layout isn't reproducible in DuckDB), KMV built on
+# md5 is bit-deterministic in BOTH engines, so the ESTIMATE itself is
+# value-checked. Per event type: hash each distinct user into 32 bits
+# (first 8 md5 hex digits — the strpos-hex protocol widened from 16
+# to 32 bits), keep the k smallest, and estimate distinct = (k-1) *
+# 2^32 / h_(k) (FLOOR of one correctly-rounded division on exactly-
+# representable operands — both engines agree bit-for-bit). Types
+# with fewer than k distinct users report the sketch's exact count
+# (the KMV convention: a non-full sketch IS exact). The ranking
+# window partitions per type; a production sketch would fold the
+# per-partition k-minima with a merge agg, which changes the plan but
+# not the protocol.
+
+_KMV_K = 64
+
+
+def _kmv_hex_sql(expr: str) -> str:
+    """32-bit integer from the first 8 md5 hex digits (DuckDB side)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {d}, 1)) - 1)"
+        f" * {16 ** (8 - d)}"
+        for d in range(1, 9)
+    )
+
+
+@register(
+    "events_kmv_distinct",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, user_id,
+         CAST({_kmv_hex_sql("CAST(user_id AS VARCHAR)")} AS BIGINT) AS hv
+  FROM du),
+r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY hv ASC, user_id ASC) AS rn
+  FROM h),
+c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM du GROUP BY event_type),
+kth AS (
+  SELECT event_type, CAST(hv AS BIGINT) AS kth_hash
+  FROM r WHERE rn = {_KMV_K})
+SELECT c.event_type, c.n_exact,
+       CAST(COALESCE(kth.kth_hash, 0) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN kth.kth_hash IS NULL THEN c.n_exact
+            ELSE FLOOR(({_KMV_K} - 1) * 4294967296.0
+                       / GREATEST(kth.kth_hash, 1))
+            END AS BIGINT) AS kmv_est,
+       CAST(CASE WHEN kth.kth_hash IS NULL THEN 0
+            ELSE CAST(FLOOR(({_KMV_K} - 1) * 4294967296.0
+                            / GREATEST(kth.kth_hash, 1)) AS BIGINT)
+                 - c.n_exact
+            END AS BIGINT) AS est_minus_exact
+FROM c LEFT JOIN kth ON kth.event_type = c.event_type
+""".strip(),
+)
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    h = du.select("event_type", "user_id", hv.alias("hv"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hv").asc(), F.col("user_id").asc()
+    )
+    kth = (
+        h.select("event_type", "hv", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("hv").alias("kth_hash"))
+    )
+    c = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    est_full = F.floor(
+        F.lit((_KMV_K - 1) * 4294967296.0)
+        / F.greatest(F.col("kth_hash"), F.lit(1)).cast("double")
+    ).cast("long")
+    j = c.join(F.broadcast(kth), "event_type", "left")
+    return j.select(
+        "event_type",
+        "n_exact",
+        F.coalesce(F.col("kth_hash"), F.lit(0)).cast("long").alias("kth_hash"),
+        F.when(F.col("kth_hash").isNull(), F.col("n_exact"))
+        .otherwise(est_full)
+        .cast("long")
+        .alias("kmv_est"),
+        F.when(F.col("kth_hash").isNull(), F.lit(0).cast("long"))
+        .otherwise(est_full - F.col("n_exact"))
+        .cast("long")
+        .alias("est_minus_exact"),
+    )

@@ -133,3 +133,63 @@ def test_cdc_chunks_account_for_every_token(spark):
     nt = {r["doc_id"]: r["nt"] for r in docs.collect()}
     for r in rows:
         assert r["n_tokens"] == nt[r["doc_id"]]
+
+
+def test_kmv_sketch_exact_when_not_full_and_close_when_full(spark):
+    rows = _Q["events_kmv_distinct"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["kth_hash"] == 0:  # sketch not full -> exact by convention
+            assert r["kmv_est"] == r["n_exact"]
+            assert r["est_minus_exact"] == 0
+        else:
+            # md5 is uniform: a full k=64 sketch lands within ~30%
+            assert abs(r["est_minus_exact"]) <= max(4, 0.3 * r["n_exact"])
+            assert r["kmv_est"] == r["n_exact"] + r["est_minus_exact"]
+
+
+def test_top_pc_power_matches_pure_python_bigint_reference(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    got = {
+        r["dim"]: r["comp_scaled"]
+        for r in _Q["embedding_top_pc_power"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(got) == 64
+    # exact-integer reference: same quantization, same C, same 8 rounds
+    # in unbounded Python ints (no numpy int64 anywhere past quantize).
+    emb = pq.read_table(SF_SMALL + "/embeddings.parquet").to_pandas()
+    qs = []
+    for v in emb["embedding"]:
+        a = np.asarray(v, dtype=np.float64)
+        amax = float(np.max(np.abs(a)))
+        if amax == 0:
+            qs.append([0] * 64)
+        else:
+            scale = amax / 127.0
+            # numpy rounds half-to-even like both engines' ROUND? No:
+            # SQL ROUND is half-away-from-zero — replicate it exactly.
+            qs.append(
+                [int(math_floor_half_away(x / scale)) for x in a.tolist()]
+            )
+    n = len(qs)
+    S = [sum(q[i] for q in qs) for i in range(64)]
+    G = [[sum(q[i] * q[j] for q in qs) for j in range(64)] for i in range(64)]
+    tz = lambda a, b: -((-a) // b) if (a < 0) != (b < 0) else a // b  # noqa: E731
+    C = [[G[i][j] - tz(S[i] * S[j], n) for j in range(64)] for i in range(64)]
+    v = [1000] * 64
+    for _ in range(8):
+        u = [sum(C[i][j] * v[j] for j in range(64)) for i in range(64)]
+        m = max(max(abs(x) for x in u), 1)
+        v = [tz(x * 1000, m) for x in u]
+    for i in range(64):
+        assert got[i + 1] == v[i], f"dim {i+1}: {got[i+1]} != {v[i]}"
+    # normalization invariant: the dominant component is exactly +/-1000
+    assert max(abs(x) for x in got.values()) == 1000
+
+
+def math_floor_half_away(x: float) -> int:
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
