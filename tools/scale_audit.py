@@ -67,6 +67,17 @@ FAMILIES = [
      "copurchase_negative_samples"),
     ("hard negatives (int8 dot, label-aware)", "embedding_hard_negatives"),
     ("link prediction (oriented wedges)", "part_link_prediction_cn"),
+    # round-11b additions: the calendar-bounded quadratic, the Gram
+    # outer-product map, the per-type ranking sketch, per-doc chunk
+    # windows, the grid NN candidate join, and the prefix-sum planner.
+    ("Mann-Kendall (calendar-bounded pair join)", "orders_mann_kendall"),
+    ("top-PC power iteration (Gram outer product)",
+     "embedding_top_pc_power"),
+    ("KMV distinct sketch (per-type ranking)", "events_kmv_distinct"),
+    ("CDC chunking (per-doc windows)", "doc_cdc_chunks"),
+    ("grid 1-NN (cell-neighborhood join)", "customer_geo_nn_grid"),
+    ("compaction planner (distributed prefix sum)",
+     "lineitem_compaction_plan"),
 ]
 
 
