@@ -314,6 +314,9 @@ HEADLINE = [
     "doc_cdc_chunks",
     "events_kmv_distinct",
     "embedding_top_pc_power",
+    "customer_order_streaks",
+    "multimodal_ahash_dedup",
+    "stream_kmv_distinct",
 ]
 
 

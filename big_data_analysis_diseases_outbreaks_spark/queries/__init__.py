@@ -90,6 +90,9 @@ _PRIORITY: list[str] = [
     "doc_cdc_chunks",
     "events_kmv_distinct",
     "embedding_top_pc_power",
+    "customer_order_streaks",
+    "multimodal_ahash_dedup",
+    "stream_kmv_distinct",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -127,9 +130,6 @@ _PRIORITY: list[str] = [
     "orders_above_customer_avg",
     "orders_calendar_rollup",
     "orders_price_band",
-    "parts_not_recently_shipped",
-    "promo_revenue_share",
-    "region_shipment_flags",
 ]
 
 

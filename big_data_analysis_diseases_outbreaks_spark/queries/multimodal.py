@@ -151,3 +151,107 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id"),
         (F.count(F.lit(1)) > 1).cast("long").alias("is_dup"),
     )
+
+
+# --- perceptual average-hash near-dup buckets (round 11b) -------------------
+# The aHash step of an image near-dup pipeline, run on the opaque
+# payload bytes: sample 64 evenly-strided bytes ("pixels" of the
+# 8x8 thumbnail), threshold each against the integer mean of the
+# sample, pack the 64 bits into two 32-bit halves, and bucket by the
+# signature. Unlike multimodal_exact_dedup's md5, the signature
+# IGNORES small payload edits away from the sampled positions — the
+# property a perceptual hash exists for — so buckets can hold
+# payloads whose md5s differ (n_distinct_payloads < n_docs). Pure
+# integer arithmetic (strided ord(), floor mean, bit sum) — identical
+# in both engines; a real decoder would swap the byte sampler for
+# decoded luma, nothing else changes. Shape: one narrow map over the
+# scan, one hash aggregate on the signature.
+
+_AHASH_BITS = 64
+
+
+@register(
+    "multimodal_ahash_dedup",
+    oracle=f"""
+WITH px AS (
+  SELECT doc_id, md5(text) AS payload_md5,
+         list_transform(range(0, {_AHASH_BITS}),
+             i -> ord(substr(text,
+                  CAST(1 + (i * length(text)) // {_AHASH_BITS} AS BIGINT),
+                  1))) AS b
+  FROM documents WHERE length(text) >= 1),
+sig AS (
+  SELECT doc_id, payload_md5,
+         list_sum(b) // {_AHASH_BITS} AS mean_b, b
+  FROM px),
+bits AS (
+  SELECT doc_id, payload_md5,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> CASE WHEN b[i] > mean_b
+                   THEN 2 ** (i - 1) ELSE 0 END)) AS BIGINT) AS sig_lo,
+         CAST(list_sum(list_transform(range(33, {_AHASH_BITS} + 1),
+              i -> CASE WHEN b[i] > mean_b
+                   THEN 2 ** (i - 33) ELSE 0 END)) AS BIGINT) AS sig_hi
+  FROM sig)
+SELECT sig_hi, sig_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT payload_md5) AS BIGINT) AS n_distinct_payloads,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+FROM bits GROUP BY sig_hi, sig_lo
+""".strip(),
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 1
+    )
+    tlen = F.length("text")
+    b = F.transform(
+        F.sequence(F.lit(0), F.lit(_AHASH_BITS - 1)),
+        lambda i: F.ascii(
+            F.col("text").substr(
+                (F.lit(1) + (i * tlen - (i * tlen) % _AHASH_BITS)
+                 / _AHASH_BITS).cast("int"),
+                F.lit(1),
+            )
+        ),
+    )
+    px = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("payload_md5"), b.alias("b")
+    )
+    mean_b = F.expr(
+        f"aggregate(b, 0L, (a, x) -> a + x) div {_AHASH_BITS}"
+    )
+    sig = px.select("doc_id", "payload_md5", "b", mean_b.alias("mean_b"))
+
+    def _half(lo: int, hi: int, base: int):
+        return (
+            F.aggregate(
+                F.sequence(F.lit(lo), F.lit(hi)),
+                F.lit(0).cast("long"),
+                lambda a, i: a
+                + F.when(
+                    F.element_at("b", i.cast("int")) > F.col("mean_b"),
+                    # 2^(i-base) via pow: exact in double through 2^31,
+                    # and shiftleft() only takes a literal bit count
+                    F.pow(F.lit(2.0), (i - base).cast("double")).cast(
+                        "long"
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+        ).cast("long")
+
+    bits = sig.select(
+        "doc_id",
+        "payload_md5",
+        _half(1, 32, 1).alias("sig_lo"),
+        _half(33, _AHASH_BITS, 33).alias("sig_hi"),
+    )
+    return bits.groupBy("sig_hi", "sig_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("payload_md5").cast("long").alias(
+            "n_distinct_payloads"
+        ),
+        F.min("doc_id").cast("long").alias("canonical_doc_id"),
+    )

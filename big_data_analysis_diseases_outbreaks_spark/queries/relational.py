@@ -9993,3 +9993,70 @@ def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_minus_exact"),
     )
+
+
+# --- gaps & islands: consecutive-month order streaks (round 11b) ------------
+# The classic retention shape the registry still lacked as a PER-KEY
+# islands query: for each customer, group their distinct active months
+# into maximal runs of CONSECUTIVE months (island id = month_index -
+# dense_rank, the standard gaps-and-islands identity — constant within
+# a run, strictly different across gaps), then report months active,
+# number of streaks, and the longest streak. All integers; both
+# windows and both aggregates partition on c_custkey — embarrassingly
+# parallel across customers, nothing global anywhere.
+
+@register(
+    "customer_order_streaks",
+    oracle="""
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+              + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+              AS BIGINT) AS midx
+  FROM orders),
+isl AS (
+  SELECT o_custkey, midx,
+         midx - DENSE_RANK() OVER (PARTITION BY o_custkey
+                                   ORDER BY midx ASC) AS island
+  FROM m),
+runs AS (
+  SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2)
+SELECT o_custkey AS custkey,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_months,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY o_custkey
+""".strip(),
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            (
+                F.year(F.to_date("o_orderdate")) * 12
+                + F.month(F.to_date("o_orderdate"))
+                - 1
+            )
+            .cast("long")
+            .alias("midx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("midx").asc())
+    isl = m.select(
+        "o_custkey",
+        "midx",
+        (F.col("midx") - F.dense_rank().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum("run_len").cast("long").alias("n_active_months"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("run_len").cast("long").alias("longest_streak"),
+    )

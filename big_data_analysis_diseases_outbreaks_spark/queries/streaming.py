@@ -1498,3 +1498,135 @@ def stream_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gap_alert_stream(ev, _GAP_THRESHOLD_US)
     name, _ = run_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+# --- incremental KMV distinct-sketch maintenance (round 11b) ---------------
+# The streaming half of events_kmv_distinct, and the MERGEABILITY
+# proof that makes KMV a streaming-native summary: the k smallest
+# hashes of a union are always contained in the union of each part's
+# k smallest, so per-micro-batch k-minima appended under batch_id
+# partitions (dynamic overwrite = the exactly-once retry recipe) merge
+# by distinct + re-rank into EXACTLY the whole-stream sketch. The
+# oracle is the batch query's oracle VERBATIM — value equality proves
+# the merge is exact, not approximate-on-approximate (the
+# stream_cms_incremental argument, applied to an order-statistics
+# sketch instead of a linear one). n_exact probes the static table
+# (the CMS static-probe convention: the sketch itself never holds
+# exact counts — that's what it exists to avoid). Per-batch work is
+# batch-bounded; the merge is O(batches · types · k) constant-size
+# rows.
+
+@register("stream_kmv_distinct")
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.tables import configure_runtime, load_table
+    from .relational import _KMV_K
+
+    configure_runtime(spark)
+    src = _events_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_kmv_minima_")
+    minima_dir = os.path.join(out, "minima")
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        du = (
+            batch_df.select("event_type", "user_id")
+            .distinct()
+            .select("event_type", "user_id", hv.alias("hv"))
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("hv").asc(), F.col("user_id").asc()
+        )
+        (
+            du.select(
+                "event_type",
+                "user_id",
+                "hv",
+                F.row_number().over(w).alias("rn"),
+            )
+            .where(F.col("rn") <= _KMV_K)
+            .drop("rn")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(minima_dir)
+        )
+
+    (
+        st.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    merged = (
+        spark.read.parquet(minima_dir)
+        .select("event_type", "user_id", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("hv").asc(), F.col("user_id").asc()
+    )
+    kth = (
+        merged.select(
+            "event_type", "hv", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("hv").alias("kth_hash"))
+    )
+    # n_exact probes the STATIC side (CMS convention); everything else
+    # below must replicate the batch query's tail expression-for-
+    # expression so the bound oracle hashes equal.
+    c = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    est_full = F.floor(
+        F.lit((_KMV_K - 1) * 4294967296.0)
+        / F.greatest(F.col("kth_hash"), F.lit(1)).cast("double")
+    ).cast("long")
+    j = c.join(F.broadcast(kth), "event_type", "left")
+    return j.select(
+        "event_type",
+        "n_exact",
+        F.coalesce(F.col("kth_hash"), F.lit(0)).cast("long").alias("kth_hash"),
+        F.when(F.col("kth_hash").isNull(), F.col("n_exact"))
+        .otherwise(est_full)
+        .cast("long")
+        .alias("kmv_est"),
+        F.when(F.col("kth_hash").isNull(), F.lit(0).cast("long"))
+        .otherwise(est_full - F.col("n_exact"))
+        .cast("long")
+        .alias("est_minus_exact"),
+    )
+
+
+def _bind_kmv_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+    from . import relational  # noqa: F401 — force batch-twin registration
+
+    q = _REGISTRY["stream_kmv_distinct"]
+    _REGISTRY["stream_kmv_distinct"] = Query(
+        q.name, q.fn, _REGISTRY["events_kmv_distinct"].oracle
+    )
+
+
+_bind_kmv_stream_oracle()

@@ -193,3 +193,42 @@ def math_floor_half_away(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def test_order_streaks_identities(spark):
+    rows = _Q["customer_order_streaks"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= r["n_active_months"]
+        assert r["n_streaks"] >= 1
+        # islands partition the active months: streaks * 1 <= months
+        assert r["n_streaks"] <= r["n_active_months"]
+        # pigeonhole: longest streak >= ceil(months / streaks)
+        assert r["longest_streak"] * r["n_streaks"] >= r["n_active_months"]
+
+
+def test_ahash_buckets_cover_corpus_and_md5_refines_them(spark):
+    rows = _Q["multimodal_ahash_dedup"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n_docs = load_table(spark, SF_SMALL, "documents").where(
+        F.length("text") >= 1
+    ).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # md5 identity partitions each perceptual bucket
+        assert 1 <= r["n_distinct_payloads"] <= r["n_docs"]
+        # 32-bit halves stay in range
+        assert 0 <= r["sig_lo"] < 2**32 and 0 <= r["sig_hi"] < 2**32
+
+
+def test_stream_kmv_equals_batch_kmv(spark):
+    batch = {
+        r["event_type"]: r.asDict()
+        for r in _Q["events_kmv_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    stream = {
+        r["event_type"]: r.asDict()
+        for r in _Q["stream_kmv_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    # the merged per-batch minima ARE the whole-stream sketch
+    assert batch == stream
