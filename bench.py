@@ -317,6 +317,9 @@ HEADLINE = [
     "customer_order_streaks",
     "multimodal_ahash_dedup",
     "stream_kmv_distinct",
+    "sql_recursive_hierarchy",
+    "interpurchase_hazard_na",
+    "series_peak_detect",
 ]
 
 

@@ -93,6 +93,9 @@ _PRIORITY: list[str] = [
     "customer_order_streaks",
     "multimodal_ahash_dedup",
     "stream_kmv_distinct",
+    "sql_recursive_hierarchy",
+    "interpurchase_hazard_na",
+    "series_peak_detect",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -127,9 +130,6 @@ _PRIORITY: list[str] = [
     "merge_upsert_orders",
     "monthly_rollup_from_daily",
     "order_price_histogram",
-    "orders_above_customer_avg",
-    "orders_calendar_rollup",
-    "orders_price_band",
 ]
 
 

@@ -10060,3 +10060,136 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.max("run_len").cast("long").alias("longest_streak"),
     )
+
+
+# --- recursive CTE surface: hierarchy walk (round 11b) ----------------------
+# Spark 4.1's WITH RECURSIVE, exercised on a synthetic reporting
+# hierarchy derived from the customer key (parent = custkey div 10,
+# roots = keys 0..9 — a stable ~log10(n)-deep tree over any key
+# universe): each customer's depth and root are computed by the
+# engine's own recursive-union iteration, then rolled up per depth.
+# The oracle runs the IDENTICAL recursive SQL in DuckDB — the one
+# construct where both engines' iterative fixpoint semantics are
+# compared head-on (recursive_date_spine covers the sequence()
+# rewrite; THIS one exercises the native recursion). Depth is bounded
+# by key magnitude (6 levels at sf1), so the recursion is
+# log-bounded however large the table.
+
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0{zero_suffix}
+  FROM {cust} WHERE c_custkey <= 9
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1
+  FROM {cust} c JOIN chain ON c.c_custkey {div} 10 = chain.custkey
+  WHERE c.c_custkey > 9)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(MIN(custkey) AS BIGINT) AS min_key,
+       CAST(MAX(custkey) AS BIGINT) AS max_key
+FROM chain GROUP BY depth
+""".strip()
+
+
+@register(
+    "sql_recursive_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL.format(
+        cust="customer", div="//", zero_suffix=""
+    ),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer_rec"
+    )
+    return spark.sql(
+        _RECURSIVE_HIERARCHY_SQL.format(
+            cust="v_customer_rec", div="div", zero_suffix="L"
+        )
+    )
+
+
+# --- survival analysis: Nelson-Aalen cumulative hazard (round 11b) ----------
+# "How long until the customer orders again?" answered the survival-
+# analysis way — a genuinely new family for the registry. Events are
+# the inter-purchase gaps (in days); at each observed gap length t the
+# hazard increment is d_t / n_t (deaths over the at-risk set = gaps
+# still >= t), and Nelson-Aalen sums them: H(t) = sum_{s<=t} d_s/n_s.
+# Kaplan-Meier's PRODUCT limit needs exp/ln to distribute, so the
+# estimator that crosses engines exactly is the additive N-A with the
+# d_t*1e9 div n_t integer-scaled terms (markov protocol). Everything
+# past the per-customer LAG is DIMENSION-SIZED (one row per distinct
+# gap length — calendar-bounded); both running sums go through the
+# range-partitioned running-sum operator, never a bare global window.
+
+_NA_SCALE = 1_000_000_000
+
+
+@register(
+    "interpurchase_hazard_na",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+gaps AS (
+  SELECT CAST(date_diff('day',
+              LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_custkey),
+              d) AS BIGINT) AS t
+  FROM o),
+g AS (SELECT t FROM gaps WHERE t IS NOT NULL),
+dd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS d_t FROM g GROUP BY t),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+r AS (
+  SELECT t, d_t,
+         CAST((SELECT n FROM tot)
+              - COALESCE(SUM(d_t) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM dd),
+h AS (
+  SELECT t, d_t, n_risk,
+         CAST(d_t * {_NA_SCALE} // n_risk AS BIGINT) AS hazard_scaled
+  FROM r)
+SELECT t AS gap_days, d_t, n_risk, hazard_scaled,
+       CAST(SUM(hazard_scaled) OVER (ORDER BY t) AS BIGINT)
+         AS cumhaz_scaled
+FROM h
+""".strip(),
+)
+def interpurchase_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    g = orders.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("t")
+    ).where(F.col("t").isNotNull())
+    dd = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("d_t"))
+    r = with_global_running_sum(
+        dd, [F.col("t").asc()], "d_t", "cum_d", total_col="n"
+    ).select(
+        "t",
+        "d_t",
+        (F.col("n") - (F.col("cum_d") - F.col("d_t")))
+        .cast("long")
+        .alias("n_risk"),
+    )
+    h = r.select(
+        "t",
+        "d_t",
+        "n_risk",
+        F.expr(f"(d_t * {_NA_SCALE}) div n_risk")
+        .cast("long")
+        .alias("hazard_scaled"),
+    )
+    out = with_global_running_sum(
+        h, [F.col("t").asc()], "hazard_scaled", "cumhaz_scaled"
+    )
+    return out.select(
+        F.col("t").alias("gap_days"),
+        "d_t",
+        "n_risk",
+        "hazard_scaled",
+        F.col("cumhaz_scaled").cast("long").alias("cumhaz_scaled"),
+    )

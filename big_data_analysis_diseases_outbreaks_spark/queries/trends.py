@@ -4033,3 +4033,64 @@ def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "n", "n1", "n0", "n_runs", F.round(z, 6).alias("z")
     )
+
+
+# --- local peak detection with prominence (round 11b) ------------------------
+# The alerting primitive between anomaly_zscore (global deviation) and
+# series_cusum_changepoint (level shift): a PEAK is a day strictly
+# above both neighbors, reported with its prominence over the higher
+# neighbor. Exact integer cents (scaled_long protocol); one LAG + one
+# LEAD per (region, kw) series — partitioned windows, narrow
+# otherwise. Series endpoints (missing neighbor) are excluded, the
+# documented boundary semantics.
+
+_PEAK_MIN_PROM_CENTS = 500  # >= 5.00 above the higher neighbor
+
+
+@register(
+    "series_peak_detect",
+    oracle=f"{_PREFIX},\n"
+    "l AS (\n"
+    "  SELECT region, kw, date,\n"
+    f"         {scaled_long_sql('value', 100)} AS v,\n"
+    f"         lag({scaled_long_sql('value', 100)}) OVER "
+    "(PARTITION BY region, kw ORDER BY date) AS pv,\n"
+    f"         lead({scaled_long_sql('value', 100)}) OVER "
+    "(PARTITION BY region, kw ORDER BY date) AS nv\n"
+    "  FROM daily)\n"
+    "SELECT region, kw, date, CAST(v AS BIGINT) AS v_cents,\n"
+    "       CAST(v - GREATEST(pv, nv) AS BIGINT) AS prominence_cents\n"
+    "FROM l\n"
+    "WHERE pv IS NOT NULL AND nv IS NOT NULL\n"
+    "  AND v > pv AND v > nv\n"
+    f"  AND v - GREATEST(pv, nv) >= {_PEAK_MIN_PROM_CENTS}",
+)
+def series_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    v = scaled_long(F.col("value"), 100)
+    w = Window.partitionBy("region", "kw").orderBy("date")
+    l = daily.select(
+        "region",
+        "kw",
+        "date",
+        v.alias("v"),
+        F.lag(v).over(w).alias("pv"),
+        F.lead(v).over(w).alias("nv"),
+    )
+    prom = F.col("v") - F.greatest(F.col("pv"), F.col("nv"))
+    return (
+        l.where(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("v") > F.col("pv"))
+            & (F.col("v") > F.col("nv"))
+            & (prom >= _PEAK_MIN_PROM_CENTS)
+        )
+        .select(
+            "region",
+            "kw",
+            "date",
+            F.col("v").cast("long").alias("v_cents"),
+            prom.cast("long").alias("prominence_cents"),
+        )
+    )

@@ -232,3 +232,64 @@ def test_stream_kmv_equals_batch_kmv(spark):
     }
     # the merged per-batch minima ARE the whole-stream sketch
     assert batch == stream
+
+
+def test_recursive_hierarchy_covers_all_customers(spark):
+    rows = _Q["sql_recursive_hierarchy"].fn(spark, SF_SMALL).collect()
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    by_depth = {r["depth"]: r for r in rows}
+    assert 0 in by_depth
+    # depth d holds keys in [10^d, 10^(d+1)) (except the 0..9 roots)
+    for d, r in by_depth.items():
+        if d == 0:
+            assert r["max_key"] <= 9
+        else:
+            assert 10**d <= r["min_key"] and r["max_key"] < 10 ** (d + 1)
+
+
+def test_nelson_aalen_monotone_and_risk_set_decreasing(spark):
+    rows = sorted(
+        _Q["interpurchase_hazard_na"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["gap_days"],
+    )
+    assert rows
+    assert rows[0]["n_risk"] == sum(r["d_t"] for r in rows)
+    cum = 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["d_t"]
+    for r in rows:
+        assert r["n_risk"] >= r["d_t"] >= 1
+        assert r["hazard_scaled"] == r["d_t"] * 1_000_000_000 // r["n_risk"]
+        cum += r["hazard_scaled"]
+        assert r["cumhaz_scaled"] == cum
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import _daily
+    from big_data_analysis_diseases_outbreaks_spark.functions.stable import (
+        scaled_long,
+    )
+
+    peaks = _Q["series_peak_detect"].fn(spark, SF_SMALL).collect()
+    assert peaks  # fixture series are jittery enough to have peaks
+    daily = {
+        (r["region"], r["kw"], r["date"]): r["v"]
+        for r in _daily(spark, SF_SMALL)
+        .select("region", "kw", "date", scaled_long(F.col("value"), 100).alias("v"))
+        .collect()
+    }
+    from datetime import timedelta
+
+    for p in peaks:
+        assert p["prominence_cents"] >= 500
+        k = (p["region"], p["kw"])
+        prev = daily.get((*k, p["date"] - timedelta(days=1)))
+        nxt = daily.get((*k, p["date"] + timedelta(days=1)))
+        # neighbors exist by construction (endpoint rows are excluded);
+        # if the calendar has a hole, LAG/LEAD used the nearest row, so
+        # only assert when the adjacent day is present
+        if prev is not None:
+            assert p["v_cents"] > prev
+        if nxt is not None:
+            assert p["v_cents"] > nxt
