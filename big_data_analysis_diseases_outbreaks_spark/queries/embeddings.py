@@ -2290,23 +2290,21 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gram via per-row outer products: each row emits its dim^2
     # products straight into the partial aggregate — a narrow map, the
     # plan a 100 TB X^T X actually wants (no fact-table self-join).
+    # flat int array, (i, j) recovered from the position — structs per
+    # product would triple the exploded volume for nothing
     pairs = F.flatten(
         F.transform(
             "qv",
-            lambda x, i: F.transform(
-                F.col("qv"),
-                lambda y, j: F.struct(
-                    (i + 1).cast("long").alias("i"),
-                    (j + 1).cast("long").alias("j"),
-                    (x.cast("long") * y).alias("p"),
-                ),
-            ),
+            lambda x: F.transform(F.col("qv"), lambda y: x * y),
         )
     )
     g = (
-        q.select(F.explode(pairs).alias("e"))
-        .groupBy(F.col("e.i").alias("i"), F.col("e.j").alias("j"))
-        .agg(F.sum("e.p").cast("long").alias("g"))
+        q.select(F.posexplode(pairs).alias("pos", "p"))
+        .groupBy(
+            (F.expr(f"pos div {_PC_DIM}") + 1).cast("long").alias("i"),
+            (F.col("pos") % _PC_DIM + 1).cast("long").alias("j"),
+        )
+        .agg(F.sum("p").cast("long").alias("g"))
     )
     n = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
     si = F.broadcast(s.select(F.col("i").alias("_si"), F.col("s").alias("s_i")))
@@ -2322,34 +2320,30 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c"),
         )
-        .persist()  # the dim^2 matrix: consumed by all 8 rounds
     )
-    from ..operators.checkpointing import truncator
-
-    v = spark.range(1, _PC_DIM + 1).select(
-        F.col("id").alias("j"), F.lit(_PC_SCALE).cast("long").alias("vj")
-    )
-    trunc = truncator(v, None)
+    # BOUNDED driver collect (the codebook-fit convention): C is
+    # dim^2 = 4096 rows whatever the corpus size — the distributed work
+    # (quantize + Gram partial-agg) is done; iterating a 64x64 fixpoint
+    # through 8 Spark jobs is pure scheduling overhead (first cut spent
+    # ~3 s on 8 eager localCheckpoint rounds), so the matvec runs in
+    # unbounded Python ints with the SAME trunc-toward-zero div the SQL
+    # oracle uses. Exactness is pinned by the pytest bigint replica.
+    cm = {(r["i"], r["j"]): r["c"] for r in c.collect()}
+    v = [_PC_SCALE] * _PC_DIM
+    tz = (
+        lambda a, b: -((-a) // b) if (a < 0) != (b < 0) else a // b
+    )  # noqa: E731 — SQL div semantics (truncate toward zero)
     for _ in range(_PC_ROUNDS):
-        # truncate u's lineage each round: the m branch re-reads u, so
-        # without materialization the plan tree DOUBLES per round
-        # (2^rounds analysis blow-up — the LPA lineage lesson applied
-        # to a dimension-sized iterate; 64 rows, so eager is free).
-        u = trunc(
-            c.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("vj")).cast("long").alias("u"))
-        )
-        m = u.agg(
-            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1))
-            .cast("long")
-            .alias("m")
-        )
-        v = (
-            u.crossJoin(F.broadcast(m))
-            .select(
-                F.col("i").alias("j"),
-                F.expr(f"(u * {_PC_SCALE}) div m").cast("long").alias("vj"),
+        u = [
+            sum(
+                cm.get((i + 1, j + 1), 0) * v[j]
+                for j in range(_PC_DIM)
             )
-        )
-    return v.select(F.col("j").alias("dim"), F.col("vj").alias("comp_scaled"))
+            for i in range(_PC_DIM)
+        ]
+        m = max(max(abs(x) for x in u), 1)
+        v = [tz(x * _PC_SCALE, m) for x in u]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(_PC_DIM)],
+        "dim LONG, comp_scaled LONG",
+    )
