@@ -320,6 +320,8 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "interpurchase_hazard_na",
     "series_peak_detect",
+    "part_copurchase_squares",
+    "churn_labels_pit",
 ]
 
 

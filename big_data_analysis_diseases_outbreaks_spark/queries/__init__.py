@@ -96,6 +96,8 @@ _PRIORITY: list[str] = [
     "sql_recursive_hierarchy",
     "interpurchase_hazard_na",
     "series_peak_detect",
+    "part_copurchase_squares",
+    "churn_labels_pit",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -128,8 +130,6 @@ _PRIORITY: list[str] = [
     "label_centroids",
     "late_shipment_orders",
     "merge_upsert_orders",
-    "monthly_rollup_from_daily",
-    "order_price_histogram",
 ]
 
 

@@ -10193,3 +10193,192 @@ def interpurchase_hazard_na(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hazard_scaled",
         F.col("cumhaz_scaled").cast("long").alias("cumhaz_scaled"),
     )
+
+
+# --- 4-cycle (square) census on the co-purchase graph (round 11b) -----------
+# The motif one step past triangles: C4 counts come free from the
+# link-prediction machinery because every 4-cycle u-a-v-b is exactly a
+# PAIR of common neighbors {a, b} of its diagonal {u, v} — so
+# squares = (1/2) * sum over pairs of C(n_common, 2), each cycle
+# counted once per diagonal. The wedge table is the degree-oriented
+# one (part_link_prediction_cn's three bounded branches, packed-key
+# shuffle); the census itself is one aggregate on top — no new join.
+# The grand total is provably even before the final halving (each
+# square contributes 2), so everything stays exact BIGINT.
+
+@register(
+    "part_copurchase_squares",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                  GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+cn AS (
+  SELECT n1.a AS u, n2.a AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym n1 JOIN sym n2 ON n1.b = n2.b AND n1.a < n2.a
+  GROUP BY n1.a, n2.a)
+SELECT CAST(COUNT(*) FILTER (WHERE n_common >= 2) AS BIGINT)
+         AS n_diagonals,
+       CAST(SUM(n_common * (n_common - 1) // 2) // 2 AS BIGINT)
+         AS n_squares,
+       CAST(MAX(n_common) AS BIGINT) AS max_common
+FROM cn
+""".strip(),
+)
+def part_copurchase_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import _orient
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    und = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
+    o = _orient(und).persist()
+    o.count()  # materialize once: feeds three join branches
+
+    def pack(x: str, y: str):
+        return (
+            F.shiftleft(F.col(x).cast("long"), 32) + F.col(y).cast("long")
+        ).alias("pk")
+
+    c1 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(pack("e1.b", "e2.b"))
+    )
+    c2 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            (
+                F.shiftleft(F.least("e1.a", "e2.b").cast("long"), 32)
+                + F.greatest("e1.a", "e2.b").cast("long")
+            ).alias("pk")
+        )
+    )
+    c3 = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.b"))
+        .where(F.col("e1.a") < F.col("e2.a"))
+        .select(pack("e1.a", "e2.a"))
+    )
+    cn = (
+        c1.unionAll(c2)
+        .unionAll(c3)
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return cn.agg(
+        F.sum(F.when(F.col("n_common") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_diagonals"),
+        F.expr(
+            "CAST(sum((n_common * (n_common - 1)) div 2) div 2 AS BIGINT)"
+        ).alias("n_squares"),
+        F.max("n_common").cast("long").alias("max_common"),
+    )
+
+
+# --- point-in-time churn labels (round 11b) ----------------------------------
+# The leakage-safe LABEL GENERATOR a churn model trains on: at each
+# quarterly as-of date d, a customer is ELIGIBLE if they ordered in
+# the 180 days BEFORE d (features may only look left) and CHURNED if
+# they have no order in the 90 days FROM d (the label looks right) —
+# the point-in-time discipline that keeps training data causal, as a
+# query. The quarter spine is dimension-sized and broadcasts; the
+# spine fan-out (|quarters| ≈ 28 whatever the SF) is the documented
+# cost, collapsed immediately by the (customer, quarter) flag
+# aggregate. Counts are exact; the rate is one correctly-rounded
+# division (emitted unrounded — the stable.py rationale).
+
+_CHURN_LOOKBACK_DAYS = 180
+_CHURN_HORIZON_DAYS = 90
+
+
+@register(
+    "churn_labels_pit",
+    oracle=f"""
+WITH od AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+spine AS (
+  SELECT DISTINCT CAST(date_trunc('quarter', d) AS DATE) AS asof_d FROM od),
+fl AS (
+  SELECT od.o_custkey, s.asof_d,
+         MAX(CASE WHEN od.d >= s.asof_d - {_CHURN_LOOKBACK_DAYS}
+                   AND od.d < s.asof_d THEN 1 ELSE 0 END) AS before_w,
+         MAX(CASE WHEN od.d >= s.asof_d
+                   AND od.d < s.asof_d + {_CHURN_HORIZON_DAYS}
+                  THEN 1 ELSE 0 END) AS after_w
+  FROM od CROSS JOIN spine s
+  GROUP BY 1, 2)
+SELECT asof_d AS asof_date,
+       CAST(SUM(before_w) AS BIGINT) AS n_eligible,
+       CAST(SUM(CASE WHEN before_w = 1 AND after_w = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN before_w = 1 AND after_w = 0
+                THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(before_w) AS DOUBLE) AS churn_rate
+FROM fl GROUP BY asof_d HAVING SUM(before_w) > 0
+""".strip(),
+)
+def churn_labels_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    spine = od.select(
+        F.to_date(F.date_trunc("quarter", F.col("d"))).alias("asof_d")
+    ).distinct()
+    j = od.crossJoin(F.broadcast(spine))
+    fl = j.groupBy("o_custkey", "asof_d").agg(
+        F.max(
+            F.when(
+                (F.col("d") >= F.date_sub("asof_d", _CHURN_LOOKBACK_DAYS))
+                & (F.col("d") < F.col("asof_d")),
+                1,
+            ).otherwise(0)
+        ).alias("before_w"),
+        F.max(
+            F.when(
+                (F.col("d") >= F.col("asof_d"))
+                & (F.col("d") < F.date_add("asof_d", _CHURN_HORIZON_DAYS)),
+                1,
+            ).otherwise(0)
+        ).alias("after_w"),
+    )
+    churned = F.when(
+        (F.col("before_w") == 1) & (F.col("after_w") == 0), 1
+    ).otherwise(0)
+    out = fl.groupBy(F.col("asof_d").alias("asof_date")).agg(
+        F.sum("before_w").cast("long").alias("n_eligible"),
+        F.sum(churned).cast("long").alias("n_churned"),
+        (
+            F.sum(churned).cast("double")
+            / F.sum("before_w").cast("double")
+        ).alias("churn_rate"),
+    )
+    return out.where(F.col("n_eligible") > 0)

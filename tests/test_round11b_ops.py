@@ -293,3 +293,66 @@ def test_peaks_are_strict_local_maxima(spark):
             assert p["v_cents"] > prev
         if nxt is not None:
             assert p["v_cents"] > nxt
+
+
+def test_square_census_matches_python_reference(spark):
+    row = _Q["part_copurchase_squares"].fn(spark, SF_SMALL).collect()[0]
+    # independent reference: build the same edge set in DuckDB, count
+    # C4 = sum C(common_neighbors, 2) / 2 in plain Python sets
+    import duckdb
+
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        COPURCHASE_SHIPDATE_LO as _LO,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(f"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey
+          FROM read_parquet('{SF_SMALL}/lineitem.parquet')
+          WHERE CAST(l_shipdate AS DATE) >= DATE '{_LO}'),
+        e AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                          GREATEST(a.l_partkey, b.l_partkey) AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)
+        SELECT u, v FROM e
+    """).fetchall()
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = sorted(adj)
+    total = 0
+    diagonals = 0
+    max_common = 0
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            c = len(adj[u] & adj[v])
+            if c >= 2:
+                diagonals += 1
+                total += c * (c - 1) // 2
+            max_common = max(max_common, c)
+    assert row["n_squares"] == total // 2
+    assert row["n_diagonals"] == diagonals
+    assert row["max_common"] == max_common
+
+
+def test_churn_labels_point_in_time_properties(spark):
+    rows = _Q["churn_labels_pit"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_eligible"]
+        assert abs(
+            r["churn_rate"] - r["n_churned"] / r["n_eligible"]
+        ) < 1e-12
+    # eligibility never exceeds the customer universe that ever ordered
+    n_buyers = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert all(r["n_eligible"] <= n_buyers for r in rows)
