@@ -322,6 +322,10 @@ HEADLINE = [
     "series_peak_detect",
     "part_copurchase_squares",
     "churn_labels_pit",
+    "orders_queue_lindley",
+    "customer_ab_srm_check",
+    "orders_bootstrap_ci",
+    "events_cuped_adjustment",
 ]
 
 

@@ -98,6 +98,10 @@ _PRIORITY: list[str] = [
     "series_peak_detect",
     "part_copurchase_squares",
     "churn_labels_pit",
+    "orders_queue_lindley",
+    "customer_ab_srm_check",
+    "orders_bootstrap_ci",
+    "events_cuped_adjustment",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -126,10 +130,6 @@ _PRIORITY: list[str] = [
     "embedding_quantize_int8",
     "event_prop_key_stats",
     "fuzzy_part_name_pairs",
-    "grouping_sets_order_stats",
-    "label_centroids",
-    "late_shipment_orders",
-    "merge_upsert_orders",
 ]
 
 

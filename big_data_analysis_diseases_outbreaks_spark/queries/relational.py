@@ -10382,3 +10382,440 @@ def churn_labels_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("churn_rate"),
     )
     return out.where(F.col("n_eligible") > 0)
+
+
+# --- capacity-planning queue via the Lindley reflection (round 11b) ---------
+# "If fulfillment can ship C orders a day, how deep does the queue
+# get?" is the Lindley recursion q_t = max(0, q_{t-1} + net_t) — the
+# textbook example of a computation that LOOKS inherently sequential.
+# Its closed form q_t = cum_t - min(0, min_{s<=t} cum_s) (the
+# reflected-walk identity) turns the whole simulation into TWO prefix
+# aggregates — a running sum and a running min — both of which run on
+# the range-partitioned rank machinery, so the "sequential" simulation
+# is embarrassingly parallel at any scale. Capacity is pinned to the
+# deterministic floor(total/n_days) so the queue hovers near zero and
+# both clamp branches are exercised. Exact integers end to end; the
+# per-day recursion equivalence is pinned in pytest by replaying the
+# naive sequential recurrence.
+
+@register(
+    "orders_queue_lindley",
+    oracle="""
+WITH arr AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS arrivals
+  FROM orders GROUP BY 1),
+cap AS (
+  SELECT CAST(SUM(arrivals) // COUNT(*) AS BIGINT) AS c FROM arr),
+net AS (
+  SELECT day, arrivals,
+         arrivals - (SELECT c FROM cap) AS net_flow
+  FROM arr),
+cum AS (
+  SELECT day, arrivals, net_flow,
+         CAST(SUM(net_flow) OVER (ORDER BY day) AS BIGINT) AS cum_net
+  FROM net),
+rm AS (
+  SELECT day, arrivals, net_flow, cum_net,
+         CAST(MIN(cum_net) OVER (ORDER BY day) AS BIGINT) AS run_min
+  FROM cum)
+SELECT day, arrivals, net_flow,
+       CAST(cum_net - LEAST(0, run_min) AS BIGINT) AS queue_len
+FROM rm
+""".strip(),
+)
+def orders_queue_lindley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import (
+        with_global_exclusive_running_max,
+        with_global_running_sum,
+    )
+
+    arr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("arrivals"))
+    )
+    cap = arr.agg(
+        F.expr("CAST(sum(arrivals) div count(*) AS BIGINT)").alias("c")
+    )
+    net = arr.crossJoin(F.broadcast(cap)).select(
+        "day",
+        "arrivals",
+        (F.col("arrivals") - F.col("c")).cast("long").alias("net_flow"),
+    )
+    cum = with_global_running_sum(
+        net, [F.col("day").asc()], "net_flow", "cum_net"
+    )
+    # inclusive running MIN = -(exclusive running max of the negation),
+    # folded with the row's own value
+    neg = cum.withColumn("neg_cum", (-F.col("cum_net")).cast("long"))
+    rm = with_global_exclusive_running_max(
+        neg, [F.col("day").asc()], "neg_cum", "neg_max_excl"
+    ).select(
+        "day",
+        "arrivals",
+        "net_flow",
+        "cum_net",
+        F.least(
+            F.col("cum_net"),
+            F.coalesce(-F.col("neg_max_excl"), F.col("cum_net")),
+        )
+        .cast("long")
+        .alias("run_min"),
+    )
+    return rm.select(
+        "day",
+        "arrivals",
+        "net_flow",
+        (
+            F.col("cum_net") - F.least(F.lit(0).cast("long"), F.col("run_min"))
+        )
+        .cast("long")
+        .alias("queue_len"),
+    )
+
+
+# --- A/B assignment sample-ratio-mismatch check (round 11b) ------------------
+# The guardrail every experimentation platform runs before reading a
+# test: does the md5-parity assignment actually split 50/50? SRM chi²
+# with one degree of freedom = (n0 - n1)² / (n0 + n1) — exact integer
+# numerator/denominator, one correctly-rounded division; the flag
+# applies the 0.05 critical value (3.841). Uses the same strpos-hex
+# md5 protocol as every other deterministic assignment in the repo, so
+# the check is reproducible anywhere the data lands.
+
+@register(
+    "customer_ab_srm_check",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN ((strpos('0123456789abcdef',
+              substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) % 2) = 0
+         THEN 0 ELSE 1 END AS arm
+  FROM customer),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(arm) AS BIGINT) AS n1
+  FROM a)
+SELECT n0, n1,
+       CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+         / CAST(n0 + n1 AS DOUBLE) AS chi2,
+       CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+         / CAST(n0 + n1 AS DOUBLE) > 3.841 AS srm_detected
+FROM c
+""".strip(),
+)
+def customer_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arm = F.when(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        == 0,
+        0,
+    ).otherwise(1)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(arm.alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum("arm").cast("long").alias("n1"),
+        )
+    )
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1")).cast("double")
+    return c.select(
+        "n0",
+        "n1",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_detected"),
+    )
+
+
+# --- deterministic Poisson-bootstrap CI for the mean (round 11b) -------------
+# The scale-out bootstrap: resampling n rows with replacement is
+# impossible distributed, so each row instead draws an independent
+# Poisson(1) multiplicity per resample — the classic streaming
+# bootstrap — and here the draw is DETERMINISTIC: the md5 of
+# (orderkey, resample) maps through the exact Poisson(1) inverse-CDF
+# thresholds (scaled to 32-bit integers, so the comparison is pure
+# integer). Per resample: exact integer Σw and Σw·cents, one division
+# for the mean; the CI is the exact rank-order 2.5%/97.5% of the B
+# resample means. The B-way fan-out is a narrow transform+explode
+# absorbed by map-side partial aggregation into B keys — the documented
+# bootstrap cost, and the reason Poisson bootstrap exists at all.
+
+_BOOT_B = 64  # resamples
+# P(Poisson(1) <= k) * 2^32, k = 0..5 (tail mass beyond 6 is < 6e-7)
+_BOOT_CDF = [1580030168, 3160060337, 3950075421, 4213413782,
+             4279248372, 4292415290]
+
+
+def _boot_w_sql(hv: str) -> str:
+    """Poisson(1) multiplicity from a 32-bit hash (SQL CASE chain)."""
+    cases = " ".join(
+        f"WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "orders_bootstrap_ci",
+    oracle=f"""
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         u.b AS b
+  FROM orders, UNNEST(range({_BOOT_B})) AS u(b)),
+h AS (
+  SELECT b, cents,
+         {_boot_w_sql(
+             "((strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 1, 1)) - 1) * 268435456"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 2, 1)) - 1) * 16777216"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 3, 1)) - 1) * 1048576"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 4, 1)) - 1) * 65536"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 5, 1)) - 1) * 4096"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 6, 1)) - 1) * 256"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 7, 1)) - 1) * 16"
+             " + (strpos('0123456789abcdef', substr(md5("
+             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+             "), 8, 1)) - 1))"
+         )} AS w
+  FROM r),
+m AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n_w,
+         CAST(SUM(w * cents) AS BIGINT) AS sum_w
+  FROM h GROUP BY b),
+means AS (
+  SELECT b, CAST(sum_w AS DOUBLE) / CAST(n_w AS DOUBLE) AS mean_cents,
+         ROW_NUMBER() OVER (ORDER BY CAST(sum_w AS DOUBLE)
+                            / CAST(n_w AS DOUBLE) ASC, b ASC) AS rn
+  FROM m WHERE n_w > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_resamples,
+       MIN(CASE WHEN rn = {max(1, round(_BOOT_B * 0.025))}
+           THEN mean_cents END) AS ci_lo_cents,
+       MIN(CASE WHEN rn = {min(_BOOT_B, round(_BOOT_B * 0.975))}
+           THEN mean_cents END) AS ci_hi_cents
+FROM means
+""".strip(),
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents.alias("cents")
+    )
+    r = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k in range(len(_BOOT_CDF) - 1, -1, -1):
+        w = F.when(hv < _BOOT_CDF[k], F.lit(k)).otherwise(w)
+    m = (
+        r.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_w"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("sum_w"),
+        )
+        .where(F.col("n_w") > 0)
+    )
+    mean = F.col("sum_w").cast("double") / F.col("n_w").cast("double")
+    # rank the B resample means through the O(P) global-rank operator —
+    # even a 64-row bare global window is the forbidden plan shape
+    means = with_global_rank(
+        m.select("b", mean.alias("mean_cents")),
+        [F.col("mean_cents").asc(), F.col("b").asc()],
+        "rn",
+    )
+    lo_rn = max(1, round(_BOOT_B * 0.025))
+    hi_rn = min(_BOOT_B, round(_BOOT_B * 0.975))
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.min(
+            F.when(F.col("rn") == lo_rn, F.col("mean_cents"))
+        ).alias("ci_lo_cents"),
+        F.min(
+            F.when(F.col("rn") == hi_rn, F.col("mean_cents"))
+        ).alias("ci_hi_cents"),
+    )
+
+
+# --- CUPED variance reduction for the A/B readout (round 11b) ----------------
+# The other half of a real experimentation stack (events_ab_test gives
+# the z-test, customer_ab_srm_check the guardrail): CUPED adjusts the
+# experiment metric with pre-period behavior, cutting variance by the
+# squared pre/post correlation. Pre-period x = events in the first
+# half of the time range, metric y = events in the second half (the
+# deterministic midpoint split); arms = md5 parity. theta =
+# (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) comes from ONE pass of exact integer
+# sufficient statistics (the brand_discount_elasticity protocol); the
+# adjusted treatment effect and the realized variance-reduction r² are
+# fixed IEEE expressions on those integers. Shape: one user-keyed
+# aggregate over the fact table, then everything is a handful of rows.
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS lo,
+         CAST(MIN(CAST(ts AS DATE))
+              + CAST((date_diff('day', MIN(CAST(ts AS DATE)),
+                                MAX(CAST(ts AS DATE))) // 2)
+                     AS INTEGER) AS DATE) AS mid
+  FROM events),
+u AS (
+  SELECT user_id,
+         CAST((strpos('0123456789abcdef',
+              substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+              AS BIGINT) AS arm,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) <= (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(ts AS DATE) > (SELECT mid FROM bounds)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0
+  FROM u)
+SELECT n, n0, n1,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+             6) AS theta,
+       ROUND(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS r2,
+       ROUND((CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+               * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0),
+             6) AS adj_effect
+FROM s
+""".strip(),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = ev.agg(
+        F.min("d").alias("lo"),
+        F.date_add(
+            F.min("d"),
+            F.floor(F.datediff(F.max("d"), F.min("d")) / 2).cast("int"),
+        ).alias("mid"),
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+        ).cast("long")
+        % 2
+    )
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(F.col("d") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select("user_id", arm.alias("arm"), "x", "y")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy0"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = cov_n / varx_n
+    dy = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    )
+    dx = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx0").cast("double") / F.col("n0")
+    )
+    return s.select(
+        "n",
+        "n0",
+        "n1",
+        F.round(theta, 6).alias("theta"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
+        F.round(dy - theta * dx, 6).alias("adj_effect"),
+    )

@@ -356,3 +356,54 @@ def test_churn_labels_point_in_time_properties(spark):
         .count()
     )
     assert all(r["n_eligible"] <= n_buyers for r in rows)
+
+
+def test_lindley_identity_matches_sequential_recurrence(spark):
+    rows = sorted(
+        _Q["orders_queue_lindley"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    q = 0
+    for r in rows:
+        q = max(0, q + r["net_flow"])
+        assert r["queue_len"] == q, r["day"]
+    assert all(r["queue_len"] >= 0 for r in rows)
+
+
+def test_srm_check_counts_and_chi2(spark):
+    row = _Q["customer_ab_srm_check"].fn(spark, SF_SMALL).collect()[0]
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert row["n0"] + row["n1"] == n_cust
+    assert row["chi2"] >= 0.0
+    assert row["srm_detected"] == (row["chi2"] > 3.841)
+    # md5 parity is uniform: a real SRM on the fixture would mean the
+    # protocol itself is biased
+    assert not row["srm_detected"]
+
+
+def test_bootstrap_ci_brackets_the_true_mean(spark):
+    row = _Q["orders_bootstrap_ci"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_resamples"] == 64
+    true_mean = (
+        load_table(spark, SF_SMALL, "orders")
+        .agg(
+            F.avg(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "m"
+            )
+        )
+        .collect()[0]["m"]
+    )
+    assert row["ci_lo_cents"] < row["ci_hi_cents"]
+    # Poisson(1) bootstrap of a 1.5k-row mean: the 95% CI must bracket
+    # the point estimate itself
+    assert row["ci_lo_cents"] <= true_mean <= row["ci_hi_cents"]
+
+
+def test_cuped_r2_bounds_and_theta_sign(spark):
+    row = _Q["events_cuped_adjustment"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n"] == row["n0"] + row["n1"]
+    assert 0.0 <= row["r2"] <= 1.0
+    # pre/post event counts per user are positively correlated on the
+    # fixture (heavier users stay heavier)
+    assert row["theta"] > 0
