@@ -326,6 +326,9 @@ HEADLINE = [
     "customer_ab_srm_check",
     "orders_bootstrap_ci",
     "events_cuped_adjustment",
+    "customer_geo_dbscan",
+    "lineitem_linenumber_gaps",
+    "events_markov_attribution",
 ]
 
 

@@ -102,6 +102,9 @@ _PRIORITY: list[str] = [
     "customer_ab_srm_check",
     "orders_bootstrap_ci",
     "events_cuped_adjustment",
+    "customer_geo_dbscan",
+    "lineitem_linenumber_gaps",
+    "events_markov_attribution",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -127,9 +130,6 @@ _PRIORITY: list[str] = [
     "ann_grid_recall_report",
     "part_copurchase_local_bridges",
     "embedding_activation_stats",
-    "embedding_quantize_int8",
-    "event_prop_key_stats",
-    "fuzzy_part_name_pairs",
 ]
 
 

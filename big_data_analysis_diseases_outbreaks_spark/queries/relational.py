@@ -10542,19 +10542,35 @@ def customer_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The scale-out bootstrap: resampling n rows with replacement is
 # impossible distributed, so each row instead draws an independent
 # Poisson(1) multiplicity per resample — the classic streaming
-# bootstrap — and here the draw is DETERMINISTIC: the md5 of
-# (orderkey, resample) maps through the exact Poisson(1) inverse-CDF
-# thresholds (scaled to 32-bit integers, so the comparison is pure
-# integer). Per resample: exact integer Σw and Σw·cents, one division
-# for the mean; the CI is the exact rank-order 2.5%/97.5% of the B
-# resample means. The B-way fan-out is a narrow transform+explode
-# absorbed by map-side partial aggregation into B keys — the documented
-# bootstrap cost, and the reason Poisson bootstrap exists at all.
+# bootstrap — and here the draw is DETERMINISTIC: a Lehmer-mix hash of
+# (orderkey, resample) (the customer_geo_grid_pairs split-multiply —
+# pure integer arithmetic, identical in both engines, ~50× cheaper
+# than 8 md5 digests per draw: the md5 first cut cost 15 s at sf0.1,
+# this one ~2 s) maps through the exact Poisson(1) inverse-CDF
+# thresholds scaled to 32 bits, so the comparison is pure integer.
+# Per resample: exact integer Σw and Σw·cents, one division for the
+# mean; the CI is the exact rank-order 2.5%/97.5% of the B resample
+# means. The B-way fan-out is a narrow explode absorbed by map-side
+# partial aggregation into B keys — the documented bootstrap cost, and
+# the reason Poisson bootstrap exists at all.
 
 _BOOT_B = 64  # resamples
-# P(Poisson(1) <= k) * 2^32, k = 0..5 (tail mass beyond 6 is < 6e-7)
-_BOOT_CDF = [1580030168, 3160060337, 3950075421, 4213413782,
-             4279248372, 4292415290]
+# P(Poisson(1) <= k) * 2^31, k = 0..5 (tail mass beyond 6 is < 6e-7)
+_BOOT_CDF = [790015084, 1580030169, 1975037711, 2106706892,
+             2139624187, 2146207646]
+
+
+def _boot_hash_sql(key: str, b: str) -> str:
+    """31-bit double-Lehmer hash of (key, resample) — DuckDB side.
+
+    Two MINSTD multiplication rounds on the (key, b)-linear seed: one
+    round leaves the output magnitude correlated with the seed range
+    (the first cut's single split-multiply never crossed the lowest
+    Poisson threshold — every weight came out 0), two full mod-2^31
+    rounds cover [0, 2^31) regardless of the key range."""
+    h0 = f"(({key}) * 48271 + ({b}) * 69621 + 1013904223) % 2147483647"
+    h1 = f"(({h0}) * 48271) % 2147483647"
+    return f"(({h1}) * 48271) % 2147483647"
 
 
 def _boot_w_sql(hv: str) -> str:
@@ -10575,32 +10591,7 @@ WITH r AS (
   FROM orders, UNNEST(range({_BOOT_B})) AS u(b)),
 h AS (
   SELECT b, cents,
-         {_boot_w_sql(
-             "((strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 1, 1)) - 1) * 268435456"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 2, 1)) - 1) * 16777216"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 3, 1)) - 1) * 1048576"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 4, 1)) - 1) * 65536"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 5, 1)) - 1) * 4096"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 6, 1)) - 1) * 256"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 7, 1)) - 1) * 16"
-             " + (strpos('0123456789abcdef', substr(md5("
-             "CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
-             "), 8, 1)) - 1))"
-         )} AS w
+         {_boot_w_sql(f"({_boot_hash_sql('o_orderkey', 'b')})")} AS w
   FROM r),
 m AS (
   SELECT b, CAST(SUM(w) AS BIGINT) AS n_w,
@@ -10631,21 +10622,13 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    hv = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h0 = (
+        F.col("o_orderkey").cast("long") * F.lit(48271)
+        + F.col("b").cast("long") * F.lit(69621)
+        + F.lit(1013904223)
+    ) % F.lit(2147483647)
+    h1 = (h0 * F.lit(48271)) % F.lit(2147483647)
+    hv = (h1 * F.lit(48271)) % F.lit(2147483647)
     w = F.lit(6)
     for k in range(len(_BOOT_CDF) - 1, -1, -1):
         w = F.when(hv < _BOOT_CDF[k], F.lit(k)).otherwise(w)
@@ -10818,4 +10801,222 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta, 6).alias("theta"),
         F.round((cov_n * cov_n) / (varx_n * vary_n), 6).alias("r2"),
         F.round(dy - theta * dx, 6).alias("adj_effect"),
+    )
+
+
+# --- grid-based DBSCAN (round 11b) -------------------------------------------
+# Density clustering, distributed the way it actually scales: the
+# eps-neighborhood counting and the core-core edge generation both go
+# through the 3x3 grid-cell candidate join (cell size == eps, so every
+# true neighbor pair meets in some probe — candidate volume is
+# O(n * density), never O(n^2)), and the cluster labels are the
+# connected components of the CORE-point graph via the iterative
+# min-label operator. Border points adopt the MINIMUM neighboring core
+# label (the deterministic variant of DBSCAN's first-reached
+# assignment); everything else is noise. The SQL oracle replays the
+# label fixpoint with a recursive CTE — cluster diameters are
+# density-bounded, so the closure stays small however big the corpus.
+
+_DBSCAN_MINPTS = 4  # |N_eps(p)| >= 4, p itself included
+
+
+@register(
+    "customer_geo_dbscan",
+    oracle=f"""
+WITH h AS (
+  SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
+m AS (
+  SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+pts AS (
+  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
+         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
+  FROM m),
+cells AS (
+  SELECT c_custkey, lat, lon,
+         lat - lat % {_GEO_R} AS cl, lon - lon % {_GEO_R} AS co
+  FROM pts),
+nbr AS (
+  SELECT a.c_custkey AS pa, b.c_custkey AS pb
+  FROM cells a JOIN cells b
+    ON b.cl IN (a.cl - {_GEO_R}, a.cl, a.cl + {_GEO_R})
+   AND b.co IN (a.co - {_GEO_R}, a.co, a.co + {_GEO_R})
+   AND a.c_custkey <> b.c_custkey
+   AND (a.lat - b.lat) * (a.lat - b.lat)
+       + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_R * _GEO_R}),
+cnt AS (
+  SELECT pa AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_nbr
+  FROM nbr GROUP BY pa),
+core AS (
+  SELECT c_custkey FROM cnt WHERE n_nbr + 1 >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT n.pa AS a, n.pb AS b FROM nbr n
+  JOIN core x ON x.c_custkey = n.pa
+  JOIN core y ON y.c_custkey = n.pb),
+comp AS (
+  WITH RECURSIVE walk(node, label) AS (
+    SELECT c_custkey, c_custkey FROM core
+    UNION
+    SELECT ce.b, walk.label FROM walk JOIN ce ON ce.a = walk.node),
+  labels AS (
+    SELECT node, CAST(MIN(label) AS BIGINT) AS cluster FROM walk
+    GROUP BY node)
+  SELECT * FROM labels),
+border AS (
+  SELECT n.pa AS node, CAST(MIN(c.cluster) AS BIGINT) AS cluster
+  FROM nbr n JOIN comp c ON c.node = n.pb
+  WHERE n.pa NOT IN (SELECT node FROM comp)
+  GROUP BY n.pa)
+SELECT p.c_custkey AS custkey,
+       CASE WHEN cp.node IS NOT NULL THEN 'core'
+            WHEN bd.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(cp.cluster, bd.cluster) AS cluster
+FROM pts p
+LEFT JOIN comp cp ON cp.node = p.c_custkey
+LEFT JOIN border bd ON bd.node = p.c_custkey
+""".strip(),
+)
+def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
+    mv = (hv % F.lit(100003)) * (
+        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
+    ).cast("long")
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (mv % _GEO_SPAN).alias("lat"),
+        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
+        .cast("long")
+        .alias("lon"),
+    )
+    cells = pts.select(
+        "*",
+        (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
+        (F.col("lon") - F.col("lon") % _GEO_R).alias("co"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"),
+        (F.col("id") - F.col("id") % 3).cast("long").alias("_t"),
+    ).select("dx", (F.col("_t") / 3 - 1).cast("long").alias("dy"))
+    probes = cells.crossJoin(F.broadcast(offs)).select(
+        F.col("c_custkey").alias("pa"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        (F.col("cl") + F.col("dx") * _GEO_R).alias("cl"),
+        (F.col("co") + F.col("dy") * _GEO_R).alias("co"),
+    )
+    base = cells.select(
+        F.col("c_custkey").alias("pb"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cl",
+        "co",
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    nbr = (
+        probes.join(base, ["cl", "co"])
+        .where(
+            (F.col("pa") != F.col("pb"))
+            & (dlat * dlat + dlon * dlon <= F.lit(_GEO_R * _GEO_R))
+        )
+        .select("pa", "pb")
+        .persist()  # consumed by the count, the core-edge build, border
+    )
+    cnt = nbr.groupBy(F.col("pa").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbr")
+    )
+    core = cnt.where(
+        F.col("n_nbr") + 1 >= _DBSCAN_MINPTS
+    ).select("c_custkey")
+    ca = core.select(F.col("c_custkey").alias("pa"))
+    cb = core.select(F.col("c_custkey").alias("pb"))
+    ce = nbr.join(ca, "pa").join(cb, "pb")
+    comp = connected_components(
+        # isolated cores (no core neighbor) still need a label: add
+        # self-loops so every core node enters the edge set
+        ce.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            core.select(
+                F.col("c_custkey").alias("src"),
+                F.col("c_custkey").alias("dst"),
+            )
+        )
+    ).select(F.col("node"), F.col("label").cast("long").alias("cluster"))
+    border = (
+        nbr.join(comp, nbr["pb"] == comp["node"])
+        .join(comp.select(F.col("node").alias("pa")), "pa", "left_anti")
+        .groupBy(F.col("pa").alias("bnode"))
+        .agg(F.min("cluster").cast("long").alias("bcluster"))
+    )
+    out = (
+        pts.join(comp, pts["c_custkey"] == comp["node"], "left")
+        .join(border, pts["c_custkey"] == border["bnode"], "left")
+    )
+    role = (
+        F.when(F.col("node").isNotNull(), F.lit("core"))
+        .when(F.col("bnode").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise"))
+    )
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        role.alias("role"),
+        F.coalesce(F.col("cluster"), F.col("bcluster")).alias("cluster"),
+    )
+
+
+# --- line-number sequence integrity (round 11b) ------------------------------
+# The cheap-but-real data-quality check every ingest pipeline runs:
+# l_linenumber must be the consecutive sequence 1..count within each
+# order. Gaps = max - count (exact identity when values are distinct;
+# dup detection rides along via count vs distinct). One fact-sized
+# aggregate, one dimension-sized rollup.
+
+@register(
+    "lineitem_linenumber_gaps",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+         CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+         CAST(MIN(l_linenumber) AS BIGINT) AS min_ln
+  FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN min_ln <> 1 OR max_ln <> n_distinct
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_with_gaps,
+       CAST(SUM(max_ln - n_distinct) AS BIGINT) AS total_missing,
+       CAST(SUM(n_lines - n_distinct) AS BIGINT) AS total_dups
+FROM per
+""".strip(),
+)
+def lineitem_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("l_linenumber").cast("long").alias("n_distinct"),
+            F.max("l_linenumber").cast("long").alias("max_ln"),
+            F.min("l_linenumber").cast("long").alias("min_ln"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(
+                (F.col("min_ln") != 1)
+                | (F.col("max_ln") != F.col("n_distinct")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orders_with_gaps"),
+        F.sum(F.col("max_ln") - F.col("n_distinct"))
+        .cast("long")
+        .alias("total_missing"),
+        F.sum(F.col("n_lines") - F.col("n_distinct"))
+        .cast("long")
+        .alias("total_dups"),
     )

@@ -4094,3 +4094,178 @@ def series_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             prom.cast("long").alias("prominence_cents"),
         )
     )
+
+
+# --- Markov removal-effect attribution (round 11b) ---------------------------
+# Which channel actually DRIVES conversions? Last-touch attribution
+# (purchase_attribution) over-credits the final click; the Markov
+# answer removes each channel from the journey chain and measures how
+# much conversion probability disappears. Chain: states = event types
+# + START (per-user first event), 'purchase' absorbing, row-normalized
+# transition counts; conversion mass within K=8 steps is accumulated
+# by an exact-integer grouped matvec (per-edge m·n div rowtotal — the
+# markov_stationary protocol) run simultaneously for every removal key
+# (one extra 'NONE' run is the baseline), so the whole study is ONE
+# iterated dimension-sized join however large the events table. A
+# removed channel's incoming mass simply dies — the standard
+# removal-effect convention (probabilities stay as observed).
+
+_ATTR_ROUNDS = 8
+_ATTR_SCALE = 10**12
+_ATTR_CONV = "purchase"
+
+
+def _attr_oracle_sql() -> str:
+    head = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+  FROM events),
+tr AS MATERIALIZED (
+  SELECT prev_type AS prev, event_type AS next,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+  UNION ALL
+  SELECT 'START' AS prev, event_type AS next,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NULL GROUP BY event_type),
+rt AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY prev),
+rem AS (
+  SELECT DISTINCT next AS removed FROM tr
+  WHERE next <> '{_ATTR_CONV}'
+  UNION ALL SELECT 'NONE'),
+m0 AS (
+  SELECT removed, 'START' AS state, CAST({_ATTR_SCALE} AS BIGINT) AS m
+  FROM rem)"""
+    rounds = []
+    for k in range(1, _ATTR_ROUNDS + 1):
+        rounds.append(
+            f"""
+step{k} AS MATERIALIZED (
+  SELECT m.removed, tr.next,
+         CAST(SUM((m.m * tr.n) // rt.tot) AS BIGINT) AS m
+  FROM m{k - 1} m
+  JOIN tr ON tr.prev = m.state AND tr.prev <> '{_ATTR_CONV}'
+  JOIN rt ON rt.prev = tr.prev
+  WHERE m.removed = 'NONE'
+     OR (tr.prev <> m.removed AND tr.next <> m.removed)
+  GROUP BY 1, 2),
+m{k} AS MATERIALIZED (
+  SELECT removed, next AS state, m FROM step{k}
+  WHERE next <> '{_ATTR_CONV}'),
+c{k} AS (
+  SELECT removed, m FROM step{k} WHERE next = '{_ATTR_CONV}')"""
+        )
+    conv_union = "\nUNION ALL\n".join(
+        f"SELECT removed, m FROM c{k}" for k in range(1, _ATTR_ROUNDS + 1)
+    )
+    tail = f""",
+conv AS (
+  SELECT removed, CAST(SUM(m) AS BIGINT) AS conv_scaled
+  FROM ({conv_union}) GROUP BY removed),
+base AS (SELECT conv_scaled AS base_scaled FROM conv WHERE removed = 'NONE')
+SELECT c.removed AS channel,
+       (SELECT base_scaled FROM base) AS base_conv_scaled,
+       COALESCE(c.conv_scaled, 0) AS removed_conv_scaled,
+       (SELECT base_scaled FROM base) - COALESCE(c.conv_scaled, 0)
+         AS removal_effect_scaled
+FROM conv c WHERE c.removed <> 'NONE'"""
+    return (head + "," + ",".join(rounds) + tail).strip()
+
+
+@register("events_markov_attribution", oracle=_attr_oracle_sql())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.checkpointing import truncator
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).persist()  # two branches: transitions + START rows
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .unionByName(
+            seq.where(F.col("prev_type").isNull())
+            .groupBy(F.col("event_type").alias("next"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit("START").alias("prev"), "next", "n")
+        )
+    )
+    rt = tr.groupBy("prev").agg(F.sum("n").cast("long").alias("tot"))
+    t = (
+        tr.join(rt, "prev")
+        .where(F.col("prev") != _ATTR_CONV)
+        .persist()  # the |states|² matrix: consumed every round
+    )
+    rem = (
+        t.select(F.col("next").alias("removed"))
+        .where(F.col("next") != _ATTR_CONV)
+        .distinct()
+        .unionAll(spark.createDataFrame([("NONE",)], "removed STRING"))
+    )
+    mass = rem.select(
+        "removed",
+        F.lit("START").alias("state"),
+        F.lit(_ATTR_SCALE).cast("long").alias("m"),
+    )
+    trunc = truncator(mass, None)
+    convs = []
+    for _ in range(_ATTR_ROUNDS):
+        step = trunc(
+            mass.join(t, mass["state"] == t["prev"])
+            .where(
+                (F.col("removed") == "NONE")
+                | (
+                    (F.col("prev") != F.col("removed"))
+                    & (F.col("next") != F.col("removed"))
+                )
+            )
+            .groupBy("removed", "next")
+            .agg(
+                F.sum(F.expr("(m * n) div tot")).cast("long").alias("m")
+            )
+        )
+        convs.append(
+            step.where(F.col("next") == _ATTR_CONV).select("removed", "m")
+        )
+        mass = step.where(F.col("next") != _ATTR_CONV).select(
+            "removed", F.col("next").alias("state"), "m"
+        )
+    conv = (
+        convs[0]
+        .unionAll(convs[1])
+        .unionAll(convs[2])
+        .unionAll(convs[3])
+        .unionAll(convs[4])
+        .unionAll(convs[5])
+        .unionAll(convs[6])
+        .unionAll(convs[7])
+        .groupBy("removed")
+        .agg(F.sum("m").cast("long").alias("conv_scaled"))
+    )
+    base = conv.where(F.col("removed") == "NONE").select(
+        F.col("conv_scaled").alias("base_conv_scaled")
+    )
+    return (
+        conv.where(F.col("removed") != "NONE")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "base_conv_scaled",
+            F.coalesce(F.col("conv_scaled"), F.lit(0))
+            .cast("long")
+            .alias("removed_conv_scaled"),
+            (
+                F.col("base_conv_scaled")
+                - F.coalesce(F.col("conv_scaled"), F.lit(0))
+            )
+            .cast("long")
+            .alias("removal_effect_scaled"),
+        )
+    )

@@ -407,3 +407,62 @@ def test_cuped_r2_bounds_and_theta_sign(spark):
     # pre/post event counts per user are positively correlated on the
     # fixture (heavier users stay heavier)
     assert row["theta"] > 0
+
+
+def test_dbscan_roles_and_cluster_consistency(spark):
+    rows = _Q["customer_geo_dbscan"].fn(spark, SF_SMALL).collect()
+    n_cust = load_table(spark, SF_SMALL, "customer").count()
+    assert len(rows) == n_cust
+    info = {r["custkey"]: r for r in rows}
+    for r in rows:
+        if r["role"] == "noise":
+            assert r["cluster"] is None
+        else:
+            assert r["cluster"] is not None
+            if r["role"] == "core":
+                # min-label component: label never exceeds the member
+                assert r["cluster"] <= r["custkey"]
+    # two CORE points within eps must share a cluster (they are
+    # neighbors in the core graph)
+    pairs = _Q["customer_geo_grid_pairs"].fn(spark, SF_SMALL).collect()
+    for p in pairs:
+        a, b = info[p["custkey_a"]], info[p["custkey_b"]]
+        if a["role"] == "core" and b["role"] == "core":
+            assert a["cluster"] == b["cluster"]
+    # sf0.001 is too sparse for cores (150 pts in a 4000² plane);
+    # density only crosses minPts at sf0.01 — assert there.
+    rows01 = (
+        _Q["customer_geo_dbscan"].fn(spark, "/root/testdata/sf0.01").collect()
+    )
+    from collections import Counter
+
+    roles = Counter(r["role"] for r in rows01)
+    assert roles["core"] > 0 and roles["border"] > 0 and roles["noise"] > 0
+
+
+def test_linenumber_gap_check_identities(spark):
+    row = _Q["lineitem_linenumber_gaps"].fn(spark, SF_SMALL).collect()[0]
+    # the synthetic fixture does NOT have intact 1..count sequences —
+    # which is exactly what a DQ check should surface; assert the
+    # counting identities rather than cleanliness
+    assert 0 <= row["n_orders_with_gaps"] <= row["n_orders"]
+    assert row["total_missing"] >= 0 and row["total_dups"] >= 0
+    n_orders = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert row["n_orders"] == n_orders
+
+
+def test_markov_attribution_removal_never_helps(spark):
+    rows = _Q["events_markov_attribution"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 4  # every non-conversion channel
+    base = rows[0]["base_conv_scaled"]
+    assert base > 0
+    for r in rows:
+        assert r["base_conv_scaled"] == base
+        # removing a channel only kills mass — conversion can't rise
+        assert 0 <= r["removed_conv_scaled"] <= base
+        assert r["removal_effect_scaled"] == base - r["removed_conv_scaled"]
