@@ -499,9 +499,15 @@ def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
     def _build(d: str) -> None:
         import duckdb
 
+        # a Spark-written table is a DIRECTORY of part files — the
+        # single-file assumption here was the same blind spot the
+        # round-10 streaming scale audit found in the replay source
+        read_src = (
+            os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        )
         con = duckdb.connect()
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+            f"SELECT COUNT(*) FROM read_parquet('{read_src}')"
         ).fetchone()[0]
         per = (n + n_chunks - 1) // n_chunks
         # Written in ascending doc_id order with ascending mtimes so the
@@ -509,7 +515,7 @@ def _docs_chunk_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 3) -> str:
         for i in range(n_chunks):
             con.execute(
                 f"""
-                COPY (SELECT * FROM read_parquet('{src}')
+                COPY (SELECT * FROM read_parquet('{read_src}')
                       ORDER BY doc_id LIMIT {per} OFFSET {i * per})
                 TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}' (FORMAT PARQUET)
                 """
@@ -978,9 +984,15 @@ def _events_late_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
     def _build(d: str) -> None:
         import duckdb
 
+        # a Spark-written table is a DIRECTORY of part files — the
+        # single-file assumption here was the same blind spot the
+        # round-10 streaming scale audit found in the replay source
+        read_src = (
+            os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        )
         con = duckdb.connect()
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+            f"SELECT COUNT(*) FROM read_parquet('{read_src}')"
         ).fetchone()[0]
         for i in range(_WM_CHUNKS):
             con.execute(
@@ -990,7 +1002,7 @@ def _events_late_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
                     SELECT *,
                            ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1
                              AS r
-                    FROM read_parquet('{src}'))
+                    FROM read_parquet('{read_src}'))
                   SELECT * EXCLUDE (r) FROM rk
                   WHERE CASE WHEN r % {_WM_LATE_EVERY} = 0
                              THEN {_WM_CHUNKS} - 1
@@ -1102,15 +1114,21 @@ def _events_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
     def _build(d: str) -> None:
         import duckdb
 
+        # a Spark-written table is a DIRECTORY of part files — the
+        # single-file assumption here was the same blind spot the
+        # round-10 streaming scale audit found in the replay source
+        read_src = (
+            os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        )
         con = duckdb.connect()
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+            f"SELECT COUNT(*) FROM read_parquet('{read_src}')"
         ).fetchone()[0]
         per = (n + _BMP_CHUNKS - 1) // _BMP_CHUNKS
         for i in range(_BMP_CHUNKS):
             con.execute(
                 f"""
-                COPY (SELECT * FROM read_parquet('{src}')
+                COPY (SELECT * FROM read_parquet('{read_src}')
                       ORDER BY event_id LIMIT {per} OFFSET {i * per})
                 TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
                   (FORMAT PARQUET)
@@ -1427,15 +1445,21 @@ def _events_time_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
     def _build(d: str) -> None:
         import duckdb
 
+        # a Spark-written table is a DIRECTORY of part files — the
+        # single-file assumption here was the same blind spot the
+        # round-10 streaming scale audit found in the replay source
+        read_src = (
+            os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        )
         con = duckdb.connect()
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{src}')"
+            f"SELECT COUNT(*) FROM read_parquet('{read_src}')"
         ).fetchone()[0]
         per = (n + _GAP_CHUNKS - 1) // _GAP_CHUNKS
         for i in range(_GAP_CHUNKS):
             con.execute(
                 f"""
-                COPY (SELECT * FROM read_parquet('{src}')
+                COPY (SELECT * FROM read_parquet('{read_src}')
                       ORDER BY ts, event_id LIMIT {per} OFFSET {i * per})
                 TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
                   (FORMAT PARQUET)

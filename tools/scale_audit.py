@@ -78,6 +78,17 @@ FAMILIES = [
     ("grid 1-NN (cell-neighborhood join)", "customer_geo_nn_grid"),
     ("compaction planner (distributed prefix sum)",
      "lineitem_compaction_plan"),
+    # round-11b second wave: density clustering, removal-effect
+    # attribution, the Lindley reflection, the Poisson bootstrap
+    # fan-out, the 4-cycle census, incremental sketch maintenance,
+    # and PIT label generation.
+    ("grid DBSCAN (candidates + components)", "customer_geo_dbscan"),
+    ("Markov removal-effect attribution", "events_markov_attribution"),
+    ("Lindley queue (two prefix aggregates)", "orders_queue_lindley"),
+    ("Poisson bootstrap (B-way fan-out)", "orders_bootstrap_ci"),
+    ("4-cycle census (oriented wedges)", "part_copurchase_squares"),
+    ("KMV stream maintenance (k-minima merge)", "stream_kmv_distinct"),
+    ("PIT churn labels (spine fan-out)", "churn_labels_pit"),
 ]
 
 
