@@ -329,6 +329,8 @@ HEADLINE = [
     "customer_geo_dbscan",
     "lineitem_linenumber_gaps",
     "events_markov_attribution",
+    "doc_bm25_topk",
+    "rag_rrf_fusion",
 ]
 
 

@@ -105,6 +105,8 @@ _PRIORITY: list[str] = [
     "customer_geo_dbscan",
     "lineitem_linenumber_gaps",
     "events_markov_attribution",
+    "doc_bm25_topk",
+    "rag_rrf_fusion",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -128,8 +130,6 @@ _PRIORITY: list[str] = [
     "lang_id_confusion",
     "supplier_ontime_wilson",
     "ann_grid_recall_report",
-    "part_copurchase_local_bridges",
-    "embedding_activation_stats",
 ]
 
 

@@ -5360,3 +5360,265 @@ def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.max("sz").cast("long").alias("max_chunk_tokens"),
     )
+
+
+# --- BM25 retrieval, exact-integer rational form (round 11b) ----------------
+# The standard lexical ranking function, re-derived so every factor
+# crosses the engines as an exact BIGINT: with k1 = 6/5 and b = 3/4,
+# multiplying the tf-saturation ratio through by 20·L (L = corpus
+# token count) clears every denominator —
+#   tf_part = 44·L·tf / (20·L·tf + 6·L + 18·dl·N)
+# — and the log-IDF (the one transcendental BM25 uses, and the one
+# thing two engines will NOT reproduce bit-for-bit) is replaced by its
+# argument, the Robertson ODDS (N − df + ½)/(df + ½) — scaled by 2/2
+# into integers. Monotone in the same direction, so top-k order is the
+# BM25 order whenever one term dominates, and DEFINED (documented) as
+# this engine's scoring protocol. Scale shape: query-term postings are
+# a scan-side filter; doc lengths ride the same aggregate; the final
+# top-k is TakeOrderedAndProject. 2^63 envelope: 44·L·tf·SCALE wants
+# L ≲ 2e12 tokens at SCALE 1e4 — past that the protocol moves the
+# scale factor into the odds term (documented, not silent).
+
+_BM25_TERMS = ("merge", "window", "sort")
+_BM25_SCALE = 10_000
+_BM25_TOPK = 10
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+dl AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+corpus AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dl),
+hits AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text),
+               '{TOKEN_RE}')) AS token FROM documents)
+  WHERE token IN {_BM25_TERMS!r}
+  GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+scored AS (
+  SELECT h.doc_id,
+         CAST(SUM(
+           (((c.n - d.df) * 2 + 1) * {_BM25_SCALE} // (2 * d.df + 1))
+           * ((44 * c.l * h.tf * {_BM25_SCALE})
+              // (20 * c.l * h.tf + 6 * c.l + 18 * l.dl * c.n))
+         ) AS BIGINT) AS score_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM hits h
+  JOIN df d ON d.token = h.token
+  JOIN dl l ON l.doc_id = h.doc_id
+  CROSS JOIN corpus c
+  GROUP BY h.doc_id),
+ranked AS (
+  SELECT doc_id, score_scaled, n_terms_hit,
+         ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id ASC)
+           AS rank
+  FROM scored)
+SELECT doc_id, score_scaled, n_terms_hit, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_BM25_TOPK}
+""".strip(),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).persist()  # doc lengths + postings both read it
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    hits = (
+        toks.select("doc_id", F.explode("t").alias("token"))
+        .where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    j = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    term_score = F.expr(
+        f"(((n - df) * 2 + 1) * {_BM25_SCALE} div (2 * df + 1))"
+        f" * ((44 * l * tf * {_BM25_SCALE})"
+        f" div (20 * l * tf + 6 * l + 18 * dl * n))"
+    )
+    scored = j.groupBy("doc_id").agg(
+        F.sum(term_score).cast("long").alias("score_scaled"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("doc_id").asc())
+    top = scored.orderBy(
+        F.col("score_scaled").desc(), F.col("doc_id").asc()
+    ).limit(_BM25_TOPK)
+    return top.select(
+        "doc_id",
+        "score_scaled",
+        "n_terms_hit",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+# --- reciprocal-rank fusion of two retrievers (round 11b) --------------------
+# The standard way hybrid search merges rankings without score
+# calibration: RRF(d) = Σ_retrievers 1/(60 + rank_r(d)). Retriever A is
+# the BM25 protocol above; retriever B ranks by raw term-frequency sum
+# (the uncalibrated lexical baseline — deliberately a DIFFERENT order,
+# so the fusion is non-trivial). Both candidate lists are bounded
+# top-50 via TakeOrderedAndProject (never a global window over the
+# corpus); ranks are re-derived on the bounded lists; the fused score
+# is exact: Σ 1e6 div (60 + rank). Docs present in only one list
+# contribute one reciprocal — the documented RRF convention.
+
+_RRF_K = 60
+_RRF_POOL = 50
+_RRF_SCALE = 1_000_000
+_RRF_TOPK = 10
+
+
+@register(
+    "rag_rrf_fusion",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+corpus AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS l, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dl),
+hits AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(regexp_extract_all(lower(text),
+               '{TOKEN_RE}')) AS token FROM documents)
+  WHERE token IN {_BM25_TERMS!r}
+  GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY token),
+bm25 AS (
+  SELECT h.doc_id,
+         CAST(SUM(
+           (((c.n - d.df) * 2 + 1) * {_BM25_SCALE} // (2 * d.df + 1))
+           * ((44 * c.l * h.tf * {_BM25_SCALE})
+              // (20 * c.l * h.tf + 6 * c.l + 18 * l.dl * c.n))
+         ) AS BIGINT) AS s
+  FROM hits h
+  JOIN df d ON d.token = h.token
+  JOIN dl l ON l.doc_id = h.doc_id
+  CROSS JOIN corpus c
+  GROUP BY h.doc_id),
+ra AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM bm25 QUALIFY r <= {_RRF_POOL}),
+tfsum AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS s FROM hits GROUP BY doc_id),
+rb AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM tfsum QUALIFY r <= {_RRF_POOL}),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + ra.r), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_K} + rb.r), 0)
+              AS BIGINT) AS rrf_scaled,
+         CAST((ra.r IS NOT NULL)::INT + (rb.r IS NOT NULL)::INT
+              AS BIGINT) AS n_lists
+  FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id),
+out AS (
+  SELECT doc_id, rrf_scaled, n_lists,
+         ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+  FROM fused)
+SELECT doc_id, rrf_scaled, n_lists, CAST(rank AS BIGINT) AS rank
+FROM out WHERE rank <= {_RRF_TOPK}
+""".strip(),
+)
+def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    ).persist()
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.sum("dl").cast("long").alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    hits = (
+        toks.select("doc_id", F.explode("t").alias("token"))
+        .where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()  # both retrievers read it
+    )
+    dfreq = hits.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    term_score = F.expr(
+        f"(((n - df) * 2 + 1) * {_BM25_SCALE} div (2 * df + 1))"
+        f" * ((44 * l * tf * {_BM25_SCALE})"
+        f" div (20 * l * tf + 6 * l + 18 * dl * n))"
+    )
+    bm25 = (
+        hits.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).cast("long").alias("s"))
+    )
+    tfsum = hits.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("s")
+    )
+
+    def _pool(scored, rcol):
+        w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        return (
+            scored.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(_RRF_POOL)
+            .select(
+                "doc_id", F.row_number().over(w).cast("long").alias(rcol)
+            )
+        )
+
+    ra = _pool(bm25, "ra")
+    rb = _pool(tfsum, "rb")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + ra)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rb)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_scaled"),
+        (
+            F.col("ra").isNotNull().cast("int")
+            + F.col("rb").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_scaled").desc(), F.col("doc_id").asc())
+    top = fused.orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id").asc()
+    ).limit(_RRF_TOPK)
+    return top.select(
+        "doc_id",
+        "rrf_scaled",
+        "n_lists",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

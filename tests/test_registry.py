@@ -102,10 +102,23 @@ def test_window_covers_never_green():
         n for n in qs if qs[n].oracle is not None and n not in green
     ]
     stranded = [n for n in never_green_oracle if n not in window]
-    assert stranded == [], (
-        "oracle-backed queries with no driver-green row are outside the "
-        f"first-50 window — run tools/rotate_window.py: {stranded}"
-    )
+    # Stranding is an ERROR exactly when a window slot is wasted on a
+    # query that already has green evidence. When MORE than 50
+    # never-green queries exist (a round that added 50+ new operators
+    # before any driver run), every slot is productive and the overflow
+    # simply waits for the next rotation — assert the no-waste
+    # invariant instead of an impossible full cover.
+    wasted = [n for n in _PRIORITY[:50] if n in green]
+    if stranded:
+        assert wasted == [], (
+            "never-green queries stranded outside the window WHILE "
+            f"already-green entries occupy slots: evict {wasted}, "
+            f"admit {stranded}"
+        )
+        assert len(never_green_oracle) > 50, (
+            "free capacity exists for the stranded never-green queries "
+            f"— run tools/rotate_window.py: {stranded}"
+        )
 
 
 def test_window_rows_only_entries_are_never_seen():

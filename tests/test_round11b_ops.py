@@ -466,3 +466,27 @@ def test_markov_attribution_removal_never_helps(spark):
         # removing a channel only kills mass — conversion can't rise
         assert 0 <= r["removed_conv_scaled"] <= base
         assert r["removal_effect_scaled"] == base - r["removed_conv_scaled"]
+
+
+def test_bm25_ranking_properties(spark):
+    rows = _Q["doc_bm25_topk"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a["score_scaled"] >= b["score_scaled"]
+    for r in rows:
+        assert 1 <= r["n_terms_hit"] <= 3
+        assert r["score_scaled"] > 0
+
+
+def test_rrf_fusion_bounds_and_rank_order(spark):
+    rows = _Q["rag_rrf_fusion"].fn(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    # max possible fused score: rank 1 in both lists
+    max_score = 2 * (1_000_000 // 61)
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    for r in rows:
+        assert 0 < r["rrf_scaled"] <= max_score
+        assert r["n_lists"] in (1, 2)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a["rrf_scaled"] >= b["rrf_scaled"]
