@@ -331,6 +331,8 @@ HEADLINE = [
     "events_markov_attribution",
     "doc_bm25_topk",
     "rag_rrf_fusion",
+    "part_price_index_fisher",
+    "series_dema8",
 ]
 
 

@@ -107,6 +107,8 @@ _PRIORITY: list[str] = [
     "events_markov_attribution",
     "doc_bm25_topk",
     "rag_rrf_fusion",
+    "part_price_index_fisher",
+    "series_dema8",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -128,8 +130,6 @@ _PRIORITY: list[str] = [
     "lang_tokenizer_fertility",
     "ann_grid_topk",
     "lang_id_confusion",
-    "supplier_ontime_wilson",
-    "ann_grid_recall_report",
 ]
 
 

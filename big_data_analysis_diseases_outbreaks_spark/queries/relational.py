@@ -11020,3 +11020,114 @@ def lineitem_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_dups"),
     )
+
+
+# --- Laspeyres / Paasche / Fisher price index (round 11b) --------------------
+# The economics of the catalog: how much did prices move between the
+# base year and the comparison year, holding the BASKET fixed?
+# Laspeyres weights by base-year quantities, Paasche by current-year,
+# Fisher is their geometric mean. Per part and year: total cents and
+# total centi-quantity (exact BIGINTs); unit value = cents/qty stays
+# RATIONAL by keeping every index as a ratio of exact integer
+# cross-sums — Σ p1·q0 needs per-part division, so the protocol uses
+# the value-share form: L = Σ_i (c1_i·q0_i·100 div q1_i) / Σ c0 over
+# matched parts, every per-part term an integer div (markov protocol).
+# Fisher's sqrt is the one correctly-rounded transcendental. One
+# fact-sized aggregate; everything after is part-dimension-sized.
+
+_PIDX_BASE_YEAR = 1996
+_PIDX_CURR_YEAR = 1997
+
+
+@register(
+    "part_price_index_fisher",
+    oracle=f"""
+WITH py AS (
+  SELECT l_partkey,
+         CAST(EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qc
+  FROM lineitem
+  WHERE EXTRACT(YEAR FROM CAST(l_shipdate AS DATE))
+        IN ({_PIDX_BASE_YEAR}, {_PIDX_CURR_YEAR})
+  GROUP BY 1, 2),
+m AS (
+  SELECT b.l_partkey,
+         b.cents AS c0, b.qc AS q0, c.cents AS c1, c.qc AS q1
+  FROM py b JOIN py c ON c.l_partkey = b.l_partkey
+  WHERE b.y = {_PIDX_BASE_YEAR} AND c.y = {_PIDX_CURR_YEAR}
+    AND b.qc > 0 AND c.qc > 0),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(c0) AS BIGINT) AS sum_c0,
+         CAST(SUM(c1) AS BIGINT) AS sum_c1,
+         CAST(SUM((c1 * q0 * 100) // q1) AS BIGINT) AS l_num,
+         CAST(SUM((c0 * q1 * 100) // q0) AS BIGINT) AS p_den
+  FROM m)
+SELECT n_parts,
+       ROUND(CAST(l_num AS DOUBLE) / (CAST(sum_c0 AS DOUBLE) * 100.0),
+             6) AS laspeyres,
+       ROUND(CAST(sum_c1 AS DOUBLE) * 100.0 / CAST(p_den AS DOUBLE),
+             6) AS paasche,
+       ROUND(SQRT((CAST(l_num AS DOUBLE)
+                   / (CAST(sum_c0 AS DOUBLE) * 100.0))
+                  * (CAST(sum_c1 AS DOUBLE) * 100.0
+                     / CAST(p_den AS DOUBLE))), 6) AS fisher
+FROM s
+""".strip(),
+)
+def part_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year(F.to_date("l_shipdate")).isin(
+            _PIDX_BASE_YEAR, _PIDX_CURR_YEAR
+        )
+    )
+    py = li.groupBy(
+        "l_partkey",
+        F.year(F.to_date("l_shipdate")).cast("long").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("qc"),
+    )
+    b = py.where(
+        (F.col("y") == _PIDX_BASE_YEAR) & (F.col("qc") > 0)
+    ).select(
+        "l_partkey", F.col("cents").alias("c0"), F.col("qc").alias("q0")
+    )
+    c = py.where(
+        (F.col("y") == _PIDX_CURR_YEAR) & (F.col("qc") > 0)
+    ).select(
+        "l_partkey", F.col("cents").alias("c1"), F.col("qc").alias("q1")
+    )
+    s = (
+        b.join(c, "l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("c0").cast("long").alias("sum_c0"),
+            F.sum("c1").cast("long").alias("sum_c1"),
+            F.sum(F.expr("(c1 * q0 * 100) div q1"))
+            .cast("long")
+            .alias("l_num"),
+            F.sum(F.expr("(c0 * q1 * 100) div q0"))
+            .cast("long")
+            .alias("p_den"),
+        )
+    )
+    lasp = F.col("l_num").cast("double") / (
+        F.col("sum_c0").cast("double") * F.lit(100.0)
+    )
+    paas = (
+        F.col("sum_c1").cast("double") * F.lit(100.0)
+    ) / F.col("p_den").cast("double")
+    return s.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

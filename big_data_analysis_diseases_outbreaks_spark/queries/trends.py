@@ -4269,3 +4269,86 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("removal_effect_scaled"),
         )
     )
+
+
+# --- DEMA: double exponential moving average, exact integers (round 11b) ----
+# The trend-responsive smoother (DEMA = 2·EMA − EMA(EMA)) on the
+# series_ewma16 finite-window protocol, span 8 (ratio 3/4): EMA∘EMA is
+# a CONVOLUTION, so the whole estimator collapses to ONE 15-lag dot
+# product with precomputed integer coefficients coef_m = 2·W·w_m − ww_m
+# (w beyond the span = 0; W = Σw; ww = w*w), numerator exact BIGINT,
+# and the emitted double is one division by the constant W²·100.
+# Emitted only where the full 15-lag window exists (the documented
+# boundary semantics — the half-built convolution at series heads has
+# no single consistent normalization). Span 8 keeps the 2^63 envelope:
+# |coef|·v_cents·15 ≲ 1e17. One partitioned window per series.
+
+_DEMA_SPAN = 8
+_DEMA_W = [3**k * 4 ** (_DEMA_SPAN - 1 - k) for k in range(_DEMA_SPAN)]
+_DEMA_WSUM = sum(_DEMA_W)
+_DEMA_WW = [
+    sum(
+        _DEMA_W[j] * _DEMA_W[m - j]
+        for j in range(max(0, m - _DEMA_SPAN + 1), min(m, _DEMA_SPAN - 1) + 1)
+    )
+    for m in range(2 * _DEMA_SPAN - 1)
+]
+_DEMA_COEF = [
+    2 * _DEMA_WSUM * (_DEMA_W[m] if m < _DEMA_SPAN else 0) - _DEMA_WW[m]
+    for m in range(2 * _DEMA_SPAN - 1)
+]
+
+
+@register(
+    "series_dema8",
+    oracle=f"{_PREFIX},\n"
+    "l AS (\n"
+    "  SELECT region, kw, date,\n"
+    + ",\n".join(
+        f"    lag({scaled_long_sql('value', 100)}, {m}) OVER "
+        f"(PARTITION BY region, kw ORDER BY date) AS v{m}"
+        for m in range(2 * _DEMA_SPAN - 1)
+    )
+    + "\n  FROM daily)\n"
+    "SELECT region, kw, date,\n"
+    "       CAST("
+    + " + ".join(
+        f"v{m} * ({c})" for m, c in enumerate(_DEMA_COEF)
+    )
+    + " AS BIGINT) AS num,\n"
+    "       CAST("
+    + " + ".join(f"v{m} * ({c})" for m, c in enumerate(_DEMA_COEF))
+    + f" AS DOUBLE) / {_DEMA_WSUM * _DEMA_WSUM * 100}.0 AS dema\n"
+    "FROM l\n"
+    "WHERE "
+    + " AND ".join(
+        f"v{m} IS NOT NULL" for m in range(2 * _DEMA_SPAN - 1)
+    ),
+)
+def series_dema8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("region", "kw").orderBy("date")
+    v = scaled_long(F.col("value"), 100)
+    lags = [F.lag(v, m).over(w) for m in range(2 * _DEMA_SPAN - 1)]
+    num = sum(
+        (lg * F.lit(c).cast("long") for lg, c in zip(lags, _DEMA_COEF)),
+        F.lit(0).cast("long"),
+    )
+    cond = lags[0].isNotNull()
+    for lg in lags[1:]:
+        cond = cond & lg.isNotNull()
+    return (
+        daily.select(
+            "region",
+            "kw",
+            "date",
+            num.cast("long").alias("num"),
+            (
+                num.cast("double")
+                / F.lit(float(_DEMA_WSUM * _DEMA_WSUM * 100))
+            ).alias("dema"),
+            cond.alias("_full"),
+        )
+        .where(F.col("_full"))
+        .drop("_full")
+    )

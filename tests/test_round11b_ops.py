@@ -490,3 +490,33 @@ def test_rrf_fusion_bounds_and_rank_order(spark):
         assert r["n_lists"] in (1, 2)
     for a, b in zip(by_rank, by_rank[1:]):
         assert a["rrf_scaled"] >= b["rrf_scaled"]
+
+
+def test_fisher_index_is_geometric_mean_and_in_band(spark):
+    row = _Q["part_price_index_fisher"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_parts"] > 0
+    import math
+
+    assert row["laspeyres"] > 0 and row["paasche"] > 0
+    # Fisher is the geometric mean of the two (up to output rounding)
+    assert (
+        abs(row["fisher"] - math.sqrt(row["laspeyres"] * row["paasche"]))
+        < 1e-4
+    )
+    # TPC-H-ish prices don't move 10x year over year
+    assert 0.2 < row["fisher"] < 5.0
+
+
+def test_dema_tracks_constant_series_exactly(spark):
+    # identity: on any 15 equal values the convolution returns the
+    # value itself (sum of coefficients == W^2)
+    from big_data_analysis_diseases_outbreaks_spark.queries.trends import (
+        _DEMA_COEF,
+        _DEMA_WSUM,
+    )
+
+    assert sum(_DEMA_COEF) == _DEMA_WSUM * _DEMA_WSUM
+    rows = _Q["series_dema8"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:50]:
+        assert abs(r["dema"] - r["num"] / (_DEMA_WSUM**2 * 100)) < 1e-9
