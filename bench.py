@@ -333,6 +333,7 @@ HEADLINE = [
     "rag_rrf_fusion",
     "part_price_index_fisher",
     "series_dema8",
+    "doc_textrank_top2",
 ]
 
 

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "rag_rrf_fusion",
     "part_price_index_fisher",
     "series_dema8",
+    "doc_textrank_top2",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -129,7 +130,6 @@ _PRIORITY: list[str] = [
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
     "ann_grid_topk",
-    "lang_id_confusion",
 ]
 
 

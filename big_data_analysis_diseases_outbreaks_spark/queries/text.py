@@ -5622,3 +5622,171 @@ def rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lists",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# --- TextRank extractive summarization (round 11b) ---------------------------
+# The classic graph take on summarization: sentences are nodes, edge
+# weight = shared distinct tokens, and the damped PageRank fixpoint
+# picks the most central two sentences per document. Everything is the
+# exact-integer markov/pagerank protocol — per-edge contribution
+# w_ij·s_j div wdeg_j, damping 0.85 as the rational 17/20, 8 rounds —
+# so both engines land on identical BIGINT scores. Scale shape: the
+# sentence-pair graph is built per document (token join keyed on
+# (doc, token) — within-doc only, never cross-doc), every round is a
+# (doc, sentence)-keyed join + aggregate, and the final top-2 is a
+# per-doc window. Isolated sentences receive the undamped base score
+# (the standard TextRank treatment).
+
+_TR_ROUNDS = 8
+_TR_SCALE = 1_000_000
+_TR_TOPK = 2
+
+
+def _textrank_oracle_sql() -> str:
+    head = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS parts
+  FROM documents),
+x AS (
+  SELECT doc_id, t.i AS pos,
+         trim(parts[t.i], ' ' || chr(9) || chr(10) || chr(13)
+              || chr(12) || chr(11)) AS sentence
+  FROM raw, UNNEST(range(1, len(parts) + 1)) AS t(i)),
+sents AS MATERIALIZED (
+  SELECT doc_id, sentence,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS BIGINT) AS sid
+  FROM x WHERE sentence <> ''),
+stoks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sid, tok FROM (
+    SELECT doc_id, sid,
+           UNNEST(regexp_extract_all(lower(sentence), '{TOKEN_RE}'))
+             AS tok
+    FROM sents)),
+e AS MATERIALIZED (
+  SELECT a.doc_id, a.sid AS i, b.sid AS j,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM stoks a JOIN stoks b
+    ON b.doc_id = a.doc_id AND b.tok = a.tok AND b.sid <> a.sid
+  GROUP BY 1, 2, 3),
+wdeg AS MATERIALIZED (
+  SELECT doc_id, j, CAST(SUM(w) AS BIGINT) AS wd FROM e GROUP BY 1, 2),
+s0 AS (
+  SELECT doc_id, sid, CAST({_TR_SCALE} AS BIGINT) AS s FROM sents)"""
+    rounds = []
+    for r in range(1, _TR_ROUNDS + 1):
+        rounds.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT e.doc_id, e.i AS sid,
+         CAST(SUM((e.w * s.s) // wd.wd) AS BIGINT) AS contrib
+  FROM e
+  JOIN s{r - 1} s ON s.doc_id = e.doc_id AND s.sid = e.j
+  JOIN wdeg wd ON wd.doc_id = e.doc_id AND wd.j = e.j
+  GROUP BY 1, 2),
+s{r} AS MATERIALIZED (
+  SELECT n.doc_id, n.sid,
+         CAST((3 * {_TR_SCALE} + 17 * COALESCE(c.contrib, 0)) // 20
+              AS BIGINT) AS s
+  FROM sents n
+  LEFT JOIN c{r} c ON c.doc_id = n.doc_id AND c.sid = n.sid)""")
+    tail = f""",
+ranked AS (
+  SELECT doc_id, sid, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, sid ASC) AS rank
+  FROM s{_TR_ROUNDS})
+SELECT doc_id, CAST(sid AS BIGINT) AS sentence_id,
+       s AS score_scaled, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TR_TOPK}"""
+    return (head + "," + ",".join(rounds) + tail).strip()
+
+
+@register("doc_textrank_top2", oracle=_textrank_oracle_sql())
+def doc_textrank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.checkpointing import truncator
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"[.!?]+")).alias("pos", "p"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            "trim(BOTH concat(' ', char(9), char(10), char(13), "
+            "char(12), char(11)) FROM p)"
+        ).alias("sentence"),
+    )
+    w_sid = Window.partitionBy("doc_id").orderBy("pos")
+    sents = (
+        parts.where(F.col("sentence") != "")
+        .select(
+            "doc_id",
+            "sentence",
+            F.row_number().over(w_sid).cast("long").alias("sid"),
+        )
+        .persist()  # node table: every round + the token explode
+    )
+    stoks = (
+        sents.select(
+            "doc_id",
+            "sid",
+            F.explode(tokens(F.lower(F.col("sentence")))).alias("tok"),
+        )
+        .distinct()
+    )
+    a = stoks.select("doc_id", F.col("sid").alias("i"), "tok")
+    b = stoks.select("doc_id", F.col("sid").alias("j"), "tok")
+    e = (
+        a.join(b, ["doc_id", "tok"])
+        .where(F.col("i") != F.col("j"))
+        .groupBy("doc_id", "i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wdeg = e.groupBy("doc_id", "j").agg(
+        F.sum("w").cast("long").alias("wd")
+    )
+    ew = e.join(wdeg, ["doc_id", "j"]).persist()  # consumed every round
+    s = sents.select(
+        "doc_id", "sid", F.lit(_TR_SCALE).cast("long").alias("s")
+    )
+    trunc = truncator(s, None)
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            ew.join(
+                s.select(
+                    "doc_id", F.col("sid").alias("j"), F.col("s").alias("sj")
+                ),
+                ["doc_id", "j"],
+            )
+            .groupBy("doc_id", F.col("i").alias("sid"))
+            .agg(
+                F.sum(F.expr("(w * sj) div wd")).cast("long").alias("contrib")
+            )
+        )
+        s = trunc(
+            sents.select("doc_id", "sid")
+            .join(contrib, ["doc_id", "sid"], "left")
+            .select(
+                "doc_id",
+                "sid",
+                F.expr(
+                    f"CAST((3 * {_TR_SCALE} + 17 * COALESCE(contrib, 0))"
+                    " div 20 AS BIGINT)"
+                ).alias("s"),
+            )
+        )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("sid").asc()
+    )
+    return (
+        s.select(
+            "doc_id",
+            F.col("sid").alias("sentence_id"),
+            F.col("s").alias("score_scaled"),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= _TR_TOPK)
+    )

@@ -520,3 +520,21 @@ def test_dema_tracks_constant_series_exactly(spark):
     assert rows
     for r in rows[:50]:
         assert abs(r["dema"] - r["num"] / (_DEMA_WSUM**2 * 100)) < 1e-9
+
+
+def test_textrank_ranks_and_score_bounds(spark):
+    rows = _Q["doc_textrank_top2"].fn(spark, SF_SMALL).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r)
+        # base (1-d) score is the floor; damped scores stay bounded
+        assert r["score_scaled"] >= (3 * 1_000_000) // 20
+        assert r["score_scaled"] <= 3 * 1_000_000
+    for doc, rs in per_doc.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        if len(rs) == 2:
+            assert rs[0]["score_scaled"] >= rs[1]["score_scaled"]
