@@ -334,6 +334,7 @@ HEADLINE = [
     "part_price_index_fisher",
     "series_dema8",
     "doc_textrank_top2",
+    "lineitem_promo_did",
 ]
 
 

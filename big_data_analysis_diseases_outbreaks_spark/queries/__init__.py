@@ -110,6 +110,7 @@ _PRIORITY: list[str] = [
     "part_price_index_fisher",
     "series_dema8",
     "doc_textrank_top2",
+    "lineitem_promo_did",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -129,7 +130,6 @@ _PRIORITY: list[str] = [
     "orders_price_cume_dist",
     "curriculum_order_manifest",
     "lang_tokenizer_fertility",
-    "ann_grid_topk",
 ]
 
 

@@ -11131,3 +11131,113 @@ def part_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# --- difference-in-differences promo lift (round 11b) ------------------------
+# The causal-inference workhorse the A/B family was missing: when
+# treatment wasn't randomized (promo parts CHOSE to be promoted), DiD
+# compares the before→after change of the treated group against the
+# control group's change — parallel-trends counterfactual. Treatment =
+# PROMO parts (p_type prefix), period split = shipdate year; the four
+# cell means come from exact integer (cents, count) sums and the DiD
+# estimate is one fixed IEEE expression over them — the
+# events_cuped_adjustment protocol pointed at observational data. One
+# fact-sized aggregate with a broadcast part-dimension join.
+
+_DID_BEFORE_YEAR = 1996
+_DID_AFTER_YEAR = 1997
+
+
+@register(
+    "lineitem_promo_did",
+    oracle=f"""
+WITH li AS (
+  SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE))
+                   = {_DID_AFTER_YEAR} THEN 1 ELSE 0 END AS post,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE))
+        IN ({_DID_BEFORE_YEAR}, {_DID_AFTER_YEAR})),
+c AS (
+  SELECT treated, post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM li GROUP BY 1, 2),
+w AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s10,
+    MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n10,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s11,
+    MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n11,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s00,
+    MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n00,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s01,
+    MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n01
+  FROM c)
+SELECT CAST(n10 + n11 AS BIGINT) AS n_treated,
+       CAST(n00 + n01 AS BIGINT) AS n_control,
+       ROUND(CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10,
+             4) AS treated_delta_cents,
+       ROUND(CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00,
+             4) AS control_delta_cents,
+       ROUND((CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+             - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00),
+             4) AS did_cents
+FROM w
+""".strip(),
+)
+def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year(F.to_date("l_shipdate")).isin(
+            _DID_BEFORE_YEAR, _DID_AFTER_YEAR
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").cast("int").alias("treated"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "treated",
+        (F.year(F.to_date("l_shipdate")) == _DID_AFTER_YEAR)
+        .cast("int")
+        .alias("post"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = j.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(t, p, col):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    w = c.agg(
+        cell(1, 0, "s").alias("s10"),
+        cell(1, 0, "n").alias("n10"),
+        cell(1, 1, "s").alias("s11"),
+        cell(1, 1, "n").alias("n11"),
+        cell(0, 0, "s").alias("s00"),
+        cell(0, 0, "n").alias("n00"),
+        cell(0, 1, "s").alias("s01"),
+        cell(0, 1, "n").alias("n01"),
+    )
+    td = F.col("s11").cast("double") / F.col("n11") - F.col("s10").cast(
+        "double"
+    ) / F.col("n10")
+    cd = F.col("s01").cast("double") / F.col("n01") - F.col("s00").cast(
+        "double"
+    ) / F.col("n00")
+    return w.select(
+        (F.col("n10") + F.col("n11")).cast("long").alias("n_treated"),
+        (F.col("n00") + F.col("n01")).cast("long").alias("n_control"),
+        F.round(td, 4).alias("treated_delta_cents"),
+        F.round(cd, 4).alias("control_delta_cents"),
+        F.round(td - cd, 4).alias("did_cents"),
+    )

@@ -538,3 +538,19 @@ def test_textrank_ranks_and_score_bounds(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         if len(rs) == 2:
             assert rs[0]["score_scaled"] >= rs[1]["score_scaled"]
+
+
+def test_did_is_difference_of_deltas(spark):
+    row = _Q["lineitem_promo_did"].fn(spark, SF_SMALL).collect()[0]
+    assert row["n_treated"] > 0 and row["n_control"] > 0
+    assert (
+        abs(
+            row["did_cents"]
+            - (row["treated_delta_cents"] - row["control_delta_cents"])
+        )
+        < 1e-3
+    )
+    # promo flag is orthogonal to price drift in TPC-H-ish data: the
+    # DiD estimate should be small relative to the price level (~15k
+    # dollars) — a guard against wiring treated/control backwards
+    assert abs(row["did_cents"]) < 100_000
