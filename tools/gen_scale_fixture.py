@@ -225,6 +225,12 @@ def gen_part(spark, n_parts):
         ((900 + _h(F.col("id"), F.lit(22)) % 1_200_00) / 100.0).alias(
             "p_retailprice"
         ),
+        # p_type: PROMO for ~1/5 of parts (the DiD treatment flag)
+        F.when(
+            _h(F.col("id"), F.lit(23)) % 5 == 0, F.lit("PROMO BURNISHED")
+        )
+        .otherwise(F.lit("STANDARD PLATED"))
+        .alias("p_type"),
     )
 
 

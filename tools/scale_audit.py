@@ -89,6 +89,14 @@ FAMILIES = [
     ("4-cycle census (oriented wedges)", "part_copurchase_squares"),
     ("KMV stream maintenance (k-minima merge)", "stream_kmv_distinct"),
     ("PIT churn labels (spine fan-out)", "churn_labels_pit"),
+    # round-11b third wave: retrieval scoring/fusion, per-doc graph
+    # iteration, basket indexes, convolution smoothing, causal DiD.
+    ("BM25 scoring (term-filtered postings)", "doc_bm25_topk"),
+    ("RRF fusion (bounded pools)", "rag_rrf_fusion"),
+    ("TextRank (per-doc sentence graphs)", "doc_textrank_top2"),
+    ("Fisher price index (matched basket)", "part_price_index_fisher"),
+    ("DEMA convolution smoother", "series_dema8"),
+    ("DiD promo lift (4-cell means)", "lineitem_promo_did"),
 ]
 
 
