@@ -335,6 +335,8 @@ HEADLINE = [
     "series_dema8",
     "doc_textrank_top2",
     "lineitem_promo_did",
+    "orders_spc_ewma",
+    "events_absorption_time",
 ]
 
 

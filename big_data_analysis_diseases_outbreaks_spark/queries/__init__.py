@@ -111,6 +111,8 @@ _PRIORITY: list[str] = [
     "series_dema8",
     "doc_textrank_top2",
     "lineitem_promo_did",
+    "orders_spc_ewma",
+    "events_absorption_time",
     "dedup_minhash_lsh",
     "doc_stratified_sample",
     "part_community_profile",
@@ -128,8 +130,6 @@ _PRIORITY: list[str] = [
     "events_markov_stationary",
     "orders_fiscal_445_rollup",
     "orders_price_cume_dist",
-    "curriculum_order_manifest",
-    "lang_tokenizer_fertility",
 ]
 
 

@@ -4352,3 +4352,240 @@ def series_dema8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_full"))
         .drop("_full")
     )
+
+
+# --- SPC: EWMA control chart on daily order volume (round 11b) ---------------
+# Statistical process control enters the registry: the EWMA chart
+# flags the day a slow drift crosses the control limit — more
+# sensitive to small persistent shifts than per-point z-scores. The
+# smoother is the exact-integer finite-window EWMA16 (λ = 1/4, so the
+# asymptotic limit factor λ/(2−λ) = 1/7); center and variance come
+# from exact integer count sums; the limit test |EWMA − μ| >
+# 3·σ·sqrt(1/7) is evaluated in doubles over exactly-representable
+# integers with an identical expression tree in both engines (the
+# Wilson protocol). One calendar-sized series after the daily
+# aggregate; the EWMA window partitions on nothing BUT runs on a
+# dimension-sized input via the lag machinery of series_ewma16 —
+# here per-day lags over the single calendar series ride the
+# range-partitioned rank operator to keep the plan gate green.
+
+@register(
+    "orders_spc_ewma",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM d),
+l AS (
+  SELECT day, c,
+"""
+    + ",\n".join(
+        f"         lag(c, {k}) OVER (ORDER BY day) AS v{k}"
+        for k in range(_EWMA_SPAN)
+    )
+    + """
+  FROM d),
+e AS (
+  SELECT day, c,
+         CAST("""
+    + " + ".join(
+        f"COALESCE(v{k} * {w}, 0)" for k, w in enumerate(_EWMA_W)
+    )
+    + """ AS BIGINT) AS num,
+         CAST("""
+    + " + ".join(
+        f"(CASE WHEN v{k} IS NULL THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST({w} AS BIGINT) END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    + """ AS BIGINT) AS den
+  FROM l)
+SELECT e.day, e.c,
+       CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE) AS ewma,
+       ABS(CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE)
+           - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+         > 3.0 * SQRT(((CAST(st.n AS DOUBLE) * CAST(st.q AS DOUBLE)
+                        - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE))
+                       / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)))
+                      / 7.0) AS out_of_control
+FROM e CROSS JOIN st
+""".strip(),
+)
+def orders_spc_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    st = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    # lags over the single calendar series WITHOUT a bare global
+    # window: rank days once (O(P) operator), then self-join on the
+    # rank offset for each of the 16 lags — calendar-sized joins.
+    ranked = with_global_rank(d, [F.col("day").asc()], "r").persist()
+    base = ranked
+    for k in range(_EWMA_SPAN):
+        lagk = ranked.select(
+            (F.col("r") + k).alias("r"), F.col("c").alias(f"v{k}")
+        )
+        base = base.join(lagk, "r", "left")
+    num = sum(
+        (
+            F.coalesce(F.col(f"v{k}") * F.lit(w), F.lit(0))
+            for k, w in zip(range(_EWMA_SPAN), _EWMA_W)
+        ),
+        F.lit(0),
+    ).cast("long")
+    den = sum(
+        (
+            F.when(F.col(f"v{k}").isNull(), F.lit(0).cast("long")).otherwise(
+                F.lit(w).cast("long")
+            )
+            for k, w in zip(range(_EWMA_SPAN), _EWMA_W)
+        ),
+        F.lit(0).cast("long"),
+    )
+    e = base.select("day", "c", num.alias("num"), den.alias("den"))
+    j = e.crossJoin(F.broadcast(st))
+    ewma = F.col("num").cast("double") / F.col("den").cast("double")
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("n").cast("double") * F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    ) / (F.col("n").cast("double") * F.col("n").cast("double"))
+    return j.select(
+        "day",
+        "c",
+        ewma.alias("ewma"),
+        (
+            F.abs(ewma - mu)
+            > F.lit(3.0) * F.sqrt(var / F.lit(7.0))
+        ).alias("out_of_control"),
+    )
+
+
+# --- expected time-to-conversion (Markov absorption, round 11b) --------------
+# The attribution chain's other readout: not WHICH channel converts,
+# but HOW LONG conversion takes — the expected number of steps before
+# absorption into 'purchase', within the same 8-step horizon and
+# exact-integer matvec protocol as events_markov_attribution. The
+# per-round absorbed mass m_k weights its step count:
+# E[steps | converted] = Σ k·m_k / Σ m_k, emitted as one integer div.
+
+def _abs_time_oracle_sql() -> str:
+    head = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+  FROM events),
+tr AS MATERIALIZED (
+  SELECT prev_type AS prev, event_type AS next,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+  UNION ALL
+  SELECT 'START' AS prev, event_type AS next,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NULL GROUP BY event_type),
+rt AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY prev),
+m0 AS (SELECT 'START' AS state, CAST({_ATTR_SCALE} AS BIGINT) AS m)"""
+    rounds = []
+    for k in range(1, _ATTR_ROUNDS + 1):
+        rounds.append(f"""
+step{k} AS MATERIALIZED (
+  SELECT tr.next, CAST(SUM((m.m * tr.n) // rt.tot) AS BIGINT) AS m
+  FROM m{k - 1} m
+  JOIN tr ON tr.prev = m.state AND tr.prev <> '{_ATTR_CONV}'
+  JOIN rt ON rt.prev = tr.prev
+  GROUP BY 1),
+m{k} AS MATERIALIZED (
+  SELECT next AS state, m FROM step{k} WHERE next <> '{_ATTR_CONV}'),
+a{k} AS (
+  SELECT {k} AS k, m FROM step{k} WHERE next = '{_ATTR_CONV}')"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT k, m FROM a{k}" for k in range(1, _ATTR_ROUNDS + 1)
+    )
+    tail = f""",
+absorbed AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS conv_scaled,
+         CAST(SUM(k * m) AS BIGINT) AS step_mass
+  FROM ({union}))
+SELECT conv_scaled, step_mass,
+       CAST((step_mass * 1000000) // conv_scaled AS BIGINT)
+         AS exp_steps_scaled
+FROM absorbed"""
+    return (head + "," + ",".join(rounds) + tail).strip()
+
+
+@register("events_absorption_time", oracle=_abs_time_oracle_sql())
+def events_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.checkpointing import truncator
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).persist()
+    tr = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .unionByName(
+            seq.where(F.col("prev_type").isNull())
+            .groupBy(F.col("event_type").alias("next"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit("START").alias("prev"), "next", "n")
+        )
+    )
+    rt = tr.groupBy("prev").agg(F.sum("n").cast("long").alias("tot"))
+    t = (
+        tr.join(rt, "prev")
+        .where(F.col("prev") != _ATTR_CONV)
+        .persist()
+    )
+    mass = seq.sparkSession.createDataFrame(
+        [("START", _ATTR_SCALE)], "state STRING, m LONG"
+    )
+    trunc = truncator(mass, None)
+    absorbed = []
+    for k in range(1, _ATTR_ROUNDS + 1):
+        step = trunc(
+            mass.join(t, mass["state"] == t["prev"])
+            .groupBy("next")
+            .agg(F.sum(F.expr("(m * n) div tot")).cast("long").alias("m"))
+        )
+        absorbed.append(
+            step.where(F.col("next") == _ATTR_CONV).select(
+                F.lit(k).cast("long").alias("k"), "m"
+            )
+        )
+        mass = step.where(F.col("next") != _ATTR_CONV).select(
+            F.col("next").alias("state"), "m"
+        )
+    u = absorbed[0]
+    for a in absorbed[1:]:
+        u = u.unionAll(a)
+    s = u.agg(
+        F.sum("m").cast("long").alias("conv_scaled"),
+        F.sum(F.col("k") * F.col("m")).cast("long").alias("step_mass"),
+    )
+    return s.select(
+        "conv_scaled",
+        "step_mass",
+        F.expr("CAST((step_mass * 1000000) div conv_scaled AS BIGINT)")
+        .alias("exp_steps_scaled"),
+    )

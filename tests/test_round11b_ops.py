@@ -554,3 +554,28 @@ def test_did_is_difference_of_deltas(spark):
     # DiD estimate should be small relative to the price level (~15k
     # dollars) — a guard against wiring treated/control backwards
     assert abs(row["did_cents"]) < 100_000
+
+
+def test_spc_chart_flags_consistent_with_limits(spark):
+    rows = _Q["orders_spc_ewma"].fn(spark, SF_SMALL).collect()
+    assert rows
+    # flags must be a pure function of ewma and the global limits:
+    # recompute from the emitted values
+    import statistics
+
+    cs = [r["c"] for r in rows]
+    mu = sum(cs) / len(cs)
+    var = (len(cs) * sum(c * c for c in cs) - sum(cs) ** 2) / len(cs) ** 2
+    lim = 3.0 * (var / 7.0) ** 0.5
+    for r in rows:
+        assert r["out_of_control"] == (abs(r["ewma"] - mu) > lim) or (
+            abs(abs(r["ewma"] - mu) - lim) < 1e-9
+        )
+
+
+def test_absorption_time_within_horizon(spark):
+    row = _Q["events_absorption_time"].fn(spark, SF_SMALL).collect()[0]
+    assert row["conv_scaled"] > 0
+    # expectation lives in [1, 8] steps (the horizon), scaled by 1e6
+    assert 1_000_000 <= row["exp_steps_scaled"] <= 8_000_000
+    assert row["step_mass"] >= row["conv_scaled"]  # every k >= 1
