@@ -76,60 +76,71 @@ def register(name: str, oracle: str | None = None):
 # backfill from the tail.  Backfill = the §2 flagship spine (no driver
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
+# Round-12 rotation (per VERDICT r11 §"Next round" #1): the 7 queries
+# that have never had a driver row lead (r11b additions that landed
+# after the r11 driver run), new round-12 operators are inserted at the
+# head as they land, and the 43 backfill slots re-confirm the queries
+# whose last driver-green row is OLDEST (r3/r4).  EXACTLY 50 entries
+# (test-enforced); tools/rotate_window.py regenerates this list.
 _PRIORITY: list[str] = [
-    # --- Round-11 rotation: never-green first (the r11 upgrades/new),
-    # then oldest-evidence re-confirmation backfill (last green r3/r4).
-    # Round-11b additions (this session) lead — never driver-green yet.
+    # --- never driver-green (r11b additions, all green in the judge's
+    # own 381/381 sweep — need a CORRECTNESS_r12 row):
+    "curriculum_order_manifest",
+    "lang_tokenizer_fertility",
+    "lang_id_confusion",
+    "ann_grid_topk",
+    "ann_grid_recall_report",
+    "supplier_ontime_wilson",
+    "part_copurchase_local_bridges",
+    # --- round-12 additions are inserted HERE as they land (never-green
+    # by construction), evicting backfill from the tail.
+    # --- re-shaped oracles this round (old hash evidence no longer
+    # applies after the ADVICE fixes):
     "segment_balance_anova",
-    "customer_atkinson_inequality",
-    "customer_t_closeness",
-    "customer_geo_nn_grid",
-    "lineitem_compaction_plan",
-    "orders_mann_kendall",
-    "orders_runs_test",
-    "doc_cdc_chunks",
-    "events_kmv_distinct",
-    "embedding_top_pc_power",
-    "customer_order_streaks",
-    "multimodal_ahash_dedup",
-    "stream_kmv_distinct",
-    "sql_recursive_hierarchy",
-    "interpurchase_hazard_na",
-    "series_peak_detect",
-    "part_copurchase_squares",
-    "churn_labels_pit",
-    "orders_queue_lindley",
-    "customer_ab_srm_check",
-    "orders_bootstrap_ci",
-    "events_cuped_adjustment",
-    "customer_geo_dbscan",
-    "lineitem_linenumber_gaps",
     "events_markov_attribution",
-    "doc_bm25_topk",
-    "rag_rrf_fusion",
-    "part_price_index_fisher",
-    "series_dema8",
-    "doc_textrank_top2",
-    "lineitem_promo_did",
-    "orders_spc_ewma",
-    "events_absorption_time",
-    "dedup_minhash_lsh",
-    "doc_stratified_sample",
-    "part_community_profile",
-    "part_link_prediction_scores",
-    "copurchase_degree_assortativity",
-    "doc_dup_ngram_coverage",
-    "source_cap_sample",
-    "customer_revenue_gini",
-    "customer_reorder_latency",
-    "embedding_label_separation",
-    "stream_gap_alerts",
-    "copurchase_recommender_eval",
-    "orders_equidepth_bins",
-    "brand_discount_elasticity",
-    "events_markov_stationary",
-    "orders_fiscal_445_rollup",
-    "orders_price_cume_dist",
+    "churn_labels_pit",
+    # --- oldest-evidence re-confirmation backfill (last green r3):
+    "embedding_activation_stats",
+    "embedding_quantize_int8",
+    "event_prop_key_stats",
+    "fuzzy_part_name_pairs",
+    "grouping_sets_order_stats",
+    "label_centroids",
+    "late_shipment_orders",
+    "merge_upsert_orders",
+    "monthly_rollup_from_daily",
+    "order_price_histogram",
+    "orders_above_customer_avg",
+    "orders_calendar_rollup",
+    "orders_price_band",
+    "parts_not_recently_shipped",
+    "promo_revenue_share",
+    "region_shipment_flags",
+    "returned_parts_multiset",
+    "rollup_lineitem_status",
+    "salted_type_join",
+    "scd2_priority_epochs",
+    "small_quantity_revenue",
+    "sql_api_priority_revenue",
+    "top3_customers_per_nation",
+    # --- backfill (last green r4):
+    "anomaly_region_map",
+    "contamination_8gram_overlap",
+    "cosine_topk",
+    "daily_zero_filled",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash16",
+    "doc_token_count",
+    "embedding_norms",
+    "features_join",
+    "json_extract_props",
+    "local_supplier_revenue",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "national_market_share",
 ]
 
 

@@ -9398,17 +9398,22 @@ def part_copurchase_local_bridges(
 # F = (SSB/(k-1)) / (SSW/(n-k)) from exact integer sufficient
 # statistics: per-segment n_g, sum of balance cents s_g, sum of squared
 # cents q_g (the brand_discount_elasticity protocol — regression/ANOVA
-# as an aggregate). The only non-integer step is the per-group term
-# s_g^2/n_g: two correctly-rounded IEEE ops on exactly-representable
-# longs, ROUNDED TO A FIXED-POINT LONG BEFORE THE CROSS-GROUP SUM so
-# the total is reduction-order-independent (the events_cramers_v
-# protocol; a raw double sum over groups is order-dependent). One hash
-# aggregate over the table, then a k-row (=5) reduction — nothing
-# data-sized past the first agg. 2^63 envelope: q_g <= 1e12 cents^2
-# per row; at 100 TB the cents would move to DECIMAL(38) exactly like
-# the other integer-sum protocols (documented, not silent).
+# as an aggregate). The between-group term is computed CENTERED on the
+# grand mean — SSB = Σ_g (s_g - n_g·s/n)² / n_g, the algebraic identity
+# for Σ s_g²/n_g - s²/n — so the per-group fixed-point term is
+# O(n_g · dev²) instead of O(n_g · mean²): with uncentered terms the
+# cross-group sum blows past 2^63 at ~4.6k customers of the fixture's
+# [-1000, 10000) balance range (ADVICE r11), while the centered term is
+# ~σ²·SCALE ≈ 1e15 per group INDEPENDENT of n (group means converge to
+# the grand mean as 1/√n_g). The term is still rounded to a fixed-point
+# integer before the cross-group sum (reduction-order independence, the
+# events_cramers_v protocol), but accumulated as DECIMAL(38,0) — exact
+# and overflow-safe even for adversarial single-valued segments. Shape:
+# one hash aggregate over the table, a 1-row broadcast of the totals
+# back onto the k(=5) group rows, then a k-row reduction — nothing
+# data-sized past the first agg.
 
-_ANOVA_SCALE = 10_000  # fixed-point for the per-group s_g^2/n_g terms
+_ANOVA_SCALE = 10_000  # fixed-point for the centered per-group terms
 
 
 @register(
@@ -9421,28 +9426,34 @@ WITH g AS (
          CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
                   * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS q_g
   FROM customer GROUP BY 1),
-t AS (
+t0 AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n_g) AS BIGINT) AS n,
          CAST(SUM(s_g) AS BIGINT) AS s,
-         CAST(SUM(q_g) AS BIGINT) AS q,
-         CAST(SUM(CAST(ROUND(
-           CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-             / CAST(n_g AS DOUBLE) * {_ANOVA_SCALE}) AS BIGINT)) AS BIGINT)
-           AS tg_scaled
-  FROM g)
+         CAST(SUM(q_g) AS BIGINT) AS q
+  FROM g),
+d AS (
+  SELECT t0.k, t0.n, t0.s, t0.q, g.n_g,
+         CAST(g.s_g AS DOUBLE)
+           - CAST(g.n_g AS DOUBLE)
+             * (CAST(t0.s AS DOUBLE) / CAST(t0.n AS DOUBLE)) AS dev
+  FROM g CROSS JOIN t0),
+t AS (
+  SELECT k, n, s, q,
+         SUM(CAST(ROUND(dev * dev / CAST(n_g AS DOUBLE)
+                        * {_ANOVA_SCALE}) AS DECIMAL(38,0))) AS tg_scaled
+  FROM d GROUP BY 1, 2, 3, 4)
 SELECT k, n,
-       ROUND(CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}
-             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
-             4) AS ssb,
-       ROUND(CAST(q AS DOUBLE)
-             - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}, 4) AS ssw,
-       ROUND(((CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE}
-               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-              / (CAST(k AS DOUBLE) - 1.0))
-             / ((CAST(q AS DOUBLE)
-                 - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE})
-                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+       CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE} AS ssb,
+       CAST(q AS DOUBLE)
+         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE} AS ssw,
+       ((CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE})
+        / (CAST(k AS DOUBLE) - 1.0))
+       / ((CAST(q AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+           - CAST(tg_scaled AS DOUBLE) / {_ANOVA_SCALE})
+          / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
 FROM t
 """.strip(),
 )
@@ -9454,33 +9465,41 @@ def segment_balance_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("s_g"),
         F.sum(cents * cents).cast("long").alias("q_g"),
     )
-    tg = F.round(
-        F.col("s_g").cast("double")
-        * F.col("s_g").cast("double")
-        / F.col("n_g").cast("double")
-        * _ANOVA_SCALE
-    ).cast("long")
-    t = g.agg(
+    t0 = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_g").cast("long").alias("n"),
         F.sum("s_g").cast("long").alias("s"),
         F.sum("q_g").cast("long").alias("q"),
-        F.sum(tg).cast("long").alias("tg_scaled"),
+    )
+    dev = F.col("s_g").cast("double") - F.col("n_g").cast("double") * (
+        F.col("s").cast("double") / F.col("n").cast("double")
+    )
+    term = F.round(
+        dev * dev / F.col("n_g").cast("double") * _ANOVA_SCALE
+    ).cast("decimal(38,0)")
+    t = (
+        g.crossJoin(F.broadcast(t0))
+        .groupBy("k", "n", "s", "q")
+        .agg(F.sum(term).alias("tg_scaled"))
     )
     tgd = F.col("tg_scaled").cast("double") / F.lit(float(_ANOVA_SCALE))
     sd = F.col("s").cast("double")
     nd = F.col("n").cast("double")
     kd = F.col("k").cast("double")
     qd = F.col("q").cast("double")
-    ssb = tgd - sd * sd / nd
-    ssw = qd - tgd
+    # No ROUND on the outputs: every input is an exact integer, so the
+    # shared expression tree of correctly-rounded IEEE ops is bitwise
+    # identical in both engines — ROUND(x, 4) at ~1e11 magnitude is NOT
+    # (it straddles the double ULP and the engines tie-break apart).
+    ssb = tgd
+    ssw = qd - sd * sd / nd - tgd
     f_stat = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
     return t.select(
         "k",
         "n",
-        F.round(ssb, 4).alias("ssb"),
-        F.round(ssw, 4).alias("ssw"),
-        F.round(f_stat, 6).alias("f_stat"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
     )
 
 
@@ -10326,7 +10345,9 @@ _CHURN_HORIZON_DAYS = 90
 WITH od AS (
   SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
 spine AS (
-  SELECT DISTINCT CAST(date_trunc('quarter', d) AS DATE) AS asof_d FROM od),
+  SELECT DISTINCT CAST(date_trunc('quarter', d) AS DATE) AS asof_d FROM od
+  WHERE CAST(date_trunc('quarter', d) AS DATE) + {_CHURN_HORIZON_DAYS}
+          <= (SELECT MAX(d) FROM od)),
 fl AS (
   SELECT od.o_custkey, s.asof_d,
          MAX(CASE WHEN od.d >= s.asof_d - {_CHURN_LOOKBACK_DAYS}
@@ -10350,9 +10371,22 @@ def churn_labels_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date("o_orderdate").alias("d")
     )
-    spine = od.select(
-        F.to_date(F.date_trunc("quarter", F.col("d"))).alias("asof_d")
-    ).distinct()
+    # Right-censoring guard (ADVICE r11): a spine quarter whose 90-day
+    # label horizon extends past max(o_orderdate) would label every
+    # still-active customer churned — drop it from the spine so the
+    # emitted labels are unbiased at the series tail.
+    mx = od.agg(F.max("d").alias("max_d"))
+    spine = (
+        od.select(
+            F.to_date(F.date_trunc("quarter", F.col("d"))).alias("asof_d")
+        )
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .where(
+            F.date_add("asof_d", _CHURN_HORIZON_DAYS) <= F.col("max_d")
+        )
+        .select("asof_d")
+    )
     j = od.crossJoin(F.broadcast(spine))
     fl = j.groupBy("o_custkey", "asof_d").agg(
         F.max(

@@ -513,7 +513,11 @@ def _sh64_oracle() -> str:
     )
     return f"""
 WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ts
+  SELECT doc_id,
+         regexp_extract_all(
+           translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                           'abcdefghijklmnopqrstuvwxyz'),
+           '[^ \\t\\n\\x0B\\x0C\\r]+') AS ts
   FROM documents),
 th AS (
   SELECT doc_id,
@@ -596,8 +600,18 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             h = (h * RH_MULT + ord(ch)) % RH_MOD
         return h
 
+    # Inclusion filter counts tokens under the SAME explicit ASCII
+    # whitespace class the UDF and the oracle use (ADVICE r10/r11):
+    # Java \S and RE2 \S disagree on \x0B, and Unicode-aware splitting
+    # would diverge on NBSP/\x85 input. Lowering cannot change token
+    # boundaries, so the filter skips it.
     sig = docs.where(
-        F.size(tokens(F.lower(F.col("text")))) >= 1
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[^ \t\n\x0B\x0C\r]+"), F.lit(0)
+            )
+        )
+        >= 1
     ).select("doc_id", simhash64("text").alias("simhash"))
     return sig.withColumn(
         "bucket", F.shiftrightunsigned("simhash", 48).cast("int")

@@ -4165,12 +4165,13 @@ conv AS (
   SELECT removed, CAST(SUM(m) AS BIGINT) AS conv_scaled
   FROM ({conv_union}) GROUP BY removed),
 base AS (SELECT conv_scaled AS base_scaled FROM conv WHERE removed = 'NONE')
-SELECT c.removed AS channel,
+SELECT r.removed AS channel,
        (SELECT base_scaled FROM base) AS base_conv_scaled,
        COALESCE(c.conv_scaled, 0) AS removed_conv_scaled,
        (SELECT base_scaled FROM base) - COALESCE(c.conv_scaled, 0)
          AS removal_effect_scaled
-FROM conv c WHERE c.removed <> 'NONE'"""
+FROM rem r LEFT JOIN conv c ON c.removed = r.removed
+WHERE r.removed <> 'NONE'"""
     return (head + "," + ",".join(rounds) + tail).strip()
 
 
@@ -4203,12 +4204,16 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev") != _ATTR_CONV)
         .persist()  # the |states|² matrix: consumed every round
     )
+    # Removal-candidate set from the UNFILTERED transition table (the
+    # oracle's `rem` CTE): a channel occurring only immediately after a
+    # purchase would be invisible in `t` (prev != conv filtered) but
+    # present here — deriving from `t` silently dropped it (ADVICE r11).
     rem = (
-        t.select(F.col("next").alias("removed"))
+        tr.select(F.col("next").alias("removed"))
         .where(F.col("next") != _ATTR_CONV)
         .distinct()
         .unionAll(spark.createDataFrame([("NONE",)], "removed STRING"))
-    )
+    ).persist()  # two consumers: mass seed + final left join
     mass = rem.select(
         "removed",
         F.lit("START").alias("state"),
@@ -4252,8 +4257,13 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = conv.where(F.col("removed") == "NONE").select(
         F.col("conv_scaled").alias("base_conv_scaled")
     )
+    # LEFT join the channel list to conv: a channel whose removal drives
+    # the 8-step conversion mass to zero has NO conv row and must still
+    # emit removed_conv_scaled = 0 with the full removal effect — it is
+    # exactly the highest-impact channel (ADVICE r11).
     return (
-        conv.where(F.col("removed") != "NONE")
+        rem.where(F.col("removed") != "NONE")
+        .join(conv, "removed", "left")
         .crossJoin(F.broadcast(base))
         .select(
             F.col("removed").alias("channel"),

@@ -166,3 +166,42 @@ def test_fsutil_probes_local_paths(spark, tmp_path):
     assert sorted(list_names(spark, str(d))) == ["_SUCCESS", "part-0.parquet"]
     assert delete_path(spark, str(d))
     assert not path_exists(spark, str(d))
+
+
+# --- recipe constants are part of the graph-MV cache identity ---------------
+# ADVICE r10(b) regression: changing COPURCHASE_SHIPDATE_LO (the edge
+# recipe) must change the cache key WITHOUT a manual version bump —
+# otherwise all seven *_mv twins silently serve stale edges.
+
+
+def test_graph_mv_cache_key_tracks_recipe_constants(monkeypatch, tmp_path):
+    from big_data_analysis_diseases_outbreaks_spark.queries import relational as rel
+
+    captured: list[str] = []
+
+    def fake_build_cached_dir(name, fingerprint, build, **kw):
+        captured.append(name)
+        return str(tmp_path)
+
+    monkeypatch.setattr(
+        "big_data_analysis_diseases_outbreaks_spark.sources.cachedir"
+        ".build_cached_dir",
+        fake_build_cached_dir,
+    )
+    monkeypatch.setattr(
+        "big_data_analysis_diseases_outbreaks_spark.sources.cachedir"
+        ".source_fingerprint",
+        lambda src: "fp",
+    )
+    sf = os.path.join(os.path.dirname(__file__), "data", "sf0.001")
+    if not os.path.isdir(os.path.join(sf, "lineitem.parquet")):
+        sf = "/root/testdata/sf0.001"
+    rel._graph_mv_dir(None, sf)
+    monkeypatch.setattr(rel, "COPURCHASE_SHIPDATE_LO", "1997-06-01")
+    rel._graph_mv_dir(None, sf)
+    assert len(captured) == 2
+    assert captured[0] != captured[1], (
+        "edge-recipe constant changed but cache identity did not: "
+        f"{captured}"
+    )
+    assert "1997-06-01" in captured[1]

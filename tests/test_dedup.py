@@ -190,3 +190,44 @@ def test_duplicate_span_rate_planted(spark, tmp_path):
         4: (3, 3, 1.0),
         5: (9, 0, 0.0),
     }
+
+
+def test_simhash_buckets_parity_on_adversarial_whitespace(spark, tmp_path):
+    """ADVICE r10/r11 regression: the simhash tokenization protocol
+    (explicit ASCII whitespace class + ASCII translate-lower) must hold
+    on input where Unicode-aware splitting/lowering diverges — NBSP,
+    NEL (\\x85), vertical tab, and cased non-ASCII letters."""
+    import os
+
+    import pandas as pd
+
+    from .conftest import SF_SMALL
+    from .oracle_harness import compare_query
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "Hello WORLD foo",      # NBSP: one token to both engines
+                "a\x0bB c\x85d",              # VT + NEL: protocol class splits VT
+                "ÉCOLE Straße MIXED case",   # cased non-ASCII stays unlowered
+                "  plain ascii Text  ",
+            ],
+        }
+    )
+    sfd = tmp_path / "sf_adv"
+    sfd.mkdir()
+    docs.to_parquet(sfd / "documents.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        os.symlink(
+            os.path.join(SF_SMALL, f"{t}.parquet"),
+            sfd / f"{t}.parquet",
+        )
+    from big_data_analysis_diseases_outbreaks_spark.queries import all_queries
+
+    q = all_queries()["simhash_buckets"]
+    diff = compare_query(q.fn(spark, str(sfd)), q.oracle, str(sfd))
+    assert not diff, diff[:3]

@@ -97,6 +97,9 @@ FAMILIES = [
     ("Fisher price index (matched basket)", "part_price_index_fisher"),
     ("DEMA convolution smoother", "series_dema8"),
     ("DiD promo lift (4-cell means)", "lineitem_promo_did"),
+    # round-12: the centered-ANOVA fix (ADVICE r11 — overflow family now
+    # measured, not just analyzed).
+    ("one-way ANOVA (centered fixed-point)", "segment_balance_anova"),
 ]
 
 
