@@ -285,6 +285,7 @@ HEADLINE = [
     "part_link_prediction_scores",
     "copurchase_degree_assortativity",
     "doc_dup_ngram_coverage",
+    "doc_eval_decontamination",
     "source_cap_sample",
     "customer_revenue_gini",
     "customer_reorder_latency",
@@ -317,6 +318,7 @@ HEADLINE = [
     "customer_order_streaks",
     "multimodal_ahash_dedup",
     "stream_kmv_distinct",
+    "stream_minhash_incremental",
     "sql_recursive_hierarchy",
     "interpurchase_hazard_na",
     "series_peak_detect",

@@ -94,6 +94,8 @@ _PRIORITY: list[str] = [
     "part_copurchase_local_bridges",
     # --- round-12 additions are inserted HERE as they land (never-green
     # by construction), evicting backfill from the tail.
+    "doc_eval_decontamination",
+    "stream_minhash_incremental",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -139,8 +141,6 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "local_supplier_revenue",
     "multimodal_decode",
-    "multimodal_frame_sample",
-    "national_market_share",
 ]
 
 

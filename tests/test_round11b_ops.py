@@ -579,3 +579,22 @@ def test_absorption_time_within_horizon(spark):
     # expectation lives in [1, 8] steps (the horizon), scaled by 1e6
     assert 1_000_000 <= row["exp_steps_scaled"] <= 8_000_000
     assert row["step_mass"] >= row["conv_scaled"]  # every k >= 1
+
+
+def test_stream_minhash_index_equals_batch_lsh(spark):
+    """Delta-maintained LSH index ≡ full rebuild: the streaming
+    maintenance query must emit exactly the batch pair set."""
+
+    def key(r):
+        return (r["doc_id_1"], r["doc_id_2"])
+
+    batch = {
+        key(r): r.asDict()
+        for r in _Q["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    stream = {
+        key(r): r.asDict()
+        for r in _Q["stream_minhash_incremental"].fn(spark, SF_SMALL).collect()
+    }
+    assert batch == stream
+    assert batch, "fixture must plant near-duplicates"
