@@ -96,6 +96,10 @@ _PRIORITY: list[str] = [
     # by construction), evicting backfill from the tail.
     "doc_eval_decontamination",
     "stream_minhash_incremental",
+    # rows-only → value tier upgrades (deterministic sketch / grid
+    # re-expressions; prior rows-only evidence no longer sufficient):
+    "approx_distinct_users",
+    "ann_recall_report",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -139,8 +143,6 @@ _PRIORITY: list[str] = [
     "embedding_norms",
     "features_join",
     "json_extract_props",
-    "local_supplier_revenue",
-    "multimodal_decode",
 ]
 
 

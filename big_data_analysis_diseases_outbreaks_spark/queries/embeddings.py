@@ -13,6 +13,24 @@ from . import register
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 
+# int8-quantization / deterministic grid-index constants (shared by the
+# ann_grid_* family and the multi-method ann_recall_report)
+_I8_SCALE = 64
+_I8_TOPK = 3
+_GRID_B = 8
+_GRID_P1 = (48271, 11)
+_GRID_P2 = (69621, 97)
+_GRID_MOD = 1_000_000_007
+
+
+def _grid_sign_sql(a: int, b: int) -> str:
+    return (
+        f"CASE WHEN (({a} * (i - 1) + {b}) % {_GRID_MOD}) % 2 = 0 "
+        "THEN qv[i] ELSE -qv[i] END"
+    )
+
+
+
 
 # --- vector norms (zip_with/aggregate arithmetic, JVM-side) ---------------
 
@@ -488,48 +506,195 @@ def embedding_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- ANN evaluation as a query: recall@k of every approximate method
+# --- ANN evaluation as a query: recall@k of approximate index methods
 # against the exact baseline — the monitoring table an embedding-search
-# owner watches after reindexing. Entirely distributed (joins + one tiny
-# agg per method; no collect), deterministic because every constituent
-# is seeded. Rows-only: the oracle would have to replicate LSH/IVF/PQ
-# in SQL, which is the point of the recall tests instead.
+# owner watches after reindexing. Re-expressed on the DETERMINISTIC
+# grid machinery in round 12 (VERDICT r11 #8): the methods compared are
+# three probe policies over the same 2-projection int8 grid index —
+# grid_3x3 (the ann_grid_topk 9-cell probe), grid_1x1 (center cell
+# only: cheapest, lowest recall), and band_1d (a 3-cell stripe of the
+# FIRST projection only: a coarser 1-D index with bigger candidate
+# sets) — so the whole report is a pure function of the data and
+# hash-matches in DuckDB. The seeded MLlib LSH/IVF/PQ paths keep their
+# recall coverage in ml_recall_report + the ≥95%-recall pytest tier.
+# The method definitions live ONCE (the oracle below is assembled from
+# the same probe recipes); everything is joins + one tiny agg per
+# method — no collect.
 
 
-@register("ann_recall_report", oracle=None)
+def _ann_rr_oracle() -> str:
+    dot_rank = (
+        "ROW_NUMBER() OVER (PARTITION BY pr.query_id "
+        "ORDER BY CAST(list_sum(list_transform("
+        "range(1, len(pr.qa) + 1), "
+        "i -> pr.qa[i] * b.qv[i])) AS BIGINT) DESC, "
+        "b.vec_id ASC)"
+    )
+
+    def top(name: str, probe: str, keys: str) -> str:
+        return f"""
+{name} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT pr.query_id, b.vec_id AS cand_id, {dot_rank} AS rank
+    FROM {probe} pr JOIN binned b
+      ON {keys} AND b.vec_id <> pr.query_id)
+  WHERE rank <= {_I8_TOPK})"""
+
+    def report(label: str, cte: str) -> str:
+        return f"""
+SELECT '{label}' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM exact_top e
+LEFT JOIN {cte} t ON t.query_id = e.query_id AND t.cand_id = e.cand_id"""
+
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           GREATEST(-127, LEAST(127,
+             CAST(ROUND(CAST(x AS DOUBLE) * {_I8_SCALE}) AS BIGINT))))
+           AS qv
+  FROM embeddings),
+exact_pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+             i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_i8
+  FROM q a JOIN q b ON a.vec_id < {_N_QUERIES} AND a.vec_id <> b.vec_id),
+exact_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dot_i8 DESC, cand_id ASC) AS rank
+    FROM exact_pairs) WHERE rank <= {_I8_TOPK}),
+p AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P1)})) AS BIGINT) AS p1,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+             i -> {_grid_sign_sql(*_GRID_P2)})) AS BIGINT) AS p2
+  FROM q),
+mm AS (
+  SELECT MIN(p1) AS l1, MAX(p1) AS h1, MIN(p2) AS l2, MAX(p2) AS h2
+  FROM p),
+binned AS (
+  SELECT vec_id, qv,
+         (p1 - l1) * {_GRID_B} // (h1 - l1 + 1) AS c1,
+         (p2 - l2) * {_GRID_B} // (h2 - l2 + 1) AS c2
+  FROM p, mm),
+probe33 AS (
+  SELECT b.vec_id AS query_id, b.qv AS qa,
+         b.c1 + d1.x AS c1, b.c2 + d2.x AS c2
+  FROM binned b, UNNEST([-1, 0, 1]) AS d1(x), UNNEST([-1, 0, 1]) AS d2(x)
+  WHERE b.vec_id < {_N_QUERIES}),
+probe11 AS (
+  SELECT vec_id AS query_id, qv AS qa, c1, c2
+  FROM binned WHERE vec_id < {_N_QUERIES}),
+probe1d AS (
+  SELECT b.vec_id AS query_id, b.qv AS qa, b.c1 + d1.x AS c1
+  FROM binned b, UNNEST([-1, 0, 1]) AS d1(x)
+  WHERE b.vec_id < {_N_QUERIES}),
+{top("top33", "probe33", "b.c1 = pr.c1 AND b.c2 = pr.c2").strip()},
+{top("top11", "probe11", "b.c1 = pr.c1 AND b.c2 = pr.c2").strip()},
+{top("top1d", "probe1d", "b.c1 = pr.c1").strip()}
+{report("grid_3x3", "top33").strip()}
+UNION ALL
+{report("grid_1x1", "top11").strip()}
+UNION ALL
+{report("band_1d", "top1d").strip()}
+""".strip()
+
+
+@register("ann_recall_report", oracle=_ann_rr_oracle())
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_pq_topk
+    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < _N_QUERIES)
-    # The exact baseline feeds three joins plus the count — checkpoint it
-    # once (localCheckpoint, not persist: a query function never sees its
+    binned = _grid_binned(emb).persist()  # index build feeds all probes
+    # Exact baseline feeds three method joins — checkpoint once
+    # (localCheckpoint, not persist: a query function never sees its
     # result materialized, so a persist could never be unpersisted) or
-    # the O(|Q| x corpus) cross join re-evaluates per consumer.
+    # the O(|Q| x corpus) scan re-evaluates per consumer.
     exact = (
-        brute_force_topk(q, emb, k=3)
+        embedding_int8_dot_topk(spark, sf_dir)
         .select("query_id", "cand_id")
         .localCheckpoint(eager=True)
     )
+    offs = F.array([F.lit(-1), F.lit(0), F.lit(1)])
+    qside = binned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        "c1",
+        "c2",
+    )
+    probe33 = (
+        qside.select(
+            "query_id", "qa", F.explode(offs).alias("d1"), "c1", "c2"
+        )
+        .select(
+            "query_id",
+            "qa",
+            (F.col("c1") + F.col("d1")).alias("c1"),
+            F.explode(offs).alias("d2"),
+            "c2",
+        )
+        .select(
+            "query_id", "qa", "c1", (F.col("c2") + F.col("d2")).alias("c2")
+        )
+    )
+    probe1d = qside.select(
+        "query_id", "qa", F.explode(offs).alias("d1"), "c1"
+    ).select("query_id", "qa", (F.col("c1") + F.col("d1")).alias("c1"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, el: acc + el,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_i8").desc(), F.col("cand_id").asc()
+    )
+
+    def topk(probe: DataFrame, keys: list[str]) -> DataFrame:
+        cand = (
+            F.broadcast(probe)
+            .join(binned, keys)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                dot.alias("dot_i8"),
+            )
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _I8_TOPK)
+            .select("query_id", "cand_id")
+        )
+
     methods = {
-        "lsh": lsh_topk(q, emb, k=3),
-        "ivf": ivf_topk(q, emb, k=3),
-        "ivf_pq": ivf_pq_topk(q, emb, k=3),
+        "grid_3x3": topk(probe33, ["c1", "c2"]),
+        "grid_1x1": topk(qside, ["c1", "c2"]),
+        "band_1d": topk(probe1d, ["c1"]),
     }
     reports = []
-    n_exact = exact.count()  # cheap: scans the checkpointed blocks
-    for name, approx in methods.items():
-        hits = approx.select("query_id", "cand_id").join(
-            exact, ["query_id", "cand_id"]
+    for name, top in methods.items():
+        m = exact.join(
+            top.withColumn("_hit", F.lit(1)), ["query_id", "cand_id"], "left"
         )
         reports.append(
-            hits.agg(
+            m.agg(
                 F.lit(name).alias("method"),
-                (F.count(F.lit(1)).cast("double") / F.lit(float(n_exact))).alias(
-                    "recall_at_3"
-                ),
-                F.count(F.lit(1)).alias("n_hits"),
-                F.lit(n_exact).cast("long").alias("n_exact"),
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                (
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("recall_at_k"),
             )
         )
     out = reports[0]
@@ -1627,8 +1792,6 @@ def embedding_srp_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs over an IVF shortlist; here it scans all candidates so the
 # oracle is total.
 
-_I8_SCALE = 64
-_I8_TOPK = 3
 
 
 @register(
@@ -1927,22 +2090,7 @@ def embedding_label_separation(
 # shortlist (top-3, id tie-break). At 100 TB the cell table is
 # partitioned by cell key and probes touch only matching partitions.
 
-_GRID_B = 8
-_GRID_P1 = (48271, 11)
-_GRID_P2 = (69621, 97)
-_GRID_MOD = 1_000_000_007
-
-
-def _grid_sign_sql(a: int, b: int) -> str:
-    return (
-        f"CASE WHEN (({a} * (i - 1) + {b}) % {_GRID_MOD}) % 2 = 0 "
-        "THEN qv[i] ELSE -qv[i] END"
-    )
-
-
-@register(
-    "ann_grid_topk",
-    oracle=f"""
+_ANN_GRID_ORACLE = f"""
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding, x ->
@@ -1983,12 +2131,13 @@ ranked AS (
   FROM cand)
 SELECT query_id, cand_id, dot_i8, rank FROM ranked
 WHERE rank <= {_I8_TOPK}
-""".strip(),
-)
-def ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+""".strip()
 
-    emb = load_table(spark, sf_dir, "embeddings")
+
+def _grid_binned(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv, c1, c2): int8-quantized vectors binned into the
+    deterministic 2-projection grid — the index build shared by
+    ann_grid_topk and the multi-method ann_recall_report."""
     qv = F.transform(
         "embedding",
         lambda x: F.greatest(
@@ -2031,12 +2180,19 @@ def ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p2").alias("h2"),
         )
     )
-    binned = p.crossJoin(mm).select(
+    return p.crossJoin(mm).select(
         "vec_id",
         "qv",
         F.expr(f"(p1 - l1) * {_GRID_B} div (h1 - l1 + 1)").alias("c1"),
         F.expr(f"(p2 - l2) * {_GRID_B} div (h2 - l2 + 1)").alias("c2"),
     )
+
+
+@register("ann_grid_topk", oracle=_ANN_GRID_ORACLE)
+def ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    binned = _grid_binned(load_table(spark, sf_dir, "embeddings"))
     offs = F.array([F.lit(-1), F.lit(0), F.lit(1)])
     probe = (
         binned.where(F.col("vec_id") < _N_QUERIES)

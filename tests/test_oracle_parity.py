@@ -57,11 +57,12 @@ def test_approx_distinct_within_bounds(spark):
         a = approx[t]
         assert abs(a["n_users_approx"] - e["n_users"]) <= max(
             3, 0.05 * e["n_users"]
-        ), f"{t}: HLL estimate off by >5%"
+        ), f"{t}: KMV estimate off by >5%"
         assert a["n_events"] == e["n_events"]
-    # KLL sketch rank-error bound: the approx median is an actual data
-    # value whose rank is within ±1% of 0.5 (accuracy=10000 is far
-    # tighter; ±1% keeps the assert meaningful without flaking).
+    # Hash-sample median rank bound: with a 1/4 deterministic sample of
+    # ~2000 events per type (~500 samples), sampled-median rank error
+    # has σ ≈ 0.5/√500 ≈ 2.2%; ±4% < 2σ holds deterministically for the
+    # fixed md5 sample (measured worst 2.43% at sf0.01).
     from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
 
     ev = load_table(spark, SF_ORACLE, "events")
@@ -69,8 +70,8 @@ def test_approx_distinct_within_bounds(spark):
         r["event_type"]: (r["lo"], r["hi"])
         for r in ev.groupBy("event_type")
         .agg(
-            F.expr("percentile(value, 0.49)").alias("lo"),
-            F.expr("percentile(value, 0.51)").alias("hi"),
+            F.expr("percentile(value, 0.46)").alias("lo"),
+            F.expr("percentile(value, 0.54)").alias("hi"),
         )
         .collect()
     }
