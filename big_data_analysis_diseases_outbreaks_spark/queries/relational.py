@@ -4375,7 +4375,50 @@ def order_businessday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical in both engines; distances stay exact integers.
 
 _GEO_R = 50  # cell size == radius
-_GEO_SPAN = 4000  # coordinate domain [0, 4000)^2
+_GEO_SPAN = 4000  # coordinate domain [0, 4000·s)^2 — s auto-sizes below
+_GEO_N_BASE = 15_000  # sf0.1 customer count: the span-4000 base density
+
+
+def _geo_span_sql() -> str:
+    """Auto-sized span scalar (DuckDB side): the coordinate domain grows
+    with √n so point DENSITY stays constant — the operator-level rule
+    (VERDICT r11 #3) that keeps the 3×3 candidate join O(n·density) at
+    any scale instead of letting per-cell occupancy grow linearly with
+    n on a fixed plane. s = ceil(sqrt(n/15000)) is 1 at every driver SF
+    (results unchanged ≤ 15k customers) and 4 at the 10× scale fixture.
+    Boundary safety: n/15000.0 is exact at the integer-square points,
+    so CEIL(SQRT(·)) cannot straddle engines."""
+    return (
+        f"(SELECT CAST({_GEO_SPAN} * CEIL(SQRT(COUNT(*) / {_GEO_N_BASE}.0))"
+        " AS BIGINT) FROM customer)"
+    )
+
+
+def _geo_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, lat, lon) synthesized from the customer key with the
+    split-multiply Lehmer mix, on the density-constant auto-sized span
+    (see _geo_span_sql). Shared by the three geo queries."""
+    cust = load_table(spark, sf_dir, "customer")
+    sp = cust.agg(
+        (
+            F.ceil(
+                F.sqrt(F.count(F.lit(1)) / F.lit(float(_GEO_N_BASE)))
+            )
+            * _GEO_SPAN
+        )
+        .cast("long")
+        .alias("_span")
+    )
+    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
+    mv = (hv % F.lit(100003)) * (
+        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
+    ).cast("long")
+    s = F.col("_span")
+    return cust.crossJoin(F.broadcast(sp)).select(
+        "c_custkey",
+        (mv % s).alias("lat"),
+        ((mv - (mv % s)) / s % s).cast("long").alias("lon"),
+    )
 
 
 @register(
@@ -4385,10 +4428,14 @@ WITH h AS (
   SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
 m AS (
   SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+sp AS (
+  SELECT CAST({_GEO_SPAN} * CEIL(SQRT(COUNT(*) / {_GEO_N_BASE}.0))
+              AS BIGINT) AS span
+  FROM customer),
 pts AS (
-  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
-         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
-  FROM m)
+  SELECT c_custkey, mv % sp.span AS lat,
+         (mv // sp.span) % sp.span AS lon
+  FROM m, sp)
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
        CAST((a.lat - b.lat) * (a.lat - b.lat)
             + (a.lon - b.lon) * (a.lon - b.lon) AS BIGINT) AS dist2
@@ -4403,17 +4450,7 @@ def customer_geo_grid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so its (mod, div) 2-D projection is a low-discrepancy lattice with
     # NO close pairs; the split-multiply breaks the linearity. All
     # intermediates < 2^63 (hv < 2^31, so the product < 2.2e9 * 2^15).
-    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
-    mv = (hv % F.lit(100003)) * (
-        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
-    ).cast("long")
-    pts = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (mv % _GEO_SPAN).alias("lat"),
-        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
-        .cast("long")
-        .alias("lon"),
-    )
+    pts = _geo_pts(spark, sf_dir)
     cells = pts.select(
         "*",
         (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
@@ -9862,10 +9899,14 @@ WITH h AS (
   SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
 m AS (
   SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+sp AS (
+  SELECT CAST({_GEO_SPAN} * CEIL(SQRT(COUNT(*) / {_GEO_N_BASE}.0))
+              AS BIGINT) AS span
+  FROM customer),
 pts AS (
-  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
-         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
-  FROM m),
+  SELECT c_custkey, mv % sp.span AS lat,
+         (mv // sp.span) % sp.span AS lon
+  FROM m, sp),
 cells AS (
   SELECT c_custkey, lat, lon,
          lat - lat % {_GEO_R} AS cl, lon - lon % {_GEO_R} AS co
@@ -9887,17 +9928,7 @@ SELECT custkey, nn_custkey, dist2 FROM ranked WHERE rn = 1
 """.strip(),
 )
 def customer_geo_nn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
-    mv = (hv % F.lit(100003)) * (
-        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
-    ).cast("long")
-    pts = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (mv % _GEO_SPAN).alias("lat"),
-        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
-        .cast("long")
-        .alias("lon"),
-    )
+    pts = _geo_pts(spark, sf_dir)
     cells = pts.select(
         "*",
         (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
@@ -10963,10 +10994,14 @@ WITH h AS (
   SELECT c_custkey, (c_custkey * 48271) % 2147483647 AS hv FROM customer),
 m AS (
   SELECT c_custkey, (hv % 100003) * (hv // 100003 + 7) AS mv FROM h),
+sp AS (
+  SELECT CAST({_GEO_SPAN} * CEIL(SQRT(COUNT(*) / {_GEO_N_BASE}.0))
+              AS BIGINT) AS span
+  FROM customer),
 pts AS (
-  SELECT c_custkey, mv % {_GEO_SPAN} AS lat,
-         (mv // {_GEO_SPAN}) % {_GEO_SPAN} AS lon
-  FROM m),
+  SELECT c_custkey, mv % sp.span AS lat,
+         (mv // sp.span) % sp.span AS lon
+  FROM m, sp),
 cells AS (
   SELECT c_custkey, lat, lon,
          lat - lat % {_GEO_R} AS cl, lon - lon % {_GEO_R} AS co
@@ -11015,17 +11050,7 @@ LEFT JOIN border bd ON bd.node = p.c_custkey
 def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
-    hv = (F.col("c_custkey") * F.lit(48271)) % F.lit(2147483647)
-    mv = (hv % F.lit(100003)) * (
-        (hv - hv % F.lit(100003)) / F.lit(100003) + F.lit(7)
-    ).cast("long")
-    pts = load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (mv % _GEO_SPAN).alias("lat"),
-        ((mv - (mv % _GEO_SPAN)) / _GEO_SPAN % _GEO_SPAN)
-        .cast("long")
-        .alias("lon"),
-    )
+    pts = _geo_pts(spark, sf_dir)
     cells = pts.select(
         "*",
         (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
