@@ -100,6 +100,12 @@ FAMILIES = [
     # round-12: the centered-ANOVA fix (ADVICE r11 — overflow family now
     # measured, not just analyzed).
     ("one-way ANOVA (centered fixed-point)", "segment_balance_anova"),
+    # round-12 second wave: decontamination broadcast join, streaming
+    # LSH index maintenance, deterministic sketches, grid recall panel.
+    ("eval decontamination (13-gram broadcast)", "doc_eval_decontamination"),
+    ("MinHash index stream maintenance", "stream_minhash_incremental"),
+    ("KMV + hash-sample sketches", "approx_distinct_users"),
+    ("grid ANN recall panel (3 probe policies)", "ann_recall_report"),
 ]
 
 
