@@ -314,6 +314,9 @@ HEADLINE = [
     "orders_runs_test",
     "doc_cdc_chunks",
     "events_kmv_distinct",
+    "events_retention_cohorts",
+    "orders_mad_outliers",
+    "doc_vocab_coverage",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -11402,3 +11402,89 @@ def lineitem_promo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cd, 4).alias("control_delta_cents"),
         F.round(td - cd, 4).alias("did_cents"),
     )
+
+
+# --- robust outliers via median absolute deviation (round 12) ---------------
+# The robust companion of orders_winsorized_stats and the z-score rule:
+# MAD-based outlier flags survive the very outliers a mean/stddev rule
+# is poisoned by. Exactness chain: totals as integer cents →
+# percentile_disc picks an ACTUAL element (the value_percentiles_by_type
+# protocol) → absolute deviations are exact integers → a second
+# percentile_disc gives the MAD → the flag |x − med| > 3·1.4826·MAD is
+# one shared IEEE comparison on exactly-representable integers. Plan:
+# two tiny per-group percentile tables join back onto the grouping key
+# (co-partitioned chain, no fact-table window), one final reduce.
+
+_MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency), shared literal
+
+
+@register(
+    "orders_mad_outliers",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+med AS (
+  SELECT o_orderpriority,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents) AS med
+  FROM o GROUP BY o_orderpriority),
+dev AS (
+  SELECT o.o_orderpriority, o.cents, m.med,
+         ABS(o.cents - m.med) AS absdev
+  FROM o JOIN med m USING (o_orderpriority)),
+mad AS (
+  SELECT o_orderpriority,
+         PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY absdev) AS mad
+  FROM dev GROUP BY o_orderpriority)
+SELECT d.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(d.med) AS BIGINT) AS median_cents,
+       CAST(MAX(t.mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN CAST(d.absdev AS DOUBLE)
+                          > {_MAD_K} * CAST(t.mad AS DOUBLE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN CAST(d.absdev AS DOUBLE)
+                          > {_MAD_K} * CAST(t.mad AS DOUBLE)
+                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_rate
+FROM dev d JOIN mad t USING (o_orderpriority)
+GROUP BY d.o_orderpriority
+""".strip(),
+)
+def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").alias(
+            "med"
+        )
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "cents",
+        "med",
+        F.abs(F.col("cents") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY absdev)"
+        ).alias("mad")
+    )
+    flag = F.col("absdev").cast("double") > F.lit(_MAD_K) * F.col(
+        "mad"
+    ).cast("double")
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.sum(flag.cast("int")).cast("long").alias("n_outliers"),
+            (
+                F.sum(flag.cast("int")).cast("double") / F.count(F.lit(1))
+            ).alias("outlier_rate"),
+        )
+    )

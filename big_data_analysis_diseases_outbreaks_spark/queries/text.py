@@ -5916,3 +5916,67 @@ def doc_textrank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _TR_TOPK)
     )
+
+
+# --- tokenizer head-vocab coverage audit (round 12) --------------------------
+# The LLM-pipeline question "how much of the corpus does a V-entry
+# vocab actually cover?" as a query — the audit run before freezing a
+# tokenizer or a min-df cutoff. The head vocab is the top-V tokens by
+# total OCCURRENCES (ties by token — deterministic), a
+# TakeOrderedAndProject broadcast like token_pmi_pairs'; each document
+# then left-joins its token stream against it and reports exact
+# occurrence counts + the coverage fraction (one division). One corpus
+# tokenize, one broadcast join, one per-doc aggregate — no shuffle of
+# the token stream beyond the doc-keyed reduce.
+
+_VOCAB_COVER_V = 20
+
+
+@register(
+    "doc_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM tok GROUP BY token
+  ORDER BY n_occ DESC, token ASC LIMIT {_VOCAB_COVER_V}),
+j AS (
+  SELECT t.doc_id, t.token,
+         CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END AS in_vocab
+  FROM tok t LEFT JOIN vocab v ON v.token = t.token)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(in_vocab) AS BIGINT) AS n_covered,
+       CAST(SUM(in_vocab) AS DOUBLE) / COUNT(*) AS coverage_frac
+FROM j GROUP BY doc_id
+""".strip(),
+)
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+    ).where(F.col("token").isNotNull())
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("token").asc())
+        .limit(_VOCAB_COVER_V)
+        .select("token")
+        .withColumn("_in", F.lit(1))
+    )
+    hit = F.sum(F.coalesce(F.col("_in"), F.lit(0)))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            hit.cast("long").alias("n_covered"),
+            (hit.cast("double") / F.count(F.lit(1))).alias(
+                "coverage_frac"
+            ),
+        )
+    )
