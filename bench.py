@@ -314,7 +314,6 @@ HEADLINE = [
     "orders_runs_test",
     "doc_cdc_chunks",
     "events_kmv_distinct",
-    "events_retention_cohorts",
     "orders_mad_outliers",
     "doc_vocab_coverage",
     "embedding_top_pc_power",

@@ -100,7 +100,6 @@ _PRIORITY: list[str] = [
     # re-expressions; prior rows-only evidence no longer sufficient):
     "approx_distinct_users",
     "ann_recall_report",
-    "events_retention_cohorts",
     "orders_mad_outliers",
     "doc_vocab_coverage",
     # --- re-shaped oracles this round (old hash evidence no longer
@@ -143,6 +142,7 @@ _PRIORITY: list[str] = [
     "doc_repetition_ratio",
     "doc_simhash16",
     "doc_token_count",
+    "embedding_norms",
 ]
 
 

@@ -4599,74 +4599,3 @@ def events_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((step_mass * 1000000) div conv_scaled AS BIGINT)")
         .alias("exp_steps_scaled"),
     )
-
-
-# --- weekly cohort retention matrix (round 12) -------------------------------
-# The analytics staple no event platform ships without: users grouped
-# by FIRST-ACTIVITY week (the cohort), retention at week offset k =
-# distinct cohort users active k weeks later. Two hash aggregates over
-# the fact table (per-user first day; distinct user-weeks), one
-# co-partitioned user-key join to stamp each activity week with its
-# cohort, then a cohort-sized reduce — no window, no spine fan-out,
-# every count an exact integer and the rate one division. Week
-# truncation is Monday-anchored DATE_TRUNC in both engines.
-
-@register(
-    "events_retention_cohorts",
-    oracle="""
-WITH e AS (
-  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
-fu AS (
-  SELECT user_id,
-         CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
-  FROM e GROUP BY user_id),
-aw AS (
-  SELECT DISTINCT user_id,
-         CAST(date_trunc('week', d) AS DATE) AS wk
-  FROM e),
-cs AS (
-  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
-  FROM fu GROUP BY cohort_week),
-act AS (
-  SELECT fu.cohort_week,
-         CAST((aw.wk - fu.cohort_week) // 7 AS BIGINT) AS week_offset,
-         CAST(COUNT(*) AS BIGINT) AS n_active
-  FROM aw JOIN fu ON fu.user_id = aw.user_id
-  GROUP BY 1, 2)
-SELECT a.cohort_week, a.week_offset, a.n_active, c.n_cohort,
-       CAST(a.n_active AS DOUBLE) / c.n_cohort AS retention_rate
-FROM act a JOIN cs c ON c.cohort_week = a.cohort_week
-""".strip(),
-)
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.to_date("ts").alias("d")
-    )
-    fu = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("d"))).alias("cohort_week")
-    )
-    aw = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("d"))).alias("wk")
-    ).distinct()
-    cs = fu.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cohort")
-    )
-    act = (
-        aw.join(fu, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.datediff("wk", "cohort_week") / 7)
-            .cast("long")
-            .alias("week_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
-    )
-    return act.join(F.broadcast(cs), "cohort_week").select(
-        "cohort_week",
-        "week_offset",
-        "n_active",
-        "n_cohort",
-        (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
-            "retention_rate"
-        ),
-    )
