@@ -316,6 +316,7 @@ HEADLINE = [
     "events_kmv_distinct",
     "orders_mad_outliers",
     "doc_vocab_coverage",
+    "part_copurchase_anf",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "ann_recall_report",
     "orders_mad_outliers",
     "doc_vocab_coverage",
+    "part_copurchase_anf",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "doc_repetition_ratio",
     "doc_simhash16",
     "doc_token_count",
-    "embedding_norms",
 ]
 
 

@@ -11488,3 +11488,154 @@ def orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+# --- neighborhood function + harmonic centrality via KMV sketches
+# (round 12) ------------------------------------------------------------------
+# The ANF / HyperBall algorithm (Palmer et al. KDD'02; Boldi & Vigna's
+# HyperBall) — THE way neighborhood sizes, effective diameter, and
+# harmonic centrality are computed on web-scale graphs, because exact
+# k-hop frontiers are O(n²) while per-node cardinality SKETCHES merge
+# in constant size per round. Production HyperBall merges HLL
+# registers; this engine's cross-engine determinism protocol uses the
+# KMV ranking sketch instead (events_kmv_distinct precedent — md5
+# order statistics are bit-identical in DuckDB): each node carries its
+# k smallest neighbor hashes, one round = union own sketch with all
+# neighbors' sketches and re-rank (n·k rows of state, a per-node
+# window — never an array blowup on hubs). est_r is exact below k and
+# (k-1)·2^32/h_(k) above; the sketch of a superset has a smaller kth
+# minimum, so estimates are monotone in r by construction. Harmonic
+# centrality at radius 3 = Σ_r (est_r − est_{r−1})/r on exact BIGINTs.
+
+_ANF_K = 16
+_ANF_ROUNDS = 3
+
+
+def _anf_oracle() -> str:
+    hexpr = _kmv_hex_sql("CAST(node AS VARCHAR)")
+    rounds = []
+    for r in range(1, _ANF_ROUNDS + 1):
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT node, h FROM m{r - 1}
+  UNION
+  SELECT e.src AS node, m.h
+  FROM e0 e JOIN m{r - 1} m ON m.node = e.dst),
+m{r} AS MATERIALIZED (
+  SELECT node, h FROM (
+    SELECT node, h,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY h ASC) AS rn
+    FROM p{r}) WHERE rn <= {_ANF_K}),
+s{r} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(MAX(h) AS BIGINT) AS mx
+  FROM m{r} GROUP BY node)""")
+
+    def est(r: int) -> str:
+        return (
+            f"CASE WHEN s{r}.cnt < {_ANF_K} THEN s{r}.cnt "
+            f"ELSE CAST(FLOOR(({_ANF_K} - 1) * 4294967296.0 "
+            f"/ GREATEST(s{r}.mx, 1)) AS BIGINT) END"
+        )
+
+    e1, e2, e3 = est(1), est(2), est(3)
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+m0 AS MATERIALIZED (
+  SELECT node, CAST({hexpr} AS BIGINT) AS h
+  FROM (SELECT DISTINCT src AS node FROM e0)),
+{",".join(r.strip() for r in rounds)}
+SELECT s1.node AS part_key,
+       CAST({e1} AS BIGINT) AS n1,
+       CAST({e2} AS BIGINT) AS n2,
+       CAST({e3} AS BIGINT) AS n3,
+       CAST({e1} - 1 AS DOUBLE)
+         + CAST(({e2}) - ({e1}) AS DOUBLE) / 2.0
+         + CAST(({e3}) - ({e2}) AS DOUBLE) / 3.0 AS harmonic_3hop
+FROM s1 JOIN s2 ON s2.node = s1.node JOIN s3 ON s3.node = s1.node
+""".strip()
+
+
+@register("part_copurchase_anf", oracle=_anf_oracle())
+def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .persist()  # consumed once per round
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    m = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", hv.alias("h"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("h").asc())
+    stats = []
+    for _ in range(_ANF_ROUNDS):
+        nb = e.join(m, e["dst"] == m["node"]).select(
+            F.col("src").alias("node"), "h"
+        )
+        p = m.unionByName(nb).distinct()
+        m = (
+            p.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _ANF_K)
+            .select("node", "h")
+            .persist()  # next round + its own stats read it
+        )
+        stats.append(
+            m.groupBy("node").agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.max("h").cast("long").alias("mx"),
+            )
+        )
+
+    def est(s: DataFrame, tag: str) -> DataFrame:
+        full = F.floor(
+            F.lit((_ANF_K - 1) * 4294967296.0)
+            / F.greatest(F.col("mx"), F.lit(1)).cast("double")
+        ).cast("long")
+        return s.select(
+            "node",
+            F.when(F.col("cnt") < _ANF_K, F.col("cnt"))
+            .otherwise(full)
+            .cast("long")
+            .alias(tag),
+        )
+
+    s1 = est(stats[0], "n1")
+    s2 = est(stats[1], "n2")
+    s3 = est(stats[2], "n3")
+    j = s1.join(s2, "node").join(s3, "node")
+    return j.select(
+        F.col("node").alias("part_key"),
+        "n1",
+        "n2",
+        "n3",
+        (
+            (F.col("n1") - F.lit(1)).cast("double")
+            + (F.col("n2") - F.col("n1")).cast("double") / F.lit(2.0)
+            + (F.col("n3") - F.col("n2")).cast("double") / F.lit(3.0)
+        ).alias("harmonic_3hop"),
+    )

@@ -106,6 +106,7 @@ FAMILIES = [
     ("MinHash index stream maintenance", "stream_minhash_incremental"),
     ("KMV + hash-sample sketches", "approx_distinct_users"),
     ("grid ANN recall panel (3 probe policies)", "ann_recall_report"),
+    ("ANF/HyperBall sketches (3 rounds)", "part_copurchase_anf"),
 ]
 
 
