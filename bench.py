@@ -317,6 +317,8 @@ HEADLINE = [
     "orders_mad_outliers",
     "doc_vocab_coverage",
     "part_copurchase_anf",
+    "part_copurchase_sssp",
+    "events_top_paths",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

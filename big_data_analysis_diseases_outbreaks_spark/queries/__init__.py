@@ -103,6 +103,8 @@ _PRIORITY: list[str] = [
     "orders_mad_outliers",
     "doc_vocab_coverage",
     "part_copurchase_anf",
+    "part_copurchase_sssp",
+    "events_top_paths",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,8 +143,6 @@ _PRIORITY: list[str] = [
     "doc_lang_id",
     "doc_quality_score",
     "doc_repetition_ratio",
-    "doc_simhash16",
-    "doc_token_count",
 ]
 
 

@@ -11639,3 +11639,90 @@ def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("n3") - F.col("n2")).cast("double") / F.lit(3.0)
         ).alias("harmonic_3hop"),
     )
+
+
+# --- weighted shortest paths to the nearest seed (round 12) ------------------
+# The path-finding family joins the graph suite: Bellman-Ford-style
+# label relaxation over the WEIGHTED co-purchase graph (edge cost =
+# 10^6 div w — stronger co-purchase, cheaper hop), distances from the
+# deterministic seed set (part_key % 500, the BFS convention), bounded
+# at 4 relaxation rounds ("reachable within 4 weighted hops" — the
+# bounded-rounds discipline every iterative operator here follows).
+# Each round is one edge join + a min-reduce on the node key — the
+# textbook distributed SSSP (Pregel's canonical example), exact
+# integers end to end (cost ≤ 1e6, 4 hops ⇒ ≤ 4e6, nowhere near
+# 2^63). d_r is persisted per round: both the carry branch and the
+# relax branch read it.
+
+_SSSP_ROUNDS = 4
+_SSSP_COST_SCALE = 1_000_000
+
+
+def _sssp_oracle() -> str:
+    rounds = []
+    for r in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{r - 1}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.cost AS dist
+    FROM d{r - 1} d JOIN e ON e.u = d.node)
+  GROUP BY node)""")
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT u, v, {_SSSP_COST_SCALE} // w AS cost FROM e0
+  UNION ALL
+  SELECT v, u, {_SSSP_COST_SCALE} // w AS cost FROM e0),
+seeds AS (
+  SELECT DISTINCT u AS node FROM e WHERE u % {_BFS_SEED_MOD} = 0),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+{",".join(r.strip() for r in rounds)}
+SELECT CAST(node AS BIGINT) AS part_key, dist AS cost_scaled
+FROM d{_SSSP_ROUNDS}
+""".strip()
+
+
+@register("part_copurchase_sssp", oracle=_sssp_oracle())
+def part_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = copurchase_weighted_edges(spark, sf_dir).persist()
+    e = (
+        mv.select("u", "v", F.expr(f"{_SSSP_COST_SCALE} div w").alias("cost"))
+        .unionAll(
+            mv.select(
+                F.col("v").alias("u"),
+                F.col("u").alias("v"),
+                F.expr(f"{_SSSP_COST_SCALE} div w").alias("cost"),
+            )
+        )
+        .persist()  # one edge fact per round
+    )
+    d = (
+        e.where(F.col("u") % _BFS_SEED_MOD == 0)
+        .select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = e.join(d, e["u"] == d["node"]).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("cost")).cast("long").alias("dist"),
+        )
+        d = (
+            d.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .persist()  # carry + relax branches both read it next round
+        )
+    return d.select(
+        F.col("node").alias("part_key"), F.col("dist").alias("cost_scaled")
+    )

@@ -4599,3 +4599,61 @@ def events_absorption_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((step_mass * 1000000) div conv_scaled AS BIGINT)")
         .alias("exp_steps_scaled"),
     )
+
+
+# --- top user-journey paths (round 12) ---------------------------------------
+# The Sankey-diagram feed: each user's journey prefix (first 4 event
+# types in time order) counted across users, global top-10 by
+# frequency. The per-user prefix is a rank-window pivot (MAX CASE over
+# rn ≤ 4 — no ordered string-agg dependence, identical in both
+# engines); the top-10 is a total order (count DESC, path ASC) so the
+# LIMIT boundary cannot straddle engines, planned as
+# TakeOrderedAndProject. One user-keyed window over the fact table,
+# one path-keyed aggregate, one bounded top-k.
+
+_PATH_LEN = 4
+_PATH_TOPK = 10
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id,
+         concat_ws('>',
+           MAX(CASE WHEN rn = 1 THEN event_type END),
+           MAX(CASE WHEN rn = 2 THEN event_type END),
+           MAX(CASE WHEN rn = 3 THEN event_type END),
+           MAX(CASE WHEN rn = 4 THEN event_type END)) AS path
+  FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC LIMIT {_PATH_TOPK}
+""".strip(),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _PATH_LEN)
+    p = r.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            *[
+                F.max(F.when(F.col("rn") == k, F.col("event_type")))
+                for k in range(1, _PATH_LEN + 1)
+            ],
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(_PATH_TOPK)
+    )

@@ -107,6 +107,8 @@ FAMILIES = [
     ("KMV + hash-sample sketches", "approx_distinct_users"),
     ("grid ANN recall panel (3 probe policies)", "ann_recall_report"),
     ("ANF/HyperBall sketches (3 rounds)", "part_copurchase_anf"),
+    ("weighted SSSP (4 relaxation rounds)", "part_copurchase_sssp"),
+    ("journey paths (rank pivot + top-k)", "events_top_paths"),
 ]
 
 
