@@ -319,6 +319,7 @@ HEADLINE = [
     "part_copurchase_anf",
     "part_copurchase_sssp",
     "events_top_paths",
+    "part_graph_eff_diameter",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     "part_copurchase_anf",
     "part_copurchase_sssp",
     "events_top_paths",
+    "part_graph_eff_diameter",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "doc_lang_id",
     "doc_quality_score",
-    "doc_repetition_ratio",
 ]
 
 

@@ -11511,7 +11511,15 @@ _ANF_K = 16
 _ANF_ROUNDS = 3
 
 
-def _anf_oracle() -> str:
+def _anf_est_sql(r: int) -> str:
+    return (
+        f"CASE WHEN s{r}.cnt < {_ANF_K} THEN s{r}.cnt "
+        f"ELSE CAST(FLOOR(({_ANF_K} - 1) * 4294967296.0 "
+        f"/ GREATEST(s{r}.mx, 1)) AS BIGINT) END"
+    )
+
+
+def _anf_cte_prefix() -> str:
     hexpr = _kmv_hex_sql("CAST(node AS VARCHAR)")
     rounds = []
     for r in range(1, _ANF_ROUNDS + 1):
@@ -11531,14 +11539,6 @@ s{r} AS (
          CAST(MAX(h) AS BIGINT) AS mx
   FROM m{r} GROUP BY node)""")
 
-    def est(r: int) -> str:
-        return (
-            f"CASE WHEN s{r}.cnt < {_ANF_K} THEN s{r}.cnt "
-            f"ELSE CAST(FLOOR(({_ANF_K} - 1) * 4294967296.0 "
-            f"/ GREATEST(s{r}.mx, 1)) AS BIGINT) END"
-        )
-
-    e1, e2, e3 = est(1), est(2), est(3)
     return f"""
 WITH li AS (
   SELECT l_orderkey, l_partkey FROM lineitem
@@ -11551,6 +11551,13 @@ m0 AS MATERIALIZED (
   SELECT node, CAST({hexpr} AS BIGINT) AS h
   FROM (SELECT DISTINCT src AS node FROM e0)),
 {",".join(r.strip() for r in rounds)}
+""".strip()
+
+
+def _anf_oracle() -> str:
+    e1, e2, e3 = _anf_est_sql(1), _anf_est_sql(2), _anf_est_sql(3)
+    return f"""
+{_anf_cte_prefix()}
 SELECT s1.node AS part_key,
        CAST({e1} AS BIGINT) AS n1,
        CAST({e2} AS BIGINT) AS n2,
@@ -11562,8 +11569,9 @@ FROM s1 JOIN s2 ON s2.node = s1.node JOIN s3 ON s3.node = s1.node
 """.strip()
 
 
-@register("part_copurchase_anf", oracle=_anf_oracle())
-def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _anf_round_stats(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Per-round (node, cnt, mx) sketch stats — the shared ANF engine
+    behind the per-node report and the effective-diameter summary."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(
@@ -11610,20 +11618,27 @@ def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("h").cast("long").alias("mx"),
             )
         )
+    return stats
 
-    def est(s: DataFrame, tag: str) -> DataFrame:
-        full = F.floor(
-            F.lit((_ANF_K - 1) * 4294967296.0)
-            / F.greatest(F.col("mx"), F.lit(1)).cast("double")
-        ).cast("long")
-        return s.select(
-            "node",
-            F.when(F.col("cnt") < _ANF_K, F.col("cnt"))
-            .otherwise(full)
-            .cast("long")
-            .alias(tag),
-        )
 
+def _anf_est(s: DataFrame, tag: str) -> DataFrame:
+    full = F.floor(
+        F.lit((_ANF_K - 1) * 4294967296.0)
+        / F.greatest(F.col("mx"), F.lit(1)).cast("double")
+    ).cast("long")
+    return s.select(
+        "node",
+        F.when(F.col("cnt") < _ANF_K, F.col("cnt"))
+        .otherwise(full)
+        .cast("long")
+        .alias(tag),
+    )
+
+
+@register("part_copurchase_anf", oracle=_anf_oracle())
+def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _anf_round_stats(spark, sf_dir)
+    est = _anf_est
     s1 = est(stats[0], "n1")
     s2 = est(stats[1], "n2")
     s3 = est(stats[2], "n3")
@@ -11725,4 +11740,68 @@ def part_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return d.select(
         F.col("node").alias("part_key"), F.col("dist").alias("cost_scaled")
+    )
+
+
+# --- global neighborhood function + effective diameter (round 12) ------------
+# The graph-summary consume of the ANF sketches: total reachable-node
+# mass per radius (Σ_v est_r(v) — the neighborhood function N(r)) and
+# the EFFECTIVE DIAMETER à la Palmer/Leskovec: the smallest r whose
+# reach covers ≥ 90% of N(R). The 90% test is an exact integer
+# comparison (reach·10 ≥ 9·N(R)) — no float threshold to straddle
+# engines. Three rows out; everything heavy is the shared sketch
+# rounds.
+
+@register(
+    "part_graph_eff_diameter",
+    oracle=f"""
+{_anf_cte_prefix()},
+t AS (
+  SELECT 1 AS r, CAST(SUM({_anf_est_sql(1)}) AS BIGINT) AS reach_est
+  FROM s1
+  UNION ALL
+  SELECT 2 AS r, CAST(SUM({_anf_est_sql(2)}) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3 AS r, CAST(SUM({_anf_est_sql(3)}) AS BIGINT) FROM s3),
+mx AS (SELECT MAX(reach_est) AS m3 FROM t),
+fl AS (
+  SELECT r, reach_est,
+         reach_est * 10 >= 9 * (SELECT m3 FROM mx) AS hit
+  FROM t),
+md AS (SELECT MIN(r) AS dr FROM fl WHERE hit)
+SELECT CAST(f.r AS BIGINT) AS r, f.reach_est,
+       CAST(f.reach_est AS DOUBLE) / (SELECT m3 FROM mx) AS frac_of_max,
+       f.r = (SELECT dr FROM md) AS is_effective_diameter
+FROM fl f
+""".strip(),
+)
+def part_graph_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = _anf_round_stats(spark, sf_dir)
+    rows = []
+    for i, s in enumerate(stats, start=1):
+        rows.append(
+            _anf_est(s, "e").agg(
+                F.lit(i).cast("long").alias("r"),
+                F.sum("e").cast("long").alias("reach_est"),
+            )
+        )
+    t = rows[0].unionByName(rows[1]).unionByName(rows[2]).persist()
+    mx = t.agg(F.max("reach_est").alias("m3"))
+    fl = t.crossJoin(F.broadcast(mx)).select(
+        "r",
+        "reach_est",
+        "m3",
+        (F.col("reach_est") * 10 >= 9 * F.col("m3")).alias("hit"),
+    )
+    md = fl.where(F.col("hit")).agg(F.min("r").alias("dr"))
+    return (
+        fl.crossJoin(F.broadcast(md))
+        .select(
+            "r",
+            "reach_est",
+            (F.col("reach_est").cast("double") / F.col("m3")).alias(
+                "frac_of_max"
+            ),
+            (F.col("r") == F.col("dr")).alias("is_effective_diameter"),
+        )
     )
