@@ -65,6 +65,16 @@ import re as _re
 _PARTIAL_AGG_CHILD = _re.compile(
     r"(HashAggregate|SortAggregate|ObjectHashAggregate)\(.*partial_"
 )
+# A keyless aggregate whose function list was COLUMN-PRUNED away
+# (functions=[]) emits exactly one zero-column row per partition — the
+# degenerate "constant row" shape Catalyst leaves behind when a scalar
+# subtree's output is unused in one consumer (seen first on the geo
+# auto-span aggregate inside customer_geo_dbscan, round 12). One empty
+# row per partition through the exchange is benign by construction.
+_EMPTY_AGG_CHILD = _re.compile(
+    r"(HashAggregate|SortAggregate|ObjectHashAggregate)"
+    r"\(keys=\[\], functions=\[\]\)"
+)
 _DATA_SIZED_PARTIAL = "partial_collect_"
 
 # name -> (pattern, why it is acceptable THERE). Empty today; keep it so.
@@ -82,6 +92,8 @@ def _single_partition_violations(plan: str) -> list[str]:
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1].strip() if i + 1 < len(lines) else "<none>"
+        if _EMPTY_AGG_CHILD.search(child):
+            continue
         if not _PARTIAL_AGG_CHILD.search(child) or (
             _DATA_SIZED_PARTIAL in child
         ):
