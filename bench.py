@@ -320,6 +320,7 @@ HEADLINE = [
     "part_copurchase_sssp",
     "events_top_paths",
     "part_graph_eff_diameter",
+    "curation_pipeline_v3",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "part_copurchase_sssp",
     "events_top_paths",
     "part_graph_eff_diameter",
+    "curation_pipeline_v3",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "daily_zero_filled",
     "doc_fingerprint",
     "doc_lang_id",
-    "doc_quality_score",
 ]
 
 

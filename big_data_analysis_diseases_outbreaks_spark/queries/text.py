@@ -2160,10 +2160,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUR_MAX_DUP_RATIO = 0.5
 
 
-@register(
-    "curation_pipeline_v2",
-    oracle=f"""
-WITH w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+_CUR_V2_CTES = f"""
+w(source, weight) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))}),
 fp AS (
   SELECT doc_id, text, source,
          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -2210,10 +2208,17 @@ gated AS (
   JOIN mix m ON c.source = m.source
   WHERE s.dup_ratio < {_CUR_MAX_DUP_RATIO}
     AND {quality_score_sql('c.text')} >= {_PIPE_QUALITY_MIN})
-SELECT doc_id, source, n_tokens, frac AS sample_frac
-FROM gated
-WHERE CAST(bucket16 AS DOUBLE) / 65536.0 < frac
-""".strip(),
+""".strip()
+
+_CUR_V2_FINAL = (
+    "SELECT doc_id, source, n_tokens, frac AS sample_frac FROM gated "
+    "WHERE CAST(bucket16 AS DOUBLE) / 65536.0 < frac"
+)
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=f"WITH {_CUR_V2_CTES}\n{_CUR_V2_FINAL}",
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -5980,3 +5985,53 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- curation pipeline v3: + eval-set decontamination (round 12) -------------
+# The v2 chain (exact dedup → intra-doc segment dedup → quality gate →
+# mixture sampling) gains the step every training run performs LAST:
+# drop the held-out eval docs themselves AND every doc sharing a
+# verbatim 13-gram with them (doc_eval_decontamination's protocol,
+# composed). The decontamination side is one broadcast of the eval-gram
+# hash set and a left-semi per-doc probe — the pipeline stays a single
+# DAG with no new corpus shuffle.
+
+@register(
+    "curation_pipeline_v3",
+    oracle=f"""
+WITH {_CUR_V2_CTES},
+v2out AS ({_CUR_V2_FINAL}),
+dt AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(t) - {_DECONTAM_NGRAM - 2}),
+           i -> {" || ' ' || ".join(f"t[i+{j}]" for j in range(_DECONTAM_NGRAM))})))
+         AS g
+  FROM dt WHERE len(t) >= {_DECONTAM_NGRAM}),
+deg AS (
+  SELECT DISTINCT g FROM dg WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM dg c JOIN deg e ON e.g = c.g
+  WHERE c.doc_id % {_DECONTAM_EVAL_MOD} <> 0)
+SELECT v.doc_id, v.source, v.n_tokens, v.sample_frac
+FROM v2out v LEFT JOIN contam x ON x.doc_id = v.doc_id
+WHERE v.doc_id % {_DECONTAM_EVAL_MOD} <> 0 AND x.doc_id IS NULL
+""".strip(),
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v2 = curation_pipeline_v2(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % _DECONTAM_EVAL_MOD == 0
+    g = with_hashed_shingles(
+        docs, "text", out="shh", n=_DECONTAM_NGRAM
+    ).select("doc_id", F.explode_outer("shh").alias("h"))
+    eg = g.where(is_eval).select("h").distinct()
+    contam = (
+        g.where(~is_eval)
+        .join(F.broadcast(eg), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return v2.where(~is_eval).join(contam, "doc_id", "left_anti")
