@@ -321,6 +321,7 @@ HEADLINE = [
     "events_top_paths",
     "part_graph_eff_diameter",
     "curation_pipeline_v3",
+    "token_prefix_autocomplete",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -107,6 +107,7 @@ _PRIORITY: list[str] = [
     "events_top_paths",
     "part_graph_eff_diameter",
     "curation_pipeline_v3",
+    "token_prefix_autocomplete",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "cosine_topk",
     "daily_zero_filled",
     "doc_fingerprint",
-    "doc_lang_id",
 ]
 
 

@@ -11606,11 +11606,17 @@ def _anf_round_stats(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             F.col("src").alias("node"), "h"
         )
         p = m.unionByName(nb).distinct()
+        # Eager localCheckpoint, not persist: the final 3-way stats join
+        # evaluates all rounds' subtrees CONCURRENTLY in one job, and a
+        # lazy cache can fill too late to stop round r-1 recomputing
+        # under round r (a ~5x spike was observed in a warm session at
+        # sf0.1 before this). Checkpointing materializes each round
+        # exactly once, sequentially, and truncates lineage.
         m = (
             p.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _ANF_K)
             .select("node", "h")
-            .persist()  # next round + its own stats read it
+            .localCheckpoint(eager=True)
         )
         stats.append(
             m.groupBy("node").agg(
@@ -11776,32 +11782,40 @@ FROM fl f
 """.strip(),
 )
 def part_graph_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = _anf_round_stats(spark, sf_dir)
-    rows = []
-    for i, s in enumerate(stats, start=1):
-        rows.append(
-            _anf_est(s, "e").agg(
-                F.lit(i).cast("long").alias("r"),
-                F.sum("e").cast("long").alias("reach_est"),
-            )
-        )
-    t = rows[0].unionByName(rows[1]).unionByName(rows[2]).persist()
-    mx = t.agg(F.max("reach_est").alias("m3"))
-    fl = t.crossJoin(F.broadcast(mx)).select(
-        "r",
-        "reach_est",
-        "m3",
-        (F.col("reach_est") * 10 >= 9 * F.col("m3")).alias("hit"),
+    # Consume the per-node ANF report and fold ALL radii in ONE
+    # aggregate (bench r12: the three-separate-sums version re-paid the
+    # sketch rounds at 10.7 s; this runs at the ANF query's own cost).
+    # Per-node est_r is monotone in r, so the max reach IS reach_3 and
+    # the effective diameter is a single CASE on the one summary row —
+    # no second pass, no union of per-round jobs.
+    anf = part_copurchase_anf(spark, sf_dir)
+    s = anf.agg(
+        F.sum("n1").cast("long").alias("s1"),
+        F.sum("n2").cast("long").alias("s2"),
+        F.sum("n3").cast("long").alias("s3"),
+    ).withColumn(
+        "dr",
+        F.when(F.col("s1") * 10 >= 9 * F.col("s3"), F.lit(1))
+        .when(F.col("s2") * 10 >= 9 * F.col("s3"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long"),
     )
-    md = fl.where(F.col("hit")).agg(F.min("r").alias("dr"))
-    return (
-        fl.crossJoin(F.broadcast(md))
-        .select(
-            "r",
-            "reach_est",
-            (F.col("reach_est").cast("double") / F.col("m3")).alias(
-                "frac_of_max"
-            ),
-            (F.col("r") == F.col("dr")).alias("is_effective_diameter"),
+    e = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("r"),
+                    F.col(f"s{i}").alias("reach_est"),
+                )
+                for i in (1, 2, 3)
+            ]
         )
+    )
+    return s.select(e.alias("e"), "s3", "dr").select(
+        F.col("e.r").alias("r"),
+        F.col("e.reach_est").alias("reach_est"),
+        (
+            F.col("e.reach_est").cast("double") / F.col("s3").cast("double")
+        ).alias("frac_of_max"),
+        (F.col("e.r") == F.col("dr")).alias("is_effective_diameter"),
     )

@@ -6035,3 +6035,59 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return v2.where(~is_eval).join(contam, "doc_id", "left_anti")
+
+
+# --- prefix autocomplete index (round 12) -------------------------------------
+# The search-box feed: for every 3-char token prefix, the top-3
+# completions by corpus occurrence count (ties by token — total order,
+# so the per-prefix cut is deterministic). One corpus tokenize, one
+# (prefix, token) aggregate, one per-prefix rank window — the same
+# bounded-top-k-per-key shape as tfidf_top_terms, keyed by prefix. At
+# 100 TB the prefix key space is tiny (alphabet³) but the window
+# partitions on it, so hot prefixes spread with AQE skew handling; the
+# emitted index is dimension-sized.
+
+_AUTOCOMPLETE_PREFIX = 3
+_AUTOCOMPLETE_TOPK = 3
+
+
+@register(
+    "token_prefix_autocomplete",
+    oracle=f"""
+WITH tok AS (
+  SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents),
+tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM tok WHERE len(token) >= {_AUTOCOMPLETE_PREFIX} GROUP BY token),
+r AS (
+  SELECT substr(token, 1, {_AUTOCOMPLETE_PREFIX}) AS prefix, token, n_occ,
+         ROW_NUMBER() OVER (PARTITION BY substr(token, 1, {_AUTOCOMPLETE_PREFIX})
+                            ORDER BY n_occ DESC, token ASC) AS rank
+  FROM tf)
+SELECT prefix, token, n_occ, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_AUTOCOMPLETE_TOPK}
+""".strip(),
+)
+def token_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode_outer(tokens(F.lower(F.col("text")))).alias("token")
+    ).where(
+        F.col("token").isNotNull()
+        & (F.length("token") >= _AUTOCOMPLETE_PREFIX)
+    )
+    tf = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    prefix = F.substring("token", 1, _AUTOCOMPLETE_PREFIX)
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("n_occ").desc(), F.col("token").asc()
+    )
+    return (
+        tf.select(prefix.alias("prefix"), "token", "n_occ")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _AUTOCOMPLETE_TOPK)
+    )
