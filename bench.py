@@ -322,6 +322,7 @@ HEADLINE = [
     "part_graph_eff_diameter",
     "curation_pipeline_v3",
     "token_prefix_autocomplete",
+    "stream_eval_decontam",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

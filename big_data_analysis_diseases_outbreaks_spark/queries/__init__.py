@@ -108,6 +108,7 @@ _PRIORITY: list[str] = [
     "part_graph_eff_diameter",
     "curation_pipeline_v3",
     "token_prefix_autocomplete",
+    "stream_eval_decontam",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "contamination_8gram_overlap",
     "cosine_topk",
     "daily_zero_filled",
-    "doc_fingerprint",
 ]
 
 

@@ -1726,3 +1726,112 @@ def _bind_minhash_stream_oracle() -> None:
 
 
 _bind_minhash_stream_oracle()
+
+
+# --- streaming eval decontamination at ingest (round 12) --------------------
+# Decontamination belongs at INGEST time in a continuous pipeline: the
+# held-out eval table is static (benchmarks change rarely), its
+# distinct 13-gram hash set broadcasts to every micro-batch, and each
+# arriving document emits its contamination manifest row immediately —
+# appended under batch_id partitions with the exactly-once dynamic-
+# overwrite recipe. Per-doc rows are independent (the
+# stream_minhash_incremental argument), so the drained manifest equals
+# the batch query VERBATIM — the oracle is bound 1:1. Per-batch work:
+# one narrow gram map + a broadcast left join; the static eval side is
+# computed once per run.
+
+@register("stream_eval_decontam")
+def stream_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.tables import configure_runtime, load_table
+    from .text import (
+        _DECONTAM_EVAL_MOD,
+        _DECONTAM_NGRAM,
+        _truncated_corpus,
+        with_hashed_shingles,
+    )
+
+    configure_runtime(spark)
+    src = _docs_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_decontam_manifest_")
+    manifest_dir = os.path.join(out, "manifest")
+
+    is_eval = (F.col("doc_id") % _DECONTAM_EVAL_MOD == 0) & (
+        F.col("doc_id") < 1_000_000
+    )
+    # Static eval side, built once: the eval docs' distinct gram hashes.
+    eg = (
+        with_hashed_shingles(
+            _truncated_corpus(load_table(spark, sf_dir, "documents"))
+            .where(is_eval)
+            .select("doc_id", "text"),
+            "text",
+            out="shh",
+            n=_DECONTAM_NGRAM,
+        )
+        .select(F.explode_outer("shh").alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .localCheckpoint(eager=True)  # one build, many micro-batches
+    )
+    hit = F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        g = with_hashed_shingles(
+            _truncated_corpus(batch_df).where(~is_eval).select(
+                "doc_id", "text"
+            ),
+            "text",
+            out="shh",
+            n=_DECONTAM_NGRAM,
+        ).select("doc_id", F.explode_outer("shh").alias("h"))
+        (
+            g.join(F.broadcast(eg), "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_grams"),
+                hit.cast("long").alias("n_contaminated"),
+                (hit.cast("double") / F.count(F.lit(1))).alias(
+                    "contamination_frac"
+                ),
+                (hit > 0).alias("dropped"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(manifest_dir)
+        )
+
+    (
+        st.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(manifest_dir).select(
+        "doc_id", "n_grams", "n_contaminated", "contamination_frac", "dropped"
+    )
+
+
+def _bind_decontam_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+    from . import text  # noqa: F401 — force batch-twin registration
+
+    q = _REGISTRY["stream_eval_decontam"]
+    _REGISTRY["stream_eval_decontam"] = Query(
+        q.name, q.fn, _REGISTRY["doc_eval_decontamination"].oracle
+    )
+
+
+_bind_decontam_stream_oracle()
