@@ -323,6 +323,8 @@ HEADLINE = [
     "curation_pipeline_v3",
     "token_prefix_autocomplete",
     "stream_eval_decontam",
+    "orders_dow_adjusted_anomaly",
+    "part_rich_club",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -109,6 +109,8 @@ _PRIORITY: list[str] = [
     "curation_pipeline_v3",
     "token_prefix_autocomplete",
     "stream_eval_decontam",
+    "orders_dow_adjusted_anomaly",
+    "part_rich_club",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,8 +143,6 @@ _PRIORITY: list[str] = [
     # --- backfill (last green r4):
     "anomaly_region_map",
     "contamination_8gram_overlap",
-    "cosine_topk",
-    "daily_zero_filled",
 ]
 
 

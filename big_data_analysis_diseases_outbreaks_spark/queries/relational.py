@@ -11819,3 +11819,112 @@ def part_graph_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frac_of_max"),
         (F.col("e.r") == F.col("dr")).alias("is_effective_diameter"),
     )
+
+
+# --- rich-club coefficient (round 12) -----------------------------------------
+# Do the high-degree parts preferentially co-purchase with EACH OTHER?
+# φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph induced by nodes with
+# degree > k, for k ∈ {2,4,8,16,32} — the network-science hub-cohesion
+# diagnostic alongside assortativity. Exact integers: degrees from one
+# aggregate over the u<v edge view, E_k by joining each edge's two
+# endpoint degrees against the broadcast threshold list (5 rows), one
+# reduce per k. No pairwise products anywhere — the denominator is
+# algebra on N_k.
+
+_RICH_KS = [2, 4, 8, 16, 32]
+
+
+@register(
+    "part_rich_club",
+    oracle=f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+  GROUP BY node),
+ks AS (SELECT UNNEST(ARRAY{_RICH_KS}) AS k),
+nk AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+ek AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS e_k
+  FROM ks, e0
+  JOIN deg du ON du.node = e0.u
+  JOIN deg dv ON dv.node = e0.v
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY ks.k)
+SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+       CASE WHEN nk.n_k > 1
+            THEN 2.0 * COALESCE(ek.e_k, 0)
+                 / (CAST(nk.n_k AS DOUBLE) * (CAST(nk.n_k AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+""".strip(),
+)
+def part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+        .persist()  # degree aggregate + the edge-threshold join
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .persist()  # joined three times (n_k + both edge endpoints)
+    )
+    ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k INT")
+    nk = (
+        F.broadcast(ks)
+        .join(deg, deg["d"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ek = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    nd = F.col("n_k").cast("double")
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce(F.col("e_k"), F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.col("n_k") > 1,
+                F.lit(2.0)
+                * F.coalesce(F.col("e_k"), F.lit(0))
+                / (nd * (nd - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+    )

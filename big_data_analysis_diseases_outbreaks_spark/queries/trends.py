@@ -4657,3 +4657,81 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(_PATH_TOPK)
     )
+
+
+# --- day-of-week-adjusted robust anomaly flags (round 12) --------------------
+# The composition a real ops dashboard runs: daily order counts are
+# seasonal by weekday, so a raw z/MAD rule flags every Sunday. Deseason
+# with the PER-WEEKDAY median (percentile_disc — exact integer), then
+# flag days whose |residual| exceeds 3·1.4826·MAD of the residuals
+# (global MAD, exact integers; the orders_mad_outliers protocol
+# composed with the seasonality dimension). Two tiny percentile tables
+# join back on weekday; no window over the fact table. dayofweek is
+# pinned to ISO Monday=1 in both engines (DuckDB isodow; Spark
+# weekday()+1).
+
+from .relational import _MAD_K  # noqa: E402 — shared robust-flag constant
+
+
+@register(
+    "orders_dow_adjusted_anomaly",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT dow, PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS med
+  FROM d GROUP BY dow),
+r AS (
+  SELECT d.day, d.dow, d.c, m.med, d.c - m.med AS resid,
+         ABS(d.c - m.med) AS absr
+  FROM d JOIN m USING (dow)),
+s AS (
+  SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY absr) AS mad FROM r)
+SELECT r.day, r.dow, r.c, CAST(r.med AS BIGINT) AS dow_median,
+       CAST(r.resid AS BIGINT) AS residual,
+       CAST(r.absr AS DOUBLE) > {_MAD_K} * CAST(s.mad AS DOUBLE)
+         AS is_anomaly
+FROM r CROSS JOIN s
+""".strip(),
+)
+def orders_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            (F.weekday(F.to_date("o_orderdate")) + 1)
+            .cast("long")
+            .alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = d.groupBy("dow").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").alias("med")
+    )
+    r = d.join(F.broadcast(m), "dow").select(
+        "day",
+        "dow",
+        "c",
+        "med",
+        (F.col("c") - F.col("med")).alias("resid"),
+        F.abs(F.col("c") - F.col("med")).alias("absr"),
+    )
+    s = r.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY absr)").alias(
+            "mad"
+        )
+    )
+    return r.crossJoin(F.broadcast(s)).select(
+        "day",
+        "dow",
+        "c",
+        F.col("med").cast("long").alias("dow_median"),
+        F.col("resid").cast("long").alias("residual"),
+        (
+            F.col("absr").cast("double")
+            > F.lit(_MAD_K) * F.col("mad").cast("double")
+        ).alias("is_anomaly"),
+    )

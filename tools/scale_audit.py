@@ -109,6 +109,7 @@ FAMILIES = [
     ("ANF/HyperBall sketches (3 rounds)", "part_copurchase_anf"),
     ("weighted SSSP (4 relaxation rounds)", "part_copurchase_sssp"),
     ("journey paths (rank pivot + top-k)", "events_top_paths"),
+    ("rich club (edge-degree threshold join)", "part_rich_club"),
 ]
 
 
