@@ -325,6 +325,7 @@ HEADLINE = [
     "stream_eval_decontam",
     "orders_dow_adjusted_anomaly",
     "part_rich_club",
+    "multimodal_tile_manifest",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -111,6 +111,7 @@ _PRIORITY: list[str] = [
     "stream_eval_decontam",
     "orders_dow_adjusted_anomaly",
     "part_rich_club",
+    "multimodal_tile_manifest",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -142,7 +143,6 @@ _PRIORITY: list[str] = [
     "top3_customers_per_nation",
     # --- backfill (last green r4):
     "anomaly_region_map",
-    "contamination_8gram_overlap",
 ]
 
 

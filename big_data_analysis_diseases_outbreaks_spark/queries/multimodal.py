@@ -255,3 +255,66 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("doc_id").cast("long").alias("canonical_doc_id"),
     )
+
+
+# --- ViT patchify tile manifest (round 12) ------------------------------------
+# The preprocessing planner every vision-transformer ingest runs: how
+# many P×P patches does each image yield, and what padded canvas does
+# it need? Pure integer arithmetic on the typed metadata columns
+# (deterministic fake dims — the documented env-gated decode
+# convention, multimodal_decode), so the whole manifest value-oracles:
+# n_tiles = ceil(w/P)·ceil(h/P) with ceil as (x+P−1) div P. The
+# SEQUENCE BUDGET (n_tiles + 1 CLS token) is what a packing planner
+# consumes downstream. Narrow map over the scan, no shuffle.
+
+_TILE_P = 16
+
+
+@register(
+    "multimodal_tile_manifest",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+         CAST(octet_length(encode(text)) // 64 % 64 + 1 AS BIGINT) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST((width + {_TILE_P - 1}) // {_TILE_P} AS BIGINT) AS n_tiles_x,
+       CAST((height + {_TILE_P - 1}) // {_TILE_P} AS BIGINT) AS n_tiles_y,
+       CAST(((width + {_TILE_P - 1}) // {_TILE_P})
+            * ((height + {_TILE_P - 1}) // {_TILE_P}) AS BIGINT) AS n_tiles,
+       CAST(((width + {_TILE_P - 1}) // {_TILE_P}) * {_TILE_P} AS BIGINT)
+         AS padded_w,
+       CAST(((height + {_TILE_P - 1}) // {_TILE_P}) * {_TILE_P} AS BIGINT)
+         AS padded_h,
+       CAST(((width + {_TILE_P - 1}) // {_TILE_P})
+            * ((height + {_TILE_P - 1}) // {_TILE_P}) + 1 AS BIGINT)
+         AS seq_len
+FROM m
+""".strip(),
+)
+def multimodal_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long")
+    w = (nb % 64 + 1).cast("long")
+    h = (F.expr("octet_length(encode(text, 'UTF-8')) div 64") % 64 + 1).cast(
+        "long"
+    )
+    tx = F.expr(f"(width + {_TILE_P - 1}) div {_TILE_P}")
+    ty = F.expr(f"(height + {_TILE_P - 1}) div {_TILE_P}")
+    return (
+        docs.select("doc_id", w.alias("width"), h.alias("height"))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            tx.cast("long").alias("n_tiles_x"),
+            ty.cast("long").alias("n_tiles_y"),
+            (tx * ty).cast("long").alias("n_tiles"),
+            (tx * _TILE_P).cast("long").alias("padded_w"),
+            (ty * _TILE_P).cast("long").alias("padded_h"),
+            (tx * ty + 1).cast("long").alias("seq_len"),
+        )
+    )
