@@ -326,6 +326,7 @@ HEADLINE = [
     "orders_dow_adjusted_anomaly",
     "part_rich_club",
     "multimodal_tile_manifest",
+    "orders_holiday_event_study",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

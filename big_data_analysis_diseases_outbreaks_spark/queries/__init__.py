@@ -112,6 +112,7 @@ _PRIORITY: list[str] = [
     "orders_dow_adjusted_anomaly",
     "part_rich_club",
     "multimodal_tile_manifest",
+    "orders_holiday_event_study",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,8 +142,6 @@ _PRIORITY: list[str] = [
     "small_quantity_revenue",
     "sql_api_priority_revenue",
     "top3_customers_per_nation",
-    # --- backfill (last green r4):
-    "anomaly_region_map",
 ]
 
 

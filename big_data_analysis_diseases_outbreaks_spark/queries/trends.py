@@ -4735,3 +4735,87 @@ def orders_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(_MAD_K) * F.col("mad").cast("double")
         ).alias("is_anomaly"),
     )
+
+
+# --- holiday event study (round 12) -------------------------------------------
+# The econometrics companion of lineitem_promo_did: instead of a
+# treated/control difference, an EVENT STUDY traces the outcome at
+# each day-offset around a recurring event — here order volume in the
+# ±3-day window around fixed-date holidays (Jan 1 / Jul 4 / Dec 25,
+# derived from the data's own calendar — no external table). Exact
+# integer sums per offset; lift = offset mean / all-days mean as one
+# shared division tree. Plan: one daily aggregate, a 7-row offset
+# dimension broadcast onto the holiday dates, one co-partitioned date
+# join back to the daily series, one 7-row reduce.
+
+_EVENT_OFFSETS = list(range(-3, 4))
+
+
+@register(
+    "orders_holiday_event_study",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM d),
+hol AS (
+  SELECT day AS hday FROM d
+  WHERE (month(day) = 1 AND dayofmonth(day) = 1)
+     OR (month(day) = 7 AND dayofmonth(day) = 4)
+     OR (month(day) = 12 AND dayofmonth(day) = 25)),
+offs AS (SELECT UNNEST(ARRAY{_EVENT_OFFSETS}) AS off),
+w AS (
+  SELECT o.off, h.hday + o.off AS day FROM hol h CROSS JOIN offs o),
+j AS (
+  SELECT w.off, d.c FROM w JOIN d ON d.day = w.day)
+SELECT j.off AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(j.c) AS BIGINT) AS total_orders,
+       CAST(SUM(j.c) AS DOUBLE) / COUNT(*) AS avg_orders,
+       (CAST(SUM(j.c) AS DOUBLE) / COUNT(*))
+         / (CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lift
+FROM j CROSS JOIN tot
+GROUP BY j.off, tot.s, tot.n
+""".strip(),
+)
+def orders_holiday_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # holiday filter + window join + totals read it
+    )
+    tot = d.agg(
+        F.sum("c").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    hol = d.where(
+        ((F.month("day") == 1) & (F.dayofmonth("day") == 1))
+        | ((F.month("day") == 7) & (F.dayofmonth("day") == 4))
+        | ((F.month("day") == 12) & (F.dayofmonth("day") == 25))
+    ).select(F.col("day").alias("hday"))
+    offs = spark.createDataFrame(
+        [(o,) for o in _EVENT_OFFSETS], "off INT"
+    )
+    w = hol.crossJoin(F.broadcast(offs)).select(
+        "off", F.expr("date_add(hday, off)").alias("day")
+    )
+    j = w.join(d, "day").select("off", "c")
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("off").alias("day_offset"), "s", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("c").cast("long").alias("total_orders"),
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+                "avg_orders"
+            ),
+            (
+                (F.sum("c").cast("double") / F.count(F.lit(1)))
+                / (F.col("s").cast("double") / F.col("n").cast("double"))
+            ).alias("lift"),
+        )
+        .drop("s", "n")
+    )
