@@ -327,6 +327,7 @@ HEADLINE = [
     "part_rich_club",
     "multimodal_tile_manifest",
     "orders_holiday_event_study",
+    "part_copurchase_anf_mv",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -113,6 +113,7 @@ _PRIORITY: list[str] = [
     "part_rich_club",
     "multimodal_tile_manifest",
     "orders_holiday_event_study",
+    "part_copurchase_anf_mv",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,7 +142,6 @@ _PRIORITY: list[str] = [
     "scd2_priority_epochs",
     "small_quantity_revenue",
     "sql_api_priority_revenue",
-    "top3_customers_per_nation",
 ]
 
 

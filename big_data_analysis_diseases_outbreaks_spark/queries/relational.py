@@ -11569,9 +11569,15 @@ FROM s1 JOIN s2 ON s2.node = s1.node JOIN s3 ON s3.node = s1.node
 """.strip()
 
 
-def _anf_round_stats(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+def _anf_round_stats(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> list[DataFrame]:
     """Per-round (node, cnt, mx) sketch stats — the shared ANF engine
-    behind the per-node report and the effective-diameter summary."""
+    behind the per-node report, the effective-diameter summary, and the
+    stored-edge *_mv twin (pass ``edges`` as a directed distinct
+    (src, dst) set to skip the rebuild)."""
+    if edges is not None:
+        return _anf_rounds_over(edges.persist())
     li = (
         load_table(spark, sf_dir, "lineitem")
         .where(
@@ -11591,6 +11597,10 @@ def _anf_round_stats(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
         .distinct()
         .persist()  # consumed once per round
     )
+    return _anf_rounds_over(e)
+
+
+def _anf_rounds_over(e: DataFrame) -> list[DataFrame]:
     hv = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -11641,9 +11651,7 @@ def _anf_est(s: DataFrame, tag: str) -> DataFrame:
     )
 
 
-@register("part_copurchase_anf", oracle=_anf_oracle())
-def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = _anf_round_stats(spark, sf_dir)
+def _anf_report(stats: list[DataFrame]) -> DataFrame:
     est = _anf_est
     s1 = est(stats[0], "n1")
     s2 = est(stats[1], "n2")
@@ -11660,6 +11668,20 @@ def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("n3") - F.col("n2")).cast("double") / F.lit(3.0)
         ).alias("harmonic_3hop"),
     )
+
+
+@register("part_copurchase_anf", oracle=_anf_oracle())
+def part_copurchase_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _anf_report(_anf_round_stats(spark, sf_dir))
+
+
+@register("part_copurchase_anf_mv", oracle=_anf_oracle())
+def part_copurchase_anf_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF over the STORED edge view — the steady-state serve cost
+    (the graph family's *_mv consume protocol): sketch rounds only,
+    edge rebuild paid once per source version by the MV cache."""
+    edges = _directed_from_stored(copurchase_edges_stored(spark, sf_dir))
+    return _anf_report(_anf_round_stats(spark, sf_dir, edges=edges))
 
 
 # --- weighted shortest paths to the nearest seed (round 12) ------------------
