@@ -138,3 +138,86 @@ def test_top_paths_shape(spark):
         assert r["n_users"] >= 1
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_curation_v3_subset_of_v2_and_eval_free(spark):
+    v2 = {
+        r["doc_id"]: r.asDict()
+        for r in _Q["curation_pipeline_v2"].fn(spark, SF_SMALL).collect()
+    }
+    v3 = {
+        r["doc_id"]: r.asDict()
+        for r in _Q["curation_pipeline_v3"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(v3) <= set(v2)
+    assert all(d % 23 != 0 for d in v3), "eval docs must never train"
+    for d, r in v3.items():
+        assert r == v2[d]
+
+
+def test_autocomplete_shape(spark):
+    rows = _Q["token_prefix_autocomplete"].fn(spark, SF_SMALL).collect()
+    assert rows
+    seen: dict[str, list] = {}
+    for r in rows:
+        assert r["token"].startswith(r["prefix"]) and len(r["prefix"]) == 3
+        assert 1 <= r["rank"] <= 3
+        seen.setdefault(r["prefix"], []).append((r["rank"], r["n_occ"]))
+    for pfx, rs in seen.items():
+        rs.sort()
+        occ = [n for _, n in rs]
+        assert occ == sorted(occ, reverse=True), (pfx, rs)
+
+
+def test_tile_manifest_identities(spark):
+    rows = _Q["multimodal_tile_manifest"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["padded_w"] >= r["width"] and r["padded_w"] - r["width"] < 16
+        assert r["padded_h"] >= r["height"] and r["padded_h"] - r["height"] < 16
+        assert r["n_tiles"] == r["n_tiles_x"] * r["n_tiles_y"]
+        assert r["seq_len"] == r["n_tiles"] + 1
+
+
+def test_rich_club_monotone_and_bounded(spark):
+    rows = sorted(
+        _Q["part_rich_club"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["k"],
+    )
+    assert rows
+    n_prev = None
+    for r in rows:
+        assert 0.0 <= r["phi"] <= 1.0
+        if n_prev is not None:
+            assert r["n_k"] <= n_prev, "higher threshold, fewer hubs"
+        n_prev = r["n_k"]
+
+
+def test_holiday_event_study_shape(spark):
+    rows = _Q["orders_holiday_event_study"].fn(spark, SF_SMALL).collect()
+    offs = {r["day_offset"] for r in rows}
+    assert offs <= set(range(-3, 4)) and 0 in offs
+    for r in rows:
+        assert r["n_days"] >= 1 and r["lift"] > 0.0
+
+
+def test_anf_mv_equals_rebuild(spark):
+    a = {
+        r["part_key"]: r.asDict()
+        for r in _Q["part_copurchase_anf"].fn(spark, SF_SMALL).collect()
+    }
+    b = {
+        r["part_key"]: r.asDict()
+        for r in _Q["part_copurchase_anf_mv"].fn(spark, SF_SMALL).collect()
+    }
+    assert a == b
+
+
+def test_dow_anomaly_residual_identity(spark):
+    rows = _Q["orders_dow_adjusted_anomaly"].fn(spark, SF_SMALL).collect()
+    assert rows
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    assert n_anom <= len(rows) / 2
+    for r in rows:
+        assert r["residual"] == r["c"] - r["dow_median"]
+        assert 1 <= r["dow"] <= 7
