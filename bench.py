@@ -328,6 +328,7 @@ HEADLINE = [
     "multimodal_tile_manifest",
     "orders_holiday_event_study",
     "part_copurchase_anf_mv",
+    "brand_croston_demand",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

@@ -11950,3 +11950,67 @@ def part_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phi"),
         )
     )
+
+
+# --- Croston intermittent-demand estimate per brand (round 12) ---------------
+# The named supply-chain forecaster for sparse demand: rate = (mean
+# nonzero demand size) / (mean inter-demand interval). Both means
+# collapse to exact integers — Σ sizes is the total quantity, and the
+# inter-demand intervals TELESCOPE to last−first demand day — so the
+# whole estimator is one join + one hash aggregate + a fixed division
+# tree (no window, no per-interval rows). Brands with a single demand
+# day have no interval and are excluded (the estimator is undefined).
+
+@register(
+    "brand_croston_demand",
+    oracle="""
+WITH d AS (
+  SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT brand,
+         CAST(COUNT(*) AS BIGINT) AS n_demand_days,
+         CAST(SUM(qty) AS BIGINT) AS total_qty,
+         CAST(MAX(day) - MIN(day) AS BIGINT) AS span_days
+  FROM d GROUP BY brand)
+SELECT brand, n_demand_days, total_qty, span_days,
+       (CAST(total_qty AS DOUBLE) / CAST(n_demand_days AS DOUBLE))
+         / (CAST(span_days AS DOUBLE)
+            / (CAST(n_demand_days AS DOUBLE) - 1.0)) AS croston_rate
+FROM s WHERE n_demand_days >= 2
+""".strip(),
+)
+def brand_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    d = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("brand", "day")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    s = d.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_demand_days"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.datediff(F.max("day"), F.min("day"))
+        .cast("long")
+        .alias("span_days"),
+    )
+    nd = F.col("n_demand_days").cast("double")
+    return s.where(F.col("n_demand_days") >= 2).select(
+        "brand",
+        "n_demand_days",
+        "total_qty",
+        "span_days",
+        (
+            (F.col("total_qty").cast("double") / nd)
+            / (F.col("span_days").cast("double") / (nd - F.lit(1.0)))
+        ).alias("croston_rate"),
+    )
