@@ -329,6 +329,8 @@ HEADLINE = [
     "orders_holiday_event_study",
     "part_copurchase_anf_mv",
     "brand_croston_demand",
+    "approx_distinct_users",
+    "ann_recall_report",
     "embedding_top_pc_power",
     "customer_order_streaks",
     "multimodal_ahash_dedup",

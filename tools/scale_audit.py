@@ -110,6 +110,14 @@ FAMILIES = [
     ("weighted SSSP (4 relaxation rounds)", "part_copurchase_sssp"),
     ("journey paths (rank pivot + top-k)", "events_top_paths"),
     ("rich club (edge-degree threshold join)", "part_rich_club"),
+    # round-12 third wave: composed decontaminating curation, streaming
+    # ingest decontamination, event-study offsets, Croston telescoped
+    # intervals, prefix autocomplete index.
+    ("curation v3 (composed + decontam)", "curation_pipeline_v3"),
+    ("decontam at ingest (stream)", "stream_eval_decontam"),
+    ("holiday event study (offset join)", "orders_holiday_event_study"),
+    ("Croston demand (telescoped intervals)", "brand_croston_demand"),
+    ("prefix autocomplete (per-prefix top-k)", "token_prefix_autocomplete"),
 ]
 
 
