@@ -329,6 +329,7 @@ HEADLINE = [
     "orders_holiday_event_study",
     "part_copurchase_anf_mv",
     "brand_croston_demand",
+    "part_community_conductance",
     "approx_distinct_users",
     "ann_recall_report",
     "embedding_top_pc_power",

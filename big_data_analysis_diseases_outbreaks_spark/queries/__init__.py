@@ -115,6 +115,7 @@ _PRIORITY: list[str] = [
     "orders_holiday_event_study",
     "part_copurchase_anf_mv",
     "brand_croston_demand",
+    "part_community_conductance",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,7 +142,6 @@ _PRIORITY: list[str] = [
     "rollup_lineitem_status",
     "salted_type_join",
     "scd2_priority_epochs",
-    "small_quantity_revenue",
 ]
 
 
