@@ -330,6 +330,7 @@ HEADLINE = [
     "part_copurchase_anf_mv",
     "brand_croston_demand",
     "part_community_conductance",
+    "customer_pit_features",
     "approx_distinct_users",
     "ann_recall_report",
     "embedding_top_pc_power",

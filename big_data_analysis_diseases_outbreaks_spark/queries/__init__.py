@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "part_copurchase_anf_mv",
     "brand_croston_demand",
     "part_community_conductance",
+    "customer_pit_features",
     # --- re-shaped oracles this round (old hash evidence no longer
     # applies after the ADVICE fixes):
     "segment_balance_anova",
@@ -141,7 +142,6 @@ _PRIORITY: list[str] = [
     "returned_parts_multiset",
     "rollup_lineitem_status",
     "salted_type_join",
-    "scd2_priority_epochs",
 ]
 
 

@@ -12127,3 +12127,75 @@ def part_community_conductance(
         .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
         .limit(_COMMUNITY_TOPK)
     )
+
+
+# --- point-in-time feature matrix (round 12) ---------------------------------
+# The feature half of the leakage-safe training set whose label half
+# is churn_labels_pit: at each quarterly as-of date, per customer —
+# trailing-90-day order count and spend, and recency (days since the
+# last order strictly before the as-of date). Features may only look
+# LEFT; the spine fan-out (|quarters| ≈ 28 whatever the SF) is the
+# documented cost, collapsed by one (customer, asof) aggregate. Exact
+# integer counts/cents/day-diffs; customers with no history before an
+# as-of date are excluded (no features to serve).
+
+@register(
+    "customer_pit_features",
+    oracle=f"""
+WITH od AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+spine AS (
+  SELECT DISTINCT CAST(date_trunc('quarter', d) AS DATE) AS asof_d FROM od),
+fl AS (
+  SELECT od.o_custkey, s.asof_d,
+         CAST(SUM(CASE WHEN od.d >= s.asof_d - {_CHURN_LOOKBACK_DAYS // 2}
+                        AND od.d < s.asof_d THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orders_90d,
+         CAST(SUM(CASE WHEN od.d >= s.asof_d - {_CHURN_LOOKBACK_DAYS // 2}
+                        AND od.d < s.asof_d THEN od.cents ELSE 0 END)
+              AS BIGINT) AS spend_90d_cents,
+         MAX(CASE WHEN od.d < s.asof_d THEN od.d END) AS last_d
+  FROM od CROSS JOIN spine s
+  GROUP BY 1, 2)
+SELECT asof_d AS asof_date, o_custkey AS custkey,
+       n_orders_90d, spend_90d_cents,
+       CAST(asof_d - last_d AS BIGINT) AS days_since_last
+FROM fl WHERE last_d IS NOT NULL
+""".strip(),
+)
+def customer_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    spine = od.select(
+        F.to_date(F.date_trunc("quarter", F.col("d"))).alias("asof_d")
+    ).distinct()
+    win = (F.col("d") >= F.date_sub("asof_d", _CHURN_LOOKBACK_DAYS // 2)) & (
+        F.col("d") < F.col("asof_d")
+    )
+    fl = (
+        od.crossJoin(F.broadcast(spine))
+        .groupBy("o_custkey", "asof_d")
+        .agg(
+            F.sum(F.when(win, 1).otherwise(0))
+            .cast("long")
+            .alias("n_orders_90d"),
+            F.sum(F.when(win, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("spend_90d_cents"),
+            F.max(F.when(F.col("d") < F.col("asof_d"), F.col("d"))).alias(
+                "last_d"
+            ),
+        )
+    )
+    return fl.where(F.col("last_d").isNotNull()).select(
+        F.col("asof_d").alias("asof_date"),
+        F.col("o_custkey").alias("custkey"),
+        "n_orders_90d",
+        "spend_90d_cents",
+        F.datediff("asof_d", "last_d").cast("long").alias("days_since_last"),
+    )
