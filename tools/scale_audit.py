@@ -118,6 +118,8 @@ FAMILIES = [
     ("holiday event study (offset join)", "orders_holiday_event_study"),
     ("Croston demand (telescoped intervals)", "brand_croston_demand"),
     ("prefix autocomplete (per-prefix top-k)", "token_prefix_autocomplete"),
+    ("community conductance (stored labels)", "part_community_conductance"),
+    ("PIT feature matrix (spine fan-out)", "customer_pit_features"),
 ]
 
 
