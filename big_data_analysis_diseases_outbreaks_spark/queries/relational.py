@@ -12199,3 +12199,158 @@ def customer_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_90d_cents",
         F.datediff("asof_d", "last_d").cast("long").alias("days_since_last"),
     )
+
+
+# --- bounded-distance betweenness centrality (round 13) ----------------------
+# The missing member of the centrality family (degree / PageRank /
+# harmonic-ANF done): Brandes dependency accumulation (Brandes 2001;
+# the bounded-distance variant surveyed in Brandes 2008 §4 — the
+# standard approximation is a source SUBSET + a distance bound, e.g.
+# Brandes/Pich 2007 pivots) from the deterministic seed set (part_key
+# ≡ 0 mod 500, the BFS convention), depth-bounded at the BFS family's
+# 3 hops. Forward pass: level-synchronous multi-source BFS carrying
+# shortest-path COUNTS σ(s,v) — state keyed (source, node), each round
+# one edge join + one (s,node) aggregate + visited anti-join, exactly
+# the operators/bfs.py shape widened by the σ sum. Backward pass:
+# δ(v) = Σ_{w ∈ succ(v)} σ_v·(SCALE + δ_w) div σ_w — the Brandes
+# recurrence in the repo's exact-integer fixed-point protocol
+# (operators/pagerank.py): σ are exact BIGINT path counts, δ is scaled
+# by 10^6 and every division is truncating integer division, so all
+# partial-sum orders agree and the oracle is the same recurrence as
+# chained CTEs (the kcore/ktruss precedent). Overflow bound: each
+# credit multiply is σ_v·(SCALE+δ_w) — keep σ_max·(SCALE+δ_max) < 2^63;
+# at the co-purchase fixture σ ≤ a few hundred and δ ≤ reach·SCALE
+# ≈ 1e10, orders of magnitude inside the bound (for denser graphs pass
+# a smaller scale, the PageRank contract). State is (seed×node)-sized,
+# never edge-sized; the edge fact is persisted once and re-joined per
+# round — the 1000-executor layout.
+
+_BTW_SCALE = 1_000_000
+
+
+def _betweenness_oracle() -> str:
+    anti = {
+        1: "l0",
+        2: "l0, l1",
+        3: "l0, l1, l2",
+    }
+
+    def level(r: int) -> str:
+        prev = f"l{r - 1}"
+        nots = "\n    AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM {p} p{i} "
+            f"WHERE p{i}.s = {prev}.s AND p{i}.v = e.dst)"
+            for i, p in enumerate(anti[r].split(", "))
+        )
+        return f"""l{r} AS MATERIALIZED (
+  SELECT {prev}.s, e.dst AS v, CAST(SUM({prev}.sigma) AS BIGINT) AS sigma
+  FROM {prev} JOIN e ON e.src = {prev}.v
+  WHERE {nots}
+  GROUP BY 1, 2)"""
+
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % {_BFS_SEED_MOD} = 0),
+l0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+{level(1)},
+{level(2)},
+{level(3)},
+d2 AS (
+  SELECT l2.s, l2.v,
+         CAST(SUM((l2.sigma * {_BTW_SCALE}) // w.sigma) AS BIGINT) AS delta
+  FROM l2 JOIN e ON e.src = l2.v
+  JOIN l3 w ON w.s = l2.s AND w.v = e.dst
+  GROUP BY 1, 2),
+l2d AS MATERIALIZED (
+  SELECT l2.s, l2.v, l2.sigma, COALESCE(d2.delta, 0) AS delta
+  FROM l2 LEFT JOIN d2 ON d2.s = l2.s AND d2.v = l2.v),
+d1 AS (
+  SELECT l1.s, l1.v,
+         CAST(SUM((l1.sigma * ({_BTW_SCALE} + w.delta)) // w.sigma)
+              AS BIGINT) AS delta
+  FROM l1 JOIN e ON e.src = l1.v
+  JOIN l2d w ON w.s = l1.s AND w.v = e.dst
+  GROUP BY 1, 2),
+l1d AS (
+  SELECT l1.s, l1.v, COALESCE(d1.delta, 0) AS delta
+  FROM l1 LEFT JOIN d1 ON d1.s = l1.s AND d1.v = l1.v)
+SELECT CAST(v AS BIGINT) AS part_key,
+       CAST(SUM(delta) AS BIGINT) AS betweenness_scaled
+FROM (SELECT v, delta FROM l1d UNION ALL SELECT v, delta FROM l2d) t
+GROUP BY v
+""".strip()
+
+
+@register("part_copurchase_betweenness", oracle=_betweenness_oracle())
+def part_copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir).distinct().persist()
+    seeds = (
+        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    l0 = seeds.select(
+        F.col("node").alias("s"),
+        F.col("node").alias("v"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).persist()
+    levels = [l0]
+    visited = l0.select("s", "v")
+    for _ in range(3):
+        cur = levels[-1]
+        nxt = (
+            edges.join(cur, edges["src"] == cur["v"])
+            .groupBy("s", F.col("dst").alias("v2"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .withColumnRenamed("v2", "v")
+            .join(visited, on=["s", "v"], how="left_anti")
+            .persist()  # read by: next forward round, visited union,
+            # backward credit join, delta left-join
+        )
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v"))
+    l1, l2, l3 = levels[1], levels[2], levels[3]
+
+    def credits(lower: DataFrame, upper_d: DataFrame) -> DataFrame:
+        # upper_d: (s, v, sigma, delta) — δ of the level ABOVE `lower`.
+        up = upper_d.select(
+            F.col("s").alias("ws"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        return (
+            lower.join(edges, lower["v"] == edges["src"])
+            .join(up, (F.col("ws") == lower["s"]) & (F.col("w") == F.col("dst")))
+            .select(
+                lower["s"].alias("s"),
+                lower["v"].alias("v"),
+                F.expr(
+                    f"(sigma * ({_BTW_SCALE} + delta_w)) div sigma_w"
+                ).alias("credit"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("credit").cast("long").alias("delta"))
+        )
+
+    def with_delta(level: DataFrame, d: DataFrame) -> DataFrame:
+        return level.join(d, on=["s", "v"], how="left").select(
+            "s", "v", "sigma", F.coalesce("delta", F.lit(0)).cast("long").alias("delta")
+        )
+
+    l3d = l3.withColumn("delta", F.lit(0).cast("long"))
+    l2d = with_delta(l2, credits(l2, l3d)).persist()  # feeds d1 + output
+    l1d = with_delta(l1, credits(l1, l2d))
+    return (
+        l1d.select("v", "delta")
+        .unionByName(l2d.select("v", "delta"))
+        .groupBy("v")
+        .agg(F.sum("delta").cast("long").alias("betweenness_scaled"))
+        .select(F.col("v").alias("part_key"), "betweenness_scaled")
+    )

@@ -6091,3 +6091,140 @@ def token_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _AUTOCOMPLETE_TOPK)
     )
+
+
+# --- full BPE tokenizer-training loop (round 13) -----------------------------
+# bpe_top_merges does ONE merge-counting round; this is the real
+# tokenizer-training inner loop (Sennrich et al. 2016 alg. 1): K
+# SEQUENTIAL merge rounds, each = (count adjacent symbol pairs weighted
+# by word frequency → argmax pair under the total (count DESC, pair
+# ASC) order → apply the merge to every word's symbol sequence) — the
+# next round's counts see the previous round's merged symbols.
+# Spark-first shape: everything after the first aggregation runs on
+# the VOCABULARY-sized word-frequency table (corpus-size-independent —
+# why real BPE trainers operate on word counts, not raw text); the
+# merge application is a JVM-side aggregate() fold over the symbol
+# array (left-to-right single pass — the leftmost-first semantics of
+# standard BPE; overlapping occurrences like "aaa" under merge (a,a)
+# yield ["aa","a"]), so no Python crossing anywhere. The per-round
+# argmax is a bounded 1-row collect (the corpus_greedy_coverage
+# protocol); the word table is localCheckpointed per round so the
+# K-round lineage never nests. Oracle: the same loop as K chained
+# CTEs, the fold expressed as a DuckDB list_reduce over the
+# space-joined symbol string (symbols never contain spaces).
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle() -> str:
+    parts = [
+        """w0 AS (
+  SELECT list_transform(generate_series(1, length(word)),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS syms,
+         freq
+  FROM (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) t
+    WHERE length(w) >= 2
+    GROUP BY w))"""
+    ]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT pair, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+         replace(pair, ' ', '') AS m, n
+  FROM (
+    SELECT syms[i] || ' ' || syms[i + 1] AS pair,
+           CAST(SUM(freq) AS BIGINT) AS n
+    FROM w{r - 1},
+         LATERAL (SELECT UNNEST(generate_series(1, len(syms) - 1)) AS i) g
+    GROUP BY 1
+    ORDER BY n DESC, pair ASC LIMIT 1)),
+w{r} AS MATERIALIZED (
+  SELECT string_split(
+           list_reduce(syms, (acc, x) ->
+             CASE WHEN (acc = t{r}.a OR acc LIKE '% ' || t{r}.a)
+                       AND x = t{r}.b
+                  THEN CASE WHEN acc = t{r}.a THEN t{r}.m
+                            ELSE left(acc, length(acc) - length(t{r}.a) - 1)
+                                 || ' ' || t{r}.m END
+                  ELSE acc || ' ' || x END),
+           ' ') AS syms,
+         freq
+  FROM w{r - 1}, t{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS step, pair, m AS merged,"
+        f" n AS n_occurrences FROM t{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}"
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """Left-to-right single-pass merge of adjacent pair (a, b) → a||b
+    over the symbol array — nested IFs so element_at(acc, -1) is never
+    evaluated on an empty accumulator (ANSI mode)."""
+    m = a + b
+    return (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        "IF(size(acc) = 0, array(x), "
+        f"IF(element_at(acc, -1) = '{a}' AND x = '{b}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{m}')), "
+        "concat(acc, array(x)))))"
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substring(word, i, 1))"
+            ).alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks: list[tuple[int, str, str, int]] = []
+    for step in range(_BPE_TRAIN_ROUNDS):
+        top = (
+            w.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i ->"
+                        " concat(element_at(syms, i), ' ',"
+                        " element_at(syms, i + 1)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        a, b = pair.split(" ")
+        picks.append((step, pair, a + b, int(n)))
+        if step < _BPE_TRAIN_ROUNDS - 1:  # last round's merge is unread
+            w = w.select(
+                F.expr(_bpe_merge_expr(a, b)).alias("syms"), "freq"
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "step BIGINT, pair STRING, merged STRING, n_occurrences BIGINT"
+    )
