@@ -76,72 +76,70 @@ def register(name: str, oracle: str | None = None):
 # backfill from the tail.  Backfill = the §2 flagship spine (no driver
 # row since r5–r6) followed by the queries whose last green row is
 # OLDEST (r1/r3).  EXACTLY 50 entries (test-enforced).
-# Round-12 rotation (per VERDICT r11 §"Next round" #1): the 7 queries
-# that have never had a driver row lead (r11b additions that landed
-# after the r11 driver run), new round-12 operators are inserted at the
-# head as they land, and the 43 backfill slots re-confirm the queries
-# whose last driver-green row is OLDEST (r3/r4).  EXACTLY 50 entries
-# (test-enforced); tools/rotate_window.py regenerates this list.
+# Round-13 rotation (per VERDICT r12 §"Next round" #3): never-green hit
+# ZERO at r12 close, so the window is new-operator slots + pure
+# re-confirmation backfill: new round-13 operators lead (never-green by
+# construction, inserted at the head as they land, evicting backfill
+# from the tail), then the 8 rows-only queries (they emit rows-rows,
+# keeping the weaker driver evidence fresh — their last driver rows are
+# r1-r7), then the oracle-backed queries whose last driver-green row is
+# OLDEST (r3/r4).  EXACTLY 50 entries (test-enforced);
+# tools/rotate_window.py regenerates this list.
 _PRIORITY: list[str] = [
-    # --- never driver-green (r11b additions, all green in the judge's
-    # own 381/381 sweep — need a CORRECTNESS_r12 row):
-    "curriculum_order_manifest",
-    "lang_tokenizer_fertility",
-    "lang_id_confusion",
-    "ann_grid_topk",
-    "ann_grid_recall_report",
-    "supplier_ontime_wilson",
-    "part_copurchase_local_bridges",
-    # --- round-12 additions are inserted HERE as they land (never-green
-    # by construction), evicting backfill from the tail.
-    "doc_eval_decontamination",
-    "stream_minhash_incremental",
-    # rows-only → value tier upgrades (deterministic sketch / grid
-    # re-expressions; prior rows-only evidence no longer sufficient):
-    "approx_distinct_users",
-    "ann_recall_report",
-    "orders_mad_outliers",
-    "doc_vocab_coverage",
-    "part_copurchase_anf",
-    "part_copurchase_sssp",
-    "events_top_paths",
-    "part_graph_eff_diameter",
-    "curation_pipeline_v3",
-    "token_prefix_autocomplete",
-    "stream_eval_decontam",
-    "orders_dow_adjusted_anomaly",
-    "part_rich_club",
-    "multimodal_tile_manifest",
-    "orders_holiday_event_study",
-    "part_copurchase_anf_mv",
-    "brand_croston_demand",
-    "part_community_conductance",
-    "customer_pit_features",
-    # --- re-shaped oracles this round (old hash evidence no longer
-    # applies after the ADVICE fixes):
-    "segment_balance_anova",
-    "events_markov_attribution",
-    "churn_labels_pit",
-    # --- oldest-evidence re-confirmation backfill (last green r3):
-    "embedding_activation_stats",
-    "embedding_quantize_int8",
-    "event_prop_key_stats",
-    "fuzzy_part_name_pairs",
-    "grouping_sets_order_stats",
-    "label_centroids",
-    "late_shipment_orders",
-    "merge_upsert_orders",
-    "monthly_rollup_from_daily",
-    "order_price_histogram",
-    "orders_above_customer_avg",
-    "orders_calendar_rollup",
-    "orders_price_band",
-    "parts_not_recently_shipped",
-    "promo_revenue_share",
-    "region_shipment_flags",
-    "returned_parts_multiset",
-    "rollup_lineitem_status",
-    "salted_type_join",
+    # --- round-13 additions (never driver-green by construction):
+    "part_copurchase_betweenness",
+    "bpe_train_merges",
+    "kmeans_track_deterministic",
+    "kmeans_inertia_profile",
+    # --- rows-only refresh (driver rows-rows keep the no-oracle
+    # evidence current; newest-first is fine, they all predate r8):
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
+    "dedup_embedding_lsh",
+    "dedup_semdedup",
+    "kmeans_anomaly",
+    "iforest_anomaly",
+    "ml_recall_report",
+    "kmeans_model_selection",
+    # --- oldest-evidence re-confirmation backfill (last green r3/r4):
+    "scd2_priority_epochs",
+    "small_quantity_revenue",
+    "sql_api_priority_revenue",
+    "top3_customers_per_nation",
+    "anomaly_region_map",
+    "contamination_8gram_overlap",
+    "cosine_topk",
+    "daily_zero_filled",
+    "doc_fingerprint",
+    "doc_lang_id",
+    "doc_quality_score",
+    "doc_repetition_ratio",
+    "doc_simhash16",
+    "doc_token_count",
+    "embedding_norms",
+    "features_join",
+    "json_extract_props",
+    "local_supplier_revenue",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "national_market_share",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_strict",
+    "returned_item_reporting",
+    "sessionize_events",
+    "shipping_priority_top10",
+    "stream_cusum_changepoints",
+    "stream_dedup_events",
+    "stream_interval_join",
+    "stream_left_interval_join",
+    "stream_running_zscore",
+    "stream_session_agg",
+    "tfidf_top_terms",
+    "tpch_q1_pricing",
+    "union_distinct_regions",
+    "waiting_orders_blame",
+    "anomaly_map_series",
+    "best_value_supplier",
 ]
 
 

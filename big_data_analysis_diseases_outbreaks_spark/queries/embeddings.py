@@ -2503,3 +2503,217 @@ def embedding_top_pc_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, v[i]) for i in range(_PC_DIM)],
         "dim LONG, comp_scaled LONG",
     )
+
+
+# --- deterministic distributed Lloyd (round 13) -------------------------------
+# The KMeans track's VALUE-TIER twin (VERDICT r12 #4): MLlib
+# kmeans_anomaly / kmeans_model_selection stay as the API-parity rows
+# tier (seeded MLlib fits are not bit-reproducible across engines);
+# these two queries re-express the same capability — Lloyd iterations +
+# an inertia-based model-selection profile — under the repo's
+# exact-integer protocol so every value hashes across engines:
+# embeddings quantized to a 10^-3 grid (FLOOR(x·1000 + 0.5) — identical
+# IEEE double ops in Spark and DuckDB), centroids updated with
+# truncating integer division (Spark `div` ≡ DuckDB `//`, both
+# truncate toward zero — probe-verified), assignment argmin with the
+# (distance, cluster) total order. Init = the k smallest vec_ids'
+# vectors (deterministic, SQL-expressible). The distributed shape is
+# exactly MLlib's: broadcast k·dim centroid literals, one
+# assignment+partial-agg pass per round (map-side combine on
+# (cluster, dim)), only k·dim+k rows ever reach the driver per round —
+# the sanctioned bounded collect of the codebook fits
+# (operators/similarity.py). Empty clusters drop (documented;
+# deterministic on both sides). Oracle = the same Lloyd loop unrolled
+# as chained CTEs over the long-form (vec_id, dim, x) table.
+
+_KMD_ROUNDS = 4
+_KMD_K = 4
+_KMD_PROFILE_KS = (2, 3, 4, 5)
+
+
+def _kmd_quant_expr() -> str:
+    return (
+        "transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT))"
+    )
+
+
+def _kmd_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_kmd_quant_expr()).alias("qe")
+    )
+
+
+def _kmd_dist_sql(cent: list[int]) -> str:
+    arr = "array(" + ",".join(f"{v}L" for v in cent) + ")"
+    return (
+        f"aggregate(zip_with(qe, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "0L, (s, v) -> s + v)"
+    )
+
+
+def _kmd_assign_expr(cents: list[tuple[int, list[int]]]) -> str:
+    structs = ",".join(
+        f"named_struct('d', {_kmd_dist_sql(c)}, 'c', CAST({j} AS BIGINT))"
+        for j, c in cents
+    )
+    return f"array_min(array({structs}))"
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncating integer division (toward zero) — Python // floors,
+    Spark `div` and DuckDB `//` truncate; match the engines."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _kmd_fit(
+    emb: DataFrame, k: int, rounds: int
+) -> list[tuple[int, list[int]]]:
+    """Run `rounds` Lloyd updates, collecting only k·dim sums + k counts
+    per round; returns the post-round-`rounds` centroids (empty
+    clusters dropped)."""
+    init = emb.orderBy("vec_id").limit(k).collect()
+    cents = [(j, [int(v) for v in r["qe"]]) for j, r in enumerate(init)]
+    for _ in range(rounds):
+        stats = (
+            emb.withColumn(
+                "cluster", F.expr(_kmd_assign_expr(cents) + ".c")
+            )
+            .select("cluster", F.posexplode("qe").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                int(r["s"]),
+                int(r["n"]),
+            )
+        cents = [
+            (c, [_tdiv(*dims[d]) for d in sorted(dims)])
+            for c, dims in sorted(by_c.items())
+        ]
+    return cents
+
+
+def _kmd_round_ctes(k: int, rounds: int, p: str) -> str:
+    """Chained-CTE Lloyd unroll with CTE names prefixed `p` (so the
+    profile oracle can hold four independent chains)."""
+    ctes = [
+        f"""{p}init AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM q ORDER BY vec_id LIMIT {k}),
+{p}c0 AS MATERIALIZED (
+  SELECT i.cluster, e.dim, e.x AS c FROM {p}init i JOIN e USING (vec_id))"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""{p}a{r} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY SUM((e.x - c.c) * (e.x - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM e JOIN {p}c{r - 1} c USING (dim)
+    GROUP BY e.vec_id, c.cluster)
+  WHERE rn = 1),
+{p}c{r} AS MATERIALIZED (
+  SELECT a.cluster, e.dim, CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS c
+  FROM {p}a{r} a JOIN e USING (vec_id)
+  GROUP BY 1, 2)"""
+        )
+    return ",\n".join(ctes)
+
+
+_KMD_BASE = """q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+           AS qe
+  FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, qe[i] AS x
+  FROM q, LATERAL (SELECT UNNEST(generate_series(1, len(qe))) AS i) g)"""
+
+
+def _kmd_track_oracle() -> str:
+    r = _KMD_ROUNDS
+    return f"""
+WITH {_KMD_BASE},
+{_kmd_round_ctes(_KMD_K, r, "")},
+n AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM a{r} GROUP BY 1)
+SELECT c.cluster, c.dim, c.c AS centroid_q, n.n_points
+FROM c{r} c JOIN n USING (cluster)
+""".strip()
+
+
+@register("kmeans_track_deterministic", oracle=_kmd_track_oracle())
+def kmeans_track_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _kmd_emb(spark, sf_dir).localCheckpoint(eager=True)
+    cents = _kmd_fit(emb, _KMD_K, _KMD_ROUNDS - 1)
+    # final round distributed: the returned plan IS round R's
+    # assignment + update (same partial-agg shape the loop collected)
+    asg = emb.withColumn("cluster", F.expr(_kmd_assign_expr(cents) + ".c"))
+    stats = (
+        asg.select("cluster", F.posexplode("qe").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return stats.select(
+        "cluster",
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("s div n").alias("centroid_q"),
+        F.col("n").alias("n_points"),
+    )
+
+
+def _kmd_profile_oracle() -> str:
+    r = _KMD_ROUNDS
+    chains = ",\n".join(
+        _kmd_round_ctes(k, r, f"k{k}_") for k in _KMD_PROFILE_KS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT)
+        FROM k{k}_c{r}) AS n_clusters,
+       (SELECT CAST(SUM(md) AS BIGINT) FROM (
+          SELECT MIN(d) AS md FROM (
+            SELECT e.vec_id, SUM((e.x - c.c) * (e.x - c.c)) AS d
+            FROM e JOIN k{k}_c{r} c USING (dim)
+            GROUP BY e.vec_id, c.cluster) t
+          GROUP BY vec_id) m) AS inertia"""
+        for k in _KMD_PROFILE_KS
+    )
+    return f"WITH {_KMD_BASE},\n{chains}\n{rows}"
+
+
+@register("kmeans_inertia_profile", oracle=_kmd_profile_oracle())
+def kmeans_inertia_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic model selection: the inertia elbow profile over
+    k ∈ {2,3,4,5}, each fit = _KMD_ROUNDS exact-integer Lloyd rounds;
+    the value-tier twin of the MLlib silhouette-based
+    kmeans_model_selection (which stays rows-tier: seeded MLlib fits
+    don't hash across engines)."""
+    emb = _kmd_emb(spark, sf_dir).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for k in _KMD_PROFILE_KS:
+        cents = _kmd_fit(emb, k, _KMD_ROUNDS)
+        inert = (
+            emb.select(
+                F.expr(_kmd_assign_expr(cents) + ".d").alias("d")
+            )
+            .agg(F.sum("d").cast("long").alias("inertia"))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.lit(len(cents)).cast("long").alias("n_clusters"),
+                "inertia",
+            )
+        )
+        out = inert if out is None else out.unionByName(inert)
+    return out

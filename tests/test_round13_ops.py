@@ -155,3 +155,83 @@ def test_bpe_train_matches_pure_python_trainer(spark):
     assert got == want
     # merges must be sequential: later rounds may merge MERGED symbols
     assert len(got) == 8
+
+
+# --- deterministic Lloyd parity vs pure-Python replica -----------------------
+
+
+def _tdiv(s: int, n: int) -> int:
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _lloyd_py(vecs: list[tuple[int, list[int]]], k: int, rounds: int):
+    """(vec_id, quantized) → centroids after `rounds` truncating-div
+    updates; init = k smallest vec_ids. Returns (cents, assignment)."""
+    vecs = sorted(vecs)
+    cents = {j: list(v) for j, (_, v) in enumerate(vecs[:k])}
+    asg: dict[int, int] = {}
+    for _ in range(rounds):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, x in vecs:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(x, c)), j)
+                for j, c in cents.items()
+            )[1]
+            asg[vid] = best
+            if best not in sums:
+                sums[best] = [0] * len(x)
+                counts[best] = 0
+            counts[best] += 1
+            for d, a in enumerate(x):
+                sums[best][d] += a
+        cents = {
+            j: [_tdiv(s, counts[j]) for s in sums[j]] for j in sums
+        }
+    return cents, asg
+
+
+def _quant_vecs(sf_dir: str) -> list[tuple[int, list[int]]]:
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    return [
+        (int(vid), [int(math.floor(float(x) * 1000.0 + 0.5)) for x in emb])
+        for vid, emb in rows
+    ]
+
+
+def test_kmeans_track_matches_pure_python_lloyd(spark):
+    rows = _Q["kmeans_track_deterministic"].fn(spark, SF_SMALL).collect()
+    got = {
+        (r["cluster"], r["dim"]): (r["centroid_q"], r["n_points"])
+        for r in rows
+    }
+    cents, asg = _lloyd_py(_quant_vecs(SF_SMALL), k=4, rounds=4)
+    counts: dict[int, int] = {}
+    for c in asg.values():
+        counts[c] = counts.get(c, 0) + 1
+    want = {
+        (j, d): (c[d], counts[j])
+        for j, c in cents.items()
+        for d in range(len(c))
+    }
+    assert got == want
+
+
+def test_kmeans_inertia_profile_invariants(spark):
+    rows = {
+        r["k"]: r
+        for r in _Q["kmeans_inertia_profile"].fn(spark, SF_SMALL).collect()
+    }
+    assert sorted(rows) == [2, 3, 4, 5]
+    for k, r in rows.items():
+        assert 1 <= r["n_clusters"] <= k
+        assert r["inertia"] >= 0
+    # more clusters with the same init prefix should not increase
+    # inertia dramatically; pin weak monotonic trend start-to-end
+    assert rows[5]["inertia"] <= rows[2]["inertia"]

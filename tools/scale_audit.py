@@ -120,6 +120,16 @@ FAMILIES = [
     ("prefix autocomplete (per-prefix top-k)", "token_prefix_autocomplete"),
     ("community conductance (stored labels)", "part_community_conductance"),
     ("PIT feature matrix (spine fan-out)", "customer_pit_features"),
+    # round-13: bounded-distance Brandes, the BPE trainer loop (vocab-
+    # sized iterations), deterministic Lloyd (k·dim bounded collects),
+    # and the ANF cold-vs-MV pair (VERDICT r12 #7: show the edge-rebuild
+    # gap at 10×).
+    ("betweenness (multi-source Brandes, depth 3)",
+     "part_copurchase_betweenness"),
+    ("BPE trainer (8 sequential merges)", "bpe_train_merges"),
+    ("deterministic Lloyd (4 rounds)", "kmeans_track_deterministic"),
+    ("ANF cold (edge rebuild + sketches)", "part_copurchase_anf"),
+    ("ANF stored-MV (sketches only)", "part_copurchase_anf_mv"),
 ]
 
 
