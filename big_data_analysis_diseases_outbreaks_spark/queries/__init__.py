@@ -91,6 +91,9 @@ _PRIORITY: list[str] = [
     "bpe_train_merges",
     "kmeans_track_deterministic",
     "kmeans_inertia_profile",
+    "bpe_apply_vocab",
+    "part_copurchase_mis",
+    "doc_weighted_priority_sample",
     # --- rows-only refresh (driver rows-rows keep the no-oracle
     # evidence current; newest-first is fine, they all predate r8):
     "ann_ivf_topk",
@@ -137,9 +140,6 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",
     "tpch_q1_pricing",
     "union_distinct_regions",
-    "waiting_orders_blame",
-    "anomaly_map_series",
-    "best_value_supplier",
 ]
 
 

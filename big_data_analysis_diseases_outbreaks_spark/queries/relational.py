@@ -12354,3 +12354,119 @@ def part_copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").cast("long").alias("betweenness_scaled"))
         .select(F.col("v").alias("part_key"), "betweenness_scaled")
     )
+
+
+# --- deterministic Luby maximal independent set (round 13) -------------------
+# The classic distributed symmetry-breaking primitive (Luby 1986): per
+# round, every ACTIVE node draws a priority and enters the MIS iff it
+# beats every active neighbor; winners + their neighborhoods leave the
+# graph. Facility placement / conflict-free scheduling / graph-coloring
+# seed — and the canonical "local decision per round" Pregel shape:
+# each round is one edge join + one min-aggregate on the node key +
+# two anti-joins, all shuffle-partitioned on the node key, state is
+# node-sized. Priorities are DETERMINISTIC per (node, round) — an LCG
+# hash folded with the node id into a unique total order P(v) =
+# hash(v, r)·10^9 + v (exact integers; requires node ids < 10^9,
+# documented like the pagerank scale bound) — so the rounds replay
+# bit-identically in any engine and the oracle is the same loop as
+# chained CTEs. Bounded at 3 rounds (the iterative-operator
+# discipline); nodes still active after round 3 are simply undecided —
+# maximality holds on the decided subgraph (pytest-pinned).
+
+_MIS_ROUNDS = 3
+_MIS_LCG_A = 1103515245
+_MIS_LCG_C = 12345
+_MIS_LCG_M = 2147483647
+_MIS_ID_SPAN = 1_000_000_000
+
+
+def _mis_pr_sql(node: str, r: int) -> str:
+    return (
+        f"(({node} * {_MIS_LCG_A} + {_MIS_LCG_C} * {r})"
+        f" % {_MIS_LCG_M}) * {_MIS_ID_SPAN} + {node}"
+    )
+
+
+def _mis_oracle() -> str:
+    rounds = []
+    for r in range(1, _MIS_ROUNDS + 1):
+        rounds.append(f"""
+p{r} AS (SELECT node, CAST({_mis_pr_sql("node", r)} AS BIGINT) AS pr
+         FROM a{r}),
+m{r} AS (
+  SELECT e.src AS node, MIN(p.pr) AS mn
+  FROM e JOIN p{r} p ON p.node = e.dst
+  GROUP BY e.src),
+s{r} AS MATERIALIZED (
+  SELECT pv.node FROM p{r} pv LEFT JOIN m{r} m USING (node)
+  WHERE m.mn IS NULL OR pv.pr < m.mn),
+a{r + 1} AS MATERIALIZED (
+  SELECT node FROM a{r}
+  EXCEPT
+  (SELECT node FROM s{r}
+   UNION
+   SELECT e.dst AS node FROM e JOIN s{r} s ON e.src = s.node))""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(node AS BIGINT) AS part_key,"
+        f" CAST({r} AS BIGINT) AS round_selected FROM s{r}"
+        for r in range(1, _MIS_ROUNDS + 1)
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+a1 AS (SELECT DISTINCT src AS node FROM e),
+{",".join(r.strip() for r in rounds)}
+{union}
+""".strip()
+
+
+@register("part_copurchase_mis", oracle=_mis_oracle())
+def part_copurchase_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-round lineage truncation (the pagerank/bfs discipline): each
+    # round reads sel/active several times AND the next round's plan
+    # would otherwise nest all previous rounds' joins — the branching
+    # re-expansion blew the driver heap just RENDERING the round-3 plan
+    # tree before truncation was added.
+    edges = copurchase_edges(spark, sf_dir).distinct().localCheckpoint(
+        eager=True
+    )
+    active = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out: DataFrame | None = None
+    for r in range(1, _MIS_ROUNDS + 1):
+        pr = active.select(
+            "node", F.expr(_mis_pr_sql("node", r)).cast("long").alias("pr")
+        )
+        mn = (
+            edges.join(pr, edges["dst"] == pr["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("pr").alias("mn"))
+        )
+        sel = (
+            pr.join(mn, on="node", how="left")
+            .where(F.col("mn").isNull() | (F.col("pr") < F.col("mn")))
+            .select("node")
+            .localCheckpoint(eager=True)  # read by output + kill + anti
+        )
+        killed = sel.unionByName(
+            edges.join(sel, edges["src"] == sel["node"]).select(
+                F.col("dst").alias("node")
+            )
+        ).distinct()
+        active = active.join(killed, on="node", how="left_anti").localCheckpoint(
+            eager=True
+        )
+        picked = sel.select(
+            F.col("node").alias("part_key"),
+            F.lit(r).cast("long").alias("round_selected"),
+        )
+        out = picked if out is None else out.unionByName(picked)
+    return out

@@ -5,7 +5,7 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -6176,10 +6176,11 @@ def _bpe_merge_expr(a: str, b: str) -> str:
     )
 
 
-@register("bpe_train_merges", oracle=_bpe_train_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, syms, freq) — the distinct len≥2 training vocabulary with
+    initial character symbols."""
     docs = load_table(spark, sf_dir, "documents")
-    w = (
+    return (
         docs.select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
@@ -6189,6 +6190,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .select(
+            "word",
             F.expr(
                 "transform(sequence(1, length(word)),"
                 " i -> substring(word, i, 1))"
@@ -6197,8 +6199,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _bpe_train_loop(
+    w: DataFrame, rounds: int, apply_last: bool
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the sequential merge loop; returns (picks, word table after
+    the applied merges). ``apply_last=False`` skips materializing the
+    final round's merge (unread when only the picks are consumed)."""
     picks: list[tuple[int, str, str, int]] = []
-    for step in range(_BPE_TRAIN_ROUNDS):
+    for step in range(rounds):
         top = (
             w.select(
                 F.explode(
@@ -6221,10 +6231,154 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair, n = top[0]["pair"], top[0]["n"]
         a, b = pair.split(" ")
         picks.append((step, pair, a + b, int(n)))
-        if step < _BPE_TRAIN_ROUNDS - 1:  # last round's merge is unread
+        if apply_last or step < rounds - 1:
             w = w.select(
-                F.expr(_bpe_merge_expr(a, b)).alias("syms"), "freq"
+                "word", F.expr(_bpe_merge_expr(a, b)).alias("syms"), "freq"
             ).localCheckpoint(eager=True)
+    return picks, w
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    picks, _ = _bpe_train_loop(
+        _bpe_vocab(spark, sf_dir), _BPE_TRAIN_ROUNDS, apply_last=False
+    )
     return spark.createDataFrame(
         picks, "step BIGINT, pair STRING, merged STRING, n_occurrences BIGINT"
+    )
+
+
+# --- tokenizer application: encode the corpus with the learned merges --------
+# The consume half of BPE training: segment every word occurrence in
+# the corpus under the K learned merge rules and report per-document
+# token statistics — the "how many tokens is my corpus under THIS
+# tokenizer" question every training-data budget starts from. The
+# learned vocabulary (word → symbol count after all K merges) is
+# vocabulary-sized and joins the corpus-sized (doc, word) stream once;
+# words outside the training vocabulary (single letters here) are
+# single symbols. tokens-per-word ships as a truncating-div ×10^4
+# fixed-point (never ROUND a rational — the cross-engine tie rule).
+
+_BPE_APPLY_DOCS_TPW_SCALE = 10_000
+
+
+def _bpe_apply_oracle() -> str:
+    train = _bpe_train_oracle()
+    chain = train[: train.index("\nSELECT CAST(0")]  # WITH ... w{K} CTEs
+    r = _BPE_TRAIN_ROUNDS
+    return f"""
+{chain},
+vocab AS (
+  SELECT array_to_string(syms, '') AS word,
+         CAST(len(syms) AS BIGINT) AS n_tok
+  FROM w{r}),
+dw AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(COALESCE(v.n_tok, 1)) AS BIGINT) AS n_bpe,
+       CAST((SUM(COALESCE(v.n_tok, 1)) * {_BPE_APPLY_DOCS_TPW_SCALE})
+            // COUNT(*) AS BIGINT) AS tok_per_word_x10000
+FROM dw d LEFT JOIN vocab v USING (word)
+GROUP BY d.doc_id
+""".strip()
+
+
+@register("bpe_apply_vocab", oracle=_bpe_apply_oracle())
+def bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, wf = _bpe_train_loop(
+        _bpe_vocab(spark, sf_dir), _BPE_TRAIN_ROUNDS, apply_last=True
+    )
+    vocab = wf.select("word", F.size("syms").cast("long").alias("n_tok"))
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    j = dw.join(F.broadcast(vocab), on="word", how="left")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.coalesce("n_tok", F.lit(1))).cast("long").alias("n_bpe"),
+        F.expr(
+            f"CAST((sum(coalesce(n_tok, 1)) * {_BPE_APPLY_DOCS_TPW_SCALE})"
+            " div count(1) AS BIGINT)"
+        ).alias("tok_per_word_x10000"),
+    )
+
+
+# --- deterministic weighted priority sampling (round 13) ---------------------
+# Priority sampling (Duffield–Lund–Thorup 2007): each item draws
+# priority q = w / u with u uniform; the top-k by q is a weighted
+# sample without replacement whose inclusion probabilities track the
+# weights. Deterministic twin: u is an LCG hash of doc_id (so the
+# sample replays bit-identically), the weight is the whitespace token
+# count (longer docs sampled more — the corpus-subsampling shape).
+# Cross-engine float discipline: q is ONE IEEE division of two exactly
+# representable integers (< 2^53) — correctly rounded identically in
+# Spark and DuckDB; no float is ever summed or re-rounded, and q
+# itself stays OUT of the output (rank + integer weight only). The
+# plan is a single TakeOrderedAndProject over a map-only scan — no
+# shuffle, no window.
+
+_WPS_TOPK = 50
+_WPS_LCG_A = 2654435761
+_WPS_LCG_M = 2147483647
+
+
+@register(
+    "doc_weighted_priority_sample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS weight,
+         (doc_id * {_WPS_LCG_A}) % {_WPS_LCG_M} + 1 AS u
+  FROM documents),
+q AS (SELECT doc_id, weight,
+             CAST(weight AS DOUBLE) / CAST(u AS DOUBLE) AS pri
+      FROM w WHERE weight > 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, weight
+FROM q
+ORDER BY pri DESC, doc_id ASC
+LIMIT {_WPS_TOPK}""".strip(),
+)
+def doc_weighted_priority_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("long")
+        .alias("weight"),
+        (
+            (F.col("doc_id") * _WPS_LCG_A) % _WPS_LCG_M + F.lit(1)
+        ).alias("u"),
+    ).where(F.col("weight") > 0)
+    q = w.select(
+        "doc_id",
+        "weight",
+        (F.col("weight").cast("double") / F.col("u").cast("double")).alias(
+            "pri"
+        ),
+    )
+    top = q.orderBy(F.col("pri").desc(), F.col("doc_id").asc()).limit(
+        _WPS_TOPK
+    )
+    return top.select(
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("pri").desc(), F.col("doc_id").asc())
+        )
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "weight",
     )

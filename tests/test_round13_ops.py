@@ -235,3 +235,125 @@ def test_kmeans_inertia_profile_invariants(spark):
     # more clusters with the same init prefix should not increase
     # inertia dramatically; pin weak monotonic trend start-to-end
     assert rows[5]["inertia"] <= rows[2]["inertia"]
+
+
+# --- Luby MIS invariants ------------------------------------------------------
+
+
+def test_mis_independent_and_maximal_on_decided_subgraph(spark):
+    rows = _Q["part_copurchase_mis"].fn(spark, SF_SMALL).collect()
+    sel = {r["part_key"] for r in rows}
+    assert sel, "MIS must select at least one node on the fixture"
+    edges = _copurchase_edges_py(SF_SMALL)
+    nodes = {a for a, _ in edges}
+    # independence: no edge inside the selected set
+    for a, b in edges:
+        assert not (a in sel and b in sel), (a, b)
+    # maximality on the decided subgraph: every node NOT selected and
+    # not still active after the bounded rounds has a selected
+    # neighbor. Decided = selected ∪ killed = nodes with a selected
+    # neighbor; so equivalently every node is selected, has a selected
+    # neighbor, or was still active (undecided) — recompute undecided
+    # via the same bounded replay to pin the partition.
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    undecided = set(nodes)
+    for r in (1, 2, 3):
+        pr = {
+            v: ((v * 1103515245 + 12345 * r) % 2147483647) * 10**9 + v
+            for v in undecided
+        }
+        s = {
+            v
+            for v in undecided
+            if all(
+                pr[v] < pr[u] for u in adj[v] if u in undecided
+            )
+        }
+        assert s <= sel
+        undecided -= s | {u for v in s for u in adj[v]}
+    for v in nodes:
+        if v in sel or v in undecided:
+            continue
+        assert any(u in sel for u in adj[v]), v
+
+
+# --- tokenizer application consistency ---------------------------------------
+
+
+def test_bpe_apply_matches_pure_python_segmentation(spark):
+    import re
+
+    rows = _Q["bpe_apply_vocab"].fn(spark, SF_SMALL).collect()
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_chars"],
+            r["n_bpe"],
+            r["tok_per_word_x10000"],
+        )
+        for r in rows
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    freq: dict[str, int] = {}
+    for _, t in docs:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            if len(w) >= 2:
+                freq[w] = freq.get(w, 0) + 1
+    merges = _bpe_train_py(freq, rounds=8)
+
+    def seg_len(word: str) -> int:
+        syms = list(word)
+        for _, pair, merged, _ in merges:
+            a, b = pair.split(" ")
+            ns: list[str] = []
+            for x in syms:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = merged
+                else:
+                    ns.append(x)
+            syms = ns
+        return len(syms)
+
+    cache: dict[str, int] = {}
+    want = {}
+    for did, t in docs:
+        ws = re.findall(r"[a-z]+", t.lower())
+        if not ws:
+            continue
+        nb = 0
+        for w in ws:
+            if w not in cache:
+                cache[w] = seg_len(w) if len(w) >= 2 else 1
+            nb += cache[w]
+        nw = len(ws)
+        want[did] = (nw, sum(len(w) for w in ws), nb, nb * 10000 // nw)
+    assert got == want
+
+
+# --- deterministic weighted priority sample -----------------------------------
+
+
+def test_weighted_priority_sample_matches_replica(spark):
+    import re
+
+    rows = _Q["doc_weighted_priority_sample"].fn(spark, SF_SMALL).collect()
+    got = [(r["rank"], r["doc_id"], r["weight"]) for r in rows]
+    got.sort()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    pri = []
+    for did, t in docs:
+        w = len(re.findall(r"\S+", t))
+        if w > 0:
+            u = (did * 2654435761) % 2147483647 + 1
+            pri.append((-(w / u), did, w))
+    pri.sort()
+    want = [(i + 1, did, w) for i, (_, did, w) in enumerate(pri[:50])]
+    assert got == want
