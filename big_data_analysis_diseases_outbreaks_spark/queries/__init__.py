@@ -94,6 +94,9 @@ _PRIORITY: list[str] = [
     "bpe_apply_vocab",
     "part_copurchase_mis",
     "doc_weighted_priority_sample",
+    "pq_train_codes",
+    "orders_conformal_interval",
+    "part_frequent_triples",
     # --- rows-only refresh (driver rows-rows keep the no-oracle
     # evidence current; newest-first is fine, they all predate r8):
     "ann_ivf_topk",
@@ -137,9 +140,6 @@ _PRIORITY: list[str] = [
     "stream_left_interval_join",
     "stream_running_zscore",
     "stream_session_agg",
-    "tfidf_top_terms",
-    "tpch_q1_pricing",
-    "union_distinct_regions",
 ]
 
 

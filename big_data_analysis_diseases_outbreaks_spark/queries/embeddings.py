@@ -4,7 +4,7 @@ embedding: array<float>, label).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import _norm, brute_force_topk, ivf_topk, lsh_topk
@@ -2717,3 +2717,149 @@ def kmeans_inertia_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = inert if out is None else out.unionByName(inert)
     return out
+
+
+# --- deterministic product-quantization training + encoding (round 13) -------
+# The PQ half of the IVF-PQ family re-expressed under the exact-integer
+# protocol (the kmeans_track_deterministic companion): split the
+# 64-dim embedding into 8 contiguous 8-dim subspaces, train an
+# independent k=4 codebook per subspace with 2 exact-integer Lloyd
+# rounds (truncating-div centroid updates, (distance, cluster) argmin
+# order), then encode every vector — (vec_id, subspace, code,
+# reconstruction error). Unlike the driver-collect Lloyd track, this
+# one is FULLY distributed: centroids live in a (subspace, cluster,
+# dim, c) frame (8·4·8 = 256 rows, broadcast by AQE), each round is
+# two shuffles over the long-form (vec_id, subspace, dim, x) table —
+# the layout a 100 TB PQ trainer actually uses (codebook state is
+# tiny and global; the data table is the only big fact, re-joined per
+# round). Init = the k smallest vec_ids' subvectors. MLlib-free and
+# bit-identical in any engine; ann_ivf_pq_topk stays as the seeded
+# API-parity rows tier.
+
+_PQ_SUBS = 8
+_PQ_SUBDIM = 8
+_PQ_K = 4
+_PQ_ROUNDS = 2
+
+
+def _pq_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, subspace, dim, x) — quantized long form; dim is the
+    position WITHIN the subspace (0-based)."""
+    return (
+        _kmd_emb(spark, sf_dir)
+        .select("vec_id", F.posexplode("qe").alias("gdim", "x"))
+        .select(
+            "vec_id",
+            (F.col("gdim") / _PQ_SUBDIM).cast("long").alias("subspace"),
+            (F.col("gdim") % _PQ_SUBDIM).cast("long").alias("dim"),
+            "x",
+        )
+    )
+
+
+def _pq_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, subspace, code, err) — argmin cluster per (vec,
+    subspace) under the (dist, cluster) total order."""
+    d = (
+        e.join(F.broadcast(cents), on=["subspace", "dim"])
+        .groupBy("vec_id", "subspace", "cluster")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    best = d.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("dist", "cluster")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        "subspace",
+        F.col("b.cluster").alias("code"),
+        F.col("b.dist").alias("err_q"),
+    )
+
+
+def _pq_oracle() -> str:
+    ctes = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+           AS qe
+  FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((i - 1) // {_PQ_SUBDIM} AS BIGINT) AS subspace,
+         CAST((i - 1) % {_PQ_SUBDIM} AS BIGINT) AS dim,
+         qe[i] AS x
+  FROM q, LATERAL (SELECT UNNEST(generate_series(1, len(qe))) AS i) g),
+init AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM q ORDER BY vec_id LIMIT {_PQ_K}),
+c0 AS MATERIALIZED (
+  SELECT e.subspace, i.cluster, e.dim, e.x AS c
+  FROM init i JOIN e USING (vec_id))"""
+    ]
+    for r in range(1, _PQ_ROUNDS + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, subspace, cluster FROM (
+    SELECT e.vec_id, e.subspace, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, e.subspace
+             ORDER BY SUM((e.x - c.c) * (e.x - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM e JOIN c{r - 1} c ON c.subspace = e.subspace AND c.dim = e.dim
+    GROUP BY e.vec_id, e.subspace, c.cluster)
+  WHERE rn = 1),
+c{r} AS MATERIALIZED (
+  SELECT a.subspace, a.cluster, e.dim,
+         CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS c
+  FROM a{r} a JOIN e ON e.vec_id = a.vec_id AND e.subspace = a.subspace
+  GROUP BY 1, 2, 3)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT vec_id, subspace, CAST(cluster AS BIGINT) AS code,
+       CAST(dist AS BIGINT) AS err_q
+FROM (
+  SELECT e.vec_id, e.subspace, c.cluster,
+         SUM((e.x - c.c) * (e.x - c.c)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id, e.subspace
+           ORDER BY SUM((e.x - c.c) * (e.x - c.c)) ASC, c.cluster ASC
+         ) AS rn
+  FROM e JOIN c{_PQ_ROUNDS} c ON c.subspace = e.subspace AND c.dim = e.dim
+  GROUP BY e.vec_id, e.subspace, c.cluster) t
+WHERE rn = 1
+""".strip()
+
+
+@register("pq_train_codes", oracle=_pq_oracle())
+def pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _pq_long(spark, sf_dir).localCheckpoint(eager=True)
+    # init: the k smallest vec_ids' subvectors, cluster = vec_id rank
+    first_ids = (
+        e.select("vec_id").distinct().orderBy("vec_id").limit(_PQ_K)
+    )
+    ranked = first_ids.select(
+        "vec_id",
+        (
+            F.row_number().over(Window.orderBy("vec_id")) - 1
+        ).cast("long").alias("cluster"),
+    )
+    cents = (
+        e.join(ranked, on="vec_id")
+        .select("subspace", "cluster", "dim", F.col("x").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _r in range(_PQ_ROUNDS):
+        asg = _pq_assign(e, cents)
+        cents = (
+            asg.join(e, on=["vec_id", "subspace"])
+            .groupBy("subspace", F.col("code").alias("cluster"), "dim")
+            .agg(F.expr("CAST(sum(x) div count(1) AS BIGINT)").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return _pq_assign(e, cents)

@@ -357,3 +357,81 @@ def test_weighted_priority_sample_matches_replica(spark):
     pri.sort()
     want = [(i + 1, did, w) for i, (_, did, w) in enumerate(pri[:50])]
     assert got == want
+
+
+# --- PQ training parity vs pure-Python per-subspace Lloyd --------------------
+
+
+def test_pq_train_codes_matches_pure_python(spark):
+    rows = _Q["pq_train_codes"].fn(spark, SF_SMALL).collect()
+    got = {(r["vec_id"], r["subspace"]): (r["code"], r["err_q"]) for r in rows}
+    vecs = _quant_vecs(SF_SMALL)
+    want = {}
+    for s in range(8):
+        sub = [(vid, v[8 * s : 8 * s + 8]) for vid, v in vecs]
+        cents, asg = _lloyd_py(sub, k=4, rounds=2)
+        for vid, x in sub:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(x, c)), j)
+                for j, c in cents.items()
+            )
+            want[(vid, s)] = (best[1], best[0])
+    assert got == want
+
+
+# --- conformal interval guarantee --------------------------------------------
+
+
+def test_conformal_coverage_holds(spark):
+    rows = _Q["orders_conformal_interval"].fn(spark, SF_SMALL).collect()
+    assert rows
+    # split-conformal guarantees coverage ≥ 1−α in EXPECTATION over the
+    # calibration draw; a single draw's coverage is Beta-distributed
+    # with sd ≈ sqrt(α(1−α)/n_cal) ≈ 2.4pp at the fixture's n_cal≈160 —
+    # allow ~3σ per group and ~1.5σ on the across-group mean.
+    for r in rows:
+        assert r["coverage_x10000"] >= 8300, r
+        assert r["coverage_x10000"] <= 10000
+        assert r["q_cents"] >= 0 and r["n_test"] > 0 and r["n_cal"] > 0
+    mean_cov = sum(r["coverage_x10000"] for r in rows) / len(rows)
+    assert mean_cov >= 8800, mean_cov
+
+
+# --- Apriori frequent triples vs brute force ----------------------------------
+
+
+def test_frequent_triples_match_brute_force(spark):
+    from itertools import combinations
+
+    rows = _Q["part_frequent_triples"].fn(spark, SF_SMALL).collect()
+    got = {(r["p1"], r["p2"], r["p3"]): r["support"] for r in rows}
+    con = duckdb.connect()
+    baskets = con.execute(
+        f"""
+        SELECT o.o_custkey, list(DISTINCT l.l_partkey)
+        FROM '{SF_SMALL}/lineitem.parquet' l
+        JOIN '{SF_SMALL}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+        GROUP BY 1"""
+    ).fetchall()
+    tri: dict[tuple[int, int, int], int] = {}
+    pair: dict[tuple[int, int], int] = {}
+    for _, ps in baskets:
+        ps = sorted(set(int(p) for p in ps))
+        for c in combinations(ps, 2):
+            pair[c] = pair.get(c, 0) + 1
+        for c in combinations(ps, 3):
+            tri[c] = tri.get(c, 0) + 1
+    want = {
+        t: s
+        for t, s in tri.items()
+        if s >= 2
+        and pair[(t[0], t[1])] >= 2
+        and pair[(t[0], t[2])] >= 2
+        and pair[(t[1], t[2])] >= 2
+    }
+    # the Apriori prune is lossless at these thresholds: support≥2 for
+    # the triple implies support≥2 for every sub-pair — so the pruned
+    # result must equal the UNPRUNED frequent triples too
+    assert want == {t: s for t, s in tri.items() if s >= 2}
+    assert got == want
