@@ -97,6 +97,8 @@ _PRIORITY: list[str] = [
     "pq_train_codes",
     "orders_conformal_interval",
     "part_frequent_triples",
+    "brand_ols_trend",
+    "part_copurchase_walks",
     # --- rows-only refresh (driver rows-rows keep the no-oracle
     # evidence current; newest-first is fine, they all predate r8):
     "ann_ivf_topk",
@@ -138,8 +140,6 @@ _PRIORITY: list[str] = [
     "stream_dedup_events",
     "stream_interval_join",
     "stream_left_interval_join",
-    "stream_running_zscore",
-    "stream_session_agg",
 ]
 
 

@@ -12724,3 +12724,177 @@ def part_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .where(F.col("support") >= _APRIORI_MIN_SUP)
     )
+
+
+# --- per-brand OLS revenue trend, exact rational (round 13) ------------------
+# Grouped least-squares slope — the workhorse "is this segment growing"
+# statistic — with the float pitfall removed: slope = (nΣxy − ΣxΣy) /
+# (nΣx² − (Σx)²) over (month index, monthly revenue cents) is a ratio
+# of EXACT integer sums, so both the numerator and denominator ship as
+# BIGINTs plus a ×10^4 truncating-div fixed-point slope — nothing is
+# ever float-summed or re-rounded (the ANOVA/Mann-Kendall discipline).
+# One aggregation to (brand, month), one to brand: partial aggregates
+# all the way, no window, no shuffle beyond the two keys. Overflow
+# headroom: cents ≤ ~1e9·month-count 80 → Σxy ≤ 6e12, n·Σxy ≤ 5e14.
+
+_OLS_SLOPE_SCALE = 10_000
+
+
+def _ols_trend_oracle() -> str:
+    return """
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST(DATE_DIFF('month', DATE '1995-01-01',
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM bm GROUP BY brand)
+SELECT brand, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                 ELSE ((n * sxy - sx * sy) * %(scale)s)
+                      // (n * sxx - sx * sx) END AS BIGINT)
+         AS slope_cents_per_month_x10000
+FROM s
+""".strip() % {"scale": _OLS_SLOPE_SCALE}
+
+
+@register("brand_ols_trend", oracle=_ols_trend_oracle())
+def brand_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.months_between(
+            F.date_trunc("month", F.to_date("l_shipdate")),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    bm = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("brand", "x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    s = bm.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+        F.expr(
+            f"CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            f" ELSE ((n * sxy - sx * sy) * {_OLS_SLOPE_SCALE})"
+            f" div (n * sxx - sx * sx) END AS BIGINT)"
+        ).alias("slope_cents_per_month_x10000"),
+    )
+
+
+# --- deterministic graph walks (round 13) -------------------------------------
+# Walk-based graph sampling — the corpus generator behind
+# DeepWalk/node2vec-style graph embeddings — made bit-reproducible: one
+# walker per seed (the mod-500 BFS convention), 4 steps, and the step-t
+# transition from u is the out-neighbor minimizing an LCG hash of
+# (u, v, t) — a deterministic stand-in for the uniform draw that
+# replays identically in any engine (the MIS priority trick). Each
+# step is one edge join + one per-walker min-aggregate under the
+# (hash, neighbor) total order; walker state is seed-sized, the edge
+# fact is persisted once — at 100 TB this is exactly the batched
+# random-walk engine layout (walker frontier vs static edge fact).
+
+_WALK_STEPS = 4
+_WALK_A, _WALK_B, _WALK_C = 48271, 69621, 12345
+_WALK_M = 2147483647
+
+
+def _walk_h_sql(u: str, v: str, t: int) -> str:
+    return f"({u} * {_WALK_A} + {v} * {_WALK_B} + {t} * {_WALK_C}) % {_WALK_M}"
+
+
+def _walks_oracle() -> str:
+    steps = []
+    for t in range(1, _WALK_STEPS + 1):
+        steps.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT seed, node FROM (
+    SELECT w.seed, e.dst AS node,
+           ROW_NUMBER() OVER (
+             PARTITION BY w.seed
+             ORDER BY {_walk_h_sql("w.node", "e.dst", t)} ASC, e.dst ASC
+           ) AS rn
+    FROM w{t - 1} w JOIN e ON e.src = w.node) s
+  WHERE rn = 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(seed AS BIGINT) AS seed, CAST({t} AS BIGINT) AS step,"
+        f" CAST(node AS BIGINT) AS node FROM w{t}"
+        for t in range(_WALK_STEPS + 1)
+    )
+    return f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+w0 AS (SELECT DISTINCT src AS seed, src AS node FROM e
+       WHERE src % {_BFS_SEED_MOD} = 0),
+{",".join(s.strip() for s in steps)}
+{union}
+""".strip()
+
+
+@register("part_copurchase_walks", oracle=_walks_oracle())
+def part_copurchase_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir).distinct().persist()
+    cur = (
+        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+    )
+    out = cur.select(
+        "seed", F.lit(0).cast("long").alias("step"), "node"
+    )
+    for t in range(1, _WALK_STEPS + 1):
+        nxt = (
+            edges.join(cur, edges["src"] == cur["node"])
+            .select(
+                "seed",
+                F.col("dst").alias("cand"),
+                F.expr(_walk_h_sql("node", "dst", t)).alias("h"),
+            )
+            .groupBy("seed")
+            .agg(F.min(F.struct("h", "cand")).alias("b"))
+            .select("seed", F.col("b.cand").alias("node"))
+            .persist()  # read by the output union AND the next step
+        )
+        out = out.unionByName(
+            nxt.select("seed", F.lit(t).cast("long").alias("step"), "node")
+        )
+        cur = nxt
+    return out

@@ -435,3 +435,53 @@ def test_frequent_triples_match_brute_force(spark):
     # result must equal the UNPRUNED frequent triples too
     assert want == {t: s for t, s in tri.items() if s >= 2}
     assert got == want
+
+
+# --- OLS trend identities ------------------------------------------------------
+
+
+def test_ols_trend_identities(spark):
+    rows = _Q["brand_ols_trend"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["slope_den"] != 0:
+            num, den = r["slope_num"], r["slope_den"]
+            q = abs(num * 10000) // den
+            want = q if num >= 0 else -q
+            assert r["slope_cents_per_month_x10000"] == want, r
+        assert r["slope_den"] >= 0  # n*Σx² − (Σx)² ≥ 0 (Cauchy-Schwarz)
+        assert r["n"] >= 1
+
+
+# --- deterministic walks vs pure-Python replica --------------------------------
+
+
+def test_walks_match_pure_python_replica(spark):
+    rows = _Q["part_copurchase_walks"].fn(spark, SF_SMALL).collect()
+    got = {(r["seed"], r["step"]): r["node"] for r in rows}
+    edges = _copurchase_edges_py(SF_SMALL)
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    seeds = sorted({a for a, _ in edges if a % 500 == 0})
+    want = {}
+    for s in seeds:
+        cur = s
+        want[(s, 0)] = s
+        for t in range(1, 5):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(
+                nbrs,
+                key=lambda v: (
+                    (cur * 48271 + v * 69621 + t * 12345) % 2147483647,
+                    v,
+                ),
+            )
+            want[(s, t)] = cur
+    assert got == want
+    # every consecutive hop is a real edge
+    for (s, t), v in got.items():
+        if t >= 1:
+            assert (got[(s, t - 1)], v) in edges
