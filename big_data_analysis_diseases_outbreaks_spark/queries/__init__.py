@@ -99,6 +99,8 @@ _PRIORITY: list[str] = [
     "part_frequent_triples",
     "brand_ols_trend",
     "part_copurchase_walks",
+    "brand_theil_sen",
+    "stream_conformal_calibration",
     # --- rows-only refresh (driver rows-rows keep the no-oracle
     # evidence current; newest-first is fine, they all predate r8):
     "ann_ivf_topk",
@@ -138,8 +140,6 @@ _PRIORITY: list[str] = [
     "shipping_priority_top10",
     "stream_cusum_changepoints",
     "stream_dedup_events",
-    "stream_interval_join",
-    "stream_left_interval_join",
 ]
 
 

@@ -12537,14 +12537,10 @@ FROM tst t JOIN med m USING (priority) JOIN qhat q USING (priority)
 """.strip()
 
 
-@register("orders_conformal_interval", oracle=_conformal_oracle())
-def orders_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
-        "o_orderkey",
-    )
+def _conformal_serve(o: DataFrame) -> DataFrame:
+    """The conformal report over a prepared (priority, cents, is_cal,
+    o_orderkey) frame — shared by the batch query and the streaming
+    calibration-store twin (queries/streaming.py)."""
     cal = o.where("is_cal")
     wm = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
     wn = Window.partitionBy("priority")
@@ -12611,6 +12607,18 @@ def orders_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((n_covered * 10000) div n_test AS BIGINT)").alias(
                 "coverage_x10000"
             ),
+        )
+    )
+
+
+@register("orders_conformal_interval", oracle=_conformal_oracle())
+def orders_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _conformal_serve(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+            "o_orderkey",
         )
     )
 
@@ -12898,3 +12906,125 @@ def part_copurchase_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = nxt
     return out
+
+
+# --- Theil–Sen robust trend (round 13) ----------------------------------------
+# The robust companion to brand_ols_trend: the Theil–Sen estimator is
+# the MEDIAN of all pairwise slopes (y_j−y_i)/(x_j−x_i) — 29%
+# breakdown vs OLS's zero. Cross-engine float discipline: each pairwise
+# slope is ONE IEEE division of two exact integers (correctly rounded
+# identically everywhere); the median selects (or averages two of)
+# those quotients by rank with a deterministic (slope, i, j) tie
+# order, so no float is ever accumulated — the same single-division
+# contract as doc_weighted_priority_sample. Pair generation is bounded:
+# it joins the (brand, month) AGGREGATE with itself — ≤ months² rows
+# per brand, never lineitem-sized — the calendar-bounded quadratic of
+# the Mann-Kendall precedent.
+
+
+def _theil_sen_oracle() -> str:
+    return """
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST(DATE_DIFF('month', DATE '1995-01-01',
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+sl AS (
+  SELECT a.brand,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s,
+         a.x AS xi, b.x AS xj
+  FROM bm a JOIN bm b ON a.brand = b.brand AND a.x < b.x),
+rk AS (
+  SELECT brand, s,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY s, xi, xj) AS rn,
+         COUNT(*) OVER (PARTITION BY brand) AS n
+  FROM sl)
+SELECT brand, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       SUM(CASE WHEN rn = (n + 1) // 2 THEN s ELSE 0 END)
+         + SUM(CASE WHEN n % 2 = 0 AND rn = n // 2 + 1 THEN s ELSE 0 END)
+         AS med2
+FROM rk
+GROUP BY brand
+""".strip()
+
+
+@register(
+    "brand_theil_sen",
+    oracle=f"""
+WITH base AS ({_theil_sen_oracle()})
+SELECT brand, n_pairs,
+       CASE WHEN n_pairs % 2 = 0 THEN med2 / 2.0 ELSE med2 END
+         AS theil_sen_slope
+FROM base""".strip(),
+)
+def brand_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.months_between(
+            F.date_trunc("month", F.to_date("l_shipdate")),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    bm = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("brand", "x")
+        .agg(F.sum("cents").cast("long").alias("y"))
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    sl = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.brand").alias("brand"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+    )
+    wrk = Window.partitionBy("brand").orderBy("s", "xi", "xj")
+    wn = Window.partitionBy("brand")
+    rk = sl.select(
+        "brand",
+        "s",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    agg = rk.groupBy("brand").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(F.expr("rn = (n + 1) div 2"), F.col("s")).otherwise(
+                    0.0
+                )
+            )
+            + F.sum(
+                F.when(
+                    F.expr("n % 2 = 0 AND rn = n div 2 + 1"), F.col("s")
+                ).otherwise(0.0)
+            )
+        ).alias("med2"),
+    )
+    return agg.select(
+        "brand",
+        "n_pairs",
+        F.when(F.col("n_pairs") % 2 == 0, F.col("med2") / 2.0)
+        .otherwise(F.col("med2"))
+        .alias("theil_sen_slope"),
+    )

@@ -1835,3 +1835,116 @@ def _bind_decontam_stream_oracle() -> None:
 
 
 _bind_decontam_stream_oracle()
+
+
+# --- streaming conformal calibration maintenance (round 13) ------------------
+# Conformal intervals belong in a serving pipeline: the calibration
+# store is MAINTAINED at ingest (every arriving order lands its
+# (priority, cents, split-half) row immediately — a per-row projection,
+# so per-micro-batch appends under batch_id partitions with the
+# dynamic-overwrite exactly-once recipe are EXACTLY the batch scan's
+# rows: the stream_minhash_incremental delta≡rebuild argument at its
+# simplest), and the serve tail recomputes the calibrated report —
+# median predictor, ⌈(n+1)(1−α)⌉ residual quantile, test coverage —
+# over the drained store. The tail binds orders_conformal_interval's
+# oracle VERBATIM: value equality proves the maintained store serves
+# the same intervals the batch pipeline would.
+
+def _orders_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
+    """orders.parquet as 3 contiguous-orderkey chunks (one per
+    micro-batch); cached per source version (sources/cachedir.py)."""
+    import os
+
+    from ..sources.cachedir import build_cached_dir, source_fingerprint
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    key = sf_dir.strip("/").replace("/", "_")
+
+    def _build(d: str) -> None:
+        import duckdb
+
+        read_src = (
+            os.path.join(src, "*.parquet") if os.path.isdir(src) else src
+        )
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{read_src}')"
+        ).fetchone()[0]
+        per = (n + 2) // 3
+        for i in range(3):
+            con.execute(
+                f"""
+                COPY (SELECT * FROM read_parquet('{read_src}')
+                      ORDER BY o_orderkey LIMIT {per} OFFSET {i * per})
+                TO '{os.path.join(d, f"chunk-{i:03d}.parquet")}'
+                (FORMAT PARQUET)
+                """
+            )
+        con.close()
+
+    return build_cached_dir(
+        f"spark_orders_src_{key}_3", source_fingerprint(src), _build
+    )
+
+
+@register("stream_conformal_calibration")
+def stream_conformal_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.tables import configure_runtime
+
+    configure_runtime(spark)
+    src = _orders_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_conformal_store_")
+    store_dir = os.path.join(out, "store")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col("o_orderpriority").alias("priority"),
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+                (F.col("o_orderkey") % 2 == 0).alias("is_cal"),
+                "o_orderkey",
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    (
+        st.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    from .relational import _conformal_serve
+
+    return _conformal_serve(spark.read.parquet(store_dir).drop("batch_id"))
+
+
+def _bind_conformal_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+    from . import relational  # noqa: F401 — force batch-twin registration
+
+    q = _REGISTRY["stream_conformal_calibration"]
+    _REGISTRY["stream_conformal_calibration"] = Query(
+        q.name, q.fn, _REGISTRY["orders_conformal_interval"].oracle
+    )
+
+
+_bind_conformal_stream_oracle()

@@ -485,3 +485,62 @@ def test_walks_match_pure_python_replica(spark):
     for (s, t), v in got.items():
         if t >= 1:
             assert (got[(s, t - 1)], v) in edges
+
+
+# --- Theil-Sen slope vs pure-Python replica -----------------------------------
+
+
+def test_theil_sen_matches_replica(spark):
+    rows = _Q["brand_theil_sen"].fn(spark, SF_SMALL).collect()
+    got = {r["brand"]: (r["n_pairs"], r["theil_sen_slope"]) for r in rows}
+    con = duckdb.connect()
+    bm = con.execute(
+        f"""
+        SELECT p.p_brand,
+               CAST(DATE_DIFF('month', DATE '1995-01-01',
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT),
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+        FROM '{SF_SMALL}/lineitem.parquet' l
+        JOIN '{SF_SMALL}/part.parquet' p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for b, x, y in bm:
+        series.setdefault(b, []).append((int(x), int(y)))
+    want = {}
+    for b, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            ((yj - yi) / (xj - xi), xi, xj)
+            for i, (xi, yi) in enumerate(pts)
+            for xj, yj in pts[i + 1 :]
+        )
+        n = len(slopes)
+        med = (
+            slopes[(n - 1) // 2][0]
+            if n % 2
+            else (slopes[n // 2 - 1][0] + slopes[n // 2][0]) / 2.0
+        )
+        want[b] = (n, med)
+    assert set(got) == set(want)
+    for b in got:
+        assert got[b][0] == want[b][0], b
+        assert abs(got[b][1] - want[b][1]) < 1e-9, (b, got[b], want[b])
+
+
+# --- streaming conformal store ≡ batch ----------------------------------------
+
+
+def test_stream_conformal_equals_batch(spark):
+    a = sorted(
+        tuple(r)
+        for r in _Q["orders_conformal_interval"].fn(spark, SF_SMALL).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in _Q["stream_conformal_calibration"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert a == b and a
