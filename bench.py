@@ -363,6 +363,22 @@ HEADLINE = [
     "lineitem_promo_did",
     "orders_spc_ewma",
     "events_absorption_time",
+    # round-13 additions. bpe_apply_vocab stays OUT of HEADLINE: it
+    # re-pays the bpe_train_merges loop verbatim plus one vocabulary
+    # join (the khop_sql / eff_diameter derived-duplicate precedent).
+    "part_copurchase_betweenness",
+    "bpe_train_merges",
+    "kmeans_track_deterministic",
+    "kmeans_inertia_profile",
+    "part_copurchase_mis",
+    "doc_weighted_priority_sample",
+    "pq_train_codes",
+    "orders_conformal_interval",
+    "part_frequent_triples",
+    "brand_ols_trend",
+    "part_copurchase_walks",
+    "brand_theil_sen",
+    "stream_conformal_calibration",
 ]
 
 

@@ -130,6 +130,20 @@ FAMILIES = [
     ("deterministic Lloyd (4 rounds)", "kmeans_track_deterministic"),
     ("ANF cold (edge rebuild + sketches)", "part_copurchase_anf"),
     ("ANF stored-MV (sketches only)", "part_copurchase_anf_mv"),
+    # round-13 second wave: symmetry-breaking MIS, deterministic walks,
+    # Apriori candidate counting, conformal order statistics, PQ
+    # training, grouped OLS/Theil-Sen, priority sampling, the streaming
+    # calibration store, and the tokenizer-application join.
+    ("Luby MIS (3 rounds)", "part_copurchase_mis"),
+    ("deterministic walks (4 steps)", "part_copurchase_walks"),
+    ("Apriori triples (candidate-pruned)", "part_frequent_triples"),
+    ("conformal intervals (rank statistics)", "orders_conformal_interval"),
+    ("PQ training (8 subspaces, distributed)", "pq_train_codes"),
+    ("grouped OLS slope (partial aggs)", "brand_ols_trend"),
+    ("Theil-Sen (bounded pair join)", "brand_theil_sen"),
+    ("weighted priority sample (top-k)", "doc_weighted_priority_sample"),
+    ("conformal store maintenance (stream)", "stream_conformal_calibration"),
+    ("BPE apply (vocab join)", "bpe_apply_vocab"),
 ]
 
 
