@@ -379,6 +379,7 @@ HEADLINE = [
     "part_copurchase_walks",
     "brand_theil_sen",
     "stream_conformal_calibration",
+    "part_temporal_reachability",
 ]
 
 

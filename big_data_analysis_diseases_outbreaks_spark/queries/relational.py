@@ -13028,3 +13028,111 @@ def brand_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("med2"))
         .alias("theil_sen_slope"),
     )
+
+
+# --- time-respecting reachability on the temporal co-purchase graph ----------
+# Temporal-network semantics (Holme–Saramäki): an edge is an EVENT
+# (src, dst, t), and a path is valid only if successive event times are
+# non-decreasing — static reachability over-counts badly on temporal
+# data ("A knew X in 1995, B met A in 1998" ≠ "X reached B in 1995").
+# Earliest-arrival BFS from the mod-500 seed set, 3 hops: the state is
+# (node, earliest arrival day) and the optimal-substructure fact that
+# arriving EARLIER never hurts (any edge a later arrival may take, an
+# earlier one may too) makes the SSSP-style min-relaxation exact —
+# each round is one time-filtered edge join + one min-aggregate, the
+# weighted-SSSP loop with the time constraint in the join predicate.
+# Temporal edges carry the ORDER DATE (integer days since epoch);
+# everything is exact integers.
+
+_TEMPORAL_HOPS = 3
+
+
+def _temporal_reach_oracle() -> str:
+    rounds = []
+    for r in range(1, _TEMPORAL_HOPS + 1):
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(MIN(arr) AS BIGINT) AS arr FROM (
+    SELECT node, arr FROM d{r - 1}
+    UNION ALL
+    SELECT e.dst AS node, e.t AS arr
+    FROM d{r - 1} d JOIN e ON e.src = d.node AND e.t >= d.arr)
+  GROUP BY node)""")
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_partkey,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+           AS t
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst, a.t
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT DISTINCT src AS node FROM e
+          WHERE src % {_BFS_SEED_MOD} = 0),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS arr FROM seeds),
+{",".join(r.strip() for r in rounds)}
+SELECT CAST(node AS BIGINT) AS part_key, arr AS earliest_arrival_day
+FROM d{_TEMPORAL_HOPS}
+""".strip()
+
+
+@register("part_temporal_reachability", oracle=_temporal_reach_oracle())
+def part_temporal_reachability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.to_date("l_shipdate")
+            >= F.lit(COPURCHASE_SHIPDATE_LO).cast("date")
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_orderkey", "l_partkey", "t"
+    )
+    a, b = lt.alias("a"), lt.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+            F.col("a.t").alias("t"),
+        )
+        .distinct()
+        .persist()  # one temporal edge fact per round
+    )
+    d = (
+        e.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("arr"))
+    )
+    for _ in range(_TEMPORAL_HOPS):
+        relax = e.join(
+            d, (e["src"] == d["node"]) & (e["t"] >= d["arr"])
+        ).select(e["dst"].alias("node"), e["t"].alias("arr"))
+        d = (
+            d.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arr").cast("long").alias("arr"))
+            .persist()  # carry + relax both read it next round
+        )
+    return d.select(
+        F.col("node").alias("part_key"),
+        F.col("arr").alias("earliest_arrival_day"),
+    )

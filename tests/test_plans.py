@@ -643,3 +643,28 @@ def test_containment_prefix_filter_probes_prefix(spark):
     assert re.search(r"_rn#\d+ <= pl#\d+", plan), plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """Scale posture: a date-partitioned fact joined to a filtered dim
+    must prune partitions at RUNTIME (DPP) — the physical plan carries
+    a dynamicpruning subquery on the partition column. At 100 TB this
+    is the difference between scanning 7 days and scanning 7 years."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("day_bucket"),
+        (F.col("id") * 3).alias("v"),
+    )
+    path = str(tmp_path / "fact")
+    fact.write.partitionBy("day_bucket").parquet(path)
+    f = spark.read.parquet(path)
+    dim = spark.range(10).select(
+        F.col("id").alias("day_bucket"), F.lit("x").alias("tag")
+    ).where(F.col("day_bucket") < 2)
+    plan = (
+        f.join(dim, "day_bucket").groupBy("tag").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

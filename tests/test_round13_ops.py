@@ -544,3 +544,47 @@ def test_stream_conformal_equals_batch(spark):
         .collect()
     )
     assert a == b and a
+
+
+# --- temporal reachability vs pure-Python earliest-arrival ---------------------
+
+
+def test_temporal_reachability_matches_replica(spark):
+    rows = _Q["part_temporal_reachability"].fn(spark, SF_SMALL).collect()
+    got = {r["part_key"]: r["earliest_arrival_day"] for r in rows}
+    con = duckdb.connect()
+    ev = con.execute(
+        f"""
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_partkey,
+                 CAST(CAST(o.o_orderdate AS DATE) - DATE '1995-01-01'
+                      AS BIGINT) AS t
+          FROM '{SF_SMALL}/lineitem.parquet' l
+          JOIN '{SF_SMALL}/orders.parquet' o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01')
+        SELECT DISTINCT a.l_partkey, b.l_partkey, a.t
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+    ).fetchall()
+    out: dict[int, list[tuple[int, int]]] = {}
+    nodes = set()
+    for s, d, t in ev:
+        out.setdefault(int(s), []).append((int(d), int(t)))
+        nodes.add(int(s))
+    arr = {n: 0 for n in nodes if n % 500 == 0}
+    for _ in range(3):
+        nxt = dict(arr)
+        for u, a in arr.items():
+            for v, t in out.get(u, ()):
+                if t >= a and (v not in nxt or t < nxt[v]):
+                    nxt[v] = t
+        arr = nxt
+    assert got == arr
+    # a time-respecting path is also a static path: temporal reach is a
+    # subset of 3-hop static reach
+    static = {
+        r["part_key"]
+        for r in _Q["part_copurchase_khop"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) <= static

@@ -144,6 +144,8 @@ FAMILIES = [
     ("weighted priority sample (top-k)", "doc_weighted_priority_sample"),
     ("conformal store maintenance (stream)", "stream_conformal_calibration"),
     ("BPE apply (vocab join)", "bpe_apply_vocab"),
+    ("temporal reachability (time-filtered relax)",
+     "part_temporal_reachability"),
 ]
 
 
