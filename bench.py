@@ -380,6 +380,7 @@ HEADLINE = [
     "brand_theil_sen",
     "stream_conformal_calibration",
     "part_temporal_reachability",
+    "dedup_semdedup_deterministic",
 ]
 
 

@@ -2863,3 +2863,149 @@ def pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return _pq_assign(e, cents)
+
+
+# --- deterministic SemDeDup (round 13) ----------------------------------------
+# The VALUE-TIER twin of dedup_semdedup (which stays rows-tier: its
+# codebook fit is seeded-random): SemDeDup [Abbas et al. 2023] =
+# cluster the embedding space, then flag near-duplicate pairs WITHIN
+# each cluster. Same PLANTED fixture as the rows-tier twin (every
+# vector gets a +100000-id copy with dim 0 scaled 1.05x — cosine
+# ~0.999 vs a 0.51 max between genuine vectors, so the planted pairs
+# ARE the ground truth), but both stages re-expressed under the
+# exact-integer protocol: cells = the deterministic Lloyd of
+# kmeans_track_deterministic (k=8, 2 rounds, smallest-vec_id init) and
+# the within-cell cosine test is an EXACT integer inequality —
+# cos(a,b) ≥ θ ⇔ a·b > 0 ∧ (a·b)²·10⁴ ≥ θ²·10⁴·|a|²|b|² (θ = 0.95;
+# overflow bound (a·b)²·10⁴ ≤ ~2.6e18 < 2^63 at the 10⁻³ grid).
+# Pair generation is blocked TWICE: by Lloyd cell AND by the sign
+# pattern of the first 16 quantized dims — the first 10× audit run
+# measured e = 1.21 with cell-only blocking (fixed k ⇒ quadratic
+# within-cell pairs); the sign sub-block restores ~linear growth. The
+# planted 1.05× perturbation preserves every sign, so planted twins
+# always share a block; genuine high-cosine pairs share most signs
+# with high probability — the same blocking-recall trade SemDeDup
+# itself makes (recall pinned ≥98% in pytest).
+
+_SDD_K = 8
+_SDD_ROUNDS = 2
+_SDD_COS2_NUM = 9025   # θ² · 10⁴ for θ = 0.95
+
+# Planted-twin quantized corpus: original ∪ (+100000, dim0 × 1.05) —
+# operation ORDER matters for the float discipline: (x·1.05)·1000+0.5
+# with the same literals in both engines.
+_SDD_Q_BASE = """qs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+           AS qe
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CASE WHEN i = 1
+                THEN CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1.05
+                                * 1000.0 + 0.5) AS BIGINT)
+                ELSE CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000.0
+                                + 0.5) AS BIGINT) END)
+  FROM embeddings),
+q AS (SELECT vec_id, qe FROM qs),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, qe[i] AS x
+  FROM q, LATERAL (SELECT UNNEST(generate_series(1, len(qe))) AS i) g)"""
+
+
+def _sdd_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    orig = emb.select("vec_id", F.expr(_kmd_quant_expr()).alias("qe"))
+    pert = emb.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(i = 0,"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1.05D * 1000.0D + 0.5D)"
+            " AS BIGINT),"
+            " CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS BIGINT)))"
+        ).alias("qe"),
+    )
+    return orig.unionByName(pert)
+
+
+def _sdd_oracle() -> str:
+    r = _SDD_ROUNDS
+    return f"""
+WITH {_SDD_Q_BASE},
+{_kmd_round_ctes(_SDD_K, r, "")},
+asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY SUM((e.x - c.c) * (e.x - c.c)) ASC, c.cluster ASC
+           ) AS rn
+    FROM e JOIN c{r} c USING (dim)
+    GROUP BY e.vec_id, c.cluster) t
+  WHERE rn = 1),
+v AS (
+  SELECT a.vec_id, a.cluster, q.qe,
+         (SELECT SUM(x * x) FROM UNNEST(q.qe) AS u(x)) AS n2,
+         list_aggregate(list_transform(generate_series(1, 16),
+           i -> CASE WHEN q.qe[i] >= 0 THEN '1' ELSE '0' END),
+           'string_agg', '') AS blk
+  FROM asg a JOIN q ON q.vec_id = a.vec_id),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2,
+         list_sum(list_transform(list_zip(a.qe, b.qe),
+                                 z -> z[1] * z[2])) AS dot,
+         a.n2 AS n2a, b.n2 AS n2b
+  FROM v a JOIN v b
+    ON a.cluster = b.cluster AND a.blk = b.blk
+   AND a.vec_id < b.vec_id)
+SELECT CAST(cluster AS BIGINT) AS cluster, v1, v2,
+       CAST(dot AS BIGINT) AS dot_q
+FROM pairs
+WHERE dot > 0 AND dot * dot * 10000 >= {_SDD_COS2_NUM} * n2a * n2b
+""".strip()
+
+
+@register("dedup_semdedup_deterministic", oracle=_sdd_oracle())
+def dedup_semdedup_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _sdd_emb(spark, sf_dir).localCheckpoint(eager=True)
+    cents = _kmd_fit(emb, _SDD_K, _SDD_ROUNDS)
+    v = emb.select(
+        "vec_id",
+        "qe",
+        F.expr(_kmd_assign_expr(cents) + ".c").alias("cluster"),
+        F.expr(
+            "aggregate(qe, 0L, (s, x) -> s + x * x)"
+        ).alias("n2"),
+        F.expr(
+            "concat_ws('', transform(slice(qe, 1, 16),"
+            " x -> IF(x >= 0, '1', '0')))"
+        ).alias("blk"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        F.expr(
+            "aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), 0L,"
+            " (s, t) -> s + t)"
+        ).alias("dot"),
+        F.col("a.n2").alias("n2a"),
+        F.col("b.n2").alias("n2b"),
+    )
+    return pairs.where(
+        (F.col("dot") > 0)
+        & (
+            F.col("dot") * F.col("dot") * 10000
+            >= F.lit(_SDD_COS2_NUM) * F.col("n2a") * F.col("n2b")
+        )
+    ).select("cluster", "v1", "v2", F.col("dot").cast("long").alias("dot_q"))

@@ -588,3 +588,21 @@ def test_temporal_reachability_matches_replica(spark):
         for r in _Q["part_copurchase_khop"].fn(spark, SF_SMALL).collect()
     }
     assert set(got) <= static
+
+
+# --- deterministic SemDeDup planted recall --------------------------------------
+
+
+def test_semdedup_deterministic_planted_recall(spark):
+    rows = _Q["dedup_semdedup_deterministic"].fn(spark, SF_SMALL).collect()
+    pairs = {(r["v1"], r["v2"]) for r in rows}
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_SMALL}/embeddings.parquet'"
+    ).fetchone()[0]
+    # the only cosine-0.95+ pairs are the planted (v, v+100000) twins
+    # (max genuine cosine on the fixture is ~0.51)
+    assert all(v2 == v1 + 100_000 for v1, v2 in pairs), sorted(pairs)[:5]
+    # cell-blocked recall: a twin pair is missed only when the two
+    # copies straddle a cell boundary — allow 2%
+    assert len(pairs) >= 0.98 * n, (len(pairs), n)

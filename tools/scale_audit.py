@@ -146,6 +146,8 @@ FAMILIES = [
     ("BPE apply (vocab join)", "bpe_apply_vocab"),
     ("temporal reachability (time-filtered relax)",
      "part_temporal_reachability"),
+    ("deterministic SemDeDup (cell-blocked pairs)",
+     "dedup_semdedup_deterministic"),
 ]
 
 
