@@ -381,6 +381,7 @@ HEADLINE = [
     "stream_conformal_calibration",
     "part_temporal_reachability",
     "dedup_semdedup_deterministic",
+    "lineitem_exact_quantile_select",
 ]
 
 

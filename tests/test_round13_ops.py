@@ -606,3 +606,31 @@ def test_semdedup_deterministic_planted_recall(spark):
     # cell-blocked recall: a twin pair is missed only when the two
     # copies straddle a cell boundary — allow 2%
     assert len(pairs) >= 0.98 * n, (len(pairs), n)
+
+
+# --- exact quantile selection invariants ----------------------------------------
+
+
+def test_exact_quantile_select_matches_sorted_ranks(spark):
+    rows = {
+        r["quantile"]: r
+        for r in _Q["lineitem_exact_quantile_select"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    con = duckdb.connect()
+    cents = [
+        c[0]
+        for c in con.execute(
+            f"SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            f" FROM '{SF_SMALL}/lineitem.parquet' ORDER BY 1"
+        ).fetchall()
+    ]
+    n = len(cents)
+    for num, den in ((25, 100), (50, 100), (75, 100), (99, 100)):
+        r = rows[f"{num}/{den}"]
+        k = max(1, -(-num * n // den))
+        assert r["n"] == n and r["rank_k"] == k
+        assert r["value_cents"] == cents[k - 1], (num, r, cents[k - 1])
+    vals = [rows[q]["value_cents"] for q in ("25/100", "50/100", "75/100", "99/100")]
+    assert vals == sorted(vals)

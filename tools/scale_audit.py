@@ -148,6 +148,8 @@ FAMILIES = [
      "part_temporal_reachability"),
     ("deterministic SemDeDup (cell-blocked pairs)",
      "dedup_semdedup_deterministic"),
+    ("exact quantile selection (histogram refinement)",
+     "lineitem_exact_quantile_select"),
 ]
 
 
