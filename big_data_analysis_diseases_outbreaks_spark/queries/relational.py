@@ -12287,11 +12287,14 @@ GROUP BY v
 """.strip()
 
 
-@register("part_copurchase_betweenness", oracle=_betweenness_oracle())
-def part_copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = copurchase_edges(spark, sf_dir).distinct().persist()
+def betweenness_bounded(edges: DataFrame, seed_mod: int) -> DataFrame:
+    """Bounded-distance Brandes over a directed (src, dst) edge frame
+    (symmetrize upstream for undirected) from the deterministic seed
+    set src ≡ 0 (mod seed_mod) — the part_copurchase_betweenness core,
+    exposed for randomized property tests (tests/test_properties.py)."""
+    edges = edges.persist()
     seeds = (
-        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        edges.where(F.col("src") % seed_mod == 0)
         .select(F.col("src").alias("node"))
         .distinct()
     )
@@ -12353,6 +12356,13 @@ def part_copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("delta").cast("long").alias("betweenness_scaled"))
         .select(F.col("v").alias("part_key"), "betweenness_scaled")
+    )
+
+
+@register("part_copurchase_betweenness", oracle=_betweenness_oracle())
+def part_copurchase_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return betweenness_bounded(
+        copurchase_edges(spark, sf_dir).distinct(), _BFS_SEED_MOD
     )
 
 
@@ -12425,16 +12435,15 @@ a1 AS (SELECT DISTINCT src AS node FROM e),
 """.strip()
 
 
-@register("part_copurchase_mis", oracle=_mis_oracle())
-def part_copurchase_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-round lineage truncation (the pagerank/bfs discipline): each
-    # round reads sel/active several times AND the next round's plan
-    # would otherwise nest all previous rounds' joins — the branching
-    # re-expansion blew the driver heap just RENDERING the round-3 plan
-    # tree before truncation was added.
-    edges = copurchase_edges(spark, sf_dir).distinct().localCheckpoint(
-        eager=True
-    )
+def luby_mis(edges: DataFrame) -> DataFrame:
+    """Deterministic Luby MIS over a SYMMETRIC (src, dst) edge frame —
+    the part_copurchase_mis core, exposed for randomized property
+    tests. Per-round lineage truncation (the pagerank/bfs discipline):
+    each round reads sel/active several times AND the next round's plan
+    would otherwise nest all previous rounds' joins — the branching
+    re-expansion blew the driver heap just RENDERING the round-3 plan
+    tree before truncation was added."""
+    edges = edges.localCheckpoint(eager=True)
     active = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -12470,6 +12479,11 @@ def part_copurchase_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = picked if out is None else out.unionByName(picked)
     return out
+
+
+@register("part_copurchase_mis", oracle=_mis_oracle())
+def part_copurchase_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return luby_mis(copurchase_edges(spark, sf_dir).distinct())
 
 
 # --- split-conformal prediction intervals (round 13) -------------------------
@@ -13175,6 +13189,36 @@ WITH c AS (
 """.strip()
 
 
+def histogram_select_kth(c: DataFrame, lo: int, hi: int, k: int) -> int:
+    """Exact k-th smallest of column ``cents`` within [lo, hi] by
+    256-bucket range refinement — one filtered aggregate per round,
+    256 longs of driver traffic. Exposed for randomized property
+    tests."""
+    rank = int(k)
+    while lo < hi:
+        width = (hi - lo + _EXQ_BUCKETS) // _EXQ_BUCKETS
+        bucket = F.least(
+            F.expr(f"(cents - {lo}) div {width}"),
+            F.lit(_EXQ_BUCKETS - 1),
+        )
+        counts = dict(
+            (int(r[0]), int(r[1]))
+            for r in c.where((F.col("cents") >= lo) & (F.col("cents") <= hi))
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        acc = 0
+        for b in range(_EXQ_BUCKETS):
+            cnt = counts.get(b, 0)
+            if acc + cnt >= rank:
+                rank -= acc
+                lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
+                break
+            acc += cnt
+    return int(lo)
+
+
 @register("lineitem_exact_quantile_select", oracle=_exq_oracle())
 def lineitem_exact_quantile_select(
     spark: SparkSession, sf_dir: str
@@ -13194,32 +13238,8 @@ def lineitem_exact_quantile_select(
     out: list[tuple[str, int, int, int]] = []
     for num, den in _EXQ_QS:
         k = max(1, -(-num * n // den))  # ⌈num·n/den⌉ in exact ints
-        lo, hi, rank = int(lo0), int(hi0), int(k)
-        # rank = target rank among values in [lo, hi]
-        while lo < hi:
-            width = (hi - lo + _EXQ_BUCKETS) // _EXQ_BUCKETS
-            bucket = F.least(
-                F.expr(f"(cents - {lo}) div {width}"),
-                F.lit(_EXQ_BUCKETS - 1),
-            )
-            counts = dict(
-                (int(r[0]), int(r[1]))
-                for r in c.where(
-                    (F.col("cents") >= lo) & (F.col("cents") <= hi)
-                )
-                .groupBy(bucket.alias("b"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-            acc = 0
-            for b in range(_EXQ_BUCKETS):
-                cnt = counts.get(b, 0)
-                if acc + cnt >= rank:
-                    rank -= acc
-                    lo, hi = lo + b * width, min(hi, lo + b * width + width - 1)
-                    break
-                acc += cnt
-        out.append((f"{num}/{den}", int(k), int(n), int(lo)))
+        v = histogram_select_kth(c, int(lo0), int(hi0), int(k))
+        out.append((f"{num}/{den}", int(k), int(n), v))
     return spark.createDataFrame(
         out, "quantile STRING, rank_k BIGINT, n BIGINT, value_cents BIGINT"
     )

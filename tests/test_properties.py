@@ -443,3 +443,169 @@ def test_containment_prefix_filter_lossless_on_random_corpus(spark):
         qt.load_table = real_load
     assert got == want
     assert len(want) >= 8  # the planted containments are in there
+
+
+def _py_brandes(edges: set, seed_mod: int, depth: int, scale: int):
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    nodes = {a for a, _ in edges}
+    btw: dict[int, int] = {}
+    for s in sorted(n for n in nodes if n % seed_mod == 0):
+        levels = [{s: 1}]
+        visited = {s}
+        for _ in range(depth):
+            nxt: dict[int, int] = {}
+            for v, sig in levels[-1].items():
+                for w in adj.get(v, ()):
+                    if w not in visited:
+                        nxt[w] = nxt.get(w, 0) + sig
+            levels.append(nxt)
+            visited |= set(nxt)
+        delta = [dict() for _ in range(depth + 1)]
+        for r in range(depth - 1, 0, -1):
+            for v, sig in levels[r].items():
+                d = 0
+                for w in adj.get(v, ()):
+                    if w in levels[r + 1]:
+                        d += (sig * (scale + delta[r + 1].get(w, 0))) // levels[
+                            r + 1
+                        ][w]
+                delta[r][v] = d
+        for r in range(1, depth):
+            for v in levels[r]:
+                btw[v] = btw.get(v, 0) + delta[r].get(v, 0)
+        for v in levels[depth]:
+            btw.setdefault(v, 0)
+    return btw
+
+
+def test_betweenness_matches_replica_on_random_graphs(spark):
+    """The distributed bounded Brandes must equal the pure-Python
+    replica on arbitrary random digraphs — not just the co-purchase
+    fixture shape (hubs, sinks, multi-seed overlaps all arise here)."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        betweenness_bounded,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = rng.randrange(15, 40)
+        m = rng.randrange(n, 4 * n)
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((a, b))
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {
+            r["part_key"]: r["betweenness_scaled"]
+            for r in betweenness_bounded(df, seed_mod=5).collect()
+        }
+        want = _py_brandes(edges, seed_mod=5, depth=3, scale=1_000_000)
+        for k, v in got.items():
+            assert want.get(k, 0) == v, (trial, k, v, want.get(k))
+        for k, v in want.items():
+            if k not in got:
+                assert v == 0, (trial, k, v)
+
+
+def test_luby_mis_independent_and_maximal_on_random_graphs(spark):
+    """Independence is unconditional; maximality holds on the decided
+    subgraph (nodes still active after the bounded rounds are exempt)."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        luby_mis,
+    )
+
+    rng = random.Random(29)
+    for trial in range(3):
+        n = rng.randrange(12, 30)
+        und = set()
+        for _ in range(rng.randrange(n, 3 * n)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                und.add((min(a, b), max(a, b)))
+        edges = {(a, b) for a, b in und} | {(b, a) for a, b in und}
+        if not edges:
+            continue
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        sel = {r["part_key"] for r in luby_mis(df).collect()}
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        for a, b in edges:
+            assert not (a in sel and b in sel), (trial, a, b)
+        # replay the bounded rounds to find still-active nodes
+        undecided = {a for a, _ in edges}
+        for r in (1, 2, 3):
+            pr = {
+                v: ((v * 1103515245 + 12345 * r) % 2147483647) * 10**9 + v
+                for v in undecided
+            }
+            s = {
+                v
+                for v in undecided
+                if all(pr[v] < pr[u] for u in adj[v] if u in undecided)
+            }
+            undecided -= s | {u for v in s for u in adj[v]}
+        for v in adj:
+            if v not in sel and v not in undecided:
+                assert any(u in sel for u in adj[v]), (trial, v)
+
+
+def test_histogram_select_matches_sorted_on_random_multisets(spark):
+    """Exact selection by histogram refinement must equal the sorted
+    k-th element for arbitrary integer multisets (duplicates, negative
+    values, skewed ranges) and arbitrary ranks."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.relational import (
+        histogram_select_kth,
+    )
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n = rng.randrange(50, 400)
+        span = rng.choice([10, 1000, 10**7])
+        vals = [rng.randrange(-span, span) for _ in range(n)]
+        # force duplicates
+        vals += vals[: n // 4]
+        df = spark.createDataFrame([(v,) for v in vals], "cents long")
+        svals = sorted(vals)
+        for k in {1, len(vals) // 3, len(vals)}:
+            got = histogram_select_kth(df, min(vals), max(vals), k)
+            assert got == svals[k - 1], (trial, k, got, svals[k - 1])
+
+
+def test_bpe_merge_fold_matches_python_on_random_runs(spark):
+    """The aggregate() fold that applies one BPE merge must match the
+    left-to-right single-pass Python semantics on adversarial inputs:
+    overlapping runs (aaa under (a,a)), merged-symbol collisions, and
+    pairs straddling earlier merges."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _bpe_merge_expr,
+    )
+
+    rng = random.Random(53)
+    alphabet = ["a", "b", "ab", "aa", "c"]
+    cases = []
+    for _ in range(60):
+        syms = [rng.choice(alphabet) for _ in range(rng.randrange(1, 10))]
+        a, b = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((syms, a, b))
+    cases += [(["a"] * 6, "a", "a"), (["a", "b", "a", "b"], "a", "b"),
+              (["aa", "a", "a"], "a", "a")]
+
+    def fold_py(syms, a, b):
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    for syms, a, b in cases:
+        df = spark.createDataFrame([(syms,)], "syms array<string>")
+        got = df.select(
+            F.expr(_bpe_merge_expr(a, b)).alias("m")
+        ).first()["m"]
+        assert got == fold_py(syms, a, b), (syms, a, b, got)
