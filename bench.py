@@ -382,6 +382,7 @@ HEADLINE = [
     "part_temporal_reachability",
     "dedup_semdedup_deterministic",
     "lineitem_exact_quantile_select",
+    "customer_rfm_kmeans",
 ]
 
 

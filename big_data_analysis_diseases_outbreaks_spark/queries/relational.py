@@ -13243,3 +13243,121 @@ def lineitem_exact_quantile_select(
     return spark.createDataFrame(
         out, "quantile STRING, rank_k BIGINT, n BIGINT, value_cents BIGINT"
     )
+
+
+# --- data-driven RFM segmentation: deterministic k-means (round 13) -----------
+# customer_rfm_segments scores customers on the rule-based 5×5×5 NTILE
+# grid; this query learns the segments instead — exact-integer Lloyd
+# (the kmeans_track_deterministic protocol: smallest-key init,
+# truncating-div updates, (dist, cluster) argmin order) over the
+# 3-dim (r, f, m) score vector, k=4, 3 rounds. Scores are already
+# exact small integers on a common 1..5 scale (the NTILE ranks with
+# the pinned (value, custkey) tie order), so no standardization float
+# ever appears. Output = the 4 learned segment centroids with sizes —
+# the "discover the segments" counterpart to the rule grid.
+
+_RFMK_K = 4
+_RFMK_ROUNDS = 3
+
+
+def _rfmk_base_sql() -> str:
+    return """q AS (
+  SELECT vec_id, [r, f, m] AS qe FROM (
+    SELECT o_custkey AS vec_id,
+           CAST(NTILE(5) OVER (ORDER BY recency_date, o_custkey)
+                AS BIGINT) AS r,
+           CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                AS BIGINT) AS f,
+           CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)
+                AS BIGINT) AS m
+    FROM (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS recency_date,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey) rfm) t),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, qe[i] AS x
+  FROM q, LATERAL (SELECT UNNEST(generate_series(1, 3)) AS i) g)"""
+
+
+def _rfmk_oracle() -> str:
+    r = _RFMK_ROUNDS
+    return f"""
+WITH {_rfmk_base_sql()},
+{{chain}},
+n AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM a{r} GROUP BY 1)
+SELECT c.cluster, n.n_customers,
+       CAST(MAX(CASE WHEN c.dim = 0 THEN c.c END) AS BIGINT) AS r_centroid,
+       CAST(MAX(CASE WHEN c.dim = 1 THEN c.c END) AS BIGINT) AS f_centroid,
+       CAST(MAX(CASE WHEN c.dim = 2 THEN c.c END) AS BIGINT) AS m_centroid
+FROM c{r} c JOIN n USING (cluster)
+GROUP BY c.cluster, n.n_customers
+""".strip()
+
+
+@register(
+    "customer_rfm_kmeans",
+    oracle=None,  # bound below: needs the kmd chain generator
+)
+def customer_rfm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_ntile
+    from .embeddings import _kmd_assign_expr, _kmd_fit
+
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("recency_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(scaled_long(F.col("o_totalprice"), 100)).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = with_global_ntile(
+        rfm, ["recency_date", "o_custkey"], 5, "r"
+    )
+    scored = with_global_ntile(scored, ["frequency", "o_custkey"], 5, "f")
+    scored = with_global_ntile(
+        scored, ["monetary_cents", "o_custkey"], 5, "m"
+    )
+    emb = scored.select(
+        F.col("o_custkey").alias("vec_id"),
+        F.array(
+            F.col("r").cast("long"),
+            F.col("f").cast("long"),
+            F.col("m").cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    cents = _kmd_fit(emb, _RFMK_K, _RFMK_ROUNDS - 1)
+    asg = emb.withColumn("cluster", F.expr(_kmd_assign_expr(cents) + ".c"))
+    stats = (
+        asg.select("cluster", F.posexplode("qe").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "dim",
+            F.expr("s div n").alias("c"),
+            (F.col("n")).alias("n_customers"),
+        )
+    )
+    return stats.groupBy("cluster", "n_customers").agg(
+        F.max(F.when(F.col("dim") == 0, F.col("c"))).cast("long").alias("r_centroid"),
+        F.max(F.when(F.col("dim") == 1, F.col("c"))).cast("long").alias("f_centroid"),
+        F.max(F.when(F.col("dim") == 2, F.col("c"))).cast("long").alias("m_centroid"),
+    ).select("cluster", "n_customers", "r_centroid", "f_centroid", "m_centroid")
+
+
+def _bind_rfmk_oracle() -> None:
+    from . import _REGISTRY, Query
+    from .embeddings import _kmd_round_ctes
+
+    q = _REGISTRY["customer_rfm_kmeans"]
+    chain = _kmd_round_ctes(_RFMK_K, _RFMK_ROUNDS, "")
+    _REGISTRY["customer_rfm_kmeans"] = Query(
+        q.name, q.fn, _rfmk_oracle().replace("{chain}", chain)
+    )
+
+
+_bind_rfmk_oracle()

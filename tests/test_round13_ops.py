@@ -634,3 +634,19 @@ def test_exact_quantile_select_matches_sorted_ranks(spark):
         assert r["value_cents"] == cents[k - 1], (num, r, cents[k - 1])
     vals = [rows[q]["value_cents"] for q in ("25/100", "50/100", "75/100", "99/100")]
     assert vals == sorted(vals)
+
+
+# --- RFM k-means invariants ------------------------------------------------------
+
+
+def test_rfm_kmeans_partitions_all_customers(spark):
+    rows = _Q["customer_rfm_kmeans"].fn(spark, SF_SMALL).collect()
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF_SMALL}/orders.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_customers"] for r in rows) == n
+    assert 1 <= len(rows) <= 4
+    for r in rows:
+        for c in ("r_centroid", "f_centroid", "m_centroid"):
+            assert 1 <= r[c] <= 5, r

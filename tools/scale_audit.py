@@ -150,6 +150,7 @@ FAMILIES = [
      "dedup_semdedup_deterministic"),
     ("exact quantile selection (histogram refinement)",
      "lineitem_exact_quantile_select"),
+    ("RFM k-means (NTILE features + Lloyd)", "customer_rfm_kmeans"),
 ]
 
 
