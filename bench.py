@@ -383,6 +383,7 @@ HEADLINE = [
     "dedup_semdedup_deterministic",
     "lineitem_exact_quantile_select",
     "customer_rfm_kmeans",
+    "orders_snapshot_changelog",
 ]
 
 

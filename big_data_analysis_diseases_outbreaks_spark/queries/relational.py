@@ -13361,3 +13361,90 @@ def _bind_rfmk_oracle() -> None:
 
 
 _bind_rfmk_oracle()
+
+
+# --- snapshot diff → CDC changelog (round 13) ----------------------------------
+# The INVERSE of cdc_merge_apply: given two table versions, emit the
+# row-level change feed (Delta Lake CDF semantics — insert / delete /
+# update_preimage+postimage) that would transform one into the other.
+# Same deterministic "remote" version as the Merkle reconcile family
+# (table_reconcile_checksums): one bucket's rows drift a cent (updates),
+# every 5th row of another bucket is missing (deletes), and every
+# 997th row of a third is re-keyed +10^9 (inserts) — so the changelog
+# is provably exactly those rows with all three change types live. Plan: one full outer join
+# on the key + value comparison; at 100 TB both sides hash-partition on
+# the key (bucketed tables join co-located), and the comparison is on
+# canonical exact-integer renderings, never floats.
+
+def _changelog_oracle() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+nxt AS (
+  SELECT o_orderkey AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % {_RECON_BUCKETS} = {_RECON_DRIFT_BUCKET}
+                  THEN 1 ELSE 0 END AS cents
+  FROM orders
+  WHERE NOT (o_orderkey % {_RECON_BUCKETS} = {_RECON_DELETE_BUCKET}
+             AND (o_orderkey // {_RECON_BUCKETS}) % 5 = 0)
+  UNION ALL
+  SELECT o_orderkey + 1000000000 AS k,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % {_RECON_BUCKETS} = 7
+    AND (o_orderkey // {_RECON_BUCKETS}) % 997 = 0)
+SELECT COALESCE(b.k, n.k) AS o_orderkey,
+       CASE WHEN b.k IS NULL THEN 'insert'
+            WHEN n.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       b.cents AS old_cents, n.cents AS new_cents
+FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
+WHERE b.k IS NULL OR n.k IS NULL OR b.cents <> n.cents
+""".strip()
+
+
+@register("orders_snapshot_changelog", oracle=_changelog_oracle())
+def orders_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o
+    nxt = o.where(
+        ~(
+            (F.col("k") % _RECON_BUCKETS == _RECON_DELETE_BUCKET)
+            & (F.expr(f"(k div {_RECON_BUCKETS}) % 5") == 0)
+        )
+    ).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(
+                F.col("k") % _RECON_BUCKETS == _RECON_DRIFT_BUCKET, 1
+            ).otherwise(0)
+        ).cast("long").alias("cents"),
+    ).unionByName(
+        o.where(
+            (F.col("k") % _RECON_BUCKETS == 7)
+            & (F.expr(f"(k div {_RECON_BUCKETS}) % 997") == 0)
+        ).select((F.col("k") + 1_000_000_000).alias("k"), "cents")
+    )
+    b = base.select(F.col("k").alias("bk"), F.col("cents").alias("old_cents"))
+    n = nxt.select(F.col("k").alias("nk"), F.col("cents").alias("new_cents"))
+    j = b.join(n, b["bk"] == n["nk"], "full_outer")
+    return j.where(
+        F.col("bk").isNull()
+        | F.col("nk").isNull()
+        | (F.col("old_cents") != F.col("new_cents"))
+    ).select(
+        F.coalesce("bk", "nk").alias("o_orderkey"),
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("nk").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        "old_cents",
+        "new_cents",
+    )

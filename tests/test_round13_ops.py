@@ -650,3 +650,48 @@ def test_rfm_kmeans_partitions_all_customers(spark):
     for r in rows:
         for c in ("r_centroid", "f_centroid", "m_centroid"):
             assert 1 <= r[c] <= 5, r
+
+
+# --- snapshot changelog completeness ----------------------------------------------
+
+
+def test_snapshot_changelog_round_trips(spark):
+    """Applying the changelog to the base must reproduce the next
+    version exactly — the CDF contract."""
+    from pyspark.sql import functions as F
+
+    from big_data_analysis_diseases_outbreaks_spark.sources.tables import load_table
+
+    log = _Q["orders_snapshot_changelog"].fn(spark, SF_SMALL)
+    rows = log.collect()
+    kinds = {r["change_type"] for r in rows}
+    assert kinds == {"insert", "update", "delete"}
+    base = {
+        r["k"]: r["cents"]
+        for r in load_table(spark, SF_SMALL, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    applied = dict(base)
+    for r in rows:
+        if r["change_type"] == "delete":
+            del applied[r["o_orderkey"]]
+        elif r["change_type"] == "insert":
+            assert r["o_orderkey"] not in applied
+            applied[r["o_orderkey"]] = r["new_cents"]
+        else:
+            assert applied[r["o_orderkey"]] == r["old_cents"]
+            applied[r["o_orderkey"]] = r["new_cents"]
+    # rebuild nxt independently and compare
+    nxt = {}
+    for k, cents in base.items():
+        if k % 64 == 17 and (k // 64) % 5 == 0:
+            continue
+        nxt[k] = cents + (1 if k % 64 == 3 else 0)
+    for k, cents in base.items():
+        if k % 64 == 7 and (k // 64) % 997 == 0:
+            nxt[k + 1_000_000_000] = cents
+    assert applied == nxt

@@ -151,6 +151,7 @@ FAMILIES = [
     ("exact quantile selection (histogram refinement)",
      "lineitem_exact_quantile_select"),
     ("RFM k-means (NTILE features + Lloyd)", "customer_rfm_kmeans"),
+    ("snapshot changelog (full outer diff)", "orders_snapshot_changelog"),
 ]
 
 
