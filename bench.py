@@ -384,6 +384,7 @@ HEADLINE = [
     "lineitem_exact_quantile_select",
     "customer_rfm_kmeans",
     "orders_snapshot_changelog",
+    "part_copurchase_percolation",
 ]
 
 

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "lineitem_exact_quantile_select",
     "customer_rfm_kmeans",
     "orders_snapshot_changelog",
+    "part_copurchase_percolation",
     # --- rows-only refresh (driver rows-rows keep the no-oracle
     # evidence current; newest-first is fine, they all predate r8):
     "ann_ivf_topk",
@@ -139,7 +140,6 @@ _PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "national_market_share",
     "ngram_jaccard_pairs",
-    "ngram_jaccard_strict",
 ]
 
 

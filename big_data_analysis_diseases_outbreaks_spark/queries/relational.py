@@ -13448,3 +13448,90 @@ def orders_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_cents",
         "new_cents",
     )
+
+
+# --- weight-threshold percolation profile (round 13) --------------------------
+# Graph-robustness profile: sweep the co-purchase weight threshold and
+# watch the giant component dissolve — bond percolation on the weighted
+# graph (Newman §16): per threshold w ∈ {2,3,4}, connected components
+# over the edges with multiplicity ≥ w, reporting node count, component
+# count and the largest component. Weak ties carry the connectivity
+# (Granovetter): one step from w=2 to w=3 collapses the structure on
+# every fixture. Re-uses the min-label-propagation components operator
+# per threshold (each threshold's edge set shrinks sharply, so the
+# sweep costs roughly one components run); empty thresholded graphs
+# yield an all-zero row rather than vanishing (COALESCE on both
+# sides). Oracle = one recursive reach CTE per threshold — w=1 is
+# deliberately NOT in the sweep: its oracle recursion is quadratic in
+# the giant component (41 s at sf0.01) and the unthresholded
+# components capability is already covered by dedup_components.
+
+_PERC_THRESHOLDS = (2, 3, 4)
+
+
+def _percolation_oracle() -> str:
+    blocks = []
+    rows = []
+    for th in _PERC_THRESHOLDS:
+        blocks.append(f"""e{th} AS (
+  SELECT u AS src, v AS dst FROM we WHERE w >= {th}
+  UNION ALL
+  SELECT v AS src, u AS dst FROM we WHERE w >= {th}),
+reach{th}(node, label) AS (
+  SELECT DISTINCT src AS node, src AS label FROM e{th}
+  UNION
+  SELECT e.dst, r.label FROM reach{th} r JOIN e{th} e ON r.node = e.src),
+cc{th} AS (SELECT node, MIN(label) AS component FROM reach{th} GROUP BY node),
+sz{th} AS (SELECT component, COUNT(*) AS cnt FROM cc{th} GROUP BY 1)""")
+        rows.append(f"""SELECT CAST({th} AS BIGINT) AS weight_threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cc{th}) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sz{th}) AS n_components,
+       (SELECT CAST(COALESCE(MAX(cnt), 0) AS BIGINT) FROM sz{th})
+         AS largest_component""")
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+we AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+{",".join(b.strip() for b in blocks)}
+{" UNION ALL ".join(rows)}
+""".strip()
+
+
+@register("part_copurchase_percolation", oracle=_percolation_oracle())
+def part_copurchase_percolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.components import connected_components
+
+    we = copurchase_weighted_edges(spark, sf_dir).localCheckpoint(
+        eager=True  # one weighted-edge build feeds every threshold
+    )
+    out: DataFrame | None = None
+    for th in _PERC_THRESHOLDS:
+        e = we.where(F.col("w") >= th).select("u", "v")
+        cc = connected_components(e, src="u", dst="v")  # → (node, label)
+        sz = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+        row = (
+            cc.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                sz.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                    F.coalesce(F.max("cnt"), F.lit(0))
+                    .cast("long")
+                    .alias("largest_component"),
+                )
+            )
+            .select(
+                F.lit(th).cast("long").alias("weight_threshold"),
+                "n_nodes",
+                "n_components",
+                "largest_component",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -695,3 +695,56 @@ def test_snapshot_changelog_round_trips(spark):
         if k % 64 == 7 and (k // 64) % 997 == 0:
             nxt[k + 1_000_000_000] = cents
     assert applied == nxt
+
+
+# --- percolation profile vs union-find replica --------------------------------
+
+
+def test_percolation_profile_matches_union_find(spark):
+    rows = {
+        r["weight_threshold"]: (
+            r["n_nodes"],
+            r["n_components"],
+            r["largest_component"],
+        )
+        for r in _Q["part_copurchase_percolation"].fn(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    we = con.execute(
+        f"""
+        WITH li AS (
+          SELECT l_orderkey, l_partkey FROM '{SF_SMALL}/lineitem.parquet'
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01')
+        SELECT a.l_partkey, b.l_partkey, COUNT(*)
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2"""
+    ).fetchall()
+    for th in (2, 3, 4):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v, w in we:
+            if w >= th:
+                u, v = int(u), int(v)
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+        comps: dict[int, int] = {}
+        for x in parent:
+            comps[find(x)] = comps.get(find(x), 0) + 1
+        want = (
+            len(parent),
+            len(comps),
+            max(comps.values()) if comps else 0,
+        )
+        assert rows[th] == want, (th, rows[th], want)
+    # monotone collapse: raising the threshold never grows the graph
+    assert rows[2][0] >= rows[3][0] >= rows[4][0]

@@ -152,6 +152,8 @@ FAMILIES = [
      "lineitem_exact_quantile_select"),
     ("RFM k-means (NTILE features + Lloyd)", "customer_rfm_kmeans"),
     ("snapshot changelog (full outer diff)", "orders_snapshot_changelog"),
+    ("percolation profile (thresholded components)",
+     "part_copurchase_percolation"),
 ]
 
 
