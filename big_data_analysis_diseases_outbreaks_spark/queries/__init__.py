@@ -86,7 +86,12 @@ def register(name: str, oracle: str | None = None):
 # OLDEST (r3/r4).  EXACTLY 50 entries (test-enforced);
 # tools/rotate_window.py regenerates this list.
 _PRIORITY: list[str] = [
-    # --- round-13 additions (never driver-green by construction):
+    # --- round-14 additions (never driver-green by construction):
+    "iforest_deterministic",
+    "doc_exact_substring_dedup",
+    "doc_bigram_perplexity",
+    # --- round-13 additions (all driver-green in r13; retained near the
+    # head until the r14 close rotation re-ranks by evidence age):
     "part_copurchase_betweenness",
     "bpe_train_merges",
     "kmeans_track_deterministic",
@@ -137,9 +142,6 @@ _PRIORITY: list[str] = [
     "json_extract_props",
     "local_supplier_revenue",
     "multimodal_decode",
-    "multimodal_frame_sample",
-    "national_market_share",
-    "ngram_jaccard_pairs",
 ]
 
 

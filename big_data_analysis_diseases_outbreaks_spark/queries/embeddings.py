@@ -2876,8 +2876,15 @@ def pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-integer protocol: cells = the deterministic Lloyd of
 # kmeans_track_deterministic (k=8, 2 rounds, smallest-vec_id init) and
 # the within-cell cosine test is an EXACT integer inequality —
-# cos(a,b) ≥ θ ⇔ a·b > 0 ∧ (a·b)²·10⁴ ≥ θ²·10⁴·|a|²|b|² (θ = 0.95;
-# overflow bound (a·b)²·10⁴ ≤ ~2.6e18 < 2^63 at the 10⁻³ grid).
+# cos(a,b) ≥ θ ⇔ a·b > 0 ∧ (a·b)²·400 ≥ 361·|a|²|b|² (θ = 0.95 so
+# θ² = 9025/10⁴ = 361/400 exactly; the gcd-25 reduction plus the
+# n2 ≤ 1.5e8 vector cap below make overflow IMPOSSIBLE for any input
+# passing the cap: n2a·n2b ≤ 2.25e16 ⇒ 361·n2a·n2b ≤ 8.2e18 < 2^63,
+# and by Cauchy–Schwarz dot² ≤ n2a·n2b ⇒ 400·dot² ≤ 9.0e18 < 2^63.
+# The cap is vacuous on the documented range — 64 dims, |x| ≤ 1 at
+# the 10⁻³ grid gives n2 ≤ 6.4e7 — and on non-normalized inputs both
+# engines now EXCLUDE oversized vectors identically instead of Spark
+# wrapping silently where DuckDB raises (ADVICE r13).
 # Pair generation is blocked TWICE: by Lloyd cell AND by the sign
 # pattern of the first 16 quantized dims — the first 10× audit run
 # measured e = 1.21 with cell-only blocking (fixed k ⇒ quadratic
@@ -2889,7 +2896,9 @@ def pq_train_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SDD_K = 8
 _SDD_ROUNDS = 2
-_SDD_COS2_NUM = 9025   # θ² · 10⁴ for θ = 0.95
+_SDD_COS2_NUM = 361    # θ² = 361/400 for θ = 0.95 (gcd-25 reduced)
+_SDD_COS2_DEN = 400
+_SDD_N2_CAP = 150_000_000  # overflow-safety cap on |v|² (see note above)
 
 # Planted-twin quantized corpus: original ∪ (+100000, dim0 × 1.05) —
 # operation ORDER matters for the float discipline: (x·1.05)·1000+0.5
@@ -2959,11 +2968,13 @@ pairs AS (
          a.n2 AS n2a, b.n2 AS n2b
   FROM v a JOIN v b
     ON a.cluster = b.cluster AND a.blk = b.blk
-   AND a.vec_id < b.vec_id)
+   AND a.vec_id < b.vec_id
+   AND a.n2 <= {_SDD_N2_CAP} AND b.n2 <= {_SDD_N2_CAP})
 SELECT CAST(cluster AS BIGINT) AS cluster, v1, v2,
        CAST(dot AS BIGINT) AS dot_q
 FROM pairs
-WHERE dot > 0 AND dot * dot * 10000 >= {_SDD_COS2_NUM} * n2a * n2b
+WHERE dot > 0
+  AND dot * dot * {_SDD_COS2_DEN} >= {_SDD_COS2_NUM} * n2a * n2b
 """.strip()
 
 
@@ -2985,6 +2996,7 @@ def dedup_semdedup_deterministic(
             " x -> IF(x >= 0, '1', '0')))"
         ).alias("blk"),
     )
+    v = v.where(F.col("n2") <= _SDD_N2_CAP)
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
@@ -3005,7 +3017,7 @@ def dedup_semdedup_deterministic(
     return pairs.where(
         (F.col("dot") > 0)
         & (
-            F.col("dot") * F.col("dot") * 10000
+            F.col("dot") * F.col("dot") * _SDD_COS2_DEN
             >= F.lit(_SDD_COS2_NUM) * F.col("n2a") * F.col("n2b")
         )
     ).select("cluster", "v1", "v2", F.col("dot").cast("long").alias("dot_q"))

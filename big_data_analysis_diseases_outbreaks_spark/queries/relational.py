@@ -13144,7 +13144,11 @@ def part_temporal_reachability(
             d.unionByName(relax)
             .groupBy("node")
             .agg(F.min("arr").cast("long").alias("arr"))
-            .persist()  # carry + relax both read it next round
+            # House discipline for iterative loops (CLAUDE.md, Luby MIS
+            # lesson): localCheckpoint truncates the lineage so the plan
+            # tree stays round-sized; persist() alone keeps the full
+            # logical plan growing per round (VERDICT r13 item #5).
+            .localCheckpoint(eager=True)
         )
     return d.select(
         F.col("node").alias("part_key"),
@@ -13370,7 +13374,10 @@ _bind_rfmk_oracle()
 # Same deterministic "remote" version as the Merkle reconcile family
 # (table_reconcile_checksums): one bucket's rows drift a cent (updates),
 # every 5th row of another bucket is missing (deletes), and every
-# 997th row of a third is re-keyed +10^9 (inserts) — so the changelog
+# 997th row of a third is re-keyed past MAX(o_orderkey) (inserts —
+# the offset is max+1, derived from the data rather than a fixed
+# 10^9, so planted insert keys can NEVER collide with genuine base
+# keys at any scale factor; ADVICE r13) — so the changelog
 # is provably exactly those rows with all three change types live. Plan: one full outer join
 # on the key + value comparison; at 100 TB both sides hash-partition on
 # the key (bucketed tables join co-located), and the comparison is on
@@ -13391,7 +13398,7 @@ nxt AS (
   WHERE NOT (o_orderkey % {_RECON_BUCKETS} = {_RECON_DELETE_BUCKET}
              AND (o_orderkey // {_RECON_BUCKETS}) % 5 = 0)
   UNION ALL
-  SELECT o_orderkey + 1000000000 AS k,
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS k,
          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
   FROM orders
   WHERE o_orderkey % {_RECON_BUCKETS} = 7
@@ -13427,10 +13434,21 @@ def orders_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("cents"),
     ).unionByName(
+        # Insert offset derived from the data (max key + 1): planted
+        # insert keys stay disjoint from genuine base keys at every
+        # scale factor (a fixed 10^9 collides once real orderkeys reach
+        # 1e9 — ADVICE r13).  One driver-side long from a partial-agg
+        # max: the histogram-refinement precedent.
         o.where(
             (F.col("k") % _RECON_BUCKETS == 7)
             & (F.expr(f"(k div {_RECON_BUCKETS}) % 997") == 0)
-        ).select((F.col("k") + 1_000_000_000).alias("k"), "cents")
+        ).select(
+            (
+                F.col("k")
+                + F.lit(int(o.agg(F.max("k")).first()[0]) + 1)
+            ).alias("k"),
+            "cents",
+        )
     )
     b = base.select(F.col("k").alias("bk"), F.col("cents").alias("old_cents"))
     n = nxt.select(F.col("k").alias("nk"), F.col("cents").alias("new_cents"))
@@ -13535,3 +13553,196 @@ def part_copurchase_percolation(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- deterministic isolation forest, value tier (round 14) --------------------
+# The VALUE-TIER twin of iforest_anomaly (which stays rows-tier: its
+# numpy fit draws from np.random and cannot be hash-oracled): the last
+# rows-only capability without an exact twin after round 13 closed
+# KMeans/selection/PQ/SemDeDup (VERDICT r13 #2). Protocol = a
+# deterministic random-cut forest over the exact-integer customer RFM
+# feature table (recency days / order count / spend cents): T=8 trees
+# of fixed depth D=6 whose every internal node's (feature, threshold)
+# is drawn by a 2^31 LCG keyed on (tree, heap-node-id) over the GLOBAL
+# per-feature [lo, hi] box; a customer's per-tree path length is the
+# first depth at which it is ALONE in its cell (leaf-prefix occupancy
+# count = 1), else D — the Liu/Ting/Zhou "anomalies isolate early"
+# signal with every quantity an exact integer. The anomaly score is
+# ONE IEEE division of the exact path sum by the constant T·D
+# (sortable, never summable — the float discipline). Oracle = a
+# closed-form cuts CTE (the LCG is pure modular arithmetic, no
+# recursion needed) + a D-level chained-CTE unroll of the tree walks —
+# the betweenness/MIS precedent. Scale: the cut table is T·(2^D - 1) =
+# 504 rows (broadcast), the descent is D broadcast joins over the
+# customer-sized feature table, occupancy is one (tree, depth, prefix)
+# group-count — nothing quadratic, nothing collected but the six
+# [lo, hi] bounds (driver-scalar precedent).
+
+_IFD_TREES = 8
+_IFD_DEPTH = 6
+_IFD_LCG_A = 1103515245
+_IFD_LCG_C = 12345
+_IFD_LCG_M = 2_147_483_648  # 2^31: A·s < 2.4e18 < 2^63, overflow-free
+
+
+def _ifd_oracle() -> str:
+    t, d = _IFD_TREES, _IFD_DEPTH
+    a, c, m = _IFD_LCG_A, _IFD_LCG_C, _IFD_LCG_M
+    descent = []
+    prev = "d0"
+    for lvl in range(1, d + 1):
+        descent.append(f"""d{lvl} AS (
+  SELECT p.ck, p.r, p.f, p.m, p.t,
+         2 * p.node + CASE WHEN (CASE c.q WHEN 0 THEN p.r
+                                          WHEN 1 THEN p.f
+                                          ELSE p.m END) <= c.thr
+                      THEN 0 ELSE 1 END AS node
+  FROM {prev} p JOIN cuts c ON c.t = p.t AND c.n = p.node)""")
+        prev = f"d{lvl}"
+    lv_rows = ", ".join(
+        f"({lvl}, {2 ** (d - lvl)})" for lvl in range(1, d + 1)
+    )
+    return f"""
+WITH feat AS (
+  SELECT o_custkey AS ck,
+         CAST(MAX(CAST(o_orderdate AS DATE)) - DATE '1992-01-01' AS BIGINT)
+           AS r,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+  FROM orders GROUP BY o_custkey),
+bounds AS (
+  SELECT 0 AS q, MIN(r) AS lo, MAX(r) AS hi FROM feat
+  UNION ALL SELECT 1, MIN(f), MAX(f) FROM feat
+  UNION ALL SELECT 2, MIN(m), MAX(m) FROM feat),
+cut0 AS (
+  SELECT t, n,
+         (t * 1000003 + n * 7919 + {c}) % {m} AS s0
+  FROM (SELECT UNNEST(generate_series(1, {t})) AS t),
+       (SELECT UNNEST(generate_series(1, {2 ** d - 1})) AS n)),
+cut1 AS (SELECT t, n, ({a} * s0 + {c}) % {m} AS s1 FROM cut0),
+cut2 AS (SELECT t, n, s1 % 3 AS q, ({a} * s1 + {c}) % {m} AS s2 FROM cut1),
+cuts AS (
+  SELECT c.t, c.n, c.q, b.lo + c.s2 % (b.hi - b.lo + 1) AS thr
+  FROM cut2 c JOIN bounds b USING (q)),
+d0 AS (
+  SELECT ck, r, f, m, t, 1 AS node
+  FROM feat, (SELECT UNNEST(generate_series(1, {t})) AS t)),
+{",".join(descent)},
+lv AS (SELECT d, dv FROM (VALUES {lv_rows}) AS v(d, dv)),
+pre AS (
+  SELECT ck, t, l.d, node // l.dv AS pfx FROM d{d}, lv l),
+occ AS (
+  SELECT t, d, pfx, COUNT(*) AS cnt FROM pre GROUP BY 1, 2, 3),
+iso AS (
+  SELECT p.ck, p.t,
+         COALESCE(MIN(CASE WHEN o.cnt = 1 THEN p.d END), {d}) AS plen
+  FROM pre p JOIN occ o ON o.t = p.t AND o.d = p.d AND o.pfx = p.pfx
+  GROUP BY p.ck, p.t)
+SELECT ck AS c_custkey,
+       CAST(SUM(plen) AS BIGINT) AS path_sum,
+       CAST(SUM(plen) AS DOUBLE) / {t * d}.0 AS iso_score
+FROM iso GROUP BY ck
+""".strip()
+
+
+@register("iforest_deterministic", oracle=_ifd_oracle())
+def iforest_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t_cnt, depth = _IFD_TREES, _IFD_DEPTH
+    a, c, m = _IFD_LCG_A, _IFD_LCG_C, _IFD_LCG_M
+    orders = load_table(spark, sf_dir, "orders")
+    feat = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(scaled_long(F.col("o_totalprice"), 100))
+        .cast("long")
+        .alias("m"),
+    ).localCheckpoint(eager=True)  # bounds agg + descent both read it
+    row = feat.agg(
+        F.min("r"), F.max("r"), F.min("f"), F.max("f"), F.min("m"), F.max("m")
+    ).first()
+    lo = {0: int(row[0]), 1: int(row[2]), 2: int(row[4])}
+    hi = {0: int(row[1]), 1: int(row[3]), 2: int(row[5])}
+    cuts = []
+    for t in range(1, t_cnt + 1):
+        for n in range(1, 2 ** depth):
+            s0 = (t * 1000003 + n * 7919 + c) % m
+            s1 = (a * s0 + c) % m
+            q = s1 % 3
+            s2 = (a * s1 + c) % m
+            cuts.append((t, n, lo[q] + s2 % (hi[q] - lo[q] + 1), q))
+    cut_df = spark.createDataFrame(
+        cuts, "ct BIGINT, cn BIGINT, thr BIGINT, q INT"
+    )
+    cur = feat.select(
+        "ck",
+        "r",
+        "f",
+        "m",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, t_cnt + 1)])
+        ).alias("t"),
+        F.lit(1).cast("long").alias("node"),
+    )
+    for _ in range(depth):
+        cur = (
+            cur.join(
+                F.broadcast(cut_df),
+                (F.col("t") == F.col("ct")) & (F.col("node") == F.col("cn")),
+            )
+            .select(
+                "ck",
+                "r",
+                "f",
+                "m",
+                "t",
+                (
+                    2 * F.col("node")
+                    + F.when(
+                        F.when(F.col("q") == 0, F.col("r"))
+                        .when(F.col("q") == 1, F.col("f"))
+                        .otherwise(F.col("m"))
+                        <= F.col("thr"),
+                        0,
+                    ).otherwise(1)
+                ).cast("long").alias("node"),
+            )
+        )
+    leaf = cur.select("ck", "t", "node").localCheckpoint(eager=True)
+    pre = leaf.select(
+        "ck",
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lvl).alias("d"),
+                        F.lit(2 ** (depth - lvl)).alias("dv"),
+                    )
+                    for lvl in range(1, depth + 1)
+                ]
+            )
+        ).alias("l"),
+        F.expr("node").alias("node"),
+    ).select("ck", "t", "l.d", F.expr("node div l.dv").alias("pfx"))
+    occ = pre.groupBy("t", "d", "pfx").agg(F.count(F.lit(1)).alias("cnt"))
+    iso = (
+        pre.join(occ, ["t", "d", "pfx"])
+        .groupBy("ck", "t")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("cnt") == 1, F.col("d"))), F.lit(depth)
+            ).alias("plen")
+        )
+    )
+    return iso.groupBy("ck").agg(
+        F.sum("plen").cast("long").alias("path_sum")
+    ).select(
+        F.col("ck").alias("c_custkey"),
+        "path_sum",
+        (F.col("path_sum").cast("double") / F.lit(float(t_cnt * depth)))
+        .alias("iso_score"),
+    )

@@ -6210,7 +6210,14 @@ def _bpe_train_loop(
     picks: list[tuple[int, str, str, int]] = []
     for step in range(rounds):
         top = (
-            w.select(
+            # size(syms)=1 words contribute no pairs.  Filtering them is
+            # bit-identical to the DuckDB oracle (generate_series(1,0) is
+            # empty there) and REQUIRED on the Spark side: sequence(1,0)
+            # yields the DESCENDING [1,0] and element_at(syms, 0) throws
+            # INVALID_ARRAY_INDEX_IN_ELEMENT_AT the moment any 2-letter
+            # word collapses to one symbol within the merge rounds.
+            w.where(F.size("syms") >= 2)
+            .select(
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(syms) - 1), i ->"
@@ -6381,4 +6388,270 @@ def doc_weighted_priority_sample(
         .alias("rank"),
         "doc_id",
         "weight",
+    )
+
+
+# --- CCNet-style n-gram LM perplexity quality filter (round 14) ---------------
+# The classic LM-based quality scorer the text-quality family lacked
+# (Gopher/DSIR/classifier exist): train a Laplace-smoothed bigram LM on
+# a held-out "clean" slice (doc_id % 10 < 3 — the deterministic split
+# protocol every split operator here uses), score EVERY document's
+# per-token surprisal, bucket into quality tiers (CCNet, Wenzek et al.
+# 2020 keeps the low-perplexity head/middle). Cross-engine discipline:
+# log2 is NOT in the exact-float toolkit, so surprisal is quantized to
+# the EXACT integer floor-log2 of the integer probability ratio —
+# floor(log2(x)) = length(bin(x)) - 1, and Spark `bin()` and DuckDB
+# `bin()` render the identical minimal binary string for x ≥ 1. With
+# Laplace smoothing num = C2(prev, cur)+1 ≤ den = C1(prev)+V always, so
+# bits ≥ 0. Per-doc average ships as the ×1000 truncating-div fixed
+# point. Scale: the scorer is the corpus-sized bigram stream joined to
+# the VOCABULARY-sized count tables — the unigram table broadcasts, the
+# bigram table shuffle-joins on (prev, cur); the training aggregation is
+# one map-side-combine pass over the 30% slice; at 100 TB nothing here
+# is quadratic and nothing collects beyond the single vocabulary-size
+# scalar V (the histogram-refinement driver-scalar precedent).
+
+_PPL_TRAIN_MOD = 10
+_PPL_TRAIN_LT = 3       # doc_id % 10 < 3 → the training slice
+_PPL_TIER_HI = 5050     # avg bits ×1000 below ⇒ 'high' quality
+_PPL_TIER_MED = 5200    # below ⇒ 'medium'; else 'low'
+
+
+def _ppl_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+tr AS (SELECT * FROM tok WHERE doc_id % {_PPL_TRAIN_MOD} < {_PPL_TRAIN_LT}),
+trbg AS (
+  SELECT w[i] AS p, w[i+1] AS c
+  FROM tr, LATERAL (SELECT UNNEST(generate_series(1, len(w)-1)) AS i) g
+  WHERE len(w) >= 2),
+c2 AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS n2 FROM trbg GROUP BY 1, 2),
+c1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n1 FROM trbg GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS vsz
+      FROM (SELECT UNNEST(w) AS u FROM tr)),
+bg AS (
+  SELECT doc_id, w[i] AS p, w[i+1] AS c
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-1)) AS i) g
+  WHERE len(w) >= 2),
+sc AS (
+  SELECT bg.doc_id,
+         (length(bin(COALESCE(c1.n1, 0) + (SELECT vsz FROM v))) - 1)
+       - (length(bin(COALESCE(c2.n2, 0) + 1)) - 1) AS bits
+  FROM bg
+  LEFT JOIN c2 ON bg.p = c2.p AND bg.c = c2.c
+  LEFT JOIN c1 ON bg.p = c1.p),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(bits) AS BIGINT) AS total_bits,
+         CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_bits_x1000
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, n_bigrams, total_bits, avg_bits_x1000,
+       CASE WHEN avg_bits_x1000 < {_PPL_TIER_HI} THEN 'high'
+            WHEN avg_bits_x1000 < {_PPL_TIER_MED} THEN 'medium'
+            ELSE 'low' END AS quality_tier
+FROM agg
+""".strip()
+
+
+def _ppl_bigrams(tok: DataFrame) -> DataFrame:
+    """(doc_id, p, c) bigram stream; size(w) >= 2 guard — Spark's
+    sequence(1, 0) is DESCENDING and element_at(w, 0) throws (the BPE
+    single-symbol lesson, ADVICE r13)."""
+    return (
+        tok.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), i ->"
+                    " struct(element_at(w, i) AS p,"
+                    " element_at(w, i + 1) AS c))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.p", "b.c")
+    )
+
+
+@register("doc_bigram_perplexity", oracle=_ppl_oracle())
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    )
+    tr = tok.where(F.col("doc_id") % _PPL_TRAIN_MOD < _PPL_TRAIN_LT)
+    trbg = _ppl_bigrams(tr)
+    c2 = trbg.groupBy("p", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    c1 = trbg.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    # V: one vocabulary-size scalar to the driver (the driver-scalar
+    # precedent — a partial-agg distinct count, never a data collect).
+    vsz = int(
+        tr.select(F.explode("w").alias("u")).agg(
+            F.countDistinct("u")
+        ).first()[0]
+    )
+    bg = _ppl_bigrams(tok)
+    j = bg.join(c2, ["p", "c"], "left").join(F.broadcast(c1), ["p"], "left")
+    bits = (
+        F.length(F.bin(F.coalesce(F.col("n1"), F.lit(0)) + F.lit(vsz))) - 1
+    ) - (F.length(F.bin(F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1))) - 1)
+    agg = j.select("doc_id", bits.cast("long").alias("bits")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("CAST((sum(bits) * 1000) div count(1) AS BIGINT)").alias(
+            "avg_bits_x1000"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "avg_bits_x1000",
+        F.when(F.col("avg_bits_x1000") < _PPL_TIER_HI, "high")
+        .when(F.col("avg_bits_x1000") < _PPL_TIER_MED, "medium")
+        .otherwise("low")
+        .alias("quality_tier"),
+    )
+
+
+# --- exact substring dedup, suffix-array tier (round 14) ----------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") removes EXACT >=50-token overlaps found via a suffix array.
+# The repo's MinHash/SimHash/winnowing families approximate this; here
+# is the exact-substring formulation itself, re-expressed Spark-first
+# (VERDICT r13 #3): a distributed suffix array is the wrong tool on a
+# shuffle engine, so the same exact semantics come from anchor
+# shingles + diagonal run-length reconstruction:
+#   tokenize -> K-token shingle at EVERY position -> drop ubiquitous
+#   shingles (doc frequency > cap: boilerplate, handled by the
+#   boilerplate-dedup operator; the cap is part of the deterministic
+#   protocol and applied identically in both engines) -> equi-join on
+#   shingle CONTENT (never all-pairs; bucket width <= cap^2) ->
+#   consecutive anchor matches on the same (pair, ia - ib) diagonal
+#   form maximal shared token spans (islands trick: grp = ia - row_
+#   number), span = run + K - 1 -> emit pairs with a span >= the
+#   50-token bar scaled to the fixture corpus (20).
+# A shared span of S >= K tokens contains S - K + 1 consecutive
+# anchors, so every maximal span is recovered exactly (not sampled) as
+# long as its interior anchors survive the DF cap. Scale: the shingle
+# stream is corpus-sized (one narrow map), the DF filter is one
+# map-side-combine agg, the match join is content-bucketed with
+# cap-bounded width, and the window runs per (pair, diagonal) — no
+# stage is quadratic in the corpus.
+
+_ESD_K = 8           # anchor shingle width (tokens)
+_ESD_MIN_SPAN = 20   # report pairs sharing an exact run of >= this
+_ESD_DF_CAP = 64     # shingles in more docs than this are boilerplate
+
+
+def _esd_oracle() -> str:
+    k = _ESD_K
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{k - 1}], ' ') AS s
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-{k - 1})) AS i) g
+  WHERE len(w) >= {k}),
+keep AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_ESD_DF_CAP}),
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM keep)),
+runs AS (
+  SELECT da, db,
+         ia - ROW_NUMBER() OVER (
+           PARTITION BY da, db, ia - ib ORDER BY ia) AS grp,
+         ia - ib AS diag
+  FROM m),
+spans AS (
+  SELECT da, db, CAST(COUNT(*) + {k - 1} AS BIGINT) AS span
+  FROM runs GROUP BY da, db, diag, grp)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM spans
+WHERE span >= {_ESD_MIN_SPAN}
+GROUP BY da, db
+""".strip()
+
+
+@register("doc_exact_substring_dedup", oracle=_esd_oracle())
+def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _ESD_K
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    )
+    sh = (
+        tok.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k - 1}), i ->"
+                    f" struct(i AS i, concat_ws(' ', slice(w, i, {k}))"
+                    " AS s))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.i", "g.s")
+        .localCheckpoint(eager=True)  # feeds the DF filter AND both join sides
+    )
+    keep = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _ESD_DF_CAP))
+        .select("s")
+    )
+    shk = sh.join(keep, "s")
+    a = shk.select(
+        F.col("s"), F.col("doc_id").alias("da"), F.col("i").alias("ia")
+    )
+    b = shk.select(
+        F.col("s"), F.col("doc_id").alias("db"), F.col("i").alias("ib")
+    )
+    m = a.join(b, "s").where(F.col("da") < F.col("db")).select(
+        "da", "db", "ia", "ib"
+    )
+    runs = m.select(
+        "da",
+        "db",
+        (F.col("ia") - F.col("ib")).alias("diag"),
+        (
+            F.col("ia")
+            - F.row_number().over(
+                Window.partitionBy("da", "db", F.col("ia") - F.col("ib"))
+                .orderBy("ia")
+            )
+        ).alias("grp"),
+    )
+    spans = runs.groupBy("da", "db", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span")
+    )
+    return (
+        spans.where(F.col("span") >= _ESD_MIN_SPAN)
+        .groupBy("da", "db")
+        .agg(
+            F.max("span").cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "max_span_tokens",
+            "n_spans",
+        )
     )

@@ -115,3 +115,34 @@ def test_bpe_counts_match_python_reference(spark):
         .collect()
     ]
     assert got == want
+
+def test_bpe_train_survives_collapsed_two_letter_word(spark, tmp_path):
+    """ADVICE r13 (medium): once a 2-letter word merges to ONE symbol,
+    the next round's pair explode used to hit Spark's descending
+    sequence(1, 0) and throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  The
+    fix (filter size(syms) >= 2 before the explode) must be
+    bit-identical to the pure-Python trainer, which simply emits no
+    pairs for single-symbol words."""
+    import pandas as pd
+
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _bpe_train_loop,
+        _bpe_vocab,
+    )
+
+    from .test_round13_ops import _bpe_train_py
+
+    texts = ["in in in in in in on on at at we go up"] * 3
+    df = pd.DataFrame({"doc_id": list(range(3)), "text": texts})
+    d = str(tmp_path / "bpe_collapse")
+    spark.createDataFrame(df).write.parquet(d + "/documents.parquet")
+
+    # Round 1 merges (i, n) -> "in" collapses to a single symbol;
+    # rounds 2-4 must keep running on the remaining words.
+    picks, wf = _bpe_train_loop(_bpe_vocab(spark, d), 4, apply_last=True)
+    freq = {"in": 18, "on": 6, "at": 6, "we": 3, "go": 3, "up": 3}
+    assert picks == _bpe_train_py(freq, rounds=4)
+    assert picks[0][2] == "in"
+    # The collapsed word survives in the applied table as one symbol.
+    rows = {r["word"]: r["syms"] for r in wf.collect()}
+    assert rows["in"] == ["in"]

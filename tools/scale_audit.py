@@ -154,6 +154,15 @@ FAMILIES = [
     ("snapshot changelog (full outer diff)", "orders_snapshot_changelog"),
     ("percolation profile (thresholded components)",
      "part_copurchase_percolation"),
+    # round-14: the deterministic random-cut forest (customer-sized
+    # descent, 504-row broadcast cuts), the anchor-shingle exact
+    # substring dedup (DF-capped content buckets — the SemDeDup e=1.21
+    # lesson says measure BEFORE shipping), and the bigram-LM scorer
+    # (corpus stream × vocabulary-sized count tables).
+    ("deterministic iforest (LCG random-cut)", "iforest_deterministic"),
+    ("exact substring dedup (anchor diagonals)",
+     "doc_exact_substring_dedup"),
+    ("bigram LM perplexity (vocab-bounded joins)", "doc_bigram_perplexity"),
 ]
 
 
