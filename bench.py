@@ -385,10 +385,17 @@ HEADLINE = [
     "customer_rfm_kmeans",
     "orders_snapshot_changelog",
     "part_copurchase_percolation",
-    # round-14 additions:
+    # round-14 additions. doc_substring_dedup_apply stays OUT of
+    # HEADLINE: it re-pays the doc_exact_substring_dedup span stage
+    # verbatim plus the interval-union window (the bpe_apply_vocab /
+    # khop_sql derived-duplicate precedent).
     "iforest_deterministic",
     "doc_exact_substring_dedup",
     "doc_bigram_perplexity",
+    "doc_trigram_backoff_bits",
+    "part_harmonic_centrality",
+    "embedding_kcenter_coreset",
+    "orders_psi_drift",
 ]
 
 

@@ -90,6 +90,11 @@ _PRIORITY: list[str] = [
     "iforest_deterministic",
     "doc_exact_substring_dedup",
     "doc_bigram_perplexity",
+    "doc_substring_dedup_apply",
+    "doc_trigram_backoff_bits",
+    "part_harmonic_centrality",
+    "embedding_kcenter_coreset",
+    "orders_psi_drift",
     # --- round-13 additions (all driver-green in r13; retained near the
     # head until the r14 close rotation re-ranks by evidence age):
     "part_copurchase_betweenness",
@@ -137,11 +142,6 @@ _PRIORITY: list[str] = [
     "doc_repetition_ratio",
     "doc_simhash16",
     "doc_token_count",
-    "embedding_norms",
-    "features_join",
-    "json_extract_props",
-    "local_supplier_revenue",
-    "multimodal_decode",
 ]
 
 

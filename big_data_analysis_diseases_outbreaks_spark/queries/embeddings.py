@@ -3021,3 +3021,99 @@ def dedup_semdedup_deterministic(
             >= F.lit(_SDD_COS2_NUM) * F.col("n2a") * F.col("n2b")
         )
     ).select("cluster", "v1", "v2", F.col("dot").cast("long").alias("dot_q"))
+
+
+# --- k-center greedy coreset selection (round 14) -----------------------------
+# Farthest-point sampling (Gonzalez 1985 2-approximation to the
+# k-center objective) — the diversity-selection operator the curation
+# family lacked: SemDeDup/near-dup REMOVE redundancy, k-center PICKS
+# the maximally-spread representative subset (the coreset every
+# "diverse training subset" recipe starts from; Sener & Savarese 2018
+# use exactly this for active selection). Deterministic protocol on
+# the 10^-3 quantized grid: start from the smallest vec_id, then K-1
+# rounds of "farthest point from the chosen set" under exact integer
+# squared distance, ties to the smallest vec_id; each round's distance
+# IS the covering radius after the previous round, so the output is
+# the (step, center, radius) profile — the elbow read for "how many
+# exemplars does this corpus need". Spark: the per-point min-distance
+# column updates by ONE broadcast-literal arithmetic map per round
+# (the chosen center's 64 ints ride in the plan, the argmax is a
+# TakeOrderedAndProject of one row — the kmeans-centroid driver-scalar
+# precedent); localCheckpoint per round. Oracle: K-round chained-CTE
+# unroll (argmax + LEAST distance fold per round). Scale: K·N work,
+# no pair joins anywhere.
+
+_KC_K = 8
+
+
+def _kc_oracle() -> str:
+    # every m{k} is read twice (p{k+1} argmax + m{k+1} fold) — without
+    # MATERIALIZED DuckDB inlines the chain and the plan doubles per
+    # round (8 rounds hung the sf0.001 compare; measured, not theory)
+    ctes = ["""c1 AS MATERIALIZED (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1),
+m1 AS MATERIALIZED (
+  SELECT p.vec_id, SUM((p.x - c.x) * (p.x - c.x)) AS mind2
+  FROM e p JOIN e c
+    ON c.vec_id = (SELECT vec_id FROM c1) AND c.dim = p.dim
+  GROUP BY p.vec_id)"""]
+    for k in range(2, _KC_K + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT vec_id, mind2 FROM m{k - 1}
+  ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+m{k} AS MATERIALIZED (
+  SELECT p.vec_id, LEAST(p.mind2, d.d2) AS mind2
+  FROM m{k - 1} p JOIN (
+    SELECT a.vec_id, SUM((a.x - c.x) * (a.x - c.x)) AS d2
+    FROM e a JOIN e c
+      ON c.vec_id = (SELECT vec_id FROM p{k}) AND c.dim = a.dim
+    GROUP BY a.vec_id) d ON d.vec_id = p.vec_id)""")
+    rows = ["""SELECT CAST(1 AS BIGINT) AS step,
+       (SELECT CAST(vec_id AS BIGINT) FROM c1) AS vec_id,
+       CAST(0 AS BIGINT) AS radius_d2"""]
+    for k in range(2, _KC_K + 1):
+        rows.append(f"""SELECT CAST({k} AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(mind2 AS BIGINT) FROM p{k}""")
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+           AS qe
+  FROM embeddings),
+e AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, qe[i] AS x
+  FROM q, LATERAL (SELECT UNNEST(generate_series(1, len(qe))) AS i) g),
+{",".join(ctes)}
+{" UNION ALL ".join(rows)}
+""".strip()
+
+
+@register("embedding_kcenter_coreset", oracle=_kc_oracle())
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _kmd_emb(spark, sf_dir).localCheckpoint(eager=True)
+
+    def d2_to(center: list[int]):
+        arr = "array(" + ",".join(f"{v}L" for v in center) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qe, {arr}, (x, c) -> (x - c) * (x - c)),"
+            " 0L, (s, t) -> s + t)"
+        )
+
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(1, int(first["vec_id"]), 0)]
+    cur = emb.select(
+        "vec_id", "qe", d2_to(list(first["qe"])).alias("mind2")
+    ).localCheckpoint(eager=True)
+    for step in range(2, _KC_K + 1):
+        top = cur.orderBy(
+            F.col("mind2").desc(), F.col("vec_id").asc()
+        ).limit(1).collect()[0]
+        picks.append((step, int(top["vec_id"]), int(top["mind2"])))
+        cur = cur.select(
+            "vec_id",
+            "qe",
+            F.least(F.col("mind2"), d2_to(list(top["qe"]))).alias("mind2"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "step BIGINT, vec_id BIGINT, radius_d2 BIGINT"
+    )

@@ -13746,3 +13746,229 @@ def iforest_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("path_sum").cast("double") / F.lit(float(t_cnt * depth)))
         .alias("iso_score"),
     )
+
+
+# --- bounded-distance harmonic centrality (round 14) --------------------------
+# Harmonic centrality (Boldi & Vigna 2014: the "which nodes reach the
+# network cheaply" centrality that, unlike closeness, is well-defined
+# on disconnected graphs) from the mod-500 seed set, distance-bounded
+# at 3 hops — the same bounded-sweep contract as the betweenness and
+# k-hop operators: H(v) = Σ_{s, 1 ≤ d_s(v) ≤ 3} SCALE div d_s(v),
+# every term an exact truncating division of the 10^6 fixed point
+# (sum of exact ints — never a float sum). Needs PER-SEED distances
+# (khop's global-min-from-the-set is not enough), so the state is the
+# (seed, node) settled table built by a level-synchronous multi-source
+# BFS: per round one frontier⋈edges expansion + one anti-join against
+# the settled set, frontier-sized state, localCheckpoint per round
+# (the house iterative-loop discipline). Oracle: recursive
+# (s, node, d) BFS + MIN — the khop precedent. Scale: state is
+# |seeds|×|reached| with the same seed-density knob every bounded
+# graph operator here uses; nothing touches all-pairs.
+
+_HC_HOPS = 3
+_HC_SCALE = 1_000_000
+
+
+def _harmonic_oracle() -> str:
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{COPURCHASE_SHIPDATE_LO}'),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % {_BFS_SEED_MOD} = 0),
+bfs(s, node, d) AS (
+  SELECT node, node, 0 FROM seeds
+  UNION
+  SELECT bfs.s, e.dst, bfs.d + 1 FROM bfs JOIN e ON bfs.node = e.src
+  WHERE bfs.d < {_HC_HOPS}),
+dist AS (SELECT s, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+SELECT CAST(node AS BIGINT) AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM({_HC_SCALE} // d) AS BIGINT) AS harmonic_x1e6
+FROM dist WHERE d >= 1 GROUP BY node
+""".strip()
+
+
+@register("part_harmonic_centrality", oracle=_harmonic_oracle())
+def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir).distinct()
+    seeds = (
+        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    settled = seeds.select(
+        F.col("node").alias("s"),
+        "node",
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    for r in range(1, _HC_HOPS + 1):
+        new = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(settled, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(r).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return (
+        settled.where(F.col("d") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum(F.expr(f"{_HC_SCALE} div d"))
+            .cast("long")
+            .alias("harmonic_x1e6"),
+        )
+        .select(F.col("node").alias("part_key"), "n_sources", "harmonic_x1e6")
+    )
+
+
+# --- PSI distribution drift (round 14) ----------------------------------------
+# Population Stability Index — the standard "did my feature/score
+# distribution drift between two corpus slices" monitor (credit-risk
+# folklore; the training-data version gates mixture rebalancing and
+# staleness alarms). Protocol: order spend in exact cents, 16
+# equi-width buckets over the GLOBAL [lo, hi] (both slices share the
+# grid — drift must not move the goalposts), add-1 smoothed bucket
+# shares as ×10^6 truncating-div fixed points, and the PSI log-ratio
+# quantized to exact floor-log2 bits (lb(p+1) with lb(x) =
+# length(bin(x)) - 1 — the perplexity family's cross-engine log
+# discipline; ln is NOT in the exact-float toolkit). Early slice =
+# orders before 1995-01-01, late = the rest. Emits one row per bucket
+# plus the bucket = -1 grand-total row (the headline PSI). Scale: one
+# scan → 16-bucket map-side-combine counts; the only driver scalars
+# are [lo, hi] and the two slice totals.
+
+_PSI_BUCKETS = 16
+_PSI_SPLIT_DATE = "1995-01-01"
+_PSI_SCALE = 1_000_000
+
+
+def _psi_oracle() -> str:
+    nb, sc = _PSI_BUCKETS, _PSI_SCALE
+    return f"""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT_DATE}'
+              THEN 1 ELSE 0 END AS early
+  FROM orders),
+bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+bk AS (
+  SELECT ((o.cents - b.lo) * {nb}) // (b.hi - b.lo + 1) AS bucket,
+         o.early
+  FROM o, bounds b),
+cnt AS (
+  SELECT s.bucket,
+         COALESCE(SUM(CASE WHEN bk.early = 1 THEN 1 END), 0) + 1 AS ca,
+         COALESCE(SUM(CASE WHEN bk.early = 0 THEN 1 END), 0) + 1 AS cb
+  FROM (SELECT UNNEST(generate_series(0, {nb - 1})) AS bucket) s
+  LEFT JOIN bk ON bk.bucket = s.bucket
+  GROUP BY s.bucket),
+tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cnt),
+p AS (
+  SELECT c.bucket,
+         CAST(c.ca - 1 AS BIGINT) AS n_early,
+         CAST(c.cb - 1 AS BIGINT) AS n_late,
+         CAST((c.ca * {sc}) // t.ta AS BIGINT) AS p_early_x1e6,
+         CAST((c.cb * {sc}) // t.tb AS BIGINT) AS p_late_x1e6
+  FROM cnt c, tot t),
+rows_ AS (
+  SELECT bucket, n_early, n_late, p_early_x1e6, p_late_x1e6,
+         CAST((p_early_x1e6 - p_late_x1e6)
+              * ((length(bin(p_early_x1e6 + 1)) - 1)
+                 - (length(bin(p_late_x1e6 + 1)) - 1)) AS BIGINT)
+           AS contrib_bits_x1e6
+  FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_early, n_late,
+       p_early_x1e6, p_late_x1e6, contrib_bits_x1e6
+FROM rows_
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_early) AS BIGINT),
+       CAST(SUM(n_late) AS BIGINT), CAST(SUM(p_early_x1e6) AS BIGINT),
+       CAST(SUM(p_late_x1e6) AS BIGINT),
+       CAST(SUM(contrib_bits_x1e6) AS BIGINT)
+FROM rows_
+""".strip()
+
+
+@register("orders_psi_drift", oracle=_psi_oracle())
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb, sc = _PSI_BUCKETS, _PSI_SCALE
+    o = load_table(spark, sf_dir, "orders").select(
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+        F.when(
+            F.to_date("o_orderdate") < F.lit(_PSI_SPLIT_DATE).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+    row = o.agg(F.min("cents"), F.max("cents")).first()
+    lo, hi = int(row[0]), int(row[1])
+    bk = o.select(
+        F.expr(f"((cents - {lo}) * {nb}) div ({hi} - {lo} + 1)").alias(
+            "bucket"
+        ),
+        "early",
+    )
+    spine = spark.range(nb).select(F.col("id").cast("long").alias("bucket"))
+    cnt = (
+        spine.join(
+            bk.groupBy("bucket").agg(
+                F.sum("early").alias("ea"),
+                F.sum(F.lit(1) - F.col("early")).alias("la"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            (F.coalesce("ea", F.lit(0)) + 1).cast("long").alias("ca"),
+            (F.coalesce("la", F.lit(0)) + 1).cast("long").alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # totals agg + per-bucket math
+    )
+    t = cnt.agg(F.sum("ca"), F.sum("cb")).first()
+    ta, tb = int(t[0]), int(t[1])
+    lb = lambda col: F.length(F.bin(col)) - 1  # noqa: E731
+    p = cnt.select(
+        "bucket",
+        (F.col("ca") - 1).cast("long").alias("n_early"),
+        (F.col("cb") - 1).cast("long").alias("n_late"),
+        F.expr(f"CAST((ca * {sc}) div {ta} AS BIGINT)").alias(
+            "p_early_x1e6"
+        ),
+        F.expr(f"CAST((cb * {sc}) div {tb} AS BIGINT)").alias(
+            "p_late_x1e6"
+        ),
+    )
+    rows = p.select(
+        "bucket",
+        "n_early",
+        "n_late",
+        "p_early_x1e6",
+        "p_late_x1e6",
+        (
+            (F.col("p_early_x1e6") - F.col("p_late_x1e6"))
+            * (
+                lb(F.col("p_early_x1e6") + 1) - lb(F.col("p_late_x1e6") + 1)
+            )
+        )
+        .cast("long")
+        .alias("contrib_bits_x1e6"),
+    ).localCheckpoint(eager=True)  # bucket rows + the grand-total row
+    total = rows.agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.sum("n_early").cast("long").alias("n_early"),
+        F.sum("n_late").cast("long").alias("n_late"),
+        F.sum("p_early_x1e6").cast("long").alias("p_early_x1e6"),
+        F.sum("p_late_x1e6").cast("long").alias("p_late_x1e6"),
+        F.sum("contrib_bits_x1e6").cast("long").alias("contrib_bits_x1e6"),
+    )
+    return rows.unionByName(total)

@@ -6589,6 +6589,120 @@ GROUP BY da, db
 
 @register("doc_exact_substring_dedup", oracle=_esd_oracle())
 def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Span machinery shared with doc_substring_dedup_apply (defined
+    # below with the apply operator).
+    spans = _esd_spans(spark, sf_dir)
+    return (
+        spans.where(F.col("span") >= _ESD_MIN_SPAN)
+        .groupBy("da", "db")
+        .agg(
+            F.max("span").cast("long").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "max_span_tokens",
+            "n_spans",
+        )
+    )
+
+
+# --- substring dedup APPLY: span removal manifest (round 14) ------------------
+# The consume half of doc_exact_substring_dedup — Lee et al. 2022
+# REMOVE the duplicated spans, so the engine must turn the pair/span
+# list into a per-document removal manifest. Keep-first policy: every
+# qualifying span is removed from the HIGHER doc_id of its pair (the
+# lower id keeps its copy). A document can collect overlapping spans
+# from many partners, so the manifest is the INTERVAL UNION of its
+# token-position spans — the classic islands construction (running max
+# of interval ends; a new island starts when start > cummax of prior
+# ends; overlapping merge, adjacent intervals stay distinct). Output:
+# per-document token counts before/after, merged-interval count, and
+# the removed share as a ×10^4 truncating-div fixed point. Documents
+# with nothing to remove are emitted with zeros (left join from the
+# corpus spine). Scale: everything through the span stage is the
+# doc_exact_substring_dedup plan; the union/window stage is keyed by
+# document and sized by the removal list, not the corpus.
+
+
+def _esd_spans_sql() -> str:
+    """Shared oracle CTE chain: tok/sh/keep/m/runs/spans with span
+    START positions (spansp adds ia0/ib0)."""
+    k = _ESD_K
+    return f"""tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{k - 1}], ' ') AS s
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-{k - 1})) AS i) g
+  WHERE len(w) >= {k}),
+keep AS (
+  SELECT s FROM sh GROUP BY s
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_ESD_DF_CAP}),
+m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM keep)),
+runs AS (
+  SELECT da, db,
+         ia - ROW_NUMBER() OVER (
+           PARTITION BY da, db, ia - ib ORDER BY ia) AS grp,
+         ia - ib AS diag, ia
+  FROM m),
+spansp AS (
+  SELECT da, db, diag,
+         CAST(COUNT(*) + {k - 1} AS BIGINT) AS span,
+         CAST(MIN(ia) AS BIGINT) AS ia0,
+         CAST(MIN(ia) - diag AS BIGINT) AS ib0
+  FROM runs GROUP BY da, db, diag, grp)"""
+
+
+def _esd_apply_oracle() -> str:
+    return f"""
+WITH {_esd_spans_sql()},
+ivl AS (
+  SELECT db AS doc_id, ib0 AS s, ib0 + span - 1 AS e
+  FROM spansp WHERE span >= {_ESD_MIN_SPAN}),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              IS NULL THEN 1
+              WHEN s > MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM ivl),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(is_new) OVER (
+           PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+  FROM isl2 GROUP BY doc_id, island),
+rem AS (
+  SELECT doc_id,
+         CAST(SUM(me - ms + 1) AS BIGINT) AS removed,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals
+  FROM merged GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.removed, 0) AS BIGINT) AS tokens_removed,
+       CAST(len(t.w) - COALESCE(r.removed, 0) AS BIGINT) AS tokens_kept,
+       CAST(COALESCE(r.n_intervals, 0) AS BIGINT) AS n_intervals,
+       CAST((COALESCE(r.removed, 0) * 10000) // len(t.w) AS BIGINT)
+         AS removed_pct_x10000
+FROM tok t LEFT JOIN rem r USING (doc_id)
+WHERE len(t.w) > 0
+""".strip()
+
+
+def _esd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(da, db, diag, span, ia0, ib0) — the Spark twin of spansp."""
     k = _ESD_K
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -6608,7 +6722,7 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", "g.i", "g.s")
-        .localCheckpoint(eager=True)  # feeds the DF filter AND both join sides
+        .localCheckpoint(eager=True)
     )
     keep = (
         sh.groupBy("s")
@@ -6637,21 +6751,228 @@ def doc_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .orderBy("ia")
             )
         ).alias("grp"),
+        "ia",
     )
-    spans = runs.groupBy("da", "db", "diag", "grp").agg(
-        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span")
+    return runs.groupBy("da", "db", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(_ESD_K - 1)).cast("long").alias("span"),
+        F.min("ia").cast("long").alias("ia0"),
+        (F.min("ia") - F.col("diag")).cast("long").alias("ib0"),
+    ).select("da", "db", "diag", "span", "ia0", "ib0")
+
+
+@register("doc_substring_dedup_apply", oracle=_esd_apply_oracle())
+def doc_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _esd_spans(spark, sf_dir)
+    ivl = spans.where(F.col("span") >= _ESD_MIN_SPAN).select(
+        F.col("db").alias("doc_id"),
+        F.col("ib0").alias("s"),
+        (F.col("ib0") + F.col("span") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = ivl.select(
+        "doc_id",
+        "s",
+        "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    isl2 = isl.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    rem = (
+        isl2.groupBy("doc_id", "island")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("long")
+            .alias("removed"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    spine = docs.select(
+        "doc_id",
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    j = spine.join(rem, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("removed", F.lit(0)).cast("long").alias("tokens_removed"),
+        (F.col("n_tokens") - F.coalesce("removed", F.lit(0)))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.coalesce("n_intervals", F.lit(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.expr(
+            "CAST((coalesce(removed, 0) * 10000) div n_tokens AS BIGINT)"
+        ).alias("removed_pct_x10000"),
+    )
+
+
+# --- trigram stupid-backoff scorer (round 14) ---------------------------------
+# The higher-order LM companion to doc_bigram_perplexity: score every
+# document under a trigram model with STUPID BACKOFF (Brants et al.
+# 2007 — the scheme built for corpus-scale distributed LMs: no
+# discounting to fit, just a fixed backoff multiplier). The multiplier
+# is α = 1/2, chosen because it is EXACTLY one bit in the floor-log2
+# surprisal domain: a backed-off token costs its Laplace-bigram bits
+# plus one penalty bit, keeping the whole protocol in exact integers
+# (lb(x) = length(bin(x)) - 1 on both engines). Seen trigrams score
+# pure-MLE bits lb(C3ctx) - lb(C3) >= 0; unseen ones back off to the
+# bigram op's exact tables. Also reports the per-doc backoff rate —
+# the "how novel is this doc to the reference corpus" signal that
+# powers contamination/novelty triage. Scale: identical shape to the
+# bigram scorer — corpus-sized trigram stream joined to
+# vocabulary-sized count tables, one scalar V to the driver.
+
+
+def _tri_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents),
+tr AS (SELECT * FROM tok WHERE doc_id % {_PPL_TRAIN_MOD} < {_PPL_TRAIN_LT}),
+trtg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM tr, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) g
+  WHERE len(w) >= 3),
+c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+       FROM trtg GROUP BY 1, 2, 3),
+c3ctx AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nc
+          FROM trtg GROUP BY 1, 2),
+trbg AS (
+  SELECT w[i] AS p, w[i+1] AS c
+  FROM tr, LATERAL (SELECT UNNEST(generate_series(1, len(w)-1)) AS i) g
+  WHERE len(w) >= 2),
+c2 AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS n2 FROM trbg GROUP BY 1, 2),
+c1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n1 FROM trbg GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS vsz
+      FROM (SELECT UNNEST(w) AS u FROM tr)),
+tg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) g
+  WHERE len(w) >= 3),
+sc AS (
+  SELECT tg.doc_id,
+         CASE WHEN c3.n3 IS NOT NULL THEN 0 ELSE 1 END AS backoff,
+         CASE WHEN c3.n3 IS NOT NULL
+              THEN (length(bin(cx.nc)) - 1) - (length(bin(c3.n3)) - 1)
+              ELSE 1 + (length(bin(COALESCE(c1.n1, 0)
+                                   + (SELECT vsz FROM v))) - 1)
+                     - (length(bin(COALESCE(c2.n2, 0) + 1)) - 1)
+         END AS bits
+  FROM tg
+  LEFT JOIN c3 ON tg.w1 = c3.w1 AND tg.w2 = c3.w2 AND tg.w3 = c3.w3
+  LEFT JOIN c3ctx cx ON tg.w1 = cx.w1 AND tg.w2 = cx.w2
+  LEFT JOIN c2 ON tg.w2 = c2.p AND tg.w3 = c2.c
+  LEFT JOIN c1 ON tg.w2 = c1.p)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST((SUM(bits) * 1000) // COUNT(*) AS BIGINT) AS avg_bits_x1000,
+       CAST((SUM(backoff) * 10000) // COUNT(*) AS BIGINT)
+         AS backoff_rate_x10000
+FROM sc GROUP BY doc_id
+""".strip()
+
+
+def _tri_ngrams(tok: DataFrame, n: int) -> DataFrame:
+    """(doc_id, w1..wn) n-gram stream with the size guard (BPE
+    descending-sequence lesson)."""
+    fields = ", ".join(
+        f"element_at(w, i + {j}) AS w{j + 1}" for j in range(n)
     )
     return (
-        spans.where(F.col("span") >= _ESD_MIN_SPAN)
-        .groupBy("da", "db")
-        .agg(
-            F.max("span").cast("long").alias("max_span_tokens"),
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-        )
+        tok.where(F.size("w") >= n)
         .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            "max_span_tokens",
-            "n_spans",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> struct({fields}))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", *[f"g.w{j + 1}" for j in range(n)])
+    )
+
+
+@register("doc_trigram_backoff_bits", oracle=_tri_oracle())
+def doc_trigram_backoff_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w"),
+    )
+    trn = tok.where(F.col("doc_id") % _PPL_TRAIN_MOD < _PPL_TRAIN_LT)
+    trtg = _tri_ngrams(trn, 3)
+    c3 = trtg.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("n3")
+    )
+    c3ctx = trtg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    trbg = _tri_ngrams(trn, 2).withColumnsRenamed({"w1": "p", "w2": "c"})
+    c2 = trbg.groupBy("p", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    c1 = trbg.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    vsz = int(
+        trn.select(F.explode("w").alias("u")).agg(
+            F.countDistinct("u")
+        ).first()[0]
+    )
+    tg = _tri_ngrams(tok, 3)
+    j = (
+        tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c3ctx, ["w1", "w2"], "left")
+        .join(
+            c2.withColumnsRenamed({"p": "w2", "c": "w3"}),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            F.broadcast(c1.withColumnRenamed("p", "w2")), ["w2"], "left"
+        )
+    )
+    lb = lambda col: F.length(F.bin(col)) - 1  # noqa: E731
+    bits = F.when(
+        F.col("n3").isNotNull(), lb(F.col("nc")) - lb(F.col("n3"))
+    ).otherwise(
+        F.lit(1)
+        + lb(F.coalesce(F.col("n1"), F.lit(0)) + F.lit(vsz))
+        - lb(F.coalesce(F.col("n2"), F.lit(0)) + F.lit(1))
+    )
+    backoff = F.when(F.col("n3").isNotNull(), 0).otherwise(1)
+    return (
+        j.select(
+            "doc_id",
+            bits.cast("long").alias("bits"),
+            backoff.cast("long").alias("backoff"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            F.expr(
+                "CAST((sum(bits) * 1000) div count(1) AS BIGINT)"
+            ).alias("avg_bits_x1000"),
+            F.expr(
+                "CAST((sum(backoff) * 10000) div count(1) AS BIGINT)"
+            ).alias("backoff_rate_x10000"),
         )
     )

@@ -266,3 +266,226 @@ def test_iforest_deterministic_isolates_planted_anomaly(spark, tmp_path):
     assert anomaly < bulk[len(bulk) // 20], (anomaly, bulk[:8])
     # score is the single IEEE division of the exact path sum
     assert res[999][1] == anomaly / (_IFD_TREES * _IFD_DEPTH)
+
+
+# --- doc_substring_dedup_apply ------------------------------------------------
+
+
+def _esd_spans_py(words: dict[int, list[str]]):
+    """(da, db, diag) -> list of (ib0, span) for ALL maximal runs."""
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _ESD_DF_CAP as CAP,
+        _ESD_K as K,
+    )
+
+    post: dict[str, list[tuple[int, int]]] = {}
+    for d, w in words.items():
+        for i in range(len(w) - K + 1):
+            post.setdefault(" ".join(w[i : i + K]), []).append((d, i + 1))
+    by_pair: dict[tuple[int, int], dict[int, list[int]]] = {}
+    for s, occ in post.items():
+        docs = {d for d, _ in occ}
+        if not (2 <= len(docs) <= CAP):
+            continue
+        for da, ia in occ:
+            for db, ib in occ:
+                if da < db:
+                    by_pair.setdefault((da, db), {}).setdefault(
+                        ia - ib, []
+                    ).append(ia)
+    spans = []
+    for (da, db), diags in by_pair.items():
+        for diag, ias in diags.items():
+            ias.sort()
+            start = ias[0]
+            run = 1
+            for prev, cur in zip(ias, ias[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    spans.append((da, db, start - diag, run + K - 1))
+                    start, run = cur, 1
+            spans.append((da, db, start - diag, run + K - 1))
+    return spans
+
+
+def test_substring_dedup_apply_matches_python_replica(spark):
+    from big_data_analysis_diseases_outbreaks_spark.queries.text import (
+        _ESD_MIN_SPAN,
+    )
+
+    words = _doc_words(SF_SMALL)
+    ivls: dict[int, list[tuple[int, int]]] = {}
+    for da, db, ib0, span in _esd_spans_py(words):
+        if span >= _ESD_MIN_SPAN:
+            ivls.setdefault(db, []).append((ib0, ib0 + span - 1))
+    want = {}
+    for d, w in words.items():
+        if not w:
+            continue
+        removed = n_iv = 0
+        if d in ivls:
+            merged = []
+            for s, e in sorted(ivls[d]):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            removed = sum(e - s + 1 for s, e in merged)
+            n_iv = len(merged)
+        want[d] = (len(w), removed, len(w) - removed, n_iv,
+                   (removed * 10000) // len(w))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens_removed"], r["tokens_kept"],
+                      r["n_intervals"], r["removed_pct_x10000"])
+        for r in _Q["doc_substring_dedup_apply"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values()), "corpus has real removals"
+
+
+# --- doc_trigram_backoff_bits -------------------------------------------------
+
+
+def test_trigram_backoff_matches_pure_python_lm(spark):
+    words = _doc_words(SF_SMALL)
+    train = {
+        d: w for d, w in words.items()
+        if d % _PPL_TRAIN_MOD < _PPL_TRAIN_LT
+    }
+    c3: dict[tuple, int] = {}
+    cx: dict[tuple, int] = {}
+    c2: dict[tuple, int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for w in train.values():
+        vocab.update(w)
+        for i in range(len(w) - 1):
+            c2[(w[i], w[i + 1])] = c2.get((w[i], w[i + 1]), 0) + 1
+            c1[w[i]] = c1.get(w[i], 0) + 1
+        for i in range(len(w) - 2):
+            t = (w[i], w[i + 1], w[i + 2])
+            c3[t] = c3.get(t, 0) + 1
+            cx[t[:2]] = cx.get(t[:2], 0) + 1
+    vsz = len(vocab)
+    want = {}
+    for d, w in words.items():
+        if len(w) < 3:
+            continue
+        total = nb = n = 0
+        for i in range(len(w) - 2):
+            t = (w[i], w[i + 1], w[i + 2])
+            if t in c3:
+                total += cx[t[:2]].bit_length() - c3[t].bit_length()
+            else:
+                nb += 1
+                den = c1.get(w[i + 1], 0) + vsz
+                num = c2.get((w[i + 1], w[i + 2]), 0) + 1
+                total += 1 + den.bit_length() - num.bit_length()
+            n += 1
+        want[d] = (n, total, (total * 1000) // n, (nb * 10000) // n)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["total_bits"], r["avg_bits_x1000"],
+                      r["backoff_rate_x10000"])
+        for r in _Q["doc_trigram_backoff_bits"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+# --- part_harmonic_centrality -------------------------------------------------
+
+
+def test_harmonic_centrality_matches_python_bfs(spark):
+    from .test_round13_ops import _copurchase_edges_py
+
+    edges = _copurchase_edges_py(SF_SMALL)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    nodes = {a for a, _ in edges}
+    seeds = sorted(n for n in nodes if n % 500 == 0)
+    dist: dict[tuple[int, int], int] = {}
+    for s in seeds:
+        frontier, seen, d = {s}, {s}, 0
+        while frontier and d < 3:
+            d += 1
+            nxt = set()
+            for v in frontier:
+                nxt |= adj.get(v, set())
+            nxt -= seen
+            for v in nxt:
+                dist[(s, v)] = d
+            seen |= nxt
+            frontier = nxt
+    want: dict[int, tuple[int, int]] = {}
+    for (s, v), d in dist.items():
+        n, h = want.get(v, (0, 0))
+        want[v] = (n + 1, h + 1_000_000 // d)
+    got = {
+        r["part_key"]: (r["n_sources"], r["harmonic_x1e6"])
+        for r in _Q["part_harmonic_centrality"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert got, "seeds must reach at least one node"
+
+
+# --- embedding_kcenter_coreset ------------------------------------------------
+
+
+def test_kcenter_matches_python_greedy(spark):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    rows = con.execute(
+        f"""
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5)
+                           AS BIGINT))
+        FROM '{SF_SMALL}/embeddings.parquet'
+        """
+    ).fetchall()
+    con.close()
+    pts = {int(v): tuple(int(x) for x in q) for v, q in rows}
+    first = min(pts)
+    picks = [(1, first, 0)]
+    mind2 = {
+        v: sum((a - b) ** 2 for a, b in zip(q, pts[first]))
+        for v, q in pts.items()
+    }
+    from big_data_analysis_diseases_outbreaks_spark.queries.embeddings import (
+        _KC_K,
+    )
+
+    for step in range(2, _KC_K + 1):
+        nxt = max(mind2, key=lambda v: (mind2[v], -v))
+        picks.append((step, nxt, mind2[nxt]))
+        for v, q in pts.items():
+            d2 = sum((a - b) ** 2 for a, b in zip(q, pts[nxt]))
+            if d2 < mind2[v]:
+                mind2[v] = d2
+    got = sorted(
+        (r["step"], r["vec_id"], r["radius_d2"])
+        for r in _Q["embedding_kcenter_coreset"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == picks
+    # covering radius is non-increasing (greedy k-center invariant)
+    radii = [r for _, _, r in picks[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+# --- orders_psi_drift ---------------------------------------------------------
+
+
+def test_psi_drift_total_row_and_shares(spark):
+    rows = _Q["orders_psi_drift"].fn(spark, SF_SMALL).collect()
+    buckets = [r for r in rows if r["bucket"] >= 0]
+    total = [r for r in rows if r["bucket"] == -1]
+    assert len(buckets) == 16 and len(total) == 1
+    t = total[0]
+    for col in ("n_early", "n_late", "p_early_x1e6", "p_late_x1e6",
+                "contrib_bits_x1e6"):
+        assert t[col] == sum(r[col] for r in buckets), col
+    # truncating-div shares sum to <= 1e6 and within 16 ulps of it
+    for col in ("p_early_x1e6", "p_late_x1e6"):
+        assert 1_000_000 - 16 <= t[col] <= 1_000_000

@@ -163,6 +163,15 @@ FAMILIES = [
     ("exact substring dedup (anchor diagonals)",
      "doc_exact_substring_dedup"),
     ("bigram LM perplexity (vocab-bounded joins)", "doc_bigram_perplexity"),
+    # round-14 second wave: span-removal manifest (interval union),
+    # trigram stupid-backoff, per-seed bounded BFS, farthest-point
+    # K-round loop, bucket-count drift.
+    ("substring dedup apply (interval union)", "doc_substring_dedup_apply"),
+    ("trigram stupid-backoff (vocab joins)", "doc_trigram_backoff_bits"),
+    ("harmonic centrality (per-seed BFS)", "part_harmonic_centrality"),
+    ("k-center coreset (8-round farthest point)",
+     "embedding_kcenter_coreset"),
+    ("PSI drift (16-bucket counts)", "orders_psi_drift"),
 ]
 
 
