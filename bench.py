@@ -396,6 +396,11 @@ HEADLINE = [
     "part_harmonic_centrality",
     "embedding_kcenter_coreset",
     "orders_psi_drift",
+    "corpus_chao1_richness",
+    "corpus_zipf_octave_slope",
+    "token_burstiness_topk",
+    "lineitem_isotonic_calibration",
+    "stream_psi_drift",
 ]
 
 

@@ -95,6 +95,11 @@ _PRIORITY: list[str] = [
     "part_harmonic_centrality",
     "embedding_kcenter_coreset",
     "orders_psi_drift",
+    "corpus_chao1_richness",
+    "corpus_zipf_octave_slope",
+    "token_burstiness_topk",
+    "lineitem_isotonic_calibration",
+    "stream_psi_drift",
     # --- round-13 additions (all driver-green in r13; retained near the
     # head until the r14 close rotation re-ranks by evidence age):
     "part_copurchase_betweenness",
@@ -137,11 +142,6 @@ _PRIORITY: list[str] = [
     "cosine_topk",
     "daily_zero_filled",
     "doc_fingerprint",
-    "doc_lang_id",
-    "doc_quality_score",
-    "doc_repetition_ratio",
-    "doc_simhash16",
-    "doc_token_count",
 ]
 
 

@@ -13898,31 +13898,17 @@ FROM rows_
 """.strip()
 
 
-@register("orders_psi_drift", oracle=_psi_oracle())
-def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(bucket, ea, la) raw slice counts (buckets may be missing) →
+    the PSI report: full spine, add-1 smoothing, ×10^6 shares,
+    floor-log2 contributions, grand-total row. Shared by the batch
+    operator and the streaming store's serve step."""
     nb, sc = _PSI_BUCKETS, _PSI_SCALE
-    o = load_table(spark, sf_dir, "orders").select(
-        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
-        F.when(
-            F.to_date("o_orderdate") < F.lit(_PSI_SPLIT_DATE).cast("date"), 1
-        )
-        .otherwise(0)
-        .alias("early"),
-    )
-    row = o.agg(F.min("cents"), F.max("cents")).first()
-    lo, hi = int(row[0]), int(row[1])
-    bk = o.select(
-        F.expr(f"((cents - {lo}) * {nb}) div ({hi} - {lo} + 1)").alias(
-            "bucket"
-        ),
-        "early",
-    )
     spine = spark.range(nb).select(F.col("id").cast("long").alias("bucket"))
     cnt = (
         spine.join(
-            bk.groupBy("bucket").agg(
-                F.sum("early").alias("ea"),
-                F.sum(F.lit(1) - F.col("early")).alias("la"),
+            counts.groupBy("bucket").agg(
+                F.sum("ea").alias("ea"), F.sum("la").alias("la")
             ),
             "bucket",
             "left",
@@ -13972,3 +13958,146 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib_bits_x1e6").cast("long").alias("contrib_bits_x1e6"),
     )
     return rows.unionByName(total)
+
+
+def _psi_sliced_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cents, early) for every order — the shared slice projection."""
+    return load_table(spark, sf_dir, "orders").select(
+        scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+        F.when(
+            F.to_date("o_orderdate") < F.lit(_PSI_SPLIT_DATE).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("early"),
+    )
+
+
+@register("orders_psi_drift", oracle=_psi_oracle())
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nb = _PSI_BUCKETS
+    o = _psi_sliced_orders(spark, sf_dir)
+    row = o.agg(F.min("cents"), F.max("cents")).first()
+    lo, hi = int(row[0]), int(row[1])
+    bk = o.select(
+        F.expr(f"((cents - {lo}) * {nb}) div ({hi} - {lo} + 1)").alias(
+            "bucket"
+        ),
+        "early",
+    )
+    return _psi_from_counts(
+        spark,
+        bk.select(
+            "bucket",
+            F.col("early").alias("ea"),
+            (F.lit(1) - F.col("early")).alias("la"),
+        ),
+    )
+
+
+# --- isotonic calibration curve (round 14) ------------------------------------
+# Monotone calibration of an ordinal predictor against a binary
+# outcome — the model-eval primitive behind reliability diagrams and
+# isotonic-regression calibrators (Zadrozny & Elkan 2002): here the
+# return rate of a lineitem as a function of its quantity bucket
+# (10 buckets of 5). The isotonic (L2, increasing) fit is computed by
+# the MINIMAX characterization fit_i = max_{j<=i} min_{k>=i}
+# mean(y[j..k]) — equivalent to pool-adjacent-violators but closed-
+# form, so it unrolls into two tiny group-bys over the ≤ B(B+1)/2
+# interval table instead of a sequential merge loop. Every interval
+# mean is the ×10^6 truncating-div fixed point of exact integer sums
+# (the quantized-minimax protocol; both engines and the pytest replica
+# share it bit-for-bit). Scale: ONE corpus-sized bucket aggregation;
+# everything after operates on B = 10 rows (55 intervals) — the
+# interval enumeration never touches the fact table.
+
+_ISO_BUCKETS = 10
+_ISO_BUCKET_WIDTH = 5
+_ISO_SCALE = 1_000_000
+
+
+def _iso_oracle() -> str:
+    nb, w, sc = _ISO_BUCKETS, _ISO_BUCKET_WIDTH, _ISO_SCALE
+    return f"""
+WITH b AS (
+  SELECT LEAST({nb - 1},
+               (CAST(l_quantity AS BIGINT) - 1) // {w}) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS pos
+  FROM lineitem GROUP BY 1),
+iv AS (
+  SELECT j.bucket AS j, k.bucket AS k,
+         CAST((SUM(m.pos) * {sc}) // SUM(m.n) AS BIGINT) AS mean_x
+  FROM b j JOIN b k ON j.bucket <= k.bucket
+  JOIN b m ON m.bucket BETWEEN j.bucket AND k.bucket
+  GROUP BY j.bucket, k.bucket),
+mn AS (
+  SELECT i.bucket AS i, v.j, MIN(v.mean_x) AS mn
+  FROM b i JOIN iv v ON v.j <= i.bucket AND v.k >= i.bucket
+  GROUP BY i.bucket, v.j),
+fit AS (SELECT i AS bucket, MAX(mn) AS iso FROM mn GROUP BY i)
+SELECT b.bucket, b.n, b.pos,
+       CAST((b.pos * {sc}) // b.n AS BIGINT) AS rate_x1e6,
+       CAST(f.iso AS BIGINT) AS iso_rate_x1e6
+FROM b JOIN fit f USING (bucket)
+""".strip()
+
+
+@register("lineitem_isotonic_calibration", oracle=_iso_oracle())
+def lineitem_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nb, w, sc = _ISO_BUCKETS, _ISO_BUCKET_WIDTH, _ISO_SCALE
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.least(
+                F.lit(nb - 1),
+                F.expr(f"(CAST(l_quantity AS BIGINT) - 1) div {w}"),
+            ).alias("bucket"),
+            (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows feed 4 consumers below
+    )
+    bj = b.select(F.col("bucket").alias("j"))
+    bk = b.select(F.col("bucket").alias("k"))
+    bm = b.select(
+        F.col("bucket").alias("m"), F.col("n").alias("mn_"), "pos"
+    )
+    iv = (
+        bj.join(F.broadcast(bk), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(bm),
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            F.expr(f"CAST((sum(pos) * {sc}) div sum(mn_) AS BIGINT)").alias(
+                "mean_x"
+            )
+        )
+    )
+    bi = b.select(F.col("bucket").alias("i"))
+    mn = (
+        bi.join(
+            F.broadcast(iv),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_x").alias("mn"))
+    )
+    fit = mn.groupBy(F.col("i").alias("bucket")).agg(
+        F.max("mn").cast("long").alias("iso_rate_x1e6")
+    )
+    return b.join(fit, "bucket").select(
+        "bucket",
+        "n",
+        "pos",
+        F.expr(f"CAST((pos * {sc}) div n AS BIGINT)").alias("rate_x1e6"),
+        "iso_rate_x1e6",
+    )

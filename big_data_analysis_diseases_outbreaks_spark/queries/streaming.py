@@ -1948,3 +1948,170 @@ def _bind_conformal_stream_oracle() -> None:
 
 
 _bind_conformal_stream_oracle()
+
+
+# --- streaming PSI drift store (round 14) -------------------------------------
+# The streaming twin of orders_psi_drift: production drift monitors
+# don't re-scan history per check — they maintain per-bucket slice
+# counts incrementally and pin the bucket GRID to a calibration
+# snapshot (here: the stream's FIRST micro-batch; a grid recomputed
+# per batch would move the goalposts mid-stream). Exactly-once: each
+# micro-batch writes its partial (bucket, ea, la) counts to a
+# batch_id-partitioned store via dynamic overwrite (replays overwrite
+# their own partition, never double-count), the grid rides in the
+# store the same way; the serve step sums the store and runs the
+# SHARED _psi_from_counts math. Out-of-grid late values clamp into the
+# edge buckets (GREATEST/LEAST — the standard monitor convention).
+# The oracle replicates the chunk-0 grid exactly: chunk files are
+# contiguous-orderkey thirds, so "first micro-batch" = the first
+# ceil(n/3) orderkeys.
+
+
+def _psi_stream_oracle() -> str:
+    from .relational import _PSI_BUCKETS, _PSI_SCALE, _PSI_SPLIT_DATE
+
+    nb, sc = _PSI_BUCKETS, _PSI_SCALE
+    return f"""
+WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT_DATE}'
+              THEN 1 ELSE 0 END AS early,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM orders),
+grid AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi
+  FROM o WHERE rn <= (nt + 2) // 3),
+bk AS (
+  SELECT GREATEST(0, LEAST({nb - 1},
+           ((o.cents - g.lo) * {nb}) // (g.hi - g.lo + 1))) AS bucket,
+         o.early
+  FROM o, grid g),
+cnt AS (
+  SELECT s.bucket,
+         COALESCE(SUM(CASE WHEN bk.early = 1 THEN 1 END), 0) + 1 AS ca,
+         COALESCE(SUM(CASE WHEN bk.early = 0 THEN 1 END), 0) + 1 AS cb
+  FROM (SELECT UNNEST(generate_series(0, {nb - 1})) AS bucket) s
+  LEFT JOIN bk ON bk.bucket = s.bucket
+  GROUP BY s.bucket),
+tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cnt),
+p AS (
+  SELECT c.bucket,
+         CAST(c.ca - 1 AS BIGINT) AS n_early,
+         CAST(c.cb - 1 AS BIGINT) AS n_late,
+         CAST((c.ca * {sc}) // t.ta AS BIGINT) AS p_early_x1e6,
+         CAST((c.cb * {sc}) // t.tb AS BIGINT) AS p_late_x1e6
+  FROM cnt c, tot t),
+rows_ AS (
+  SELECT bucket, n_early, n_late, p_early_x1e6, p_late_x1e6,
+         CAST((p_early_x1e6 - p_late_x1e6)
+              * ((length(bin(p_early_x1e6 + 1)) - 1)
+                 - (length(bin(p_late_x1e6 + 1)) - 1)) AS BIGINT)
+           AS contrib_bits_x1e6
+  FROM p)
+SELECT CAST(bucket AS BIGINT) AS bucket, n_early, n_late,
+       p_early_x1e6, p_late_x1e6, contrib_bits_x1e6
+FROM rows_
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_early) AS BIGINT),
+       CAST(SUM(n_late) AS BIGINT), CAST(SUM(p_early_x1e6) AS BIGINT),
+       CAST(SUM(p_late_x1e6) AS BIGINT),
+       CAST(SUM(contrib_bits_x1e6) AS BIGINT)
+FROM rows_
+""".strip()
+
+
+@register("stream_psi_drift")
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.tables import configure_runtime
+    from .relational import (
+        _PSI_BUCKETS,
+        _PSI_SPLIT_DATE,
+        _psi_from_counts,
+    )
+
+    configure_runtime(spark)
+    nb = _PSI_BUCKETS
+    src = _orders_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    st = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    out = tempfile.mkdtemp(prefix="spark_psi_store_")
+    store_dir = os.path.join(out, "store")
+    grid_dir = os.path.join(out, "grid")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sliced = batch_df.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.when(
+                F.to_date("o_orderdate")
+                < F.lit(_PSI_SPLIT_DATE).cast("date"),
+                1,
+            )
+            .otherwise(0)
+            .alias("early"),
+        )
+        if not os.path.exists(grid_dir):
+            # Calibration snapshot: the FIRST batch pins the grid.
+            # (availableNow replays batches in order; a replayed batch
+            # 0 recomputes the identical grid — idempotent.)
+            sliced.agg(
+                F.min("cents").alias("lo"), F.max("cents").alias("hi")
+            ).coalesce(1).write.mode("overwrite").parquet(grid_dir)
+        g = spark.read.parquet(grid_dir).first()
+        lo, hi = int(g["lo"]), int(g["hi"])
+        (
+            sliced.select(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(nb - 1),
+                        F.expr(
+                            f"((cents - {lo}) * {nb})"
+                            f" div ({hi} - {lo} + 1)"
+                        ),
+                    ),
+                ).alias("bucket"),
+                "early",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("early").cast("long").alias("ea"),
+                F.sum(F.lit(1) - F.col("early")).cast("long").alias("la"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    (
+        st.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(out, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return _psi_from_counts(
+        spark, spark.read.parquet(store_dir).drop("batch_id")
+    )
+
+
+def _bind_psi_stream_oracle() -> None:
+    from . import _REGISTRY, Query
+
+    q = _REGISTRY["stream_psi_drift"]
+    _REGISTRY["stream_psi_drift"] = Query(
+        q.name, q.fn, _psi_stream_oracle()
+    )
+
+
+_bind_psi_stream_oracle()

@@ -6976,3 +6976,254 @@ def doc_trigram_backoff_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("backoff_rate_x10000"),
         )
     )
+
+
+# --- Chao1 richness + Good-Turing unseen mass (round 14) ----------------------
+# "How much vocabulary haven't we crawled yet" — the capture-recapture
+# estimate every corpus-coverage decision leans on: Chao1 (bias-
+# corrected, Chao 1984/1987) lower-bounds the true type count from the
+# hapax/doubleton spectrum, and Good-Turing's F1/N is the probability
+# mass of unseen types (the "novel trigram rate" of the next crawl
+# batch). Unit = word TRIGRAM types: the fixture vocabulary saturates
+# at the unigram tier (F1 = 0 — measured), while the trigram spectrum
+# is rich (~9.4k hapaxes at sf0.01). Both estimates are ONE IEEE
+# division of exact integers (+ an exact int add) — the float
+# discipline's sortable-never-summable contract. Scale: one
+# map-side-combine freq table + one 4-scalar spectrum aggregate.
+
+
+def _chao1_oracle() -> str:
+    return """
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+g AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) x
+  WHERE len(w) >= 3),
+f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY t),
+sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_observed,
+         CAST(SUM(c) AS BIGINT) AS n_ngrams,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM f)
+SELECT v_observed, n_ngrams, f1, f2,
+       CAST(v_observed AS DOUBLE)
+         + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE)
+         AS chao1_est,
+       CAST(f1 AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS gt_unseen_mass
+FROM sp
+""".strip()
+
+
+@register("corpus_chao1_richness", oracle=_chao1_oracle())
+def corpus_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w")
+    )
+    g = (
+        tok.where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i ->"
+                    " concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+                    " element_at(w, i + 2)))"
+                )
+            ).alias("t")
+        )
+    )
+    f = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sp = f.agg(
+        F.count(F.lit(1)).cast("long").alias("v_observed"),
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return sp.select(
+        "v_observed",
+        "n_ngrams",
+        "f1",
+        "f2",
+        (
+            F.col("v_observed").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1_est"),
+        (
+            F.col("f1").cast("double") / F.col("n_ngrams").cast("double")
+        ).alias("gt_unseen_mass"),
+    )
+
+
+# --- Zipf rank-octave slope (round 14) ----------------------------------------
+# The power-law tail check for corpus health (a natural corpus's
+# frequency-rank curve is ~Zipfian; TEMPLATED/machine-generated text
+# bends it — a standard generated-content tripwire). Protocol: trigram
+# types ranked by (freq DESC, type ASC) with the O(P) global-rank
+# machinery (never a SinglePartition window), octave = floor-log2 of
+# rank, per-octave mean floor-log2(freq) as the ×1000 truncating fixed
+# point, and the slope of mean-bits vs octave by exact-integer OLS —
+# sums exact, ONE IEEE division at the end (a Zipf exponent of s would
+# read as slope ≈ -1000·s millibits/octave). The octave profile rides
+# along so the fit is auditable. Scale: freq table + rank shuffle;
+# the OLS is over ≤ ~40 octave rows.
+
+
+def _zipf_oracle() -> str:
+    return """
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents),
+g AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS t
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) x
+  WHERE len(w) >= 3),
+f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY t),
+r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rk FROM f),
+oct AS (
+  SELECT length(bin(rk)) - 1 AS octave,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST((SUM(length(bin(c)) - 1) * 1000) // COUNT(*) AS BIGINT)
+           AS mean_bits_x1000
+  FROM r GROUP BY 1),
+ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(octave) AS BIGINT) AS sx,
+         CAST(SUM(mean_bits_x1000) AS BIGINT) AS sy,
+         CAST(SUM(octave * octave) AS BIGINT) AS sxx,
+         CAST(SUM(octave * mean_bits_x1000) AS BIGINT) AS sxy
+  FROM oct)
+SELECT CAST(o.octave AS BIGINT) AS octave, o.n_types, o.mean_bits_x1000,
+       CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+         / CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+         AS slope_millibits_per_octave
+FROM oct o, ols s
+""".strip()
+
+
+@register("corpus_zipf_octave_slope", oracle=_zipf_oracle())
+def corpus_zipf_octave_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("w")
+    )
+    g = (
+        tok.where(F.size("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i ->"
+                    " concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+                    " element_at(w, i + 2)))"
+                )
+            ).alias("t")
+        )
+    )
+    f = g.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    r = with_global_rank(
+        f, [F.col("c").desc(), F.col("t").asc()], rank_col="rk"
+    )
+    oct_ = r.groupBy(
+        (F.length(F.bin(F.col("rk"))) - 1).alias("octave")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.expr(
+            "CAST((sum(length(bin(c)) - 1) * 1000) div count(1) AS BIGINT)"
+        ).alias("mean_bits_x1000"),
+    ).localCheckpoint(eager=True)  # profile rows + the OLS aggregate
+    ols = oct_.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("octave").alias("sx"),
+        F.sum("mean_bits_x1000").alias("sy"),
+        F.sum(F.col("octave") * F.col("octave")).alias("sxx"),
+        F.sum(F.col("octave") * F.col("mean_bits_x1000")).alias("sxy"),
+    )
+    return oct_.crossJoin(F.broadcast(ols)).select(
+        F.col("octave").cast("long").alias("octave"),
+        "n_types",
+        "mean_bits_x1000",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        ).alias("slope_millibits_per_octave"),
+    )
+
+
+# --- token burstiness / dispersion index (round 14) ---------------------------
+# Church & Gale: content words are BURSTY (clumped in few documents),
+# function words are not — the variance-to-mean ratio (dispersion
+# index) of per-document counts separates them, and for curation it
+# flags tokens whose mass comes from a handful of documents (spam
+# phrases, boilerplate). VMR = var/mean over ALL documents including
+# zeros, computed algebraically so zero rows are never materialized:
+# VMR = (D·Σc² − T²) / (D·T) with D = corpus doc count, T = token
+# total, Σc² over the docs that contain it — exact integers, shipped
+# as the ×1000 truncating fixed point. Top-20 by (total DESC, token
+# ASC) via TakeOrderedAndProject. Scale: one (doc, token) count
+# aggregate + one token-keyed reduce; D is the single driver scalar.
+
+_BURST_TOPK = 20
+
+
+def _burst_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t
+  FROM documents),
+dc AS (
+  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY t, doc_id),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+s AS (
+  SELECT t,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM dc GROUP BY t)
+SELECT t AS token, total, doc_freq,
+       CAST(((d.nd * s.sumsq - s.total * s.total) * 1000)
+            // (d.nd * s.total) AS BIGINT) AS vmr_x1000
+FROM s, d
+ORDER BY total DESC, token ASC
+LIMIT {_BURST_TOPK}
+""".strip()
+
+
+@register("token_burstiness_topk", oracle=_burst_oracle())
+def token_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nd = docs.count()
+    dc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("t"),
+        )
+        .groupBy("t", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = dc.groupBy("t").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    return (
+        s.select(
+            F.col("t").alias("token"),
+            "total",
+            "doc_freq",
+            F.expr(
+                f"CAST((({nd} * sumsq - total * total) * 1000)"
+                f" div ({nd} * total) AS BIGINT)"
+            ).alias("vmr_x1000"),
+        )
+        .orderBy(F.col("total").desc(), F.col("token").asc())
+        .limit(_BURST_TOPK)
+    )

@@ -489,3 +489,151 @@ def test_psi_drift_total_row_and_shares(spark):
     # truncating-div shares sum to <= 1e6 and within 16 ulps of it
     for col in ("p_early_x1e6", "p_late_x1e6"):
         assert 1_000_000 - 16 <= t[col] <= 1_000_000
+
+
+# --- corpus_chao1_richness ----------------------------------------------------
+
+
+def _trigram_freqs(words: dict[int, list[str]]) -> dict[str, int]:
+    f: dict[str, int] = {}
+    for w in words.values():
+        for i in range(len(w) - 2):
+            t = " ".join(w[i : i + 3])
+            f[t] = f.get(t, 0) + 1
+    return f
+
+
+def test_chao1_matches_pure_python(spark):
+    f = _trigram_freqs(_doc_words(SF_SMALL))
+    v = len(f)
+    n = sum(f.values())
+    f1 = sum(1 for c in f.values() if c == 1)
+    f2 = sum(1 for c in f.values() if c == 2)
+    r = _Q["corpus_chao1_richness"].fn(spark, SF_SMALL).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["v_observed"], row["n_ngrams"], row["f1"], row["f2"]) == (
+        v, n, f1, f2)
+    assert row["chao1_est"] == v + (f1 * (f1 - 1)) / (2 * (f2 + 1))
+    assert row["gt_unseen_mass"] == f1 / n
+    # Chao1 is a lower-bound ESTIMATE above the observed richness
+    assert row["chao1_est"] >= v
+
+
+# --- corpus_zipf_octave_slope -------------------------------------------------
+
+
+def test_zipf_octave_slope_matches_pure_python(spark):
+    f = _trigram_freqs(_doc_words(SF_SMALL))
+    ranked = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))
+    oct_: dict[int, list[int]] = {}
+    for rk, (_, c) in enumerate(ranked, start=1):
+        oct_.setdefault(rk.bit_length() - 1, []).append(c.bit_length() - 1)
+    prof = {
+        o: (len(bits), (sum(bits) * 1000) // len(bits))
+        for o, bits in oct_.items()
+    }
+    xs = sorted(prof)
+    n = len(xs)
+    sx = sum(xs)
+    sy = sum(prof[o][1] for o in xs)
+    sxx = sum(o * o for o in xs)
+    sxy = sum(o * prof[o][1] for o in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    rows = _Q["corpus_zipf_octave_slope"].fn(spark, SF_SMALL).collect()
+    got = {r["octave"]: (r["n_types"], r["mean_bits_x1000"]) for r in rows}
+    assert got == prof
+    assert all(r["slope_millibits_per_octave"] == slope for r in rows)
+    # a frequency-rank curve must fall: negative slope
+    assert slope < 0
+
+
+# --- token_burstiness_topk ----------------------------------------------------
+
+
+def test_burstiness_matches_pure_python(spark):
+    words = _doc_words(SF_SMALL)
+    nd = len(words)
+    per: dict[str, dict[int, int]] = {}
+    for d, w in words.items():
+        for t in w:
+            per.setdefault(t, {}).setdefault(d, 0)
+            per[t][d] += 1
+    stats = {
+        t: (sum(cs.values()), len(cs),
+            sum(c * c for c in cs.values()))
+        for t, cs in per.items()
+    }
+    top = sorted(stats.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+    want = [
+        (t, tot, df, ((nd * sq - tot * tot) * 1000) // (nd * tot))
+        for t, (tot, df, sq) in top
+    ]
+    got = [
+        (r["token"], r["total"], r["doc_freq"], r["vmr_x1000"])
+        for r in _Q["token_burstiness_topk"].fn(spark, SF_SMALL).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # every VMR is >= the Poisson baseline would allow only if bursty;
+    # at minimum the algebraic identity keeps it non-negative minus
+    # the -T/D term: VMR >= -1 always; check sane bounds
+    assert all(v >= -1000 for _, _, _, v in got)
+
+
+# --- lineitem_isotonic_calibration --------------------------------------------
+
+
+def test_isotonic_matches_minimax_replica_and_is_monotone(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT LEAST(9, (CAST(l_quantity AS BIGINT) - 1) // 5) AS b,
+               COUNT(*), SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        FROM '{SF_SMALL}/lineitem.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    n = {int(b): int(c) for b, c, _ in rows}
+    pos = {int(b): int(p) for b, _, p in rows}
+    bs = sorted(n)
+
+    def mean_x(j, k):
+        p = sum(pos[i] for i in bs if j <= i <= k)
+        t = sum(n[i] for i in bs if j <= i <= k)
+        return (p * 1_000_000) // t
+
+    want = {}
+    for i in bs:
+        want[i] = max(
+            min(mean_x(j, k) for k in bs if k >= i)
+            for j in bs
+            if j <= i
+        )
+    got = {
+        r["bucket"]: r["iso_rate_x1e6"]
+        for r in _Q["lineitem_isotonic_calibration"].fn(
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == want
+    fits = [got[b] for b in sorted(got)]
+    assert fits == sorted(fits), "isotonic fit must be non-decreasing"
+
+
+# --- stream_psi_drift ---------------------------------------------------------
+
+
+def test_stream_psi_drift_exactly_once_and_shape(spark):
+    r1 = sorted(
+        tuple(r) for r in _Q["stream_psi_drift"].fn(spark, SF_SMALL).collect()
+    )
+    r2 = sorted(
+        tuple(r) for r in _Q["stream_psi_drift"].fn(spark, SF_SMALL).collect()
+    )
+    assert r1 == r2, "replay must be exactly-once deterministic"
+    buckets = [r for r in r1 if r[0] >= 0]
+    totals = [r for r in r1 if r[0] == -1]
+    assert len(buckets) == 16 and len(totals) == 1
+    t = totals[0]
+    assert t[1] == sum(r[1] for r in buckets)
+    assert t[5] == sum(r[5] for r in buckets)

@@ -172,6 +172,15 @@ FAMILIES = [
     ("k-center coreset (8-round farthest point)",
      "embedding_kcenter_coreset"),
     ("PSI drift (16-bucket counts)", "orders_psi_drift"),
+    # round-14 third wave: spectrum estimators (freq-table reduces),
+    # global-rank octaves, per-(token, doc) counts, the 10-bucket
+    # minimax fit, and the streaming PSI store.
+    ("Chao1 richness (spectrum aggregate)", "corpus_chao1_richness"),
+    ("Zipf octave slope (global rank)", "corpus_zipf_octave_slope"),
+    ("token burstiness (doc-count reduce)", "token_burstiness_topk"),
+    ("isotonic calibration (minimax intervals)",
+     "lineitem_isotonic_calibration"),
+    ("PSI store maintenance (stream)", "stream_psi_drift"),
 ]
 
 
