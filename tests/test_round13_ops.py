@@ -691,9 +691,13 @@ def test_snapshot_changelog_round_trips(spark):
         if k % 64 == 17 and (k // 64) % 5 == 0:
             continue
         nxt[k] = cents + (1 if k % 64 == 3 else 0)
+    # Insert offset = MAX(o_orderkey) + 1, mirroring the query's
+    # data-derived offset (planted insert keys can never collide with
+    # genuine base keys at any scale — the r13 ADVICE fix).
+    offset = max(base) + 1
     for k, cents in base.items():
         if k % 64 == 7 and (k // 64) % 997 == 0:
-            nxt[k + 1_000_000_000] = cents
+            nxt[k + offset] = cents
     assert applied == nxt
 
 
