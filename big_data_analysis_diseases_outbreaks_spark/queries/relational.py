@@ -3100,16 +3100,22 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1""".strip(),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = load_table(spark, sf_dir, "customer").select("c_name")
+    # Join on the 64-bit HASH of each deletion-neighborhood key, not
+    # the key string — the blocking join shuffles longs instead of
+    # ~18-char strings (hash collisions are harmless: the levenshtein
+    # predicate re-verifies every candidate). The levenshtein filter
+    # runs BEFORE the distinct so the dedup shuffle carries only the
+    # surviving pairs — the customer_entity_resolution discipline
+    # (guide §2.3: shuffle fewer bytes, filter before the exchange).
     keyed = names.select(
         F.col("c_name").alias("name"),
         F.explode(
-            F.array_union(
-                F.array(F.col("c_name")),
-                F.expr(
-                    "transform(sequence(1, length(c_name)), i ->"
-                    " concat(substring(c_name, 1, i - 1),"
-                    " substring(c_name, i + 1, length(c_name))))"
-                ),
+            F.expr(
+                "transform(array_union(array(c_name),"
+                " transform(sequence(1, length(c_name)), i ->"
+                " concat(substring(c_name, 1, i - 1),"
+                " substring(c_name, i + 1, length(c_name))))),"
+                " k -> xxhash64(k))"
             )
         ).alias("key"),
     )
@@ -3117,15 +3123,16 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = keyed.alias("b")
     cands = (
         a.join(b, "key")
-        .where(F.col("a.name") < F.col("b.name"))
+        .where(
+            (F.col("a.name") < F.col("b.name"))
+            & (F.levenshtein("a.name", "b.name") <= 1)
+        )
         .select(
             F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
         )
         .distinct()
     )
-    return cands.where(
-        F.levenshtein("name_a", "name_b") <= 1
-    ).select(
+    return cands.select(
         "name_a",
         "name_b",
         F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
@@ -11056,6 +11063,13 @@ def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lat") - F.col("lat") % _GEO_R).alias("cl"),
         (F.col("lon") - F.col("lon") % _GEO_R).alias("co"),
     )
+    # NOTE (r14 optimization round): a half-neighborhood probe variant
+    # (5 offsets + mirrored union — 5/9 of the candidate join work) was
+    # implemented, oracle-verified at both SFs, and MEASURED SLOWER
+    # solo at sf0.1 (10.5 s best-of-5 vs 7.7 s for this version): the
+    # candidate join is not the dominant stage here, and the extra
+    # union pass over the persisted half-relation costs more than the
+    # probe saving. Reverted per guide §1 (measure first).
     offs = spark.range(9).select(
         (F.col("id") % 3 - 1).alias("dx"),
         (F.col("id") - F.col("id") % 3).cast("long").alias("_t"),
@@ -11604,18 +11618,35 @@ def _anf_rounds_over(e: DataFrame) -> list[DataFrame]:
     hv = F.conv(
         F.substring(F.md5(F.col("node").cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # The sketch rides as ONE sorted array row per node instead of ≤K
+    # rows: the per-round distinct + row_number window (2 exchanges +
+    # a sort over the merged candidate set) collapse into a single
+    # groupBy(node) whose merge expression — bottom-K of the distinct
+    # union — is slice(array_sort(array_distinct(flatten(...))), 1, K),
+    # all JVM builtins (guide §2.4 "remove shuffles outright", §2.3
+    # "aggregate before you shuffle"). Per-node state stays ≤ K longs
+    # between rounds; the pre-truncation merge group is ≤ (deg+1)·K
+    # values — degree-bounded exactly like the window variant's
+    # per-node sort partition was, but shuffled ONCE instead of twice.
     m = (
         e.select(F.col("src").alias("node"))
         .distinct()
-        .select("node", hv.alias("h"))
+        .select("node", F.array(hv).alias("hs"))
     )
-    w = Window.partitionBy("node").orderBy(F.col("h").asc())
+    # Pre-hash the (bigger) edge fact on the loop's join key once —
+    # the connected_components discipline: all three rounds' neighbor
+    # joins then reuse this partitioning (plan: zero per-round Exchange
+    # on the edge side) instead of re-shuffling the edges every round.
+    n_part = min(
+        e.sparkSession.sparkContext.defaultParallelism,
+        e.count() // 2_000_000 + 1,
+    )
+    e = e.repartition(n_part, "dst").persist()
     stats = []
     for _ in range(_ANF_ROUNDS):
         nb = e.join(m, e["dst"] == m["node"]).select(
-            F.col("src").alias("node"), "h"
+            F.col("src").alias("node"), "hs"
         )
-        p = m.unionByName(nb).distinct()
         # Eager localCheckpoint, not persist: the final 3-way stats join
         # evaluates all rounds' subtrees CONCURRENTLY in one job, and a
         # lazy cache can fill too late to stop round r-1 recomputing
@@ -11623,15 +11654,26 @@ def _anf_rounds_over(e: DataFrame) -> list[DataFrame]:
         # sf0.1 before this). Checkpointing materializes each round
         # exactly once, sequentially, and truncates lineage.
         m = (
-            p.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= _ANF_K)
-            .select("node", "h")
+            m.unionByName(nb)
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("hs")))
+                    ),
+                    1,
+                    _ANF_K,
+                ).alias("hs")
+            )
             .localCheckpoint(eager=True)
         )
+        # cnt/mx read straight off the checkpointed sorted array —
+        # map-only, no per-round aggregate job left in the final plan.
         stats.append(
-            m.groupBy("node").agg(
-                F.count(F.lit(1)).cast("long").alias("cnt"),
-                F.max("h").cast("long").alias("mx"),
+            m.select(
+                "node",
+                F.size("hs").cast("long").alias("cnt"),
+                F.element_at("hs", -1).cast("long").alias("mx"),
             )
         )
     return stats
