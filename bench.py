@@ -485,14 +485,31 @@ def main() -> None:
     # Prior bests come from the last local full map (BENCH_LOCAL.json,
     # committed alongside each recorded bench).
     prior: dict[str, float] = {}
+    cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json")) as fh:
+            _prior_rec = json.load(fh)
+        # The priors are only comparable at the core count they were
+        # measured at: the driver ALSO runs this bench at a LOWER
+        # $SPARK_GRAFT_CPUS to measure per-query scaling, and a guard
+        # comparing those times against 32-core priors would fire extra
+        # reps on nearly every line — inflating the scaling run's wall
+        # clock and polluting its numbers. Records written before the
+        # "cpus" field existed are treated as same-host (legacy).
+        _prior_cpus = _prior_rec.get("cpus", cur_cpus)
+        if _prior_cpus == cur_cpus:
             prior = {
                 k: float(v)
-                for k, v in (json.load(fh).get("queries") or {}).items()
+                for k, v in (_prior_rec.get("queries") or {}).items()
                 if isinstance(v, (int, float)) and v > 0
             }
+        else:
+            print(
+                f"bench: contention guard OFF for this run — priors were "
+                f"measured at {_prior_cpus} cores, running at {cur_cpus}",
+                file=sys.stderr,
+            )
     except (OSError, ValueError) as exc:
         # A silently-disabled guard is invisible in the transcript
         # (ADVICE r10) — say so, loudly, where the bench log lands.
@@ -652,6 +669,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cur_cpus,
         "queries": {n: round(timings[n], 3) for n in sorted(timings)},
         "reps": rep_times,
     }
