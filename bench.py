@@ -498,7 +498,18 @@ def main() -> None:
         # clock and polluting its numbers. Records written before the
         # "cpus" field existed are treated as same-host (legacy).
         _prior_cpus = _prior_rec.get("cpus", cur_cpus)
-        if _prior_cpus == cur_cpus:
+        _prior_sf = str(_prior_rec.get("sf", sf))
+        if _prior_sf != str(sf):
+            # Priors are per scale factor too: comparing an sf0.01 run
+            # against sf0.1 priors fires spurious extra reps on every
+            # fixed-cost-dominated line (observed: 20 false positives
+            # on one verification run).
+            print(
+                f"bench: contention guard OFF for this run — priors were "
+                f"measured at sf{_prior_sf}, running at sf{sf}",
+                file=sys.stderr,
+            )
+        elif _prior_cpus == cur_cpus:
             prior = {
                 k: float(v)
                 for k, v in (_prior_rec.get("queries") or {}).items()

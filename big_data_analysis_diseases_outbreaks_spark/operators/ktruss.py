@@ -12,9 +12,12 @@ community-backbone / strong-tie extractor. Distributed batch peel
 
 Per round: one orientation (degree agg + join, the O(√m)-bounded
 layout from operators/triangles.py), one wedge self-join, one support
-aggregate keyed by the canonical edge, one semi-join dropping weak
-edges — every step keyed and cluster-wide. Rounds converge in O(peel
-depth). Same loop hygiene as kcore/pagerank: per-round eager lineage
+aggregate keyed by the canonical edge, then a support filter — every
+triangle side is itself a live edge, so the filtered support table IS
+the next live set (no semi-join back), and carrying support through
+the round's checkpoint lets the fixpoint round return directly instead
+of re-running the triangle pass. Every step keyed and cluster-wide.
+Rounds converge in O(peel depth). Same loop hygiene as kcore/pagerank: per-round eager lineage
 truncation, shuffle width pinned from the edge count, reliable-
 checkpoint option, fail-loud round budget (a truncated peel is wrong,
 not approximate).
@@ -85,27 +88,28 @@ def ktruss_edges(
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         for _ in range(max_iters):
-            sup = _edge_support(live)
-            keep = sup.where(F.col("support") >= k - 2)
-            # Semi-join keeps ONLY supported edges: a live edge absent
-            # from `sup` closed zero triangles and must drop (k >= 3).
-            nxt = (
-                live.join(keep, ["u", "v"], "left_semi")
+            # Every triangle side is itself an edge of `live`, so the
+            # support table's keys are a SUBSET of the live edges and
+            # the filtered support table IS the next live set — no
+            # semi-join back against `live` needed. Materializing
+            # (u, v, support) per round also means the fixpoint round
+            # returns its support directly instead of re-running the
+            # whole triangle pass once more (the pre-r14 shape paid the
+            # most expensive stage twice on the converged set).
+            keep = (
+                _edge_support(live)
+                .where(F.col("support") >= k - 2)
                 .repartition(n_part, "u")
                 .transform(truncate)
             )
-            n_next = nxt.count()
+            n_next = keep.count()
             if n_next == prev_edges:
                 # Fixpoint: nothing dropped, so this round's support IS
                 # the within-truss support of every survivor.
-                return live.join(keep, ["u", "v"]).select(
-                    "u", "v", "support"
-                )
-            live, prev_edges = nxt, n_next
+                return keep.select("u", "v", "support")
+            live, prev_edges = keep.select("u", "v"), n_next
             if n_next == 0:
-                return live.select(
-                    "u", "v", F.lit(0).cast("long").alias("support")
-                )
+                return keep.select("u", "v", "support")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     raise RuntimeError(

@@ -7,9 +7,13 @@ Pregel-style layout: the edge table (src, dst, outdeg) is the large
 fact, hash-partitioned on ``src`` once and reused every round, and each
 round shuffles only the (node, rank) vector — never the edges again
 (`persist()` pins them). The rank vector's lineage is truncated with a
-``localCheckpoint`` EVERY round — without that, each round's plan nests
-all previous rounds and analysis time grows superlinearly with
-``n_iter`` (do not "optimize" it out of the loop).
+``localCheckpoint`` every SECOND round (and on the last) — the rank
+vector is referenced once per round, so one un-truncated intermediate
+adds a single bounded plan level, while each skipped checkpoint saves
+a full materialization action (the components/LPA discipline). Without
+any truncation the plan nests all previous rounds and analysis time
+grows superlinearly with ``n_iter`` (do not "optimize" it out of the
+loop entirely).
 
 Determinism: ranks are scaled BIGINTs (``scale`` fixed-point) and every
 update uses integer floor division — ``rank // outdeg`` per edge and a
@@ -100,24 +104,27 @@ def pagerank(
         ranks = nodes.select(
             "node", F.lit(scale).cast("long").alias("rank")
         )
-        for _ in range(n_iter):
+        for i in range(n_iter):
             contrib = (
                 e.join(ranks, e.src == ranks.node)
                 .select("dst", F.expr("rank div outdeg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (F.lit(base) + F.expr(damped))
-                    .cast("long")
-                    .alias("rank"),
-                )
-                # per-round lineage truncation — see module docstring
-                .transform(truncate)
+            ranks = nodes.join(
+                contrib, nodes.node == contrib.dst, "left"
+            ).select(
+                "node",
+                (F.lit(base) + F.expr(damped)).cast("long").alias("rank"),
             )
+            # Lineage truncation every SECOND round (and on the last) —
+            # the components/LPA pattern: the rank vector is referenced
+            # ONCE per round (contrib join), so one un-truncated
+            # intermediate adds a single bounded plan level, while each
+            # skipped checkpoint saves a full materialization action.
+            # Results are bit-identical (pure dataflow either way).
+            if i % 2 == 1 or i == n_iter - 1:
+                ranks = truncate(ranks)
         out = ranks.select("node", F.col("rank").alias("pagerank_scaled"))
         e.unpersist()
         nodes.unpersist()
@@ -190,23 +197,22 @@ def personalized_pagerank(
             .persist()
         )
         ranks = nodes.select("node", F.col("r0").alias("rank"))
-        for _ in range(n_iter):
+        for i in range(n_iter):
             contrib = (
                 e.join(ranks, e.src == ranks.node)
                 .select("dst", F.expr("rank div outdeg").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (F.col("nbase") + F.expr(damped))
-                    .cast("long")
-                    .alias("rank"),
-                )
-                .transform(truncate)
+            ranks = nodes.join(
+                contrib, nodes.node == contrib.dst, "left"
+            ).select(
+                "node",
+                (F.col("nbase") + F.expr(damped)).cast("long").alias("rank"),
             )
+            # every-second-round truncation — see pagerank() above
+            if i % 2 == 1 or i == n_iter - 1:
+                ranks = truncate(ranks)
         out = ranks.select("node", F.col("rank").alias("ppr_scaled"))
         e.unpersist()
         nodes.unpersist()
@@ -258,23 +264,22 @@ def weighted_pagerank(
         ranks = nodes.select(
             "node", F.lit(scale).cast("long").alias("rank")
         )
-        for _ in range(n_iter):
+        for i in range(n_iter):
             contrib = (
                 e.join(ranks, e.src == ranks.node)
                 .select("dst", F.expr("(rank * w) div outw").alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
-            ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (F.lit(base) + F.expr(damped))
-                    .cast("long")
-                    .alias("rank"),
-                )
-                .transform(truncate)
+            ranks = nodes.join(
+                contrib, nodes.node == contrib.dst, "left"
+            ).select(
+                "node",
+                (F.lit(base) + F.expr(damped)).cast("long").alias("rank"),
             )
+            # every-second-round truncation — see pagerank() above
+            if i % 2 == 1 or i == n_iter - 1:
+                ranks = truncate(ranks)
         out = ranks.select("node", F.col("rank").alias("pagerank_scaled"))
         e.unpersist()
         nodes.unpersist()

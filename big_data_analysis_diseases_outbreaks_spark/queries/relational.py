@@ -6468,17 +6468,24 @@ def part_degree_assortativity(
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("x"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("y"))
-    ej = und.join(du, "u").join(dv, "v").persist()
-    ends = ej.select("x", "y").unionAll(
-        ej.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    )
-    s = ends.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ej = und.join(du, "u").join(dv, "v")
+    # The symmetrized endpoint multiset is ej ∪ swap(ej), so every sum
+    # over it is exact algebra on ONE pass over ej: n = 2·|ej|,
+    # Σx = Σy = Σ(x)+Σ(y), Σxy doubles, Σx² = Σy² = Σ(x²)+Σ(y²) — all
+    # exact BIGINTs, bit-identical to aggregating the union, at half
+    # the aggregate input and without materializing ej twice
+    # (guide §2.3: aggregate before you shuffle).
+    s = ej.agg(
+        (F.count(F.lit(1)) * 2).alias("n"),
+        (F.sum("x") + F.sum("y")).cast("long").alias("sx"),
+        (F.sum("x") + F.sum("y")).cast("long").alias("sy"),
+        (F.sum(F.col("x") * F.col("y")) * 2).cast("long").alias("sxy"),
+        (F.sum(F.col("x") * F.col("x")) + F.sum(F.col("y") * F.col("y")))
+        .cast("long")
+        .alias("sxx"),
+        (F.sum(F.col("x") * F.col("x")) + F.sum(F.col("y") * F.col("y")))
+        .cast("long")
+        .alias("syy"),
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
@@ -11789,7 +11796,10 @@ def part_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"{_SSSP_COST_SCALE} div w").alias("cost"),
             )
         )
-        .persist()  # one edge fact per round
+        # one edge fact per round, MATERIALIZED once: checkpointing (vs
+        # persist) also truncates the MV-build lineage out of every
+        # round's plan, so Catalyst re-analyzes a leaf, not the build.
+        .localCheckpoint(eager=True)
     )
     d = (
         e.where(F.col("u") % _BFS_SEED_MOD == 0)
@@ -11806,7 +11816,12 @@ def part_copurchase_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.unionByName(relax)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .persist()  # carry + relax branches both read it next round
+            # EAGER per-round truncation, not persist(): the carry and
+            # relax branches both reference d, so an un-truncated plan
+            # DOUBLES per round (the Luby MIS lesson, CLAUDE.md) — and
+            # persist() keeps the whole logical tree alive for Catalyst
+            # to re-analyze every round.
+            .localCheckpoint(eager=True)
         )
     return d.select(
         F.col("node").alias("part_key"), F.col("dist").alias("cost_scaled")
@@ -13857,7 +13872,12 @@ def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s", "node", F.lit(r).cast("long").alias("d"))
             .localCheckpoint(eager=True)
         )
-        settled = settled.unionByName(new).localCheckpoint(eager=True)
+        # settled is a union of ALREADY-checkpointed levels (the seeds
+        # checkpoint + each round's `new`), so it needs no checkpoint of
+        # its own: the plan is a flat union of ≤ _HC_HOPS+1 materialized
+        # leaves, and checkpointing it would RE-materialize the whole
+        # settled set every round (measured ~1/3 of the loop's jobs).
+        settled = settled.unionByName(new)
         frontier = new
     return (
         settled.where(F.col("d") >= 1)

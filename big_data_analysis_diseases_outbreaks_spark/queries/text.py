@@ -2233,6 +2233,13 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("keep_id", keep)
         .where(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
+        # Materialize ONCE: canon is referenced by three independent
+        # branches (segment stats, the mixture aggregate, the gated
+        # join) and Spark has no common-subplan dedup — un-truncated,
+        # each branch re-paid the full-text regex-normalize + md5 +
+        # fingerprint-window shuffle (guide §3.3: materialize a
+        # multiply-referenced intermediate).
+        .localCheckpoint(eager=True)
     )
 
     toked = canon.select(
@@ -4276,6 +4283,9 @@ def curation_pipeline_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("keep_id", keep)
         .where(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
+        # materialize the triple-referenced dedup once — see
+        # curation_pipeline_v2
+        .localCheckpoint(eager=True)
     )
 
     toked = canon.select(
@@ -5884,7 +5894,7 @@ def doc_textrank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sid", F.lit(_TR_SCALE).cast("long").alias("s")
     )
     trunc = truncator(s, None)
-    for _ in range(_TR_ROUNDS):
+    for r in range(_TR_ROUNDS):
         contrib = (
             ew.join(
                 s.select(
@@ -5897,7 +5907,7 @@ def doc_textrank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.expr("(w * sj) div wd")).cast("long").alias("contrib")
             )
         )
-        s = trunc(
+        s = (
             sents.select("doc_id", "sid")
             .join(contrib, ["doc_id", "sid"], "left")
             .select(
@@ -5909,6 +5919,12 @@ def doc_textrank_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
         )
+        # Truncate every SECOND round (and the last) — the score vector
+        # is referenced once per round, so the un-truncated intermediate
+        # adds one bounded plan level while each skipped checkpoint
+        # saves a materialization action (the pagerank/LPA discipline).
+        if r % 2 == 1 or r == _TR_ROUNDS - 1:
+            s = trunc(s)
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("s").desc(), F.col("sid").asc()
     )
