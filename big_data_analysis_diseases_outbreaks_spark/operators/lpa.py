@@ -72,24 +72,17 @@ def label_propagation(
             votes = e.join(labels, e["b"] == labels["node"]).select(
                 F.col("a").alias("node"), "label"
             )
-            counts = votes.groupBy("node", "label").agg(
-                F.count(F.lit(1)).alias("cnt")
-            )
-            # argmax by (cnt DESC, label ASC) as a plain aggregate: max
-            # of struct(cnt, -label) — labels are non-negative ids, so
-            # max of the negation is the minimum label among tied
-            # counts.
-            labels = (
-                counts.groupBy("node")
-                .agg(
-                    F.max(
-                        F.struct(
-                            F.col("cnt"), (-F.col("label")).alias("neg_label")
-                        )
-                    ).alias("m")
-                )
-                .select("node", (-F.col("m.neg_label")).alias("label"))
-                .repartition(n_part, "node")
+            # argmax by (cnt DESC, label ASC) as ONE aggregate:
+            # mode(label, deterministic=true) returns the LOWEST value
+            # among the most frequent — exactly the LPA tie rule — with
+            # map-side partial aggregation (per-node count maps), so the
+            # former two-level count→argmax pair of exchanges collapses
+            # to a single exchange on the node key per round. The agg
+            # runs under the pinned shuffle width, so its output is
+            # already hash(node, n_part) — co-partitioned with the edge
+            # fact for the next round's join, no explicit repartition.
+            labels = votes.groupBy("node").agg(
+                F.expr("mode(label, true)").alias("label")
             )
             # Lineage truncation every SECOND round (and on the last):
             # one un-truncated intermediate adds a single bounded plan

@@ -7952,17 +7952,31 @@ def customer_entity_resolution(
         ).alias("key"),
         F.col("c_name").alias("name"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # In-bucket pair generation (the minhash-bucket shape) instead of a
+    # key self-join: ONE exchange of the keyed rows (the join shuffled
+    # both aliases), pairs explode map-side from the per-key sorted
+    # member list, and the levenshtein verify runs before the distinct
+    # so the dedup exchange carries only surviving (u, v) pairs.
     pairs = (
-        a.join(b, "key")
-        .where(
-            (F.col("a.c_custkey") < F.col("b.c_custkey"))
-            & (F.levenshtein("a.name", "b.name") <= 1)
+        keyed.groupBy("key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("c_custkey", "name"))
+            ).alias("ms")
         )
+        .where(F.size("ms") > 1)
         .select(
-            F.col("a.c_custkey").alias("u"),
-            F.col("b.c_custkey").alias("v"),
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ms, (x, i) ->"
+                    " transform(slice(ms, i + 2, size(ms)), y ->"
+                    " struct(x.c_custkey AS u, x.name AS an,"
+                    " y.c_custkey AS v, y.name AS bn))))"
+                )
+            ).alias("p")
         )
+        .where(F.levenshtein("p.an", "p.bn") <= 1)
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
     )
     labels = connected_components(pairs, src="u", dst="v")
