@@ -357,6 +357,44 @@ WHERE CAST(n_common AS DOUBLE) >= {_MHL_T} * n_union
 """.strip()
 
 
+def _mhl_sig_bands_batches(batches):
+    """(doc_id, gh) Arrow batches → + bv_0..bv_{B-1} (mapInPandas body).
+
+    Exact int64 modular arithmetic, vectorized: all gram hashes of a
+    batch concatenate into one flat vector; the K permutations evaluate
+    as one (K × total) broadcast, per-document minima via
+    ``minimum.reduceat``, and the B band folds as K/B chained
+    multiply-adds on the (K × docs) minima. Same integers as the former
+    per-row HOF transforms and as the DuckDB oracle (gh < RH_MOD < 2^30,
+    a < 2^29 ⇒ products < 2^59 — no int64 overflow anywhere).
+    Module-level so cloudpickle ships it by reference (session.py
+    _ship_package makes the package importable on workers)."""
+    import numpy as np
+    import pandas as pd
+
+    a_c, b_c = _mhl_consts()
+    A = np.asarray(a_c, dtype=np.int64)[:, None]
+    B = np.asarray(b_c, dtype=np.int64)[:, None]
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        arrs = [np.asarray(v, dtype=np.int64) for v in pdf["gh"]]
+        flat = np.concatenate(arrs)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum([len(a) for a in arrs[:-1]], out=offs[1:])
+        # (K × total) permuted hashes → per-doc minima at the offsets.
+        mins = np.minimum.reduceat((A * flat[None, :] + B) % RH_MOD,
+                                   offs, axis=1)
+        out = {"doc_id": pdf["doc_id"], "gh": pdf["gh"]}
+        for b in range(_MHL_BANDS):
+            acc = np.full(n, RH_INIT, dtype=np.int64)
+            for r in range(_MHL_ROWS):
+                acc = (acc * RH_MULT + mins[b * _MHL_ROWS + r]) % RH_MOD
+            out[f"bv_{b}"] = acc
+        yield pd.DataFrame(out)
+
+
 def _mhl_doc_index(docs: DataFrame) -> DataFrame:
     """Per-document MinHash-LSH index rows: (doc_id, gh, bv_0..bv_{B-1}).
 
@@ -368,7 +406,6 @@ def _mhl_doc_index(docs: DataFrame) -> DataFrame:
     reason the LSH index can live as a streaming-maintained table at
     100 TB instead of a batch artifact.
     """
-    a_c, b_c = _mhl_consts()
     toked = docs.withColumn(
         "_ts", tokens(F.lower(F.col("text")))
     ).where(F.size("_ts") >= 3)
@@ -406,28 +443,18 @@ def _mhl_doc_index(docs: DataFrame) -> DataFrame:
     )
     g = toked.select("doc_id", gh.alias("gh"))
 
-    def _perm(i):
-        # closure factory: a two-parameter lambda would make transform()
-        # pass the element INDEX as the second argument
-        return lambda x: (F.lit(a_c[i]) * x + F.lit(b_c[i])) % RH_MOD
-
-    sigs = [
-        F.array_min(F.transform(F.col("gh"), _perm(i))).alias(f"_s{i}")
-        for i in range(_MHL_K)
-    ]
-    sig = g.select("doc_id", "gh", *sigs)
-
-    def _band_val(b):
-        acc = F.lit(RH_INIT).cast("long")
-        for r in range(_MHL_ROWS):
-            acc = (acc * RH_MULT + F.col(f"_s{b * _MHL_ROWS + r}")) % RH_MOD
-        return acc
-
-    return sig.select(
-        "doc_id",
-        "gh",
-        *[_band_val(b).alias(f"bv_{b}") for b in range(_MHL_BANDS)],
+    # The K-permutation minima + band folds run as ONE vectorized numpy
+    # pass per Arrow batch (guide §4.2: hand whole batches to native
+    # code) instead of K interpreted higher-order-function transforms
+    # per row — HOF lambdas have no codegen, so the JVM form re-walked
+    # the gram array 32 times per document (measured ~60% of the index
+    # build at sf0.1). Bit-identical arithmetic: gh < RH_MOD < 2^30 and
+    # a < 2^29 keep every product under 2^59, exact in int64 (the same
+    # bound the oracle's BIGINT path relies on).
+    schema = "doc_id LONG, gh ARRAY<LONG>, " + ", ".join(
+        f"bv_{b} LONG" for b in range(_MHL_BANDS)
     )
+    return g.mapInPandas(_mhl_sig_bands_batches, schema)
 
 
 def _mhl_pairs(idx: DataFrame) -> DataFrame:
