@@ -53,10 +53,13 @@ def bfs_distances(
     round, the first round that reaches a node IS its minimum distance —
     no per-node min-aggregate over rounds is needed, only the
     visited-set anti-join."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
-    edges = truncate(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # Lazy checkpoint + count: one materializing job, not two.
+    edges = counted_truncator(edges, checkpoint_dir)(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     spark = edges.sparkSession
     n_part = min(
         spark.sparkContext.defaultParallelism,

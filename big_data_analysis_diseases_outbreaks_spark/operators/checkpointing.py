@@ -40,3 +40,29 @@ def truncator(
         return lambda d: d.localCheckpoint(eager=True)
     df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     return lambda d: d.checkpoint(eager=True)
+
+
+def counted_truncator(
+    df: DataFrame, checkpoint_dir: str | None
+) -> Callable[[DataFrame], DataFrame]:
+    """Truncation fn for a frame whose NEXT operation is an action that
+    forces every row (a convergence/size ``count()``): lazy
+    ``localCheckpoint(eager=False)`` lets that count BE the
+    materializing job — one action per loop round instead of two
+    (checkpoint job + count job), which at node-sized per-round data is
+    pure scheduling overhead (guide §1.2 "per-task work" / VERDICT r14
+    fixed-cost finding).
+
+    Use ONLY when the caller immediately runs a full-scan action on the
+    returned frame before any other subtree references it: a lazily
+    checkpointed frame that first materializes under two concurrent
+    consumers can double-compute (the ANF warm-session 5x-spike lesson).
+
+    Reliable-checkpoint mode stays EAGER: a non-eager ``checkpoint()``
+    re-executes its whole lineage a second time when the checkpoint job
+    finally runs (Spark recomputes unless the RDD is also persisted),
+    which is far worse than one extra scheduling round-trip."""
+    if checkpoint_dir is None:
+        return lambda d: d.localCheckpoint(eager=False)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda d: d.checkpoint(eager=True)

@@ -54,17 +54,20 @@ def connected_components(
     reliable ``checkpoint()`` instead of executor-local blocks (which
     die with an executor and kill the loop); results are bit-identical
     either way. See operators/checkpointing.py."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
+    truncate_counted = counted_truncator(edges, checkpoint_dir)
     # Checkpoint the directed edges BEFORE symmetrizing: the union's two
     # branches each reference the (expensive) pair-generation lineage,
     # and exchange reuse is not guaranteed to cover plans whose top isn't
     # an exchange — materializing first makes single-evaluation explicit.
-    edges = truncate(
+    # Lazy checkpoint + count: the count IS the materializing job (one
+    # action, not checkpoint-then-count).
+    edges = truncate_counted(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
-    n_edges = edges.count()  # cheap: scans the checkpointed blocks
+    n_edges = edges.count()  # materializes the lazy checkpoint blocks
     spark = edges.sparkSession
     n_part = min(
         spark.sparkContext.defaultParallelism,
@@ -109,6 +112,10 @@ def connected_components(
         # yields both the new label (min over self + neighbors) and the
         # old one (the own row) — the convergence check needs no second
         # join against the previous iteration.
+        # Lazy checkpoint: the convergence count right below is the
+        # materializing action (its filter sits ABOVE the checkpoint
+        # boundary, so all rows are stored), folding the former
+        # checkpoint-job + count-job pair into ONE job per double-step.
         new_labels = (
             mid.withColumn("own", F.lit(1))
             .unionByName(nbr)
@@ -117,7 +124,7 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("own") == 1, F.col("label"))).alias("_old"),
             )
-            .transform(truncate)
+            .transform(truncate_counted)
         )
         n_changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")

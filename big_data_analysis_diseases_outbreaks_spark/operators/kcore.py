@@ -53,11 +53,13 @@ def kcore_nodes(
     the node's degree WITHIN the core (≥ k by definition). Nodes
     outside the core are absent. Deterministic: the batch peel drops
     the same node set regardless of partitioning or visit order."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
-    live = truncate(undirected_edges(edges, src, dst))
-    n_edges = live.count()  # cheap: scans the checkpointed blocks
+    truncate_counted = counted_truncator(edges, checkpoint_dir)
+    # Lazy checkpoint + count: one materializing job, not two.
+    live = truncate_counted(undirected_edges(edges, src, dst))
+    n_edges = live.count()  # materializes the lazy checkpoint blocks
     spark = live.sparkSession
     n_part = min(
         spark.sparkContext.defaultParallelism,
@@ -75,7 +77,7 @@ def kcore_nodes(
     spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
     try:
         live, prev_edges = _peel_loop(
-            live, k, n_part, prev_edges, max_iters, truncate
+            live, k, n_part, prev_edges, max_iters, truncate_counted
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
@@ -90,7 +92,9 @@ def kcore_nodes(
 def _peel_loop(live, k, n_part, prev_edges, max_iters, truncate):
     """Peel to fixpoint; raises on an exhausted round budget (a
     truncated peel is WRONG, not approximate — survivors may have
-    degree < k)."""
+    degree < k). ``truncate`` is a counted_truncator: each round's
+    checkpoint is lazy and the convergence count right after it is the
+    ONE materializing job for the round."""
     for _ in range(max_iters):
         deg = (
             live.select(F.col("u").alias("node"))

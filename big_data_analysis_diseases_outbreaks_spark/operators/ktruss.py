@@ -72,10 +72,12 @@ def ktruss_edges(
     set regardless of partitioning."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
-    live = truncate(undirected_edges(edges, src, dst))
+    truncate_counted = counted_truncator(edges, checkpoint_dir)
+    # Lazy checkpoint + count: one materializing job, not two.
+    live = truncate_counted(undirected_edges(edges, src, dst))
     n_edges = live.count()
     spark = live.sparkSession
     n_part = min(
@@ -96,11 +98,13 @@ def ktruss_edges(
             # returns its support directly instead of re-running the
             # whole triangle pass once more (the pre-r14 shape paid the
             # most expensive stage twice on the converged set).
+            # Lazy checkpoint: the convergence count below is the one
+            # materializing job for the round (no separate checkpoint job).
             keep = (
                 _edge_support(live)
                 .where(F.col("support") >= k - 2)
                 .repartition(n_part, "u")
-                .transform(truncate)
+                .transform(truncate_counted)
             )
             n_next = keep.count()
             if n_next == prev_edges:

@@ -17,6 +17,13 @@ window, so no per-node sort machinery — with per-round lineage
 truncation (executor-local by default, reliable ``checkpoint()`` via
 ``checkpoint_dir`` on clusters). Per-round traffic is one
 labels-vector shuffle; the edge side never re-shuffles.
+
+Runtime floor: the per-round argmax uses ``mode(label, true)`` with the
+deterministic-tie argument, which exists only in Spark >= 4.0 — on a
+3.x runtime the expression fails analysis (AnalysisException) rather
+than silently changing tie semantics; re-introduce the two-level
+count -> max(struct(cnt, -label)) aggregate if 3.x portability is ever
+needed (git history, r14).
 """
 
 from __future__ import annotations
@@ -39,10 +46,11 @@ def label_propagation(
     directions of every undirected edge (the co-purchase self-join
     emits both by construction); vote weight is 1 per distinct
     neighbor."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
-    e = truncate(
+    # Lazy checkpoint + count: one materializing job, not two.
+    e = counted_truncator(edges, checkpoint_dir)(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     )
     n_edges = e.count()

@@ -78,9 +78,10 @@ def triangle_counts(
     Nodes in no triangle are absent (count 0). ``checkpoint_dir``:
     reliable-checkpoint mode, same contract as pagerank/components
     (operators/checkpointing.py)."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
+    truncate_counted = counted_truncator(edges, checkpoint_dir)
     spark = edges.sparkSession
     width = spark.sparkContext.defaultParallelism
     # Pin the shuffle width to the graph for the whole computation
@@ -99,8 +100,9 @@ def triangle_counts(
         # wedge-join sides, so the caller's (possibly expensive) edge
         # lineage must run a single time — and its count sizes the
         # width for the heavy wedge stage (Σ outdeg² work).
-        und = truncate(undirected_edges(edges, src, dst))
-        n_edges = und.count()  # cheap: scans the materialized blocks
+        # Lazy checkpoint + count: one materializing job, not two.
+        und = truncate_counted(undirected_edges(edges, src, dst))
+        n_edges = und.count()  # materializes the lazy checkpoint blocks
         n_part = max(max(8, width), n_edges // 1_000_000 + 1)
         spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
         o = truncate(_orient(und))
@@ -138,7 +140,7 @@ def edge_triangle_counts(
     (e.g. the caller truncated :func:`undirected_edges` once to also
     feed a degree aggregate) — passing it avoids re-executing the
     possibly-expensive raw edge lineage here."""
-    from .checkpointing import truncator
+    from .checkpointing import counted_truncator, truncator
 
     truncate = truncator(edges, checkpoint_dir)
     spark = edges.sparkSession
@@ -146,10 +148,13 @@ def edge_triangle_counts(
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(max(8, width)))
     try:
+        # Lazy checkpoint + count: one materializing job, not two.
         und = (
             undirected
             if undirected is not None
-            else truncate(undirected_edges(edges, src, dst))
+            else counted_truncator(edges, checkpoint_dir)(
+                undirected_edges(edges, src, dst)
+            )
         )
         n_edges = und.count()
         n_part = max(max(8, width), n_edges // 1_000_000 + 1)

@@ -7886,6 +7886,11 @@ def orders_unshipped_revenue_top10(
 
 
 # --- entity resolution: blocked fuzzy match → clusters → canonical --------
+# Skew cap for in-bucket pair generation: no collect_list row ever holds
+# more than ~this many members (a deletion-key bucket above it splits
+# into hash blocks whose cross pairs come from a distributed join).
+_ER_BLOCK = 64
+
 # The full ER pipeline as one query, composing three machines the repo
 # already proves separately: (1) deletion-neighborhood blocking finds
 # all customer-name pairs within edit distance 1 WITHOUT the n² scan
@@ -7898,6 +7903,91 @@ def orders_unshipped_revenue_top10(
 # scale: blocking bounds candidates, components glue transitive
 # matches (A~B, B~C ⇒ one entity even when A,C are at distance 2),
 # the canonical pick is a deterministic argmin.
+
+def _er_candidate_pairs(keyed: DataFrame) -> DataFrame:
+    """Blocked in-bucket candidate pair generation for entity
+    resolution: (c_custkey, key, name) rows -> one struct column ``p``
+    = (u, an, v, bn) per unordered same-key candidate pair (u < v by
+    custkey), every pair emitted at least once (exactly once per key
+    under distinct custkeys).
+
+    In-bucket explode instead of a key self-join — pairs explode
+    map-side from per-key sorted member lists. De-skewed (VERDICT r14
+    item #2): a blocking bucket grows with near-dup density, and an
+    unbounded collect_list would put an entire hot bucket (and its
+    O(n^2) pair explode) in ONE row/task. Instead the bucket splits
+    into ceil(n / _ER_BLOCK) hash blocks BEFORE any collect (guide
+    §2.5 two-level/salted aggregation): the member count that sizes
+    the split is a WINDOW count over the same hash(key) exchange the
+    collect needs anyway (a linear, spillable pass — no unbounded
+    row), and the block aggregate reuses that partitioning (hash(key)
+    satisfies the (key, b) clustering), so pair generation still costs
+    ONE exchange of the keyed rows. In-block pairs explode map-side
+    per block row; cross-block pairs come from a block-to-higher-block
+    join keyed on (key, target block), spreading a hot key's quadratic
+    work over its blocks. At bench SFs every nb is 1 (max bucket ~38
+    at sf0.1), the cross path is empty, and the pair set is
+    bit-identical to the uncapped shape by construction — measured a
+    wash at sf0.1 (best-of-2 x2 alternating: 2.32/2.56 vs 2.76/2.80 s).
+    """
+    wkey = Window.partitionBy("key")
+    blocks = (
+        keyed.withColumn("n", F.count(F.lit(1)).over(wkey))
+        .where(F.col("n") > 1)
+        .withColumn(
+            "nb",
+            F.expr(f"CAST((n + {_ER_BLOCK} - 1) DIV {_ER_BLOCK} AS INT)"),
+        )
+        .withColumn(
+            "b", F.pmod(F.xxhash64("c_custkey"), F.col("nb")).cast("int")
+        )
+        .groupBy("key", "b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("c_custkey", "name"))
+            ).alias("ms"),
+            F.first("nb").alias("nb"),
+        )
+        # Three consumers below (in-block explode + both cross-join
+        # sides); Spark has no common-subplan dedup, so materialize the
+        # block table once (the curation-pipeline lesson).
+        .localCheckpoint(eager=True)
+    )
+    intra = blocks.where(F.size("ms") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) ->"
+                " transform(slice(ms, i + 2, size(ms)), y ->"
+                " struct(x.c_custkey AS u, x.name AS an,"
+                " y.c_custkey AS v, y.name AS bn))))"
+            )
+        ).alias("p")
+    )
+    xrep = blocks.where(F.col("b") < F.col("nb") - 1).select(
+        "key",
+        F.col("ms").alias("xs"),
+        F.explode(F.sequence(F.col("b") + 1, F.col("nb") - 1)).alias("j"),
+    )
+    cross = xrep.join(
+        blocks.select(
+            "key", F.col("b").alias("j"), F.col("ms").alias("ys")
+        ),
+        ["key", "j"],
+    ).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, x -> transform(ys, y -> struct("
+                "IF(x.c_custkey < y.c_custkey, x.c_custkey, y.c_custkey)"
+                " AS u,"
+                " IF(x.c_custkey < y.c_custkey, x.name, y.name) AS an,"
+                " IF(x.c_custkey < y.c_custkey, y.c_custkey, x.c_custkey)"
+                " AS v,"
+                " IF(x.c_custkey < y.c_custkey, y.name, x.name) AS bn))))"
+            )
+        ).alias("p")
+    )
+    return intra.unionByName(cross)
+
 
 @register(
     "customer_entity_resolution",
@@ -7952,29 +8042,11 @@ def customer_entity_resolution(
         ).alias("key"),
         F.col("c_name").alias("name"),
     )
-    # In-bucket pair generation (the minhash-bucket shape) instead of a
-    # key self-join: ONE exchange of the keyed rows (the join shuffled
-    # both aliases), pairs explode map-side from the per-key sorted
-    # member list, and the levenshtein verify runs before the distinct
-    # so the dedup exchange carries only surviving (u, v) pairs.
+    # Candidate generation: the de-skewed blocked in-bucket explode
+    # (_er_candidate_pairs above); levenshtein verify BEFORE the
+    # distinct so the dedup exchange carries only surviving pairs.
     pairs = (
-        keyed.groupBy("key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("c_custkey", "name"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") > 1)
-        .select(
-            F.explode_outer(
-                F.expr(
-                    "flatten(transform(ms, (x, i) ->"
-                    " transform(slice(ms, i + 2, size(ms)), y ->"
-                    " struct(x.c_custkey AS u, x.name AS an,"
-                    " y.c_custkey AS v, y.name AS bn))))"
-                )
-            ).alias("p")
-        )
+        _er_candidate_pairs(keyed)
         .where(F.levenshtein("p.an", "p.bn") <= 1)
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
@@ -11658,10 +11730,10 @@ def _anf_rounds_over(e: DataFrame) -> list[DataFrame]:
     # the connected_components discipline: all three rounds' neighbor
     # joins then reuse this partitioning (plan: zero per-round Exchange
     # on the edge side) instead of re-shuffling the edges every round.
-    n_part = min(
-        e.sparkSession.sparkContext.defaultParallelism,
-        e.count() // 2_000_000 + 1,
-    )
+    # Width derives from the edge count (the pagerank sizing), NOT
+    # capped at defaultParallelism: at 100 TB the loop width must grow
+    # with the data once edges >> 2M x cores (VERDICT r14 item #7).
+    n_part = max(8, e.count() // 2_000_000 + 1)
     e = e.repartition(n_part, "dst").persist()
     stats = []
     for _ in range(_ANF_ROUNDS):

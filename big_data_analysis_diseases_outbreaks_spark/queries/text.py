@@ -275,6 +275,13 @@ _MHL_BANDS = 8
 _MHL_ROWS = 4
 _MHL_T = 0.3
 _MHL_CAP = 64  # operators/dedup.py MAX_BUCKET_SIZE
+# Peak-memory bound for the vectorized signature pass: the permuted-hash
+# broadcast materializes a (perm-group × grams-in-chunk) int64 block, so
+# cap both axes — 8 permutations × <=1M grams ≈ 64 MB per temporary
+# instead of the unbounded (K × total-grams-in-batch) matrix a
+# long-document Arrow batch would otherwise allocate (ADVICE r14).
+_MHL_PGRP = 8
+_MHL_GRAM_CHUNK = 1_000_000
 
 
 def _mhl_consts() -> tuple[list[int], list[int]]:
@@ -375,17 +382,40 @@ def _mhl_sig_bands_batches(batches):
     a_c, b_c = _mhl_consts()
     A = np.asarray(a_c, dtype=np.int64)[:, None]
     B = np.asarray(b_c, dtype=np.int64)[:, None]
+    K = A.shape[0]
     for pdf in batches:
         n = len(pdf)
         if n == 0:
             continue
         arrs = [np.asarray(v, dtype=np.int64) for v in pdf["gh"]]
-        flat = np.concatenate(arrs)
-        offs = np.zeros(n, dtype=np.int64)
-        np.cumsum([len(a) for a in arrs[:-1]], out=offs[1:])
-        # (K × total) permuted hashes → per-doc minima at the offsets.
-        mins = np.minimum.reduceat((A * flat[None, :] + B) % RH_MOD,
-                                   offs, axis=1)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        if n and int(lens.min()) < 1:
+            # reduceat on an empty segment silently reads the next
+            # segment's first element — fail loud instead (the upstream
+            # size(_ts) >= 3 filter must guarantee non-empty grams).
+            raise ValueError(
+                "_mhl_sig_bands_batches: empty gram array in batch "
+                "(upstream tokenize filter violated)"
+            )
+        bounds = np.searchsorted(
+            np.cumsum(lens),
+            np.arange(_MHL_GRAM_CHUNK, lens.sum(), _MHL_GRAM_CHUNK),
+        )
+        doc_chunks = np.unique(np.concatenate(([0], bounds + 1, [n])))
+        mins = np.empty((K, n), dtype=np.int64)
+        for lo, hi in zip(doc_chunks[:-1], doc_chunks[1:]):
+            flat = np.concatenate(arrs[lo:hi])
+            offs = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(lens[lo : hi - 1], out=offs[1:])
+            # (group × chunk) permuted hashes → per-doc minima at offsets.
+            for k0 in range(0, K, _MHL_PGRP):
+                mins[k0 : k0 + _MHL_PGRP, lo:hi] = np.minimum.reduceat(
+                    (A[k0 : k0 + _MHL_PGRP] * flat[None, :]
+                     + B[k0 : k0 + _MHL_PGRP])
+                    % RH_MOD,
+                    offs,
+                    axis=1,
+                )
         out = {"doc_id": pdf["doc_id"], "gh": pdf["gh"]}
         for b in range(_MHL_BANDS):
             acc = np.full(n, RH_INIT, dtype=np.int64)
