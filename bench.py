@@ -482,50 +482,46 @@ def main() -> None:
     # close bench recorded 5-10x end-of-session contention spikes as if
     # they were plan regressions (56 s for a query that measures 4-6 s
     # solo), which poisons the round-over-round deltas the judge reads.
-    # Prior bests come from the last local full map (BENCH_LOCAL.json,
-    # committed alongside each recorded bench).
+    # Prior bests come from BENCH_PRIORS.json, a committed map keyed by
+    # "{cpus}@sf{sf}" so every measurement regime the driver uses keeps
+    # its OWN quiet-host floor. Round 14 showed why the single-record
+    # side file cannot serve as the prior store: the driver's 8-core
+    # scaling run overwrote BENCH_LOCAL.json at round close, so the
+    # next 32-core record run silently lost the guard — the same
+    # self-disabling failure VERDICT r13 item #1 chased. Each run now
+    # folds its bests into its own regime's section by elementwise min
+    # (self-healing, monotonically tightening); BENCH_LOCAL.json stays
+    # what the stdout line documents — the full per-query map of the
+    # LAST run.
     prior: dict[str, float] = {}
     cur_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _priors_path = os.path.join(_here, "BENCH_PRIORS.json")
+    _regime = f"{cur_cpus}@sf{sf}"
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json")) as fh:
-            _prior_rec = json.load(fh)
-        # The priors are only comparable at the core count they were
-        # measured at: the driver ALSO runs this bench at a LOWER
-        # $SPARK_GRAFT_CPUS to measure per-query scaling, and a guard
-        # comparing those times against 32-core priors would fire extra
-        # reps on nearly every line — inflating the scaling run's wall
-        # clock and polluting its numbers. Records written before the
-        # "cpus" field existed are treated as same-host (legacy).
-        _prior_cpus = _prior_rec.get("cpus", cur_cpus)
-        _prior_sf = str(_prior_rec.get("sf", sf))
-        if _prior_sf != str(sf):
-            # Priors are per scale factor too: comparing an sf0.01 run
-            # against sf0.1 priors fires spurious extra reps on every
-            # fixed-cost-dominated line (observed: 20 false positives
-            # on one verification run).
+        with open(_priors_path) as fh:
+            _prior_sections = json.load(fh).get("by_regime") or {}
+        _sect = _prior_sections.get(_regime) or {}
+        prior = {
+            k: float(v)
+            for k, v in (_sect.get("queries") or {}).items()
+            if isinstance(v, (int, float)) and v > 0
+        }
+        if not prior:
+            # No floor for this (cpus, sf) regime yet — the guard can't
+            # tell contention from cost, so it stays off for this run
+            # and the end-of-run merge below seeds the section.
             print(
-                f"bench: contention guard OFF for this run — priors were "
-                f"measured at sf{_prior_sf}, running at sf{sf}",
-                file=sys.stderr,
-            )
-        elif _prior_cpus == cur_cpus:
-            prior = {
-                k: float(v)
-                for k, v in (_prior_rec.get("queries") or {}).items()
-                if isinstance(v, (int, float)) and v > 0
-            }
-        else:
-            print(
-                f"bench: contention guard OFF for this run — priors were "
-                f"measured at {_prior_cpus} cores, running at {cur_cpus}",
+                f"bench: contention guard OFF for this run — no priors "
+                f"for regime {_regime} in BENCH_PRIORS.json "
+                f"(will be seeded by this run)",
                 file=sys.stderr,
             )
     except (OSError, ValueError) as exc:
         # A silently-disabled guard is invisible in the transcript
         # (ADVICE r10) — say so, loudly, where the bench log lands.
         print(
-            f"bench: contention guard DISABLED — BENCH_LOCAL.json "
+            f"bench: contention guard DISABLED — BENCH_PRIORS.json "
             f"unreadable: {exc!r}",
             file=sys.stderr,
         )
@@ -690,6 +686,38 @@ def main() -> None:
             json.dump(full, fh, indent=1)
     except OSError as exc:
         print(f"bench: could not write {side}: {exc!r}", file=sys.stderr)
+    # Fold this run's bests into the per-regime prior floor (elementwise
+    # min; failures excluded) so the contention guard self-heals across
+    # rounds and across the driver's record/scaling runs — see the
+    # prior-loading note above.
+    try:
+        try:
+            with open(_priors_path) as fh:
+                _priors_doc = json.load(fh)
+        except (OSError, ValueError):
+            _priors_doc = {}
+        _by = _priors_doc.setdefault("by_regime", {})
+        _sect = _by.setdefault(_regime, {"queries": {}})
+        _pq = _sect.setdefault("queries", {})
+        for _n, _t in timings.items():
+            if _t and _t > 0:
+                _old = _pq.get(_n)
+                _pq[_n] = round(min(_old, _t), 3) if isinstance(
+                    _old, (int, float)
+                ) and _old > 0 else _t
+        _priors_doc["note"] = (
+            "Quiet-host per-query floors keyed by '{cpus}@sf{sf}' "
+            "regime; elementwise min over every bench/solo_pin run. "
+            "Read by bench.py's contention guard; BENCH_LOCAL.json is "
+            "the last run's full record, not the prior store."
+        )
+        with open(_priors_path, "w") as fh:
+            json.dump(_priors_doc, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(
+            f"bench: could not update BENCH_PRIORS.json: {exc!r}",
+            file=sys.stderr,
+        )
     print(json.dumps({"reps": rep_times}), file=sys.stderr)
     print(json.dumps(summary))
     spark.stop()

@@ -71,16 +71,35 @@ def main() -> None:
     print(json.dumps({"solo_bests": bests}))
 
     if args.write:
-        path = os.path.join(repo, "BENCH_LOCAL.json")
-        with open(path) as fh:
-            data = json.load(fh)
+        # Fold into the per-regime prior floor the bench guard reads
+        # (elementwise min — a solo pin can only TIGHTEN the floor).
+        path = os.path.join(repo, "BENCH_PRIORS.json")
+        sf = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        regime = f"{cpus}@sf{sf}"
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            data = {}
+        sect = data.setdefault("by_regime", {}).setdefault(
+            regime, {"queries": {}}
+        )
+        pq = sect.setdefault("queries", {})
         for n, b in bests.items():
-            data["queries"][n] = b
-            data["reps"][n] = results[n]
+            old = pq.get(n)
+            pq[n] = (
+                round(min(old, b), 3)
+                if isinstance(old, (int, float)) and old > 0
+                else b
+            )
         with open(path, "w") as fh:
-            json.dump(data, fh, indent=1)
+            json.dump(data, fh, indent=1, sort_keys=True)
             fh.write("\n")
-        print(f"wrote {len(bests)} priors into {path}", file=sys.stderr)
+        print(
+            f"folded {len(bests)} pins into {path} [{regime}]",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":
