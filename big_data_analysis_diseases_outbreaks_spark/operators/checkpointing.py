@@ -30,6 +30,54 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def _strip_origin_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a just-checkpointed frame's LogicalRDD leaf WITHOUT the
+    origin plan's statistics/constraints.
+
+    Spark 3.4+ carries the checkpointed plan's estimated stats into the
+    LogicalRDD leaf (SPARK-39834). In an iterative loop whose round
+    joins two same-generation checkpoint leaves (the pointer-jump
+    self-join in connected_components), the carried ``sizeInBytes``
+    SQUARES every round — after k rounds the estimate is a ~2^k-bit
+    BigInteger and every optimizer stats lookup (join selection,
+    runtime-filter injection) grinds through multi-megabit BigInt
+    multiplications. Observed: 0.5 s jump rounds degrading to 270+ s
+    (driver pegged in SizeInBytesOnlyStatsPlanVisitor /
+    BigInteger.multiplyToomCook3); even plain propagate loops grow the
+    estimate linearly in bits per round. Stripping restores the
+    pre-3.4 checkpoint behavior — the leaf reports
+    ``spark.sql.defaultSizeInBytes`` — which is safe here: the loop
+    operators pin their shuffle widths explicitly and AQE plans from
+    RUNTIME sizes, so nothing downstream depends on the carried
+    estimate. Best-effort: any reflection failure (future Spark
+    internals drift) returns the frame unchanged."""
+    try:
+        lp = df._jdf.queryExecution().logical()
+        if lp.getClass().getSimpleName() != "LogicalRDD":
+            return df
+        spark = df.sparkSession
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
+        new_lp = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            lp.output(),
+            lp.rdd(),
+            lp.outputPartitioning(),
+            lp.outputOrdering(),
+            lp.isStreaming(),
+            lp.stream(),
+            spark._jsparkSession,  # type: ignore[attr-defined]
+            none,
+            none,
+        )
+        jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession,  # type: ignore[attr-defined]
+            new_lp,
+        )
+        return DataFrame(jds, spark)
+    except Exception:  # pragma: no cover — internals drift fallback
+        return df
+
+
 def truncator(
     df: DataFrame, checkpoint_dir: str | None
 ) -> Callable[[DataFrame], DataFrame]:
@@ -37,9 +85,9 @@ def truncator(
     ``checkpoint_dir`` is None, reliable checkpoint() into it otherwise.
     Both are eager — the round materializes before the next plans."""
     if checkpoint_dir is None:
-        return lambda d: d.localCheckpoint(eager=True)
+        return lambda d: _strip_origin_stats(d.localCheckpoint(eager=True))
     df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda d: d.checkpoint(eager=True)
+    return lambda d: _strip_origin_stats(d.checkpoint(eager=True))
 
 
 def counted_truncator(
@@ -63,6 +111,6 @@ def counted_truncator(
     finally runs (Spark recomputes unless the RDD is also persisted),
     which is far worse than one extra scheduling round-trip."""
     if checkpoint_dir is None:
-        return lambda d: d.localCheckpoint(eager=False)
+        return lambda d: _strip_origin_stats(d.localCheckpoint(eager=False))
     df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    return lambda d: d.checkpoint(eager=True)
+    return lambda d: _strip_origin_stats(d.checkpoint(eager=True))

@@ -8,12 +8,13 @@ DataFrame joins — each iteration is one hash join (neighbor labels) +
 one groupBy(min), both shuffle-partitioned on the node key, so a
 100 TB edge set spreads across executors with no driver-side graph.
 The label of every node converges to the minimum node id of its
-component in O(graph diameter) iterations; near-dup graphs are
-pair/small-clique shaped (diameter ≤ ~3), so the loop terminates in a
-handful of rounds. (For adversarially long chains the large-star /
-small-star variant [Kiveris et al., "Connected Components in MapReduce
-and Beyond"] halves the diameter per round; not needed for dedup
-workloads.)
+component in O(graph diameter) propagation rounds; near-dup graphs are
+pair/small-clique shaped (diameter ≤ ~3), so propagation terminates in
+a handful of rounds. Long-chain graphs (spatial DBSCAN cores, road-like
+meshes) would need O(diameter) rounds, so unconverged levels pointer-
+jump the label map to idempotence (l ← l∘l — the Shiloach-Vishkin
+shortcut) and then CONTRACT to the quotient graph over unresolved star
+roots and recurse: O(log n) levels total on any graph, same fixpoint.
 
 Each iteration's labels are materialized with an EAGER localCheckpoint,
 which truncates lineage. This is load-bearing, not an optimization: the
@@ -39,6 +40,14 @@ from pyspark.sql import functions as F
 # quotient takes over and the loop runs at full cluster width.
 _EDGES_PER_PARTITION = 2_000_000
 
+# Pointer-jump budget per shortcut closure: each jump halves every
+# chain, so 64 covers chains of length 2^64 — hitting it means a bug.
+_MAX_JUMPS = 64
+# Propagate double-steps per contraction level (cliques converge inside
+# this budget, so fast graphs never contract) and the level-depth cap.
+_STEPS_PER_LEVEL = 3
+_MAX_LEVELS = 40
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,7 +57,33 @@ def connected_components(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edges → (node, component); ``component`` is
-    the minimum node id reachable from ``node``.
+    the minimum node id reachable from ``node`` — the exact fixpoint,
+    on ANY graph shape.
+
+    Hybrid propagate/shortcut/contract (round 15): plain min-label
+    propagation is optimal on the near-dup clique graphs dedup produces
+    (diameter ≤ ~3: converges in ≤ 2 double-steps, none of the extra
+    machinery runs), but it needs O(diameter) rounds — a long-chain
+    graph (observed: the geo-DBSCAN core graph at sf0.1, still ~2000
+    labels/step changing at the old 13-double-step budget) silently
+    exhausted the budget and returned UNCONVERGED labels. Now, per
+    contraction level: up to ``_STEPS_PER_LEVEL`` propagate
+    double-steps; between them the label map is closed under
+    composition (l ← l∘l to idempotence — pointer jumping, the
+    Shiloach-Vishkin shortcut), which collapses the arithmetic pointer
+    chains propagation leaves on paths; if still unconverged, the
+    closed labels are STARS and the operator contracts to the quotient
+    graph over star roots with a differing-label neighbor, recurses on
+    it, and composes the sub-solution back with one join. The quotient
+    shrinks geometrically (star size ≥ 2 for every unconverged root),
+    so the total work is O(log n) levels of node-sized jobs. Validated
+    exact vs a union-find reference on the 14.6k-node DBSCAN core
+    graph (0 mismatches) where the old loop mislabelled 4352 nodes,
+    and on 400-hop path graphs.
+
+    Exhausting the level budget RAISES (the kcore/ktruss rule:
+    truncated output is wrong, not approximate) — unreachable in
+    practice since the quotient strictly shrinks per level.
 
     ``checkpoint_dir``: cluster mode — per-round lineage truncation via
     reliable ``checkpoint()`` instead of executor-local blocks (which
@@ -64,9 +99,26 @@ def connected_components(
     # an exchange — materializing first makes single-evaluation explicit.
     # Lazy checkpoint + count: the count IS the materializing job (one
     # action, not checkpoint-then-count).
-    edges = truncate_counted(
+    e0 = truncate_counted(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
+    steps = max(1, min(_STEPS_PER_LEVEL, (max_iters + 1) // 2))
+    labels = _cc_level(e0, truncate, truncate_counted, steps, _MAX_LEVELS)
+    return labels.select("node", "label")
+
+
+def _cc_level(edges, truncate, truncate_counted, steps, levels_left):
+    """One contraction level over (a, b) edges (lazily checkpointed —
+    the count below materializes them): propagate + shortcut for up to
+    ``steps`` double-steps, then contract unresolved star roots into a
+    quotient graph and recurse."""
+    if levels_left <= 0:
+        raise RuntimeError(
+            "connected-components contraction did not converge within "
+            f"{_MAX_LEVELS} levels — the quotient graph shrinks "
+            "geometrically per level, so this indicates a bug, not a "
+            "large input"
+        )
     n_edges = edges.count()  # materializes the lazy checkpoint blocks
     spark = edges.sparkSession
     n_part = min(
@@ -95,7 +147,7 @@ def connected_components(
     # across the second step" certifies the fixed point regardless of
     # what the first step did; at worst one extra propagation runs.
     # The un-truncated intermediate adds one bounded plan level.
-    for _ in range((max_iters + 1) // 2):
+    for it in range(steps):
         mid = (
             labels.unionByName(
                 sym.join(labels, sym["b"] == labels["node"]).select(
@@ -129,8 +181,74 @@ def connected_components(
         n_changed = new_labels.where(F.col("label") != F.col("_old")).count()
         labels = new_labels.drop("_old")
         if n_changed == 0:
-            break
-    return labels.select("node", "label")
+            return labels
+        if it >= 1:
+            # Unconverged past the clique regime: close the label map
+            # under composition (pointer jumping) so propagation's
+            # arithmetic pointer chains collapse geometrically and the
+            # labels form stars — the shape the contraction below needs.
+            # Gated past the first double-step so 1-2-step clique
+            # workloads never pay a closure job; A/B at sf0.1 measured
+            # per-step closure ~2 s faster on the DBSCAN chain graph
+            # than closing only before contraction.
+            labels = _shortcut_labels(labels, truncate_counted)
+    # Still unconverged: contract. The closed labels are stars; roots
+    # that see a different adjacent label become the nodes of a
+    # strictly smaller quotient graph whose components are exactly the
+    # unresolved merges. Solve it recursively, then compose.
+    la = sym.join(labels, sym["b"] == labels["node"]).select(
+        F.col("a"), F.col("label").alias("lb")
+    )
+    quotient = (
+        la.join(labels, la["a"] == labels["node"])
+        .select(F.col("label").alias("a"), F.col("lb").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(truncate_counted)
+    )
+    sub = _cc_level(
+        quotient, truncate, truncate_counted, steps, levels_left - 1
+    )
+    out = labels.join(
+        sub.select(F.col("node").alias("label"), F.col("label").alias("_r")),
+        "label",
+        "left",
+    ).select("node", F.coalesce("_r", F.col("label")).alias("label"))
+    return truncate(out)
+
+
+def _shortcut_labels(labels, truncate_counted):
+    """Pointer-jump l ← l∘l until idempotent (each jump halves every
+    node's pointer-chain depth, so O(log diameter) jumps). Labels only
+    hold node ids reachable within the component and l(v) ≤ v, so
+    chains are acyclic and every value is present as a node — the
+    closure maps each node to its chain's terminal, same component,
+    preserving the min-label fixpoint."""
+    for _ in range(_MAX_JUMPS):
+        jumped = (
+            labels.alias("x")
+            .join(
+                labels.select(
+                    F.col("node").alias("_jn"), F.col("label").alias("_jl")
+                ),
+                F.col("x.label") == F.col("_jn"),
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("_jl").alias("label"),
+                F.col("x.label").alias("_old"),
+            )
+            .transform(truncate_counted)
+        )
+        n_moved = jumped.where(F.col("label") != F.col("_old")).count()
+        labels = jumped.drop("_old")
+        if n_moved == 0:
+            return labels
+    raise RuntimeError(
+        f"label shortcut did not reach idempotence within {_MAX_JUMPS} "
+        "jumps — pointer chains halve per jump, so this indicates a "
+        "bug, not a large input"
+    )
 
 
 def dedup_cluster_canonical(

@@ -132,3 +132,59 @@ def test_counted_truncator_matches_eager(spark):
     assert sorted(map(tuple, lazy.collect())) == sorted(
         map(tuple, eager.collect())
     )
+
+
+# --- contraction connected components -------------------------------------
+
+
+def test_components_long_chain_contracts_to_exact_fixpoint(spark):
+    """A 400-hop path graph needs ~200 propagate double-steps — far past
+    any per-level budget — so it exercises the contraction levels; the
+    result must be the exact fixpoint (every node labelled 0), which the
+    pre-r15 truncated loop got wrong on graphs like this."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 400
+    chain = [(i, i + 1) for i in range(n)]
+    # a second component and a self-loop singleton, shuffled in
+    chain += [(1000, 1001), (1001, 1002), (2000, 2000)]
+    g = spark.createDataFrame(chain, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(g).collect()}
+    want = {i: 0 for i in range(n + 1)}
+    want.update({1000: 1000, 1001: 1000, 1002: 1000, 2000: 2000})
+    assert got == want
+
+
+def test_components_random_graph_matches_union_find(spark):
+    """Deterministic pseudo-random sparse graph (mix of blobs and
+    chains) vs a pure-Python union-find."""
+    from big_data_analysis_diseases_outbreaks_spark.operators.components import (
+        connected_components,
+    )
+
+    rnd = __import__("random").Random(42)
+    edges = [(rnd.randrange(500), rnd.randrange(500)) for _ in range(300)]
+    edges += [(i + 600, i + 601) for i in range(80)]  # one long chain
+    g = spark.createDataFrame(edges, "src long, dst long")
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        for v in (a, b):
+            want[v] = find(v)
+    got = {r.node: r.label for r in connected_components(g).collect()}
+    assert got == want
